@@ -1,0 +1,501 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import graft.operators.AsOfJoin
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational operator surface: scans+pushdown, multi-rule filters,
+  * partial/final hash aggregation, distinct counts, broadcast
+  * semi/anti/star joins, interval & as-of joins, set ops, grouping sets,
+  * sampling, duplicate-detection assertions.
+  *
+  * Each query generalizes one operator family of the reference pipeline
+  * (see SURVEY.md §2; reference = aroraayush/adtech-log-data-pipeline):
+  *  - validity filtering: `utils/BidLogUtils.java:63-97` (F1)
+  *  - profile merge agg:  `utils/DeviceProfileUtils.java:186-240` (A1)
+  *  - distinct user counts: `transforms/AppProfiles.java:58-111` (A3/A4)
+  *  - broadcast semi/anti/map joins: `transforms/SuspiciousIDs.java:61-110`,
+  *    `transforms/Features.java:60-103` (J1-J3)
+  *  - duplicate-key assertion: `transforms/AppProfiles.java:50-56` (J4)
+  *  - deterministic sampling: `transforms/Features.java:116` (F6)
+  */
+object RelationalQueries {
+
+  /** TPC-H Q1-style pricing summary: filter pushed to parquet scan,
+    * partial+final hash agg (the Spark analogue of Beam combiner lifting,
+    * SURVEY §4). */
+  private val pricingSummary = Q(
+    "q01_pricing_summary",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .filter($"l_shipdate" <= to_timestamp(lit("2000-01-01")))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum($"l_quantity").as("sum_qty"),
+          sum($"l_extendedprice").as("sum_base_price"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          sum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          avg($"l_quantity").as("avg_qty"),
+          avg($"l_extendedprice").as("avg_price"),
+          avg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      sum(l_quantity) AS sum_qty,
+      sum(l_extendedprice) AS sum_base_price,
+      sum(l_extendedprice*(1-l_discount)) AS sum_disc_price,
+      sum(l_extendedprice*(1-l_discount)*(1+l_tax)) AS sum_charge,
+      avg(l_quantity) AS avg_qty, avg(l_extendedprice) AS avg_price,
+      avg(l_discount) AS avg_disc, count(*) AS count_order
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+      GROUP BY l_returnflag, l_linestatus"""),
+    bench = true)
+
+  /** Multi-rule validity filter (F1 analogue: 11-rule BidLog validation,
+    * `BidLogUtils.java:63-97`): one conjunctive predicate, fully pushed /
+    * codegen'd — no UDFs. */
+  private val validityFilter = Q(
+    "q02_validity_filter",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d).filter(
+        $"value" > 0.0 &&
+          $"ts" >= to_timestamp(lit("2024-01-01")) &&
+          $"ts" < to_timestamp(lit("2025-01-01")) &&
+          $"event_type".isin("click", "view", "purchase", "signup") &&
+          $"user_id" >= 0 &&
+          get_json_object($"props", "$.k").cast("int").between(0, 99))
+        .select($"event_id", $"user_id", $"event_type", $"value")
+    },
+    Some("""SELECT event_id, user_id, event_type, value FROM events
+      WHERE value > 0 AND ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2025-01-01'
+      AND event_type IN ('click','view','purchase','signup') AND user_id >= 0
+      AND CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 0 AND 99"""))
+
+  /** Profile merge, relational form (A1 analogue, `DeviceProfileUtils.java:206-240`):
+    * per (user, activity-type): count, min/max event-time, value sum — the
+    * exploded shape of the DeviceProfile merge monoid. */
+  private val profileMerge = Q(
+    "q03_profile_merge",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          min(unix_micros($"ts")).as("first_at"),
+          max(unix_micros($"ts")).as("last_at"),
+          sum($"value").as("total_value"))
+    },
+    Some("""SELECT user_id, event_type, count(*) AS cnt,
+      min(epoch_us(ts)) AS first_at, max(epoch_us(ts)) AS last_at,
+      sum(value) AS total_value
+      FROM events GROUP BY user_id, event_type"""),
+    bench = true)
+
+  /** Nested profile (A1 nested shape, `profile.proto:41-93`): one row per
+    * user with a sorted array<struct> of per-type activity. Exercises
+    * collect_list + sort_array re-nesting after the flat aggregation. */
+  private val profileNested = Q(
+    "q04_profile_nested",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("cnt"), min(unix_micros($"ts")).as("first_at"),
+          max(unix_micros($"ts")).as("last_at"))
+        .groupBy($"user_id")
+        .agg(
+          min($"first_at").as("first_at"),
+          max($"last_at").as("last_at"),
+          sort_array(collect_list(struct($"event_type", $"cnt"))).as("activity"))
+    },
+    Some("""WITH a AS (
+        SELECT user_id, event_type, count(*) AS cnt,
+               min(epoch_us(ts)) AS first_at, max(epoch_us(ts)) AS last_at
+        FROM events GROUP BY user_id, event_type)
+      SELECT user_id, min(first_at) AS first_at, max(last_at) AS last_at,
+             list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type) AS activity
+      FROM a GROUP BY user_id"""))
+
+  /** Distinct counts per key (A3 analogue, `AppProfiles.java:62`). */
+  private val distinctCounts = Q(
+    "q05_distinct_counts",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(
+          countDistinct($"l_suppkey").as("n_supp"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
+      count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+      FROM lineitem GROUP BY l_partkey"""),
+    bench = true)
+
+  /** Per-type distinct-user counts (A4 analogue — AppProfile user_count,
+    * `AppProfiles.java:71-111`). */
+  private val userCounts = Q(
+    "q06_user_counts_per_type",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"event_type")
+        .agg(countDistinct($"user_id").as("user_count"), count(lit(1)).as("n_events"))
+    },
+    Some("""SELECT event_type, count(DISTINCT user_id) AS user_count,
+      count(*) AS n_events FROM events GROUP BY event_type"""))
+
+  /** Approximate distinct (HLL++) — the 100TB-scale path for A3/A4 counts.
+    * No DuckDB oracle (sketch internals differ); driver does rows-only check. */
+  private val approxDistinct = Q(
+    "q07_approx_distinct",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey").as("approx_parts"),
+          countDistinct($"l_partkey").as("exact_parts"))
+    },
+    None)
+
+  /** Row-local array aggregation via higher-order functions (A5 analogue:
+    * per-row sum over nested map values, `SuspiciousIDs.java:100-107`) —
+    * no shuffle, stays inside whole-stage codegen. */
+  private val rowLocalAgg = Q(
+    "q08_rowlocal_array_agg",
+    (s, d) => {
+      import s.implicits._
+      T.embeddings(s, d).select(
+        $"vec_id",
+        aggregate(transform($"embedding", x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x).as("norm2"),
+        (aggregate(transform($"embedding", x => x.cast("double")),
+          lit(0.0), (acc, x) => acc + x) / size($"embedding")).as("mean"),
+        array_max($"embedding").cast("double").as("max_elem"))
+    },
+    Some("""SELECT vec_id,
+      list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS norm2,
+      list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) / len(embedding) AS mean,
+      CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS max_elem
+      FROM embeddings"""))
+
+  /** Broadcast left-semi join (J1/J2 family: membership classification,
+    * `Features.java:60-67`). */
+  private val semiJoin = Q(
+    "q09_semi_join",
+    (s, d) => {
+      import s.implicits._
+      val bigOrders = T.orders(s, d).filter($"o_totalprice" > 450000.0)
+        .select($"o_custkey")
+      T.customer(s, d)
+        .join(broadcast(bigOrders), $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+    },
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)"""))
+
+  /** Broadcast left-anti join (J2 analogue: blacklist removal,
+    * `Features.java:116`). */
+  private val antiJoin = Q(
+    "q10_anti_join",
+    (s, d) => {
+      import s.implicits._
+      T.customer(s, d)
+        .join(broadcast(T.orders(s, d).filter($"o_totalprice" > 450000.0).select($"o_custkey")),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_nationkey")
+    },
+    Some("""SELECT c_custkey, c_name, c_nationkey FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 450000)"""))
+
+  /** Two-stage blacklist pipeline (J2 + A2, `Features.java:60-88`): derive
+    * the blacklist (users with > 80 events) then anti-join it away and
+    * re-aggregate. The blacklist is tiny → broadcast. */
+  private val blacklistAnti = Q(
+    "q11_blacklist_anti",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+      val bots = ev.groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .filter($"n" > 80).select($"user_id")
+      ev.join(broadcast(bots), Seq("user_id"), "left_anti")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_events"), countDistinct($"user_id").as("n_users"))
+    },
+    Some("""WITH bots AS (
+        SELECT user_id FROM events GROUP BY user_id HAVING count(*) > 80)
+      SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      FROM events WHERE user_id NOT IN (SELECT user_id FROM bots)
+      GROUP BY event_type"""),
+    bench = true)
+
+  /** Star-schema join with broadcast dims (J3 analogue: broadcast map join,
+    * `Features.java:90-103`; generalized to customer⋈orders⋈nation⋈region). */
+  private val starJoin = Q(
+    "q12_star_join_revenue",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(broadcast(T.nation(s, d)), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(T.region(s, d)), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(sum($"o_totalprice").as("revenue"), count(lit(1)).as("n_orders"))
+    },
+    Some("""SELECT r_name, n_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name"""),
+    bench = true)
+
+  /** Duplicate-key detection (J4 analogue, `AppProfiles.java:50-56` — the
+    * reference aborts on dups; here surfaced as a distributed check that
+    * never collects to the driver). */
+  private val dupCheck = Q(
+    "q13_dup_check",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_orderkey", $"l_partkey")
+        .agg(count(lit(1)).as("n"))
+        .filter($"n" > 1)
+    },
+    Some("""SELECT l_orderkey, l_partkey, count(*) AS n FROM lineitem
+      GROUP BY l_orderkey, l_partkey HAVING count(*) > 1"""))
+
+  /** Deterministic hash sampling (F6 analogue, `Features.java:116`:
+    * `uuid.charAt(7)=='0'` → here first md5 hex char, exact 1/16 expected
+    * rate, reproducible across runs/engines — never `sample()`). */
+  private val deterministicSample = Q(
+    "q14_deterministic_sample",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .filter(substring(md5($"o_orderkey".cast("string")), 1, 1) === "0")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'"""))
+
+  /** Popularity threshold (F5 analogue, `SuspiciousIDs.java:67-75`):
+    * parts ordered by more than 5 distinct orders. */
+  private val popularParts = Q(
+    "q15_popular_parts",
+    (s, d) => {
+      import s.implicits._
+      val pop = T.lineitem(s, d)
+        .groupBy($"l_partkey")
+        .agg(countDistinct($"l_orderkey").as("n_orders"))
+        .filter($"n_orders" > 30)
+      pop.join(T.part(s, d), $"l_partkey" === $"p_partkey")
+        .select($"p_partkey", $"p_name", $"n_orders")
+    },
+    Some("""WITH pop AS (
+        SELECT l_partkey, count(DISTINCT l_orderkey) AS n_orders
+        FROM lineitem GROUP BY l_partkey HAVING count(DISTINCT l_orderkey) > 30)
+      SELECT p_partkey, p_name, n_orders FROM pop JOIN part ON l_partkey = p_partkey"""))
+
+  /** Suspicious-entity disjunction (J1 analogue, `SuspiciousIDs.java:77-109`:
+    * geo-count ∨ unpopular-apps ∨ total-bidlogs thresholds → here distinct
+    * types ∨ event count ∨ value total). */
+  private val suspiciousUsers = Q(
+    "q16_suspicious_users",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id")
+        .agg(
+          countDistinct($"event_type").as("n_types"),
+          count(lit(1)).as("n_events"),
+          sum($"value").as("total_value"))
+        .filter($"n_types" >= 6 || $"n_events" > 74 || $"total_value" > 3900.0)
+    },
+    Some("""SELECT user_id, count(DISTINCT event_type) AS n_types,
+      count(*) AS n_events, sum(value) AS total_value
+      FROM events GROUP BY user_id
+      HAVING count(DISTINCT event_type) >= 6 OR count(*) > 74 OR sum(value) > 3900"""))
+
+  /** Row-local argmax (top-1, `Predictions.java:38-46`): first index of the
+    * max element — Spark `array_position` and DuckDB `list_position` share
+    * the first-occurrence tie-break of the reference. */
+  private val argmax = Q(
+    "q17_argmax",
+    (s, d) => {
+      import s.implicits._
+      T.embeddings(s, d).select(
+        $"vec_id", $"label",
+        array_position($"embedding", array_max($"embedding")).as("argmax_idx"))
+    },
+    Some("""SELECT vec_id, label,
+      CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_idx
+      FROM embeddings"""))
+
+  /** Set intersection of key domains (set-op surface, SURVEY §2.6). */
+  private val setIntersect = Q(
+    "q23_set_intersect",
+    (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select($"c_nationkey".as("nationkey"))
+        .intersect(T.supplier(s, d).select($"s_nationkey".as("nationkey")))
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey FROM supplier"""))
+
+  /** Set difference. */
+  private val setExcept = Q(
+    "q24_set_except",
+    (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select($"c_nationkey".as("nationkey"))
+        .except(T.supplier(s, d).select($"s_nationkey".as("nationkey")))
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT SELECT s_nationkey FROM supplier"""))
+
+  /** Distinct union. */
+  private val setUnion = Q(
+    "q25_set_union",
+    (s, d) => {
+      import s.implicits._
+      T.customer(s, d).select($"c_nationkey".as("nationkey"))
+        .union(T.supplier(s, d).select($"s_nationkey".as("nationkey")))
+        .distinct()
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey FROM supplier"""))
+
+  /** Interval (range) self-join: follow-on events within 5 minutes of an
+    * event by the same user. Per-key band join — the non-equi surface the
+    * reference lacks (SURVEY §2.5 "absent join types"). */
+  private val intervalJoin = Q(
+    "q26_interval_join",
+    (s, d) => {
+      import s.implicits._
+      val e1 = T.events(s, d).select($"user_id", $"event_id".as("eid1"),
+        $"event_type".as("t1"), $"ts".as("ts1"))
+      val e2 = T.events(s, d).select($"user_id", $"event_id".as("eid2"),
+        $"event_type".as("t2"), $"ts".as("ts2"))
+      e1.join(e2,
+        e1("user_id") === e2("user_id") &&
+          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 5 MINUTES") &&
+          $"eid1" =!= $"eid2")
+        .groupBy($"t1", $"t2")
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""SELECT e1.event_type AS t1, e2.event_type AS t2, count(*) AS n_pairs
+      FROM events e1 JOIN events e2
+        ON e1.user_id = e2.user_id
+       AND e2.ts >= e1.ts AND e2.ts <= e1.ts + INTERVAL 5 MINUTE
+       AND e1.event_id <> e2.event_id
+      GROUP BY t1, t2"""),
+    bench = true)
+
+  /** As-of join: each event picks the most recent order (by o_orderdate)
+    * of the matching customer. Implemented scalably (one shuffle, no
+    * per-key cross product) by [[graft.operators.AsOfJoin]]. Right side is
+    * pre-deduplicated per (key, time) for determinism. */
+  private val asofJoin = Q(
+    "q27_asof_join",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_id", $"user_id", $"ts")
+      val ords = T.orders(s, d)
+        .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+        .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"), max($"o_totalprice").as("o_totalprice"))
+      AsOfJoin.leftAsOf(ev, ords, Seq("user_id"), "ts", "o_orderdate")
+        .select($"event_id", $"user_id", $"o_orderkey",
+          unix_micros($"o_orderdate").as("order_at"), $"o_totalprice")
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               max(o_orderkey) AS o_orderkey, max(o_totalprice) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id, r.o_orderkey,
+             epoch_us(r.o_orderdate) AS order_at, r.o_totalprice
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate"""),
+    bench = true)
+
+  /** Grouping sets / rollup (generalized cube surface). */
+  private val rollupAgg = Q(
+    "q28_rollup",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  /** Hourly tumbling-window aggregation (batch twin of the Structured
+    * Streaming path, SURVEY §2.9; epoch-aligned like `window(ts, '1 hour')`). */
+  private val hourlyAgg = Q(
+    "q29_hourly_agg",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+        .select(unix_micros($"w.start").as("bucket_start"), $"event_type", $"n", $"total_value")
+    },
+    Some("""SELECT epoch_us(time_bucket(INTERVAL 1 HOUR, ts)) AS bucket_start,
+      event_type, count(*) AS n, sum(value) AS total_value
+      FROM events GROUP BY 1, 2"""))
+
+  /** Sessionization (gaps-and-islands, 30-minute inactivity gap) — the
+    * batch twin of `session_window` (SURVEY §2.9). */
+  private val sessionize = Q(
+    "q30_sessionize",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val flagged = T.events(s, d)
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("new_sess",
+          when($"prev_ts".isNull ||
+            unix_micros($"ts") - unix_micros($"prev_ts") > 30L * 60 * 1000000, 1).otherwise(0))
+        .withColumn("session_id", sum($"new_sess").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy($"user_id", $"session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(unix_micros($"ts")).as("sess_start"),
+          max(unix_micros($"ts")).as("sess_end"))
+    },
+    Some("""WITH f AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM f),
+      h AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM g)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(epoch_us(ts)) AS sess_start, max(epoch_us(ts)) AS sess_end
+      FROM h GROUP BY user_id, session_id"""),
+    bench = true)
+
+  def qs: Seq[Q] = Seq(
+    pricingSummary, validityFilter, profileMerge, profileNested,
+    distinctCounts, userCounts, approxDistinct, rowLocalAgg,
+    semiJoin, antiJoin, blacklistAnti, starJoin, dupCheck,
+    deterministicSample, popularParts, suspiciousUsers, argmax,
+    setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
+    rollupAgg, hourlyAgg, sessionize)
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Window-function surface (ranking / analytic / frames). The reference
+  * has none (SURVEY.md §2.6: only Beam GlobalWindow); the generalized
+  * engine exposes Spark's full `Window` spec. All orderings carry a
+  * unique tie-break column so results are deterministic across engines.
+  */
+object WindowQueries {
+
+  private val rankInGroup = Q(
+    "q20_window_rank",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_orderpriority")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("rk", rank().over(
+          Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)))
+        .filter($"rn" <= 10)
+        .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn", $"rk")
+    },
+    Some("""SELECT o_orderpriority, o_orderkey, o_totalprice, rn, rk FROM (
+        SELECT o_orderpriority, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn,
+          rank()       OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC) AS rk
+        FROM orders) WHERE rn <= 10"""))
+
+  /** Running sum + lag/lead over a per-customer order history. */
+  private val runningTotals = Q(
+    "q21_window_running",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      T.orders(s, d).select(
+        $"o_custkey", $"o_orderkey",
+        sum($"o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("running_spend"),
+        lag($"o_totalprice", 1).over(w).as("prev_price"),
+        lead($"o_totalprice", 1).over(w).as("next_price"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+      sum(o_totalprice) OVER w AS running_spend,
+      lag(o_totalprice)  OVER w AS prev_price,
+      lead(o_totalprice) OVER w AS next_price
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""),
+    bench = true)
+
+  /** Top-k per group via row_number (the distributed replacement for the
+    * reference's absent ORDER BY+LIMIT; SURVEY §2.6 "limits: none"). */
+  private val topkPerGroup = Q(
+    "q22_topk_per_group",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      T.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3"""))
+
+  /** Sliding frame: 7-row centered moving average of daily revenue. */
+  private val movingAvg = Q(
+    "q31_moving_avg",
+    (s, d) => {
+      import s.implicits._
+      val daily = T.orders(s, d)
+        .groupBy(date_trunc("day", $"o_orderdate").as("day"))
+        .agg(sum($"o_totalprice").as("revenue"))
+      val w = Window.orderBy($"day").rowsBetween(-3, 3)
+      daily.select(unix_micros($"day").as("day_us"), $"revenue",
+        avg($"revenue").over(w).as("ma7"),
+        count(lit(1)).over(w).as("n_in_frame"))
+    },
+    Some("""WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day, sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1)
+      SELECT epoch_us(day) AS day_us, revenue,
+        avg(revenue) OVER w AS ma7, count(*) OVER w AS n_in_frame
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"""))
+
+  /** ntile + percent_rank + cumulative distribution. */
+  private val distributionRanks = Q(
+    "q32_distribution_ranks",
+    (s, d) => {
+      import s.implicits._
+      val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
+      T.customer(s, d).select(
+        $"c_custkey", $"c_acctbal",
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cdf"))
+    },
+    Some("""SELECT c_custkey, c_acctbal,
+      ntile(10)      OVER w AS decile,
+      percent_rank() OVER w AS pct_rank,
+      cume_dist()    OVER w AS cdf
+      FROM customer
+      WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)"""))
+
+  def qs: Seq[Q] = Seq(rankInGroup, runningTotals, topkPerGroup, movingAvg, distributionRanks)
+}

@@ -1,0 +1,103 @@
+#!/usr/bin/env python3
+"""Dev-only pre-validation of SparkEntry oracles against DuckDB.
+
+Mimics the driver's t2 gate: run graft.Verify to dump each query's result
+as parquet + oracle_sql.json, then execute each oracle in DuckDB over the
+same sf dir and compare (columns sorted by name, rows sorted by all
+columns, exact for non-floats, tolerant + max-rel-diff report for floats).
+
+Usage: python3 tools/check.py [sfDir] [outDir] [--no-verify] [names...]
+"""
+import json, math, subprocess, sys
+
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: tuple(v.tolist()) if isinstance(v, np.ndarray)
+                              else (json.dumps(v, sort_keys=True, default=str) if isinstance(v, (dict, list)) else v))
+        # tz-aware → naive UTC for comparison
+        if str(df[c].dtype).startswith("datetime64[ns,"):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        elif str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[ns]")
+    df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str) if s.dtype == object else s)
+    return df.reset_index(drop=True)
+
+
+def compare(name, spark_df, duck_df):
+    a, b = norm(spark_df), norm(duck_df)
+    if list(a.columns) != list(b.columns):
+        return f"FAIL cols spark={list(a.columns)} duck={list(b.columns)}"
+    if len(a) != len(b):
+        return f"FAIL rows spark={len(a)} duck={len(b)}"
+    issues, max_rel = [], 0.0
+    for c in a.columns:
+        av, bv = a[c], b[c]
+        if np.issubdtype(av.dtype, np.floating) or np.issubdtype(bv.dtype, np.floating):
+            av = av.astype(float); bv = bv.astype(float)
+            both_nan = av.isna() & bv.isna()
+            diff = ~np.isclose(av.fillna(0), bv.fillna(0), rtol=1e-9, atol=1e-12) & ~both_nan
+            if diff.any():
+                issues.append(f"{c}: {int(diff.sum())} float diffs e.g. {av[diff].iloc[0]} vs {bv[diff].iloc[0]}")
+            with np.errstate(all="ignore"):
+                rel = np.abs(av.fillna(0) - bv.fillna(0)) / np.maximum(np.abs(bv.fillna(0)), 1e-300)
+            m = float(np.nanmax(rel)) if len(rel) else 0.0
+            max_rel = max(max_rel, 0.0 if math.isnan(m) else m)
+        else:
+            av2 = av.map(str) if av.dtype == object else av
+            bv2 = bv.map(str) if bv.dtype == object else bv
+            neq = ~(av2.eq(bv2) | (av.isna() & bv.isna()))
+            if neq.any():
+                i = int(np.argmax(neq.values))
+                issues.append(f"{c}: {int(neq.sum())} diffs e.g. row{i} {av.iloc[i]!r} vs {bv.iloc[i]!r}")
+    if issues:
+        return "FAIL " + "; ".join(issues[:3])
+    bits = "bit-exact" if max_rel == 0.0 else f"max_rel={max_rel:.2e}"
+    return f"OK rows={len(a)} {bits}"
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    out = args[1] if len(args) > 1 else "/tmp/verify_out"
+    names = args[2:]
+    if "--no-verify" not in sys.argv:
+        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+                           cwd="/root/repo", capture_output=True, text=True)
+        tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
+        if r.returncode != 0:
+            print(tail); sys.exit(1)
+        for line in (r.stdout + r.stderr).splitlines():
+            if "[verify]" in line:
+                print(line)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    oracles = json.load(open(f"{out}/oracle_sql.json"))
+    import glob
+    for name in sorted(oracles):
+        if names and name not in names:
+            continue
+        files = glob.glob(f"{out}/{name}/*.parquet")
+        if not files:
+            print(f"{name}: FAIL no spark output"); continue
+        spark_df = pd.concat([pd.read_parquet(f) for f in files])
+        try:
+            duck_df = con.execute(oracles[name]).fetchdf()
+        except Exception as e:
+            print(f"{name}: FAIL oracle error: {e}"); continue
+        print(f"{name}: {compare(name, spark_df, duck_df)}")
+
+
+if __name__ == "__main__":
+    main()
