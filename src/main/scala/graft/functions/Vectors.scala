@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level vector math over `array<float>` embeddings.
+  *
+  * All helpers are pure Catalyst higher-order-function expressions
+  * (`zip_with`/`aggregate`) — codegen'd, no UDFs, no shuffle: the
+  * 100 TB-safe building block for similarity search over the
+  * `embeddings` table (extension surface; the reference's only vector
+  * math is the 784-float feature build, SURVEY.md §2.8 M1,
+  * reference `utils/PredictionUtils.java:35-57`).
+  *
+  * Elements are cast to double before any arithmetic so Spark and the
+  * DuckDB oracle accumulate in the same precision and order
+  * (sequential left fold).
+  */
+object Vectors {
+
+  /** Σ aᵢ·bᵢ as double; sequential fold order. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** ‖a‖₂ as double. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(
+      transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  /** cos(a,b) given precomputed norms (avoids recomputing ‖·‖ per pair
+    * in the O(n²) join — precompute per side, then one dot per pair). */
+  def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+}

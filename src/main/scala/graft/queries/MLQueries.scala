@@ -1,7 +1,120 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.functions._
 
+/** ML surface: feature-vector construction (M1 analogue, reference
+  * `utils/PredictionUtils.java:35-57`) and batched model inference
+  * (M2 analogue, `transforms/Predictions.java:129-225`).
+  *
+  * The reference's model is a TF SavedModel fed 784-float vectors in
+  * batches of 60 with a per-worker one-time load (`@Setup`). Here the
+  * scorer is a fixed deterministic linear model (weights derived from
+  * md5 so the DuckDB oracle computes identical scores), but the Spark
+  * plumbing is the real thing: `mapPartitions` + per-executor lazy
+  * model singleton + `iterator.grouped(60)` batching — swap
+  * [[LinearModel.scoreBatch]] for a JNI/TF call and nothing else
+  * changes. That shape (setup-once, batch-amortized) is what the
+  * reference's perf tests enforce (`__Test15/16PredictionJob`).
+  */
 object MLQueries {
-  def qs: Seq[Q] = Seq()
+
+  /** First md5 hex nibble of a seed string — engine-independent
+    * pseudo-randomness shared with the oracle SQL literals. */
+  private def h4(seed: String): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (md.digest(seed.getBytes("UTF-8"))(0) >> 4) & 0xf
+  }
+
+  private val Dim = 64
+  private val NClasses = 10
+
+  /** Fixed linear model; exact binary fractions so decimal literals
+    * round-trip identically in Spark and DuckDB. */
+  object LinearModel {
+    lazy val w: Array[Array[Double]] = // [dim][class]
+      Array.tabulate(Dim, NClasses)((dd, j) => (h4(s"w|$dd|$j") - 7.5) / 8.0)
+    lazy val b: Array[Double] =
+      Array.tabulate(NClasses)(j => (h4(s"b|$j") - 7.5) / 8.0)
+
+    /** scores[j] = Σ_d x[d]·w[d][j] (d ascending) + b[j] — the exact
+      * fold order of the oracle's `bias + list_sum(...)`. */
+    def score(x: Array[Float]): Array[Double] = {
+      val out = new Array[Double](NClasses)
+      var j = 0
+      while (j < NClasses) {
+        var s = 0.0
+        var dd = 0
+        while (dd < Dim) { s += x(dd).toDouble * w(dd)(j); dd += 1 }
+        out(j) = b(j) + s
+        j += 1
+      }
+      out
+    }
+
+    def scoreBatch(xs: Seq[Array[Float]]): Seq[Array[Double]] = xs.map(score)
+  }
+
+  private def wDuck =
+    LinearModel.w.map(_.mkString("[", ",", "]")).mkString("[", ",", "]")
+  private def bDuck = LinearModel.b.mkString("[", ",", "]")
+
+  /** Feature-vector build, M1 style: clone the base vector, overwrite
+    * fixed indices with derived ratio features (cf. f[486]/f[586]/...
+    * overwrites at `PredictionUtils.java:47-54`). Pure row-local
+    * Catalyst expression — no shuffle. */
+  private val featureVector = Q(
+    "q57_feature_vector",
+    (s, d) => {
+      import s.implicits._
+      T.embeddings(s, d).select($"vec_id", expr(
+        """transform(sequence(0, 63), i ->
+             CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
+                  WHEN i = 20 THEN CAST(label AS DOUBLE) / 10.0
+                  WHEN i = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
+                  ELSE CAST(embedding[i] AS DOUBLE) END)""").as("features"))
+    },
+    Some("""SELECT vec_id, list_transform(range(64), i ->
+        CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
+             WHEN i = 20 THEN CAST(label AS DOUBLE) / 10.0
+             WHEN i = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
+             ELSE CAST(embedding[i+1] AS DOUBLE) END) AS features
+      FROM embeddings"""))
+
+  /** Batched inference: mapPartitions, model as per-JVM lazy singleton
+    * (= `@Setup` load-once), `grouped(60)` batches (= BUFFER_MAX_SIZE,
+    * `Predictions.java:132`), argmax with first-index tie-break
+    * (= `Predictions.java:38-46`). */
+  private val inference = Q(
+    "q58_batched_inference",
+    (s, d) => {
+      import s.implicits._
+      T.embeddings(s, d)
+        .select($"vec_id", $"embedding")
+        .as[(Long, Array[Float])]
+        .mapPartitions { it =>
+          it.grouped(60).flatMap { batch =>
+            val scores = LinearModel.scoreBatch(batch.map(_._2))
+            batch.iterator.zip(scores.iterator).map { case ((id, _), sc) =>
+              var best = 0
+              var j = 1
+              while (j < sc.length) { if (sc(j) > sc(best)) best = j; j += 1 }
+              (id, best, sc(best))
+            }
+          }
+        }
+        .toDF("vec_id", "prediction", "score")
+    },
+    Some(s"""WITH m AS (SELECT $wDuck w, $bDuck bias),
+      sc AS (SELECT vec_id, list_transform(range($NClasses), j ->
+          bias[j+1] + list_sum(list_transform(range($Dim), dd ->
+            CAST(embedding[dd+1] AS DOUBLE) * w[dd+1][j+1]))) scores
+        FROM embeddings CROSS JOIN m)
+      SELECT vec_id,
+        CAST(list_position(scores, list_aggregate(scores, 'max')) - 1 AS INTEGER) AS prediction,
+        list_aggregate(scores, 'max') AS score
+      FROM sc"""),
+    bench = true)
+
+  def qs: Seq[Q] = Seq(featureVector, inference)
 }

@@ -1,7 +1,130 @@
 package graft.queries
 
-import graft.Q
+import graft.{Q, Tables => T}
+import graft.functions.Vectors
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over the `embeddings` table (`array<float>[64]`)
+  * — training-data-pipeline extension (nearest the reference gets is
+  * the broadcast feature-map probe, `transforms/Features.java:90-103`).
+  *
+  * Two paths:
+  *  - brute-force cosine top-k: exact baseline; broadcast the (small)
+  *    query set against the full table — O(|Q|·n) with no shuffle of
+  *    the big side. Correct at any scale where |Q| is small.
+  *  - hyperplane-LSH buckets: the 100 TB path. Each vector gets a
+  *    6-bit signed-random-projection signature; candidates = same
+  *    bucket (equi-join on the bucket key — shuffle is per-bucket).
+  *    Deterministic: hyperplane signs derive from md5 parity, so the
+  *    DuckDB oracle reproduces the same buckets exactly.
+  */
 object SimilarityQueries {
-  def qs: Seq[Q] = Seq()
+
+  private val NPlanes = 6
+  private val Dim = 64
+
+  /** ±1 hyperplane weights from md5 parity of "plane|dim" — shared,
+    * engine-independent randomness (computed once here, embedded as a
+    * literal in BOTH the Spark plan and the oracle SQL). */
+  private lazy val weights: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NPlanes, Dim) { (h, dd) =>
+      val hex = md.digest(s"$h|$dd".getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 1) == 0) 1 else -1
+    }
+  }
+
+  private lazy val wSparkArr = // Spark SQL literal: array<array<double>>
+    weights.map(_.map(v => s"${v}.0D").mkString("array(", ",", ")"))
+      .mkString("array(", ",", ")")
+  private lazy val wDuckArr = // DuckDB literal: list of lists
+    weights.map(_.map(v => s"${v}.0").mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+
+  /** Spark-SQL bucket expression: fold over planes, acc*2 + sign-bit.
+    * Spark arrays are 0-indexed ([h]); DuckDB's are 1-indexed. */
+  private lazy val bucketSparkExpr =
+    s"""aggregate(sequence(0, ${NPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
+         acc * 2 + CASE WHEN aggregate(
+             zip_with($wSparkArr[h], embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+             0D, (a, y) -> a + y) > 0
+           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+
+  /** Exact brute-force cosine top-5 for each query vector
+    * (vec_id % 50 == 0 — the query set grows with the table).
+    * Query side is broadcast; big side is scanned once, row-local dot
+    * products, then a per-query top-k window over |Q|·n rows. */
+  private val bruteForceTopK = Q(
+    "q45_ann_bruteforce",
+    (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val qset = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+      val scored = e.crossJoin(broadcast(qset))
+        .filter($"vec_id" =!= $"q_vec")
+        .select($"q_vec", $"vec_id",
+          Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+    },
+    Some("""WITH n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM embeddings),
+      q AS (SELECT vec_id q_vec, embedding q_emb, nrm q_nrm FROM n WHERE vec_id % 50 = 0),
+      sc AS (SELECT q.q_vec, n.vec_id,
+        list_sum(list_transform(range(64), i ->
+          CAST(q.q_emb[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+          / (q.q_nrm * n.nrm) AS cosine
+        FROM n CROSS JOIN q WHERE n.vec_id <> q.q_vec)
+      SELECT q_vec, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank
+        FROM sc) WHERE rank <= 5"""),
+    bench = true)
+
+  /** LSH-bucketed ANN: same queries/k, but candidates restricted to
+    * the query's hyperplane bucket — approximate by design; results
+    * are the deterministic bucketed answer in both engines. */
+  private val lshTopK = Q(
+    "q46_ann_lsh",
+    (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        .withColumn("bucket", expr(bucketSparkExpr))
+      val qset = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"),
+          $"nrm".as("q_nrm"), $"bucket")
+      val scored = e.join(broadcast(qset), Seq("bucket"))
+        .filter($"vec_id" =!= $"q_vec")
+        .select($"q_vec", $"vec_id",
+          Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+    },
+    Some(s"""WITH w AS (SELECT $wDuckArr m),
+      n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm,
+        CAST(list_sum(list_transform(range($NPlanes), h ->
+          CASE WHEN list_sum(list_transform(range($Dim), d2 ->
+                 CAST(embedding[d2+1] AS DOUBLE) * m[h+1][d2+1])) > 0
+          THEN 1::BIGINT << (${NPlanes - 1} - h) ELSE 0::BIGINT END)) AS BIGINT) bucket
+        FROM embeddings CROSS JOIN w),
+      q AS (SELECT vec_id q_vec, embedding q_emb, nrm q_nrm, bucket FROM n WHERE vec_id % 50 = 0),
+      sc AS (SELECT q.q_vec, n.vec_id,
+        list_sum(list_transform(range($Dim), i ->
+          CAST(q.q_emb[i+1] AS DOUBLE) * CAST(n.embedding[i+1] AS DOUBLE)))
+          / (q.q_nrm * n.nrm) AS cosine
+        FROM n JOIN q USING (bucket) WHERE n.vec_id <> q.q_vec)
+      SELECT q_vec, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank
+        FROM sc) WHERE rank <= 5"""))
+
+  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK)
 }
