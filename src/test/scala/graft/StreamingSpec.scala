@@ -1,0 +1,95 @@
+package graft
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming specs driven through MemoryStream — real
+  * micro-batch execution with watermarks and state, not unit calls. */
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def us(minutes: Long): Long = minutes * 60L * 1000000L
+
+  test("windowed agg with watermark aggregates by tumbling window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedAgg(df, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(1), "click", 1.0), (t(5), "click", 2.0), (t(12), "view", 3.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close all windows
+      in.addData((t(120), "click", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_agg")
+        .selectExpr("unix_millis(win_start) div 60000 as start_min", "event_type", "n", "total_value")
+        .as[(Long, String, Long, Double)].collect().toSet
+      assert(rows.contains((0L, "click", 2L, 3.0)))
+      assert(rows.contains((10L, "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("late rows beyond the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = in.toDF().toDF("ts", "event_type", "value")
+    val q = StreamingOps.windowedAgg(df, "10 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("late_agg")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(5), "click", 1.0))
+      q.processAllAvailable()
+      in.addData((t(100), "click", 1.0)) // watermark → 90min; closes [0,10)
+      q.processAllAvailable()
+      in.addData((t(6), "click", 42.0)) // late beyond watermark → dropped
+      in.addData((t(200), "click", 1.0))
+      q.processAllAvailable()
+      val n = spark.table("late_agg")
+        .selectExpr("sum(n)").as[Long].collect().head
+      assert(n == 2L, "late row must not be counted") // t(5) + t(100); t(6) dropped, t(200) window open
+    } finally q.stop()
+  }
+
+  test("running profiles maintain the A1 merge state across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.runningProfiles(in.toDS())
+      .writeStream.format("memory").queryName("profiles")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(Ev(7L, "click", us(1), 1.0), Ev(7L, "view", us(3), 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(7L, "click", us(2), 4.0), Ev(9L, "click", us(5), 8.0))
+      q.processAllAvailable()
+      // last update per user wins (Update mode emits one row per touched key per batch)
+      val last = spark.table("profiles")
+        .as[StreamingOps.UserProfile].collect()
+        .groupBy(_.userId).map { case (k, v) => k -> v.maxBy(_.totalEvents) }
+      assert(last(7L).totalEvents == 3L)
+      assert(last(7L).nTypes == 2)
+      assert(last(7L).firstAt == us(1) && last(7L).lastAt == us(3))
+      assert(last(7L).totalValue == 7.0)
+      assert(last(9L).totalEvents == 1L)
+    } finally q.stop()
+  }
+
+  test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
+    val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
+    val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
+    evs.permutations.foreach { p =>
+      val alt = p.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
+      assert(alt == folded)
+    }
+    assert(folded.firstAt == 2 && folded.lastAt == 9)
+    assert(folded.perType("a") == StreamingOps.TypeStat(2, 5, 9))
+  }
+}
