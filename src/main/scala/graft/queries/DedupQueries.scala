@@ -46,6 +46,22 @@ object DedupQueries {
                     i -> array_to_string(ws[i:i+2],' '))) sset
              FROM words WHERE len(ws) >= 3)"""
 
+  /** Universal-hash constants for MinHash, shared verbatim by the
+    * Spark plan and the DuckDB oracle (deterministic LCG, seed 42). */
+  private val MinhashP = 2147483647L // 2^31 - 1
+  private val (minhashA, minhashB) = {
+    var x = 42L
+    def next(): Long = {
+      x = x * 6364136223846793005L + 1442695040888963407L
+      ((x >>> 33) % (MinhashP - 2)) + 1
+    }
+    (Array.fill(16)(next()), Array.fill(16)(next()))
+  }
+  private def minhashASpark = minhashA.mkString("array(", "L,", "L)")
+  private def minhashBSpark = minhashB.mkString("array(", "L,", "L)")
+  private def minhashADuck = minhashA.mkString("[", ",", "]")
+  private def minhashBDuck = minhashB.mkString("[", ",", "]")
+
   /** Exact dedup: hash-groupBy on the full text. One shuffle keyed by
     * the 128-bit digest (never the raw text — at 100 TB the key must
     * be fixed-width); canonical survivor = min doc_id. */
@@ -94,8 +110,13 @@ object DedupQueries {
       WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""),
     bench = true)
 
-  /** MinHash + LSH near-dup: k=12 signature (lexicographic min of
-    * md5(i|shingle) — a salted-hash permutation), banded b=4×r=3;
+  /** MinHash + LSH near-dup: k=16 signature via a universal hash
+    * family h_i(x) = (a_i·x + b_i) mod p over a per-shingle base
+    * value x = md5-56-bits mod p, p = 2³¹−1 — ONE md5 per shingle,
+    * 16 cheap modular mixes, products < 2⁶² so no 64-bit overflow in
+    * either engine. (A Kirsch-Mitzenmacher h1+i·h2 variant was tried
+    * first and missed j=0.9 pairs — K-M is not min-wise independent;
+    * real per-permutation multipliers are required.) Banded b=8×r=2;
     * candidates = docs sharing a band bucket (equi-join on the band
     * digest — the 100 TB-scale candidate generator: shuffle is
     * per-bucket, never per-pair); candidates verified with exact
@@ -105,13 +126,16 @@ object DedupQueries {
     (s, d) => {
       import s.implicits._
       val sh = withShingles(s, d).cache()
-      val sig = sh.select($"doc_id", $"sset",
-        transform(sequence(lit(0), lit(11)),
-          i => array_min(transform($"sset",
-            sh0 => md5(concat(i.cast("string"), lit("|"), sh0))))).as("sig"))
+      val sig = sh
+        .withColumn("xs", expr(
+          s"transform(sset, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % $MinhashP)"))
+        .select($"doc_id", $"sset", expr(
+          s"""transform(sequence(0, 15), i -> array_min(transform(xs, x ->
+               ($minhashASpark[i] * x + $minhashBSpark[i]) % $MinhashP)))""").as("sig"))
       val bands = sig.select($"doc_id",
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => md5(concat_ws(",", slice($"sig", b * 3 + 1, lit(3)))))))
+          posexplode(transform(sequence(lit(0), lit(7)),
+            b => md5(concat_ws(",", transform(slice($"sig", b * 2 + 1, lit(2)),
+              x => x.cast("string")))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
@@ -130,11 +154,15 @@ object DedupQueries {
         .filter($"jaccard" >= 0.6)
     },
     Some(s"""$shingleCte,
-      mh AS (SELECT doc_id, sset, list_transform(range(12), i ->
-               list_aggregate(list_transform(sset, s -> md5(CAST(i AS VARCHAR)||'|'||s)), 'min')) sig
-             FROM sh),
-      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*3+1:b*3+3],',')) bv
-                FROM mh, (SELECT unnest(range(4)) b)),
+      xs AS (SELECT doc_id, sset, list_transform(sset, s ->
+               CAST('0x'||substr(md5(s), 1, 14) AS BIGINT) % $MinhashP) xs FROM sh),
+      mh AS (SELECT doc_id, sset, list_transform(range(16), i ->
+               list_aggregate(list_transform(xs, x ->
+                 ($minhashADuck[i+1] * x + $minhashBDuck[i+1]) % $MinhashP), 'min')) sig
+             FROM xs),
+      bands AS (SELECT doc_id, b,
+                  md5(array_to_string(list_transform(sig[b*2+1:b*2+2], x -> CAST(x AS VARCHAR)),',')) bv
+                FROM mh, (SELECT unnest(range(8)) b)),
       cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
                JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),
       sizes AS (SELECT doc_id, len(sset) n FROM sh),
