@@ -1,0 +1,38 @@
+package graft
+
+import graft.functions.{MinHashSig, RollingFingerprint}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extensions: custom Catalyst expressions registered as SQL
+  * functions. Install either via
+  * `spark.sql.extensions=graft.GraftExtensions` / `.withExtensions`,
+  * or imperatively with [[GraftExtensions.ensureRegistered]] (works on
+  * sessions the caller doesn't build — e.g. the driver's). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      ext.injectFunction((ident, info, builder))
+    }
+}
+
+object GraftExtensions {
+  private val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => MinHashSig(args.head)),
+    (FunctionIdentifier("rolling_fingerprint"),
+      new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
+      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+
+  /** Idempotent per-session registration. */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (ident, info, builder) =>
+      if (!reg.functionExists(ident)) reg.registerFunction(ident, info, builder)
+    }
+  }
+}

@@ -46,21 +46,12 @@ object DedupQueries {
                     i -> array_to_string(ws[i:i+2],' '))) sset
              FROM words WHERE len(ws) >= 3)"""
 
-  /** Universal-hash constants for MinHash, shared verbatim by the
-    * Spark plan and the DuckDB oracle (deterministic LCG, seed 42). */
-  private val MinhashP = 2147483647L // 2^31 - 1
-  private val (minhashA, minhashB) = {
-    var x = 42L
-    def next(): Long = {
-      x = x * 6364136223846793005L + 1442695040888963407L
-      ((x >>> 33) % (MinhashP - 2)) + 1
-    }
-    (Array.fill(16)(next()), Array.fill(16)(next()))
-  }
-  private def minhashASpark = minhashA.mkString("array(", "L,", "L)")
-  private def minhashBSpark = minhashB.mkString("array(", "L,", "L)")
-  private def minhashADuck = minhashA.mkString("[", ",", "]")
-  private def minhashBDuck = minhashB.mkString("[", ",", "]")
+  /** Universal-hash constants for MinHash — single source of truth in
+    * [[graft.functions.MinHashSigImpl]], shared by the native
+    * expression and (interpolated below) the DuckDB oracle. */
+  private val MinhashP = graft.functions.MinHashSigImpl.P
+  private def minhashADuck = graft.functions.MinHashSigImpl.a.mkString("[", ",", "]")
+  private def minhashBDuck = graft.functions.MinHashSigImpl.b.mkString("[", ",", "]")
 
   /** Exact dedup: hash-groupBy on the full text. One shuffle keyed by
     * the 128-bit digest (never the raw text — at 100 TB the key must
@@ -110,38 +101,38 @@ object DedupQueries {
       WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""),
     bench = true)
 
-  /** MinHash + LSH near-dup: k=16 signature via a universal hash
-    * family h_i(x) = (a_i·x + b_i) mod p over a per-shingle base
-    * value x = md5-56-bits mod p, p = 2³¹−1 — ONE md5 per shingle,
-    * 16 cheap modular mixes, products < 2⁶² so no 64-bit overflow in
-    * either engine. (A Kirsch-Mitzenmacher h1+i·h2 variant was tried
-    * first and missed j=0.9 pairs — K-M is not min-wise independent;
-    * real per-permutation multipliers are required.) Banded b=8×r=2;
-    * candidates = docs sharing a band bucket (equi-join on the band
-    * digest — the 100 TB-scale candidate generator: shuffle is
-    * per-bucket, never per-pair); candidates verified with exact
-    * Jaccard ≥ 0.6. Finds all 25 planted near-dups at sf0.01. */
+  /** MinHash + LSH near-dup: k=24 signature via the native
+    * [[graft.functions.MinHashSig]] Catalyst expression (universal
+    * hash family (a_i·x+b_i) mod 2³¹−1 over a 56-bit md5 base — one
+    * digest per shingle; a Kirsch-Mitzenmacher h1+i·h2 variant was
+    * tried first and missed j=0.9 pairs: K-M is not min-wise
+    * independent). Banded b=8×r=3 (≥99.7% recall at j≥0.8, few false
+    * candidates on a shared-vocab corpus — r=2 measured 4× slower
+    * from false-candidate verification). Candidates = docs sharing a
+    * band bucket (equi-join on the band digest — the 100 TB-scale
+    * candidate generator: shuffle is per-bucket, never per-pair),
+    * then verified with exact Jaccard ≥ 0.6. Finds all 25 planted
+    * near-dups at sf0.01. */
   private val minhashLsh = Q(
     "q42_dedup_minhash_lsh",
     (s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val sh = withShingles(s, d).cache()
-      val sig = sh
-        .withColumn("xs", expr(
-          s"transform(sset, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % $MinhashP)"))
-        .select($"doc_id", $"sset", expr(
-          s"""transform(sequence(0, 15), i -> array_min(transform(xs, x ->
-               ($minhashASpark[i] * x + $minhashBSpark[i]) % $MinhashP)))""").as("sig"))
+      val sig = sh.select($"doc_id", $"sset", expr("minhash_sig(sset)").as("sig"))
+      // cache: the self-join below would otherwise recompute the whole
+      // signature pipeline (md5 per shingle) once per side
       val bands = sig.select($"doc_id",
           posexplode(transform(sequence(lit(0), lit(7)),
-            b => md5(concat_ws(",", transform(slice($"sig", b * 2 + 1, lit(2)),
+            b => md5(concat_ws(",", transform(slice($"sig", b * 3 + 1, lit(3)),
               x => x.cast("string")))))))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+        .cache()
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
       val sizes = sh.select($"doc_id", size($"sset").as("n"))
-      val ex = sh.select($"doc_id", explode($"sset").as("sh"))
+      val ex = sh.select($"doc_id", explode($"sset").as("sh")).cache()
       val common = cand
         .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
         .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
@@ -156,12 +147,12 @@ object DedupQueries {
     Some(s"""$shingleCte,
       xs AS (SELECT doc_id, sset, list_transform(sset, s ->
                CAST('0x'||substr(md5(s), 1, 14) AS BIGINT) % $MinhashP) xs FROM sh),
-      mh AS (SELECT doc_id, sset, list_transform(range(16), i ->
+      mh AS (SELECT doc_id, sset, list_transform(range(24), i ->
                list_aggregate(list_transform(xs, x ->
                  ($minhashADuck[i+1] * x + $minhashBDuck[i+1]) % $MinhashP), 'min')) sig
              FROM xs),
       bands AS (SELECT doc_id, b,
-                  md5(array_to_string(list_transform(sig[b*2+1:b*2+2], x -> CAST(x AS VARCHAR)),',')) bv
+                  md5(array_to_string(list_transform(sig[b*3+1:b*3+3], x -> CAST(x AS VARCHAR)),',')) bv
                 FROM mh, (SELECT unnest(range(8)) b)),
       cand AS (SELECT DISTINCT a.doc_id da, b.doc_id db FROM bands a
                JOIN bands b ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id),

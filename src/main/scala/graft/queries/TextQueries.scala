@@ -113,18 +113,20 @@ object TextQueries {
 
   /** Document fingerprinting: min rolling-window hash (8-char windows,
     * md5, lexicographic min — a 1-sample winnowing fingerprint) +
-    * distinct-window count. Row-local; fingerprint equality is then a
-    * cheap exact-dedup key at scale. */
+    * distinct-window count, via the native
+    * [[graft.functions.RollingFingerprint]] expression (the
+    * interpreted HOF formulation — transform+array_min over ~500
+    * windows/doc — measured ~6× slower). Row-local; fingerprint
+    * equality is then a cheap exact-dedup key at scale. */
   private val fingerprint = Q(
     "q53_fingerprint",
     (s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       T.documents(s, d)
-        .withColumn("wins", expr(
-          "transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))"))
-        .select($"doc_id",
-          array_min($"wins").as("fingerprint"),
-          size(array_distinct($"wins")).cast("long").as("n_distinct_windows"))
+        .withColumn("fp", expr("rolling_fingerprint(text)"))
+        .select($"doc_id", $"fp.fingerprint".as("fingerprint"),
+          $"fp.n_distinct_windows".as("n_distinct_windows"))
     },
     Some("""SELECT doc_id,
       list_aggregate(list_transform(generate_series(1, greatest(length(text)-7, 1)),
