@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint}
+import graft.functions.{MinHashSig, RollingFingerprint, VecDot}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -26,7 +26,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => MinHashSig(args.head)),
     (FunctionIdentifier("rolling_fingerprint"),
       new ExpressionInfo(classOf[RollingFingerprint].getName, "rolling_fingerprint"),
-      (args: Seq[Expression]) => RollingFingerprint(args.head)))
+      (args: Seq[Expression]) => RollingFingerprint(args.head)),
+    (FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
+      (args: Seq[Expression]) => VecDot(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

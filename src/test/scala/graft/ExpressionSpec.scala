@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.Vectors
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native-expression specs: each custom Catalyst expression must be
+  * bit-identical to its pure-SQL/HOF reference formulation, under
+  * both codegen and interpreted evaluation. */
+class ExpressionSpec extends AnyFunSuite with SparkSpec {
+
+  private def withCodegen[T](enabled: Boolean)(f: => T): T = {
+    val key = "spark.sql.codegen.wholeStage"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, enabled.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
+  private lazy val docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "a b c"),
+      (3L, "tiny"),
+      (4L, "the quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "text")
+  }
+
+  test("minhash_sig == SQL universal-hash formulation (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    import graft.functions.MinHashSigImpl.{K, P, a, b}
+    val aArr = a.mkString("array(", "L,", "L)")
+    val bArr = b.mkString("array(", "L,", "L)")
+    val base = docs
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sset", array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", slice(col("ws"), i, lit(3))))))
+    val q = base.select(
+      expr("minhash_sig(sset)").as("native"),
+      expr(s"""transform(sequence(0, ${K - 1}), i -> array_min(transform(
+           transform(sset, s -> CAST(conv(substring(md5(s), 1, 14), 16, 10) AS BIGINT) % ${P}L),
+           x -> ($aArr[i] * x + $bArr[i]) % ${P}L)))""").as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"codegen=$cg")
+      }
+    }
+  }
+
+  test("rolling_fingerprint == SQL min-md5-window formulation") {
+    GraftExtensions.ensureRegistered(spark)
+    val q = docs.select(
+      expr("rolling_fingerprint(text)").as("native"),
+      expr("""named_struct(
+          'fingerprint', array_min(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8)))),
+          'n_distinct_windows', CAST(size(array_distinct(transform(sequence(1, greatest(length(text)-7, 1)), i -> md5(substring(text, i, 8))))) AS BIGINT))""").as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach(r => assert(r.getStruct(0) == r.getStruct(1), s"codegen=$cg"))
+    }
+  }
+
+  test("vec_dot == HOF zip_with+aggregate, bit-exact") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (1 to 50).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1), Array.fill(64)(rnd.nextFloat() * 2 - 1)))
+    val df = vecs.toDF("id", "a", "b")
+    val q = df.select(
+      Vectors.dot(col("a"), col("b")).as("native"),
+      Vectors.dotHof(col("a"), col("b")).as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach { r =>
+        assert(r.getDouble(0) == r.getDouble(1), s"codegen=$cg") // bit-exact, not approx
+      }
+    }
+  }
+
+  test("native expressions are usable from plain SQL after registration") {
+    GraftExtensions.ensureRegistered(spark)
+    docs.createOrReplaceTempView("expr_docs")
+    val out = spark.sql(
+      """SELECT doc_id, rolling_fingerprint(text).fingerprint AS fp,
+         vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+                 array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
+         FROM expr_docs ORDER BY doc_id""").collect()
+    assert(out.length == 4)
+    assert(out.head.getDouble(2) == 11.0)
+    // identical texts → identical fingerprints
+    assert(out(0).getString(1) == out(3).getString(1))
+  }
+}
