@@ -337,6 +337,39 @@ object RelationalQueries {
       CAST(list_position(embedding, list_aggregate(embedding, 'max')) AS BIGINT) AS argmax_idx
       FROM embeddings"""))
 
+  /** Cube over two dimensions (grouping-sets surface beyond q28's
+    * rollup — all 4 grouping combinations in one pass via Expand). */
+  private val cubeAgg = Q(
+    "q18_cube",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum($"l_quantity").as("sum_qty"))
+    },
+    Some("""SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""))
+
+  /** Pivot: per-user value totals spread across event-type columns
+    * (explicit value list → deterministic schema; absent combinations
+    * stay NULL, matching SQL FILTER semantics). */
+  private val pivotAgg = Q(
+    "q19_pivot",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(sum($"value"))
+    },
+    Some("""SELECT user_id,
+      sum(value) FILTER (WHERE event_type = 'click')    AS click,
+      sum(value) FILTER (WHERE event_type = 'view')     AS view,
+      sum(value) FILTER (WHERE event_type = 'purchase') AS purchase,
+      sum(value) FILTER (WHERE event_type = 'signup')   AS signup,
+      sum(value) FILTER (WHERE event_type = 'error')    AS error
+      FROM events GROUP BY user_id"""))
+
   /** Set intersection of key domains (set-op surface, SURVEY §2.6). */
   private val setIntersect = Q(
     "q23_set_intersect",
@@ -494,7 +527,7 @@ object RelationalQueries {
   def qs: Seq[Q] = Seq(
     pricingSummary, validityFilter, profileMerge, profileNested,
     distinctCounts, userCounts, approxDistinct, rowLocalAgg,
-    semiJoin, antiJoin, blacklistAnti, starJoin, dupCheck,
+    semiJoin, antiJoin, blacklistAnti, starJoin, dupCheck, cubeAgg, pivotAgg,
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
     rollupAgg, hourlyAgg, sessionize)

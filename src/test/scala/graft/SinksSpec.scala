@@ -1,0 +1,63 @@
+package graft
+
+import graft.io.{AdtechProtos, AdtechSinks}
+import graft.ops.{AdtechPipeline, PredictionPipeline}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Sink round-trips: job-1 outputs written in the reference's Base64
+  * interchange format must decode back to the same profiles (the S3→S2
+  * loop the reference runs between its two jobs), and the JSON/table
+  * sinks must carry the documented shapes. */
+class SinksSpec extends AnyFunSuite with SparkSpec {
+
+  private def lines(name: String): Seq[String] = {
+    val in = getClass.getResourceAsStream(s"/golden/$name")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  test("job-1 outputs round-trip through the Base64 text sinks into job-2's sources") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val (dps, aps, susp) = AdtechPipeline.bidLogJob(lines("test08.bidlogs.txt").toDS())
+    AdtechSinks.writeDeviceProfilesBase64(dps, s"$tmp/dp")
+    AdtechSinks.writeAppProfilesBase64(aps, s"$tmp/ap")
+    AdtechSinks.writeSuspiciousBase64(susp, s"$tmp/susp")
+
+    // Re-read through the job-2 source path (S2 decode)
+    val dps2 = PredictionPipeline.decodeDeviceProfiles(spark.read.textFile(s"$tmp/dp"))
+    assert(dps2.count() == 7)
+    val orig = dps.as[AdtechProtos.DeviceProfileRec].collect()
+      .map(r => r.copy(app = r.app.sortBy(_.bundle), geo = r.geo.sortBy(g => (g.country, g.region)))).toSet
+    val rt = dps2.collect()
+      .map(r => r.copy(app = r.app.sortBy(_.bundle), geo = r.geo.sortBy(g => (g.country, g.region)))).toSet
+    assert(rt == orig)
+
+    val susp2 = PredictionPipeline.decodeSuspicious(spark.read.textFile(s"$tmp/susp"))
+    assert(susp2.count() == 3)
+
+    // single shard, .txt-style one-line-per-proto
+    val files = new java.io.File(s"$tmp/dp").listFiles().filter(_.getName.startsWith("part-"))
+    assert(files.length == 1)
+  }
+
+  test("prediction JSON sink writes canonical compact proto-JSON") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString
+    val preds = Seq((2, "3721AFB0-22DE-408B-B97D-CB6CA8953CC9", 7, 0.5)).toDF("os", "uuid", "prediction", "score")
+    AdtechSinks.writePredictionsJson(preds, s"$tmp/js")
+    val line = spark.read.textFile(s"$tmp/js").collect().head
+    assert(line == """{"id":{"os":"IOS","uuid":"3721AFB0-22DE-408B-B97D-CB6CA8953CC9"},"prediction":7,"score":0.5}""")
+  }
+
+  test("prediction table sink carries the BigQuery schema shape") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tbl").toString
+    val preds = Seq((1, "U", 3, 0.25)).toDF("os", "uuid", "prediction", "score")
+    AdtechSinks.writePredictionsTable(preds, s"$tmp/t")
+    val back = spark.read.parquet(s"$tmp/t")
+    assert(back.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("os", "string"), ("uuid", "string"), ("prediction", "integer"), ("score", "float")))
+    assert(back.collect().head.getString(0) == "ANDROID")
+  }
+}
