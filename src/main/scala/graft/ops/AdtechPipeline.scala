@@ -41,6 +41,16 @@ object AdtechPipeline {
     })
   }
 
+  /** P1 over raw proto bytes (the TFRecord path,
+    * `jobs1/BidLogJob.java:108-118`): corrupt records dropped. */
+  def decodeBidLogBytes(recs: Dataset[Array[Byte]]): Dataset[BidLogFlat] = {
+    import recs.sparkSession.implicits._
+    recs.mapPartitions(_.flatMap { bytes =>
+      try Some(AdtechProtos.decodeBidLog(bytes))
+      catch { case _: IllegalArgumentException => None }
+    })
+  }
+
   /** RFC-4122 parse with java.util.UUID laxity — the validity rule is
     * defined by `UUID.fromString` behavior (test-critical, F1 rule 8;
     * e.g. "1-1-1-1-1" parses, "v" does not). A UDF is unavoidable for

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.AdtechPipeline
+import graft.sources.TfRecordSource
+import org.scalatest.funsuite.AnyFunSuite
+
+/** TFRecord source spec: the reference's input path (S1) end-to-end —
+  * golden corpus bytes framed as .tfrecord.gz, read distributed,
+  * decoded, and run through pipeline #1. */
+class TfRecordSpec extends AnyFunSuite with SparkSpec {
+
+  private def corpusBytes: Seq[Array[Byte]] = {
+    val in = getClass.getResourceAsStream("/golden/test07.bidlogs.txt")
+    val lines = try scala.io.Source.fromInputStream(in, "UTF-8").getLines().filter(_.nonEmpty).toList
+    finally in.close()
+    lines.map(java.util.Base64.getDecoder.decode)
+  }
+
+  test("gzipped TFRecord files round-trip and feed pipeline #1") {
+    val tmp = java.nio.file.Files.createTempDirectory("tfrec").toFile
+    val recs = corpusBytes
+    // two shards, mixed compression — glob must pick up both
+    TfRecordSource.writeLocal(recs.take(10), new java.io.File(tmp, "bidlog-0.tfrecord.gz"), gzip = true)
+    TfRecordSource.writeLocal(recs.drop(10), new java.io.File(tmp, "bidlog-1.tfrecord"), gzip = false)
+
+    val ds = TfRecordSource.read(spark, s"$tmp/bidlog-*")
+    assert(ds.count() == 22)
+
+    val dps = AdtechPipeline.deviceProfiles(
+      AdtechPipeline.validBidLogs(AdtechPipeline.decodeBidLogBytes(ds)))
+    assert(dps.count() == 4) // golden expectation of corpus 07
+  }
+
+  test("CRC corruption is detected") {
+    val tmp = java.nio.file.Files.createTempDirectory("tfrec-bad").toFile
+    val f = new java.io.File(tmp, "bad.tfrecord")
+    TfRecordSource.writeLocal(corpusBytes.take(2), f, gzip = false)
+    // flip one payload byte after the headers of the first record
+    val raf = new java.io.RandomAccessFile(f, "rw")
+    raf.seek(14)
+    val b = raf.read(); raf.seek(14); raf.write(b ^ 0x01)
+    raf.close()
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecordSource.read(spark, f.getAbsolutePath).count()
+    }
+    assert(e.getMessage.contains("CRC") ||
+      Option(e.getCause).exists(_.getMessage.contains("CRC")))
+  }
+}
