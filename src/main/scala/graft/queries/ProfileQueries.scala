@@ -89,5 +89,34 @@ object ProfileQueries {
       SELECT t.event_type, t.user_count, n.users_per_k
       FROM tot t JOIN nested n ON t.event_type = n.event_type"""))
 
-  def qs: Seq[Q] = Seq(deviceProfileFull, appProfileFull)
+  /** The same merge as a single-pass typed Aggregator (UDAF surface,
+    * SURVEY §2.10) — one shuffle, partial merge on the map side,
+    * nested activity JSON assembled in finish(). */
+  private val profileUdaf = Q(
+    "q62_profile_udaf",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts"))
+        .as[(Long, String, Long)]
+        .groupByKey(_._1)
+        .agg(graft.operators.ProfileAggregator.merge.toColumn)
+        .map { case (uid, o) => (uid, o.firstAt, o.lastAt, o.nTypes, o.totalEvents, o.activity) }
+        .toDF("user_id", "first_at", "last_at", "n_types", "total_events", "activity")
+    },
+    Some("""WITH perType AS (
+        SELECT user_id, event_type, count(*) AS cnt
+        FROM events GROUP BY 1, 2)
+      SELECT e.user_id,
+        min(epoch_us(e.ts)) AS first_at, max(epoch_us(e.ts)) AS last_at,
+        CAST(count(DISTINCT e.event_type) AS INTEGER) AS n_types,
+        count(*) AS total_events,
+        any_value(p.act) AS activity
+      FROM events e JOIN (
+        SELECT user_id,
+          to_json(list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type))::VARCHAR AS act
+        FROM perType GROUP BY user_id) p ON e.user_id = p.user_id
+      GROUP BY e.user_id"""))
+
+  def qs: Seq[Q] = Seq(deviceProfileFull, appProfileFull, profileUdaf)
 }
