@@ -524,11 +524,49 @@ object RelationalQueries {
       FROM h GROUP BY user_id, session_id"""),
     bench = true)
 
+  /** Exact percentiles per group (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, both linear interpolation). The 100 TB variant
+    * is `approx_percentile` (t-digest) — sketch internals differ per
+    * engine, so the exact form carries the oracle. */
+  private val percentiles = Q(
+    "q63_percentiles",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          max($"l_extendedprice").as("mx"))
+    },
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS p50,
+      quantile_cont(l_extendedprice, 0.95) AS p95,
+      quantile_cont(l_extendedprice, 0.99) AS p99,
+      max(l_extendedprice) AS mx
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a
+    * join — the subquery-rewrite surface the reference lacks). */
+  private val scalarSubquery = Q(
+    "q64_scalar_subquery",
+    (s, d) => {
+      import s.implicits._
+      T.part(s, d).createOrReplaceTempView("part_v")
+      s.sql("""SELECT p_partkey, p_brand, p_retailprice FROM part_v p
+               WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.2
+                                      FROM part_v p2 WHERE p2.p_brand = p.p_brand)""")
+    },
+    Some("""SELECT p_partkey, p_brand, p_retailprice FROM part p
+      WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.2
+                             FROM part p2 WHERE p2.p_brand = p.p_brand)"""))
+
   def qs: Seq[Q] = Seq(
     pricingSummary, validityFilter, profileMerge, profileNested,
     distinctCounts, userCounts, approxDistinct, rowLocalAgg,
     semiJoin, antiJoin, blacklistAnti, starJoin, dupCheck, cubeAgg, pivotAgg,
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
-    rollupAgg, hourlyAgg, sessionize)
+    rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery)
 }
