@@ -82,6 +82,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches each micro-batch against a broadcast dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 1.5), ("view", 0.5)).toDF("event_type", "weight")
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = StreamingOps.enrich(in.toDF().toDF("ts", "event_type", "value"), dim, Seq("event_type"))
+      .selectExpr("event_type", "value * weight AS weighted")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(1), "click", 2.0), (t(2), "view", 4.0), (t(3), "error", 9.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").as[(String, Double)].collect().toSet
+      assert(rows == Set(("click", 3.0), ("view", 2.0))) // inner join drops 'error'
+    } finally q.stop()
+  }
+
   test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
     val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
     val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
