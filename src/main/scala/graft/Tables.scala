@@ -34,6 +34,15 @@ object Tables {
     load(s, d, "events")
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
-  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
-  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+  /** documents/embeddings arrive as ONE small parquet file (single
+    * row group → a single scan task) but feed compute-heavy operators
+    * (shingling, hashing, vector math). Repartition at load so the
+    * per-row work uses every core: the shuffle moves <1 MB while the
+    * downstream gains ~32× parallelism. At real scale the input is
+    * many files and this becomes a no-op-sized rebalance. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
+  def documents(s: SparkSession, d: String): DataFrame  = spread(s, load(s, d, "documents"))
+  def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"))
 }
