@@ -126,5 +126,76 @@ object SimilarityQueries {
         SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank
         FROM sc) WHERE rank <= 5"""))
 
-  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK)
+  /** IVF-style ANN: coarse quantization. Centroids = the deterministic
+    * vec_id%50==1 subset (at real scale: k-means output); every vector
+    * is assigned to its max-cosine cell (one broadcast join — the
+    * 100 TB partitioning step); queries probe their nprobe=2 best
+    * cells and rank only those cells' members. Approximate by design;
+    * deterministic and identical in both engines. */
+  private val ivfTopK = Q(
+    "q47_ann_ivf",
+    (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      val cents = e.filter($"vec_id" % 50 === 1)
+        .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      // cell assignment: best centroid per vector (rank over broadcast cross)
+      val wAssign = Window.partitionBy($"vec_id")
+        .orderBy($"c_cos".desc, $"cid".asc)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select($"vec_id", $"embedding", $"nrm", $"cid",
+          Vectors.cosineWithNorms($"embedding", $"c_emb", $"nrm", $"c_nrm").as("c_cos"))
+        .withColumn("rn", row_number().over(wAssign))
+        .filter($"rn" === 1)
+        .select($"vec_id", $"embedding", $"nrm", $"cid")
+      // queries probe nprobe=2 cells
+      val wProbe = Window.partitionBy($"q_vec").orderBy($"c_cos".desc, $"cid".asc)
+      val probes = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+        .crossJoin(broadcast(cents))
+        .select($"q_vec", $"q_emb", $"q_nrm", $"cid",
+          Vectors.cosineWithNorms($"q_emb", $"c_emb", $"q_nrm", $"c_nrm").as("c_cos"))
+        .withColumn("rn", row_number().over(wProbe))
+        .filter($"rn" <= 2)
+        .select($"q_vec", $"q_emb", $"q_nrm", $"cid")
+      val scored = probes.join(assigned, Seq("cid"))
+        .filter($"vec_id" =!= $"q_vec")
+        .select($"q_vec", $"vec_id",
+          Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+    },
+    Some(s"""WITH n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM embeddings),
+      c AS (SELECT vec_id cid, embedding c_emb, nrm c_nrm FROM n WHERE vec_id % 50 = 1),
+      ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
+               list_sum(list_transform(range($Dim), i ->
+                 CAST(n.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE)))
+                 / (n.nrm * c.c_nrm) c_cos
+             FROM n CROSS JOIN c),
+      assigned AS (SELECT vec_id, embedding, nrm, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY c_cos DESC, cid ASC) rn FROM ac)
+        WHERE rn = 1),
+      qc AS (SELECT n.vec_id q_vec, n.embedding q_emb, n.nrm q_nrm, c.cid,
+               list_sum(list_transform(range($Dim), i ->
+                 CAST(n.embedding[i+1] AS DOUBLE) * CAST(c.c_emb[i+1] AS DOUBLE)))
+                 / (n.nrm * c.c_nrm) c_cos
+             FROM n CROSS JOIN c WHERE n.vec_id % 50 = 0),
+      probes AS (SELECT q_vec, q_emb, q_nrm, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY c_cos DESC, cid ASC) rn FROM qc)
+        WHERE rn <= 2),
+      sc AS (SELECT p.q_vec, a.vec_id,
+               list_sum(list_transform(range($Dim), i ->
+                 CAST(p.q_emb[i+1] AS DOUBLE) * CAST(a.embedding[i+1] AS DOUBLE)))
+                 / (p.q_nrm * a.nrm) cosine
+             FROM probes p JOIN assigned a USING (cid) WHERE a.vec_id <> p.q_vec)
+      SELECT q_vec, vec_id, cosine, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank
+        FROM sc) WHERE rank <= 5"""))
+
+  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK)
 }
