@@ -1,0 +1,27 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-layout co-located joins (SURVEY §4 / the prompt's
+  * "bucketing for co-located joins"): write both sides bucketed and
+  * sorted on the join keys, and a later equi-join on those keys reads
+  * pre-partitioned, pre-sorted buckets — SortMergeJoin with NO
+  * Exchange on either side. The 100 TB play: pay the shuffle once at
+  * layout time, then every downstream join/aggregation on the bucket
+  * keys is shuffle-free.
+  */
+object Bucketing {
+
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+      buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .saveAsTable(table)
+
+  /** Join two bucketed tables on their bucket keys. */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String]): DataFrame =
+    spark.table(left).join(spark.table(right), keys)
+}

@@ -13,6 +13,8 @@ trait SparkSpec extends BeforeAndAfterAll { this: Suite =>
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft-wh").toString)
     .getOrCreate()
 
   override def afterAll(): Unit = {

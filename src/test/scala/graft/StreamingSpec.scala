@@ -100,6 +100,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops repeated event ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val q = StreamingOps.dedupStream(in.toDF().toDF("event_id", "ts", "value"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((1L, t(1), 1.0), (1L, t(2), 2.0), (2L, t(3), 3.0))
+      q.processAllAvailable()
+      in.addData((1L, t(4), 4.0), (3L, t(5), 5.0)) // 1 is a dup across batches
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").as[Long].collect().sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
     val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
     val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
