@@ -1,0 +1,71 @@
+package graft.jobs
+
+import graft.io.AdtechSinks
+import graft.ops.{AdtechPipeline, PredictionPipeline}
+import graft.sources.TfRecordSource
+import org.apache.spark.sql.SparkSession
+
+/** Job entry points mirroring the reference's `Main --job=` dispatch
+  * (`Main.java:44-64`): the complete pipelines as runnable units, so a
+  * user of the reference can switch wholesale —
+  *
+  *   bidLogJob:     TFRecord(.gz) BidLogs → validity filter → device
+  *                  profiles → app profiles → suspicious ids → three
+  *                  Base64 text outputs (`jobs1/BidLogJob.java:126-154`)
+  *   predictionJob: job-1 outputs + IAPP profiles → anti-join →
+  *                  1/16 sample → features → batched inference →
+  *                  JSON text + table (`jobs2/PredictionJob.java:94-141`)
+  *
+  * Args are `key=value` pairs; thresholds default to the reference's
+  * (`MyOptions.java:29-54`).
+  */
+object Jobs {
+
+  def runBidLogJob(spark: SparkSession, inputGlob: String, outDir: String,
+      t: AdtechPipeline.Thresholds = AdtechPipeline.Thresholds(),
+      shards: Option[Int] = Some(1)): Unit = {
+    val raw = TfRecordSource.read(spark, inputGlob)
+    val logs = AdtechPipeline.validBidLogs(AdtechPipeline.decodeBidLogBytes(raw))
+    val dps = AdtechPipeline.deviceProfiles(logs)
+    AdtechPipeline.assertNoDuplicateIds(dps)
+    val aps = AdtechPipeline.appProfiles(dps)
+    val susp = AdtechPipeline.suspiciousIds(dps, aps, t)
+    AdtechSinks.writeDeviceProfilesBase64(dps, s"$outDir/device-profile", shards)
+    AdtechSinks.writeAppProfilesBase64(aps, s"$outDir/app-profile", shards)
+    AdtechSinks.writeSuspiciousBase64(susp, s"$outDir/suspicious-user", shards)
+  }
+
+  def runPredictionJob(spark: SparkSession, dpDir: String, suspDir: String,
+      iappDir: String, outDir: String,
+      scorer: PredictionPipeline.Scorer = PredictionPipeline.DeterministicScorer,
+      shards: Option[Int] = Some(1)): Unit = {
+    val preds = PredictionPipeline.predictionJob(
+      spark.read.textFile(dpDir),
+      spark.read.textFile(suspDir),
+      spark.read.textFile(iappDir), scorer)
+    AdtechSinks.writePredictionsJson(preds, s"$outDir/prediction-json", shards)
+    AdtechSinks.writePredictionsTable(preds, s"$outDir/prediction-table")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val kv = args.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
+    val spark = SparkSession.builder()
+      .appName("graft-" + kv.getOrElse("job", "?"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .getOrCreate()
+    val t = AdtechPipeline.Thresholds(
+      kv.get("userCountThreshold").map(_.toInt).getOrElse(4),
+      kv.get("appCountThreshold").map(_.toInt).getOrElse(3),
+      kv.get("geoCountThreshold").map(_.toInt).getOrElse(8),
+      kv.get("bidLogCountThreshold").map(_.toInt).getOrElse(10))
+    kv.getOrElse("job", sys.error("missing job=bidLogJob|predictionJob")) match {
+      case "bidLogJob" =>
+        runBidLogJob(spark, kv("input"), kv("output"), t)
+      case "predictionJob" =>
+        runPredictionJob(spark, kv("dp"), kv("suspicious"), kv("iapp"), kv("output"))
+      case other => sys.error(s"unknown job $other")
+    }
+    spark.stop()
+  }
+}
