@@ -136,5 +136,47 @@ object TextQueries {
       FROM documents"""),
     bench = true)
 
-  def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint)
+  /** Corpus word frequency: explode → count → top-10 per language
+    * (the vocabulary/Zipf statistic every text pipeline starts with;
+    * partial+final hash agg then per-group top-k window). */
+  private val wordFreq = Q(
+    "q49_word_freq",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.documents(s, d)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
+        .groupBy($"lang", $"word").agg(count(lit(1)).as("n"))
+      counts.withColumn("rank", row_number().over(
+          Window.partitionBy($"lang").orderBy($"n".desc, $"word".asc)))
+        .filter($"rank" <= 10)
+    },
+    Some("""WITH c AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      g AS (SELECT lang, word, count(*) AS n FROM c GROUP BY 1, 2)
+      SELECT lang, word, n, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, word ASC) AS rank
+        FROM g) WHERE rank <= 10"""))
+
+  /** Text normalization: case folding, punctuation stripping,
+    * whitespace collapsing — the canonical form fed to dedup
+    * fingerprints (row-local, codegen'd). */
+  private val normalize = Q(
+    "q54_normalize",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d).select(
+        $"doc_id",
+        regexp_replace(regexp_replace(lower(trim($"text")),
+          "[^a-z0-9\\s]", ""), "\\s+", " ").as("norm_text"),
+        md5(regexp_replace(regexp_replace(lower(trim($"text")),
+          "[^a-z0-9\\s]", ""), "\\s+", " ")).as("norm_hash"))
+    },
+    Some("""SELECT doc_id,
+      regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g') AS norm_text,
+      md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_hash
+      FROM documents"""))
+
+  def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq, normalize)
 }
