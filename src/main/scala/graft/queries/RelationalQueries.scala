@@ -404,21 +404,23 @@ object RelationalQueries {
     Some("""SELECT c_nationkey AS nationkey FROM customer
       UNION SELECT s_nationkey FROM supplier"""))
 
-  /** Interval (range) self-join: follow-on events within 5 minutes of an
-    * event by the same user. Per-key band join — the non-equi surface the
-    * reference lacks (SURVEY §2.5 "absent join types"). */
+  /** Interval (range) self-join: follow-on events within 5 minutes of
+    * an event by the same user — the non-equi surface the reference
+    * lacks (SURVEY §2.5 "absent join types"). Uses the banded
+    * [[graft.operators.RangeJoin]]: equi-join on (user, time-bucket)
+    * bounds pair blowup per bucket instead of per key (a plain keyed
+    * join with a post-filter is |events-per-user|²-quadratic). */
   private val intervalJoin = Q(
     "q26_interval_join",
     (s, d) => {
       import s.implicits._
       val e1 = T.events(s, d).select($"user_id", $"event_id".as("eid1"),
-        $"event_type".as("t1"), $"ts".as("ts1"))
+        $"event_type".as("t1"), unix_micros($"ts").as("us1"))
       val e2 = T.events(s, d).select($"user_id", $"event_id".as("eid2"),
-        $"event_type".as("t2"), $"ts".as("ts2"))
-      e1.join(e2,
-        e1("user_id") === e2("user_id") &&
-          $"ts2" >= $"ts1" && $"ts2" <= $"ts1" + expr("INTERVAL 5 MINUTES") &&
-          $"eid1" =!= $"eid2")
+        $"event_type".as("t2"), unix_micros($"ts").as("us2"))
+      graft.operators.RangeJoin.banded(e1, e2, Seq("user_id"),
+          "us1", "us2", 0L, 5L * 60 * 1000000)
+        .filter($"eid1" =!= $"eid2")
         .groupBy($"t1", $"t2")
         .agg(count(lit(1)).as("n_pairs"))
     },
