@@ -118,6 +118,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to preceding clicks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val buys = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val joined = StreamingOps.correlate(
+      clicks.toDF().toDF("l_user", "lts"),
+      buys.toDF().toDF("r_user", "rts", "amount"), "user")
+    val q = joined.selectExpr("l_user", "amount")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      clicks.addData((1L, t(10)), (2L, t(10)))
+      buys.addData((1L, t(15), 9.99), // within 10 min of user 1's click → match
+        (2L, t(25), 5.0),             // 15 min after user 2's click → no match
+        (3L, t(12), 7.0))             // no click at all
+      q.processAllAvailable()
+      // advance both watermarks so results finalize
+      clicks.addData((99L, t(200))); buys.addData((99L, t(300), 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("attrib").as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
     val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
     val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
