@@ -197,5 +197,36 @@ object SimilarityQueries {
         SELECT *, row_number() OVER (PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank
         FROM sc) WHERE rank <= 5"""))
 
-  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK)
+  /** Symmetric int8 quantization of embeddings (the storage/bandwidth
+    * play for vector corpora): per-vector scale = 127/max|x|,
+    * q = ⌊x·scale + 0.5⌋ (explicit floor-rounding — engine round()
+    * half-way semantics differ, floor(x+0.5) is identical in both),
+    * plus reconstruction-error stats. Row-local, codegen'd. */
+  private val quantize = Q(
+    "q48_embedding_quantize",
+    (s, d) => {
+      import s.implicits._
+      T.embeddings(s, d)
+        .withColumn("mx", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .filter($"mx" > 0.0)
+        .withColumn("scale", lit(127.0) / $"mx")
+        .select($"vec_id", $"scale",
+          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))")
+            .as("q8"),
+          expr("""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
+              greatest(a, abs(CAST(x AS DOUBLE)
+                - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale)))""")
+            .as("max_abs_err"))
+    },
+    Some("""WITH m AS (SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') mx
+        FROM embeddings)
+      SELECT vec_id, 127.0 / mx AS scale,
+        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER)) AS q8,
+        list_aggregate(list_transform(embedding, x ->
+          abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))), 'max') AS max_abs_err
+      FROM m WHERE mx > 0.0"""))
+
+  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize)
 }
