@@ -61,8 +61,12 @@ object AdtechPipeline {
     catch { case _: IllegalArgumentException => false }
   }
 
+  /** StringUtils.isBlank parity: null/empty/whitespace-only. NOT
+    * `trim(c) === ""` — Spark's trim strips only ASCII spaces, so a
+    * tab-only string would survive (caught by ValiditySpec's ported
+    * rule matrix). */
   private def blank(c: org.apache.spark.sql.Column) =
-    c.isNull || trim(c) === ""
+    c.isNull || c.rlike("^\\s*$")
 
   /** F1: the 11-rule conjunctive validity filter. */
   def validBidLogs(logs: Dataset[BidLogFlat]): Dataset[BidLogFlat] = {
