@@ -120,17 +120,24 @@ object RelationalQueries {
              list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type) AS activity
       FROM a GROUP BY user_id"""))
 
-  /** Distinct counts per key (A3 analogue, `AppProfiles.java:62`). */
+  /** Distinct counts per key (A3 analogue, `AppProfiles.java:62`).
+    * Formulated as three aggregations + joins rather than one
+    * multi-countDistinct: Spark plans the latter as a 3× Expand of
+    * every input row before the shuffle, measured 2× slower at sf0.1
+    * (and 3× the shuffle bytes at scale); the distinct-pair aggs
+    * dedupe map-side first. */
   private val distinctCounts = Q(
     "q05_distinct_counts",
     (s, d) => {
       import s.implicits._
-      T.lineitem(s, d)
-        .groupBy($"l_partkey")
-        .agg(
-          countDistinct($"l_suppkey").as("n_supp"),
-          countDistinct($"l_orderkey").as("n_orders"),
-          count(lit(1)).as("n_rows"))
+      val li = T.lineitem(s, d)
+      val rows = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_rows"))
+      val supp = li.select($"l_partkey", $"l_suppkey").distinct()
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_supp"))
+      val ords = li.select($"l_partkey", $"l_orderkey").distinct()
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+      rows.join(supp, "l_partkey").join(ords, "l_partkey")
+        .select($"l_partkey", $"n_supp", $"n_orders", $"n_rows")
     },
     Some("""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
