@@ -5,7 +5,9 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions","4").config("spark.ui.enabled","false").getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (name <- Seq("q01_pricing_summary", "q12_star_join_revenue", "q09_semi_join", "q02_validity_filter", "q27_asof_join", "q45_ann_bruteforce")) {
+    for (name <- Seq("q01_pricing_summary", "q12_star_join_revenue", "q09_semi_join",
+        "q02_validity_filter", "q27_asof_join", "q45_ann_bruteforce",
+        "q05_distinct_counts", "q26_interval_join", "q42_dedup_minhash_lsh")) {
       println(s"===== $name")
       println(QueryRegistry.byName(name).fn(s, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
