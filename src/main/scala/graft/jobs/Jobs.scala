@@ -49,10 +49,13 @@ object Jobs {
 
   def main(args: Array[String]): Unit = {
     val kv = args.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .appName("graft-" + kv.getOrElse("job", "?"))
       .config("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    // spark-submit injects the master; default for bare `sbt runMain`
+    val spark = (if (sys.props.contains("spark.master")) builder
+      else builder.master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"))
       .getOrCreate()
     val t = AdtechPipeline.Thresholds(
       kv.get("userCountThreshold").map(_.toInt).getOrElse(4),
