@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, VecDot}
+import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,7 +29,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => RollingFingerprint(args.head)),
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
-      (args: Seq[Expression]) => VecDot(args(0), args(1))))
+      (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => SimHash60(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -78,6 +78,34 @@ case class RollingFingerprint(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 60-bit SimHash of a shingle set as a native expression:
+  * `simhash60(array<string>) → bigint` — per shingle h = first 15 md5
+  * hex chars as int (60 bits); fingerprint bit j set iff
+  * Σ over shingles of (bit j of h ? +1 : −1) > 0. Identical to the
+  * SQL/HOF formulation over `(h >> j) & 1` (spec'd in ExpressionSpec)
+  * with one digest + one 60-step JIT loop per shingle instead of
+  * 60 interpreted lambda evaluations per shingle. */
+case class SimHash60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"simhash60 requires array<string>, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSigImpl.simhash(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.MinHashSigImpl.simhash($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash60 =
+    copy(child = newChild)
+}
+
 /** Constants + the tight loops. Static forwarders make
   * `MinHashSigImpl.compute(...)` callable from generated Java. */
 object MinHashSigImpl {
@@ -152,6 +180,40 @@ object MinHashSigImpl {
     }
     org.apache.spark.sql.catalyst.InternalRow(
       UTF8String.fromString(toHex(minD)), seen.size().toLong)
+  }
+
+  /** 60-bit hash = first 15 hex chars of md5 (bytes 0-6 + the high
+    * nibble of byte 7), matching `conv(substring(md5(s),1,15),16,10)`. */
+  def baseHash60(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var x = 0L
+    var i = 0
+    while (i < 7) { x = (x << 8) | (d(i) & 0xffL); i += 1 }
+    (x << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  def simhash(shingles: ArrayData): Long = {
+    val n = shingles.numElements()
+    val sums = new Array[Int](60)
+    var j = 0
+    while (j < n) {
+      val h = baseHash60(shingles.getUTF8String(j))
+      var b = 0
+      while (b < 60) {
+        if (((h >>> b) & 1L) == 1L) sums(b) += 1 else sums(b) -= 1
+        b += 1
+      }
+      j += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 60) {
+      if (sums(b) > 0) fp |= 1L << b
+      b += 1
+    }
+    fp
   }
 
   def compute(shingles: ArrayData): ArrayData = {

@@ -167,26 +167,21 @@ object DedupQueries {
     bench = true)
 
   /** SimHash near-dup: 60-bit fingerprint (bit j = sign of Σ over
-    * shingle hashes of ±1 on bit j), pairs at hamming ≤ 10. The
-    * fingerprint build is row-local (one pass over the shingle array,
-    * no shuffle); the pair scan here is the O(n²) baseline — at scale,
-    * bucket by fingerprint prefix bands exactly like MinHash-LSH.
+    * shingle hashes of ±1 on bit j) via the native
+    * [[graft.functions.SimHash60]] expression (one digest + one JIT
+    * loop per shingle; the interpreted 60-lambda HOF form is kept as
+    * the spec reference in ExpressionSpec), pairs at hamming ≤ 10.
+    * The fingerprint build is row-local (no shuffle); the pair scan
+    * here is the O(n²) baseline — at scale, bucket by fingerprint
+    * prefix bands exactly like MinHash-LSH.
     * Hash = first 15 md5 hex chars as int64, reproducible in DuckDB. */
   private val simhash = Q(
     "q43_dedup_simhash",
     (s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val fp = withShingles(s, d)
-        .withColumn("hlist", expr(
-          "transform(sset, s -> cast(conv(substring(md5(s),1,15),16,10) AS BIGINT))"))
-        .withColumn("fp", expr(
-          """aggregate(transform(sequence(0,59), j ->
-               CASE WHEN aggregate(transform(hlist, h ->
-                 CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
-                 0, (a, x) -> a + x) > 0
-               THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
-             CAST(0 AS BIGINT), (a, x) -> a + x)"""))
-        .select($"doc_id", $"fp")
+        .select($"doc_id", expr("simhash60(sset)").as("fp"))
       fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
           expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))

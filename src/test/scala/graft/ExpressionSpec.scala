@@ -49,6 +49,28 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("simhash60 == SQL ±1-bit-vote formulation (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    val base = docs
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .withColumn("sset", array_distinct(transform(
+        sequence(lit(1), size(col("ws")) - 2),
+        i => concat_ws(" ", slice(col("ws"), i, lit(3))))))
+    val q = base.select(
+      expr("simhash60(sset)").as("native"),
+      expr("""aggregate(transform(sequence(0,59), j ->
+          CASE WHEN aggregate(transform(
+                 transform(sset, s -> cast(conv(substring(md5(s),1,15),16,10) AS BIGINT)),
+                 h -> CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END),
+               0, (a, x) -> a + x) > 0
+          THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+        CAST(0 AS BIGINT), (a, x) -> a + x)""").as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), s"codegen=$cg"))
+    }
+  }
+
   test("rolling_fingerprint == SQL min-md5-window formulation") {
     GraftExtensions.ensureRegistered(spark)
     val q = docs.select(
