@@ -571,11 +571,29 @@ object RelationalQueries {
       WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.2
                              FROM part p2 WHERE p2.p_brand = p.p_brand)"""))
 
+  /** Approximate quantiles (t-digest/GK sketch) — the 100 TB path for
+    * q63's exact percentiles; sketch internals are engine-specific so
+    * the driver records a rows-only check (like q07's HLL). The exact
+    * p50 rides along as a sanity anchor. */
+  private val approxQuantiles = Q(
+    "q65_approx_quantiles",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+            .as("approx_p"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+    },
+    None)
+
   def qs: Seq[Q] = Seq(
     pricingSummary, validityFilter, profileMerge, profileNested,
     distinctCounts, userCounts, approxDistinct, rowLocalAgg,
     semiJoin, antiJoin, blacklistAnti, starJoin, dupCheck, cubeAgg, pivotAgg,
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
-    rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery)
+    rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery,
+    approxQuantiles)
 }
