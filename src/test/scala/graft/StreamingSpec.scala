@@ -144,6 +144,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: stop/restart resumes exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val in = MemoryStream[(Long, Double)]
+    def start() = in.toDF().toDF("event_id", "value")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append()).start()
+
+    val q1 = start()
+    in.addData((1L, 1.0), (2L, 2.0))
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start() // restart from the checkpoint
+    in.addData((3L, 3.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val ids = spark.read.parquet(s"$tmp/out")
+      .select("event_id").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L), "no loss, no duplication across restart")
+  }
+
   test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
     val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
     val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
