@@ -67,19 +67,24 @@ object MLQueries {
     "q57_feature_vector",
     (s, d) => {
       import s.implicits._
-      T.embeddings(s, d).select($"vec_id", expr(
+      // posexploded to (vec_id, i, feature) rows: double arrays can't be
+      // to_json'd portably (Jackson 1.0E-5 vs DuckDB 0.00001) and raw
+      // array cells break the driver's pandas row-sort; exploded doubles
+      // compare bit-exact.
+      T.embeddings(s, d).select($"vec_id", posexplode(expr(
         """transform(sequence(0, 63), i ->
              CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
                   WHEN i = 20 THEN CAST(label AS DOUBLE) / 10.0
                   WHEN i = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
-                  ELSE CAST(embedding[i] AS DOUBLE) END)""").as("features"))
+                  ELSE CAST(embedding[i] AS DOUBLE) END)""")))
+        .select($"vec_id", $"pos".cast("long").as("i"), $"col".as("feature"))
     },
-    Some("""SELECT vec_id, list_transform(range(64), i ->
-        CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
-             WHEN i = 20 THEN CAST(label AS DOUBLE) / 10.0
-             WHEN i = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
-             ELSE CAST(embedding[i+1] AS DOUBLE) END) AS features
-      FROM embeddings"""))
+    Some("""SELECT vec_id, r.range AS i,
+        CASE WHEN r.range = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
+             WHEN r.range = 20 THEN CAST(label AS DOUBLE) / 10.0
+             WHEN r.range = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
+             ELSE CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE) END AS feature
+      FROM embeddings CROSS JOIN range(64) r"""))
 
   /** Batched inference: mapPartitions, model as per-JVM lazy singleton
     * (= `@Setup` load-once), `grouped(60)` batches (= BUFFER_MAX_SIZE,

@@ -57,16 +57,18 @@ object MultimodalQueries {
       T.documents(s, d)
         .withColumn("stride", greatest(expr("length(text) div 8"), lit(1)))
         .select($"doc_id", $"stride".cast("long").as("stride"),
-          expr("""transform(
+          // to_json: int payload serializes identically in DuckDB; raw
+          // array cells break the driver's pandas row-sort
+          to_json(expr("""transform(
               filter(sequence(0, 7), f -> 1 + f * stride <= length(text)),
-              f -> ascii(substring(text, CAST(1 + f * stride AS INT), 1)))""")
+              f -> ascii(substring(text, CAST(1 + f * stride AS INT), 1)))"""))
             .as("frames"))
     },
     Some("""SELECT doc_id,
         CAST(greatest(length(text) // 8, 1) AS BIGINT) AS stride,
-        list_transform(
+        to_json(list_transform(
           list_filter(range(8), f -> 1 + f * greatest(length(text) // 8, 1) <= length(text)),
-          f -> ascii(substr(text, CAST(1 + f * greatest(length(text) // 8, 1) AS INTEGER), 1))) AS frames
+          f -> ascii(substr(text, CAST(1 + f * greatest(length(text) // 8, 1) AS INTEGER), 1)))) AS frames
       FROM documents"""))
 
   def qs: Seq[Q] = Seq(byteFeatures, frameSample)

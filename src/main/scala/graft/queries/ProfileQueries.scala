@@ -73,7 +73,8 @@ object ProfileQueries {
       val perK = ev.groupBy($"event_type", $"k")
         .agg(countDistinct($"user_id").as("users"))
       val nested = perK.groupBy($"event_type")
-        .agg(sort_array(collect_list(struct($"k", $"users"))).as("users_per_k"))
+        .agg(to_json(sort_array(collect_list(struct($"k", $"users"))))
+          .as("users_per_k"))
       val totals = ev.groupBy($"event_type")
         .agg(countDistinct($"user_id").as("user_count"))
       totals.join(nested, Seq("event_type"))
@@ -83,7 +84,7 @@ object ProfileQueries {
              FROM events),
       perk AS (SELECT event_type, k, count(DISTINCT user_id) users FROM ev GROUP BY 1,2),
       nested AS (SELECT event_type,
-                   list(struct_pack(k := k, users := users) ORDER BY k, users) users_per_k
+                   to_json(list(struct_pack(k := k, users := users) ORDER BY k, users)) users_per_k
                  FROM perk GROUP BY 1),
       tot AS (SELECT event_type, count(DISTINCT user_id) user_count FROM ev GROUP BY 1)
       SELECT t.event_type, t.user_count, n.users_per_k

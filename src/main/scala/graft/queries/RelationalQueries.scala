@@ -110,14 +110,18 @@ object RelationalQueries {
         .agg(
           min($"first_at").as("first_at"),
           max($"last_at").as("last_at"),
-          sort_array(collect_list(struct($"event_type", $"cnt"))).as("activity"))
+          // serialized: the driver's pandas compare can't sort raw
+          // array<struct> cells; Spark to_json ≡ DuckDB to_json for
+          // int/string payloads (NOT doubles — exponent formats differ)
+          to_json(sort_array(collect_list(struct($"event_type", $"cnt"))))
+            .as("activity"))
     },
     Some("""WITH a AS (
         SELECT user_id, event_type, count(*) AS cnt,
                min(epoch_us(ts)) AS first_at, max(epoch_us(ts)) AS last_at
         FROM events GROUP BY user_id, event_type)
       SELECT user_id, min(first_at) AS first_at, max(last_at) AS last_at,
-             list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type) AS activity
+             to_json(list(struct_pack(event_type := event_type, cnt := cnt) ORDER BY event_type, cnt)) AS activity
       FROM a GROUP BY user_id"""))
 
   /** Distinct counts per key (A3 analogue, `AppProfiles.java:62`).
@@ -525,8 +529,10 @@ object RelationalQueries {
         FROM f),
       h AS (
         SELECT user_id, ts,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               -- CAST: DuckDB sum(int) is HUGEINT → float64 in pandas,
+               -- which the driver's value-hash distinguishes from int64
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM g)
       SELECT user_id, session_id, count(*) AS n_events,
              min(epoch_us(ts)) AS sess_start, max(epoch_us(ts)) AS sess_end
@@ -582,7 +588,9 @@ object RelationalQueries {
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+          // serialized: the driver sorts output rows in pandas even for
+          // rows-only checks — raw array cells would crash that sort
+          to_json(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"))
             .as("approx_p"),
           expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
     },

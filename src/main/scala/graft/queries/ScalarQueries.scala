@@ -21,13 +21,15 @@ object ScalarQueries {
         $"c_custkey",
         upper($"c_name").as("up"),
         lower($"c_name").as("lo"),
-        length($"c_name").as("len"),
+        // .cast("long") on int-valued funcs: DuckDB emits BIGINT here and
+        // the driver's value-hash is dtype-sensitive
+        length($"c_name").cast("long").as("len"),
         substring($"c_name", 1, 8).as("prefix"),
         concat_ws("|", $"c_name", $"c_mktsegment").as("joined"),
         lpad($"c_custkey".cast("string"), 10, "0").as("padded"),
         reverse($"c_name").as("rev"),
         regexp_replace($"c_name", "[0-9]+", "#").as("no_digits"),
-        levenshtein($"c_name", $"c_mktsegment").as("lev"))
+        levenshtein($"c_name", $"c_mktsegment").cast("long").as("lev"))
     },
     Some("""SELECT c_custkey,
       upper(c_name) AS up, lower(c_name) AS lo, length(c_name) AS len,

@@ -212,7 +212,9 @@ object SimilarityQueries {
         .filter($"mx" > 0.0)
         .withColumn("scale", lit(127.0) / $"mx")
         .select($"vec_id", $"scale",
-          expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))")
+          // to_json: int payload serializes identically in DuckDB; raw
+          // array cells break the driver's pandas row-sort
+          to_json(expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT))"))
             .as("q8"),
           expr("""aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) ->
               greatest(a, abs(CAST(x AS DOUBLE)
@@ -223,7 +225,7 @@ object SimilarityQueries {
         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') mx
         FROM embeddings)
       SELECT vec_id, 127.0 / mx AS scale,
-        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER)) AS q8,
+        to_json(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER))) AS q8,
         list_aggregate(list_transform(embedding, x ->
           abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))), 'max') AS max_abs_err
       FROM m WHERE mx > 0.0"""))

@@ -18,9 +18,10 @@ object WindowQueries {
       val w = Window.partitionBy($"o_orderpriority")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       T.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .withColumn("rk", rank().over(
-          Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc)))
+          Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice".desc))
+          .cast("long"))
         .filter($"rn" <= 10)
         .select($"o_orderpriority", $"o_orderkey", $"o_totalprice", $"rn", $"rk")
     },
@@ -61,7 +62,7 @@ object WindowQueries {
       val w = Window.partitionBy($"o_custkey")
         .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
       T.orders(s, d)
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rn", row_number().over(w).cast("long"))
         .filter($"rn" <= 3)
         .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
     },
@@ -99,7 +100,7 @@ object WindowQueries {
       val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
       T.customer(s, d).select(
         $"c_custkey", $"c_acctbal",
-        ntile(10).over(w).as("decile"),
+        ntile(10).over(w).cast("long").as("decile"),
         percent_rank().over(w).as("pct_rank"),
         cume_dist().over(w).as("cdf"))
     },
