@@ -20,6 +20,7 @@ final case class Q(
 object QueryRegistry {
   def all: Seq[Q] =
     graft.queries.RelationalQueries.qs ++
+      graft.queries.ExtendedQueries.qs ++
       graft.queries.WindowQueries.qs ++
       graft.queries.ScalarQueries.qs ++
       graft.queries.ProfileQueries.qs ++

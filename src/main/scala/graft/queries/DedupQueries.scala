@@ -67,6 +67,24 @@ object DedupQueries {
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
       count(*) AS n_copies FROM documents GROUP BY md5(text)"""))
 
+  /** q41's pair pipeline, reused by the clustering query q72. */
+  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = withShingles(s, d).cache()
+    val sizes = sh.select($"doc_id", size($"sset").as("n"))
+    val ex = sh.select($"doc_id", explode($"sset").as("sh"))
+    val common = ex.as("a").join(ex.as("b"),
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.6)
+  }
+
   /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
     * explode shingles → self equi-join on shingle → count common →
     * |∩|/(|A|+|B|−|∩|) ≥ 0.6. The join is keyed (no cross product);
@@ -74,22 +92,7 @@ object DedupQueries {
     * shingles) — the MinHash query below is that cheaper path. */
   private val jaccardDedup = Q(
     "q41_dedup_jaccard",
-    (s, d) => {
-      import s.implicits._
-      val sh = withShingles(s, d).cache()
-      val sizes = sh.select($"doc_id", size($"sset").as("n"))
-      val ex = sh.select($"doc_id", explode($"sset").as("sh"))
-      val common = ex.as("a").join(ex.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-        .agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
-        .select($"doc_a", $"doc_b",
-          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
-        .filter($"jaccard" >= 0.6)
-    },
+    (s, d) => jaccardPairs(s, d),
     Some(s"""$shingleCte,
       sizes AS (SELECT doc_id, len(sset) n FROM sh),
       ex AS (SELECT doc_id, unnest(sset) s FROM sh),
@@ -226,5 +229,47 @@ object DedupQueries {
           CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
           / (a.nrm * b.nrm) >= 0.4"""))
 
-  def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash, cosineNearDup)
+  /** q41's pairs oracle, re-emitted as a CTE body for q72 (DuckDB's
+    * WITH RECURSIVE needs every CTE in one list). */
+  private val pairsCtes = s"""${shingleCte.stripPrefix("WITH ")},
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
+                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+      pairs AS (SELECT da AS doc_a, db AS doc_b
+                FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+                WHERE c*1.0/(sa.n + sb.n - c) >= 0.6)"""
+
+  /** Near-dup CLUSTERS: connected components over the Jaccard≥0.6 pair
+    * graph (pairs alone under-merge — A~B, B~C may hold while A~C
+    * misses the threshold; canonical-survivor selection needs the
+    * transitive closure). Pregel-style min-label propagation: each
+    * round every node takes min(own root, neighbors' roots) — one
+    * self-equi-join + one aggregate per round, converging in
+    * O(component diameter) rounds (near-dup clusters are tiny, 2–3
+    * rounds in practice). `localCheckpoint` truncates the growing
+    * lineage each round (on a cluster: `checkpoint` to durable
+    * storage). No step is quadratic and nothing is collected to the
+    * driver — the same loop runs at 100 TB where a component fits no
+    * single machine. Oracle: recursive-CTE reachability + min. */
+  private val ccClusters = Q(
+    "q72_cc_clusters",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.ConnectedComponents
+        .label(jaccardPairs(s, d).select($"doc_a", $"doc_b"))
+        .select($"id".as("doc_id"), $"component".as("cluster_root"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
+
+  def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
+    cosineNearDup, ccClusters)
 }

@@ -141,5 +141,30 @@ object ScalarQueries {
       sqrt(l_extendedprice) AS sq
       FROM lineitem"""))
 
-  def qs: Seq[Q] = Seq(stringFuncs, dateFuncs, jsonExtract, base64Codec, toJsonSink, mathFuncs)
+  /** MapType surface: build, value-transform, and extract from map
+    * columns (serialized via to_json — Spark and DuckDB agree
+    * byte-for-byte on string/long map JSON). Row-local, codegen'd. */
+  private val mapFuncs = Q(
+    "q75_map_funcs",
+    (s, d) => {
+      import s.implicits._
+      val m = map_from_arrays(
+        array(lit("type"), lit("user")),
+        array($"event_type", $"user_id".cast("string")))
+      T.events(s, d).select(
+        $"event_id",
+        to_json(m).as("meta"),
+        to_json(transform_values(m, (_, v) => upper(v))).as("meta_upper"),
+        element_at(m, "type").as("etype"),
+        size(map_keys(m)).cast("long").as("n_keys"))
+    },
+    Some("""SELECT event_id,
+      to_json(map(['type','user'], [event_type, CAST(user_id AS VARCHAR)])) AS meta,
+      to_json(map(['type','user'], [upper(event_type), upper(CAST(user_id AS VARCHAR))])) AS meta_upper,
+      event_type AS etype,
+      CAST(2 AS BIGINT) AS n_keys
+      FROM events"""))
+
+  def qs: Seq[Q] = Seq(stringFuncs, dateFuncs, jsonExtract, base64Codec,
+    toJsonSink, mathFuncs, mapFuncs)
 }

@@ -178,5 +178,145 @@ object TextQueries {
       md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_hash
       FROM documents"""))
 
-  def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq, normalize)
+  /** TF-IDF top-5 terms per document. tf and df come from ONE exploded
+    * pass (dl = Σtf per doc reuses the tf aggregate rather than
+    * re-scanning words); n_docs rides in as a broadcast single-row
+    * cross join, never a collect. At 100 TB the explode is the big
+    * term-posting shuffle every search indexer pays — partial
+    * map-side aggregation collapses repeated words per doc first. */
+  private val tfidf = Q(
+    "q67_tfidf",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.documents(s, d)
+      val tf = docs
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .cache() // feeds dl, df and the final join — 3 consumers
+      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+      val dfq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(nd))
+        .withColumn("score",
+          ($"tf".cast("double") / $"dl") *
+            (log(($"n_docs".cast("double") + 1.0) / ($"df".cast("double") + 1.0)) + 1.0))
+      scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"score".desc, $"word".asc)).cast("long"))
+        .filter($"rk" <= 5)
+        .select($"doc_id", $"word", $"tf", $"score", $"rk")
+    },
+    Some("""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word
+               FROM documents),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM wx GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT t.doc_id, t.word, t.tf,
+               (CAST(t.tf AS DOUBLE) / d.dl) *
+                 (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(f.df AS DOUBLE) + 1.0)) + 1.0) AS score
+             FROM tf t JOIN dl d USING (doc_id) JOIN dfq f USING (word) CROSS JOIN nd n)
+      SELECT doc_id, word, tf, score, rk FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS BIGINT) AS rk
+        FROM sc) WHERE rk <= 5"""),
+    bench = true)
+
+  /** BM25 (k1=1.2, b=0.75) for a fixed 3-term query — the ranked-
+    * retrieval twin of q67. Postings for the query terms only (filter
+    * BEFORE the aggregate: the shuffle carries 3 words' postings, not
+    * the whole vocabulary); corpus stats (N, avgdl) broadcast. */
+  private val bm25 = Q(
+    "q68_bm25",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("the", "of", "and")
+      val docs = T.documents(s, d)
+      val words = docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+      val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
+      val tf = words.filter($"word".isInCollection(terms))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+      val stats = dl.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n_docs"))
+      tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(stats))
+        .withColumn("idf",
+          log(lit(1.0) + ($"n_docs".cast("double") - $"df" + 0.5) / ($"df".cast("double") + 0.5)))
+        .withColumn("tfc",
+          ($"tf".cast("double") * (1.2 + 1.0)) /
+            ($"tf".cast("double") + lit(1.2) * (lit(1.0 - 0.75) + $"dl".cast("double") / $"avgdl" * 0.75)))
+        .groupBy($"doc_id")
+        .agg(sum($"idf" * $"tfc").as("bm25"), count(lit(1)).as("n_terms_hit"))
+    },
+    Some("""WITH wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word
+               FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM wx GROUP BY 1),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM wx
+             WHERE word IN ('the', 'of', 'and') GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+      sc AS (SELECT t.doc_id,
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - t2.df + 0.5) / (CAST(t2.df AS DOUBLE) + 0.5)) AS idf,
+               (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + CAST(d.dl AS DOUBLE) / s.avgdl * 0.75)) AS tfc
+             FROM tf t JOIN dl d USING (doc_id) JOIN dfq t2 USING (word) CROSS JOIN st s)
+      SELECT doc_id, sum(idf * tfc) AS bm25, count(*) AS n_terms_hit
+      FROM sc GROUP BY doc_id"""))
+
+  /** Bigram frequency: the n-gram generalization of q49 (vocabulary →
+    * collocation statistics). Bigrams built row-locally via
+    * transform+slice, then one partial+final count shuffle. */
+  private val bigramCounts = Q(
+    "q69_bigram_counts",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .filter(size($"ws") >= 2)
+        .select($"lang", explode(transform(
+          sequence(lit(1), size($"ws") - 1),
+          i => concat_ws(" ", slice($"ws", i, lit(2))))).as("bigram"))
+        .groupBy($"lang", $"bigram").agg(count(lit(1)).as("n"))
+      counts.withColumn("rank", row_number().over(
+          Window.partitionBy($"lang").orderBy($"n".desc, $"bigram".asc)).cast("long"))
+        .filter($"rank" <= 10)
+    },
+    Some("""WITH w AS (SELECT lang, string_split_regex(trim(text),'\s+') ws FROM documents),
+      bg AS (SELECT lang, unnest(list_transform(generate_series(1, len(ws) - 1),
+               i -> array_to_string(ws[i:i+1], ' '))) AS bigram
+             FROM w WHERE len(ws) >= 2),
+      g AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2)
+      SELECT lang, bigram, n, rank FROM (
+        SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
+        FROM g) WHERE rank <= 10"""))
+
+  /** PII scrubbing: email-shaped tokens then long digit runs replaced
+    * with typed placeholders (email pass FIRST — emails contain digit
+    * runs), plus a redaction count for audit. Row-local regex work,
+    * fully codegen'd, linear at any scale. */
+  private val piiScrub = Q(
+    "q70_pii_scrub",
+    (s, d) => {
+      import s.implicits._
+      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+      val numRe = "[0-9]{3,}"
+      val scrubbed = regexp_replace(
+        regexp_replace($"text", emailRe, "<EMAIL>"), numRe, "<NUM>")
+      T.documents(s, d).select(
+        $"doc_id",
+        md5(scrubbed).as("scrubbed_hash"),
+        (size(regexp_extract_all($"text", lit(emailRe), lit(0))) +
+          size(regexp_extract_all(regexp_replace($"text", emailRe, "<EMAIL>"),
+            lit(numRe), lit(0)))).cast("long").as("n_redactions"))
+    },
+    Some("""SELECT doc_id,
+      md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+          '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_hash,
+      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
+        + len(regexp_extract_all(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
+            '[0-9]{3,}')) AS BIGINT) AS n_redactions
+      FROM documents"""))
+
+  def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
+    normalize, tfidf, bm25, bigramCounts, piiScrub)
 }

@@ -111,5 +111,42 @@ object WindowQueries {
       FROM customer
       WINDOW w AS (ORDER BY c_acctbal ASC, c_custkey ASC)"""))
 
-  def qs: Seq[Q] = Seq(rankInGroup, runningTotals, topkPerGroup, movingAvg, distributionRanks)
+  /** Sessionization via the NATIVE `session_window` aggregate (vs
+    * q30's gaps-and-islands formulation) — Spark merges overlapping
+    * per-event windows [ts, ts+gap) inside the agg, one shuffle by
+    * (user, window), no sort-based window pass. Boundary semantics
+    * (pinned by ExtendedOpsSpec): windows touching at exactly the gap
+    * MERGE — i.e. islands split only on gap STRICTLY greater than
+    * 30 min, same as q30's formulation. */
+  private val sessionWindowNative = Q(
+    "q74_session_window",
+    (s, d) => {
+      import s.implicits._
+      T.events(s, d)
+        .groupBy($"user_id", session_window($"ts", "30 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros($"ts")).as("sess_start"),
+          max(unix_micros($"ts")).as("sess_end"))
+        .select($"user_id", $"sess_start", $"sess_end", $"n_events")
+    },
+    Some("""WITH f AS (
+        SELECT user_id, event_id, ts,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events),
+      g AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 30*60*1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM f),
+      h AS (
+        SELECT user_id, ts,
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid
+        FROM g)
+      SELECT user_id, min(epoch_us(ts)) AS sess_start, max(epoch_us(ts)) AS sess_end,
+             count(*) AS n_events
+      FROM h GROUP BY user_id, sid"""))
+
+  def qs: Seq[Q] = Seq(rankInGroup, runningTotals, topkPerGroup, movingAvg,
+    distributionRanks, sessionWindowNative)
 }

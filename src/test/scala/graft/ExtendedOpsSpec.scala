@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics of the round-2 operator additions: connected components
+  * (q72), native session_window boundaries (q74), stratified hash
+  * sampling (q73). The DuckDB oracle gate proves end-to-end equality;
+  * these pin the operator-level edge cases it can't isolate. */
+class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
+
+  test("connected components: chain + separate component + min labeling") {
+    val spark2 = spark
+    import spark2.implicits._
+    // chain 1-2-3-4 (diameter 3 forces >1 propagation round), pair 10-11
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 4L), (11L, 10L)).toDF("a", "b")
+    val got = operators.ConnectedComponents.label(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components: two chains merged by a bridge edge") {
+    val spark2 = spark
+    import spark2.implicits._
+    val pairs = Seq((5L, 6L), (7L, 8L), (6L, 7L)).toDF("a", "b")
+    val got = operators.ConnectedComponents.label(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet === Set(5L))
+  }
+
+  test("session_window: touching windows merge, strictly-greater gap splits") {
+    val spark2 = spark
+    import spark2.implicits._
+    val t0 = 1700000000000000L // µs
+    val mins = 60L * 1000000
+    // u1: gap of exactly 30 min → windows TOUCH → one merged session;
+    // u2: 30 min + 1 µs → 2 sessions; u3: 29 min → 1 session
+    val events = Seq(
+      (1L, t0), (1L, t0 + 30 * mins),
+      (2L, t0), (2L, t0 + 30 * mins + 1),
+      (3L, t0), (3L, t0 + 29 * mins)
+    ).toDF("user_id", "us").select($"user_id", timestamp_micros($"us").as("ts"))
+    val sessions = events
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .groupBy($"user_id").agg(count(lit(1)).as("n_sessions"))
+      .as[(Long, Long)].collect().toMap
+    assert(sessions === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("stratified sample: per-stratum rates land near target and are deterministic") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = (1L to 4000L).map(k => (k, if (k % 4 == 0) "AUTOMOBILE" else "OTHER"))
+      .toDF("c_custkey", "c_mktsegment")
+    val bucket =
+      conv(substring(md5($"c_custkey".cast("string")), 1, 14), 16, 10)
+        .cast("long") % 100
+    val kept = rows
+      .filter(bucket < when($"c_mktsegment" === "AUTOMOBILE", 10).otherwise(30))
+      .groupBy($"c_mktsegment").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toMap
+    val auto = kept("AUTOMOBILE").toDouble / 1000
+    val other = kept("OTHER").toDouble / 3000
+    assert(auto > 0.05 && auto < 0.15, s"auto rate $auto")
+    assert(other > 0.25 && other < 0.35, s"other rate $other")
+    // determinism: the same filter yields the same set, not a re-roll
+    val again = rows
+      .filter(bucket < when($"c_mktsegment" === "AUTOMOBILE", 10).otherwise(30))
+      .count()
+    assert(again === kept.values.sum)
+  }
+}
