@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev-only: print the formatted plan + 3 timed runs of one registry query. */
+object PlanProbe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val q = QueryRegistry.byName(name)
+    if (args.contains("--explain")) q.fn(spark, sfDir).explain("formatted")
+    for (i <- 1 to 3) {
+      val t0 = System.nanoTime()
+      q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      println(f"[probe] $name run$i ${(System.nanoTime() - t0) / 1e9}%.3f s")
+    }
+    spark.stop()
+  }
+}

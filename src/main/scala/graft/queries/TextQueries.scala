@@ -317,6 +317,37 @@ object TextQueries {
             '[0-9]{3,}')) AS BIGINT) AS n_redactions
       FROM documents"""))
 
+  /** Intra-document repetition filter (the Gopher-rules shape): share
+    * of duplicate 3-word shingles within each doc; docs above 30%
+    * flagged. Complements the CROSS-doc dedup family (q40-q44, q72) —
+    * row-local, no shuffle, linear at any scale. */
+  private val repetition = Q(
+    "q76_repetition_filter",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .filter(size($"ws") >= 3)
+        .withColumn("n_grams", (size($"ws") - 2).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(transform(
+          sequence(lit(1), size($"ws") - 2),
+          i => concat_ws(" ", slice($"ws", i, lit(3)))))).cast("long"))
+        .select($"doc_id", $"n_grams", $"n_distinct",
+          (lit(1.0) - $"n_distinct".cast("double") / $"n_grams").as("dup_ratio"),
+          ((lit(1.0) - $"n_distinct".cast("double") / $"n_grams") > 0.3)
+            .as("is_repetitive"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') ws FROM documents),
+      g AS (SELECT doc_id,
+              CAST(len(ws) - 2 AS BIGINT) AS n_grams,
+              CAST(len(list_distinct(list_transform(generate_series(1, len(ws)-2),
+                i -> array_to_string(ws[i:i+2], ' ')))) AS BIGINT) AS n_distinct
+            FROM w WHERE len(ws) >= 3)
+      SELECT doc_id, n_grams, n_distinct,
+        1.0 - CAST(n_distinct AS DOUBLE) / n_grams AS dup_ratio,
+        (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.3 AS is_repetitive
+      FROM g"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
-    normalize, tfidf, bm25, bigramCounts, piiScrub)
+    normalize, tfidf, bm25, bigramCounts, piiScrub, repetition)
 }
