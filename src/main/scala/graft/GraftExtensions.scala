@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot}
+import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -32,7 +32,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
-      (args: Seq[Expression]) => SimHash60(args.head)))
+      (args: Seq[Expression]) => SimHash60(args.head)),
+    (FunctionIdentifier("word_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0), args(1))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct n-word shingles of a text, as one native expression:
+  * `word_shingles(text, n) → array<string>`.
+  *
+  * Bit-identical to the HOF formulation used across the dedup family
+  * (spec'd in ExpressionSpec):
+  * {{{
+  * array_distinct(transform(sequence(1, size(ws) - (n-1)),
+  *   i -> concat_ws(' ', slice(ws, i, n))))
+  * where ws = split(trim(text), "\\s+")
+  * }}}
+  * including its edge semantics: `trim` strips ASCII space (0x20)
+  * ONLY, `split` keeps interior/leading empty tokens exactly like
+  * Spark's regex split with limit −1, and distinctness preserves
+  * first-occurrence order (LinkedHashSet ≡ array_distinct).
+  *
+  * Why native: higher-order functions interpret their lambda per
+  * element (~29 µs/shingle measured); this is one JIT loop per row.
+  * Codegen emits a static call, keeping the surrounding projection
+  * inside whole-stage codegen.
+  */
+case class WordShingles(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingles requires (string, int literal), got $other")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    WordShinglesImpl.compute(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordShinglesImpl.compute($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingles =
+    copy(left = newLeft, right = newRight)
+}
+
+object WordShinglesImpl {
+  // Spark's split(str, regex) delegates to Java's Pattern.split with
+  // limit -1; reusing the same compiled pattern reproduces it exactly.
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    // UTF8String.trim() strips 0x20 only — same as SQL trim(col)
+    val words = ws.split(text.trim().toString, -1)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= words.length) {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[AnyRef](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -34,10 +34,12 @@ object DedupQueries {
 
   private def withShingles(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    graft.GraftExtensions.ensureRegistered(s)
+    // native word_shingles ≡ shingleCol (ExpressionSpec pins equality);
+    // HOF lambdas interpret per shingle, the native loop JITs
     T.documents(s, d)
-      .withColumn("ws", split(trim($"text"), "\\s+"))
-      .filter(size($"ws") >= 3)
-      .select($"doc_id", shingleCol($"ws").as("sset"))
+      .filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id", expr("word_shingles(text, 3)").as("sset"))
   }
 
   private val shingleCte =
@@ -67,12 +69,18 @@ object DedupQueries {
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
       count(*) AS n_copies FROM documents GROUP BY md5(text)"""))
 
-  /** q41's pair pipeline, reused by the clustering query q72. */
+  /** q41's pair pipeline, reused by the clustering query q72.
+    * Postings join on xxhash64(shingle), not the raw ~20-byte string:
+    * fixed-width long keys shrink the shuffle and make the join-key
+    * comparison one word. Intersection counts are unchanged absent a
+    * 64-bit collision *within one doc pair's shingles* (P ≈ n²/2⁶⁴ per
+    * pair — negligible at any realistic shingle count). */
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = withShingles(s, d).cache()
     val sizes = sh.select($"doc_id", size($"sset").as("n"))
-    val ex = sh.select($"doc_id", explode($"sset").as("sh"))
+    val ex = sh.select($"doc_id", explode($"sset").as("sh0"))
+      .select($"doc_id", xxhash64($"sh0").as("sh"))
     val common = ex.as("a").join(ex.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))

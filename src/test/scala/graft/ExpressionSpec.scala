@@ -99,6 +99,34 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("word_shingles == HOF distinct-concat_ws-slice formulation (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    // edge inputs: tabs (trim is space-only → leading empty token),
+    // repeated shingles (distinct order), multi-space runs, short docs
+    val tricky = docs.union(Seq(
+      (5L, "\tx y z w\t"),
+      (6L, "a  b   c a  b   c"),
+      (7L, " padded   with spaces ")
+    ).toDF("doc_id", "text"))
+    val q = tricky
+      .filter(size(split(trim(col("text")), "\\s+")) >= 3) // HOF form needs ≥3 words
+      .select(
+        expr("word_shingles(text, 3)").as("native"),
+        array_distinct(transform(
+          sequence(lit(1), size(split(trim(col("text")), "\\s+")) - 2),
+          i => concat_ws(" ", slice(split(trim(col("text")), "\\s+"), i, lit(3))))).as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = q.collect()
+      assert(rows.length >= 5)
+      rows.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"codegen=$cg")
+      }
+    }
+    // sub-n-word docs: native form degrades to an empty set
+    assert(spark.sql("SELECT word_shingles('tiny', 3)").head.getSeq[String](0).isEmpty)
+  }
+
   test("native expressions are usable from plain SQL after registration") {
     GraftExtensions.ensureRegistered(spark)
     docs.createOrReplaceTempView("expr_docs")
