@@ -278,6 +278,59 @@ object DedupQueries {
         SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
       SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
 
+  /** Exact prefix-filtered Jaccard (the PPJoin family): same result
+    * set as q41, scale-optimal candidate generation. Shingles get a
+    * global rarity order (ascending document frequency, shingle hash
+    * as tie-break); each doc joins only its PREFIX — the first
+    * |s| − ⌈t·|s|⌉ + 1 shingles in that order — because two sets with
+    * J ≥ t MUST share a prefix element under any common total order
+    * (prefix-filtering theorem). Candidates then verify with the full
+    * intersection count. At 100 TB this bounds the self-join to the
+    * rarest slice of each posting list (hot shingles never join), the
+    * difference between a shuffle bounded by Σ|prefix|·df and one
+    * bounded by Σ df² — while staying EXACT, unlike MinHash (q42).
+    * Oracle: identical SQL to q41 — equality proves exactness. */
+  private val jaccardPrefix = Q(
+    "q77_jaccard_prefix_filter",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val t = 0.6
+      val sh = withShingles(s, d).cache()
+      val sizes = sh.select($"doc_id", size($"sset").as("n"))
+      val ex = sh.select($"doc_id", explode($"sset").as("sh0"))
+        .select($"doc_id", xxhash64($"sh0").as("sh")).cache()
+      val dfreq = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
+      val ranked = ex.join(dfreq, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)))
+        .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
+      val prefix = ranked.filter($"rn" <= $"plen").select($"doc_id", $"sh")
+      val cand = prefix.as("a").join(prefix.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+      val common = cand
+        .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
+        .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
+        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
+        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .select($"doc_a", $"doc_b",
+          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+        .filter($"jaccard" >= t)
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
+                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
+      SELECT da AS doc_a, db AS doc_b,
+             c*1.0/(sa.n + sb.n - c) AS jaccard
+      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+      WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, ccClusters)
+    cosineNearDup, ccClusters, jaccardPrefix)
 }
