@@ -21,6 +21,16 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connected components: ring converges (propagation must cross the cycle)") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 6-ring: 20-21-22-23-24-25-20; min label must travel both ways
+    val ring = (20L to 24L).map(i => (i, i + 1)) :+ (25L, 20L)
+    val got = operators.ConnectedComponents.label(ring.toDF("a", "b"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet === (20L to 25L).toSet && got.values.toSet === Set(20L))
+  }
+
   test("connected components: two chains merged by a bridge edge") {
     val spark2 = spark
     import spark2.implicits._
