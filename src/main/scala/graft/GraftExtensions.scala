@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot, WordShingles}
+import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot, WordCounts, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -35,7 +35,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SimHash60(args.head)),
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
-      (args: Seq[Expression]) => WordShingles(args(0), args(1))))
+      (args: Seq[Expression]) => WordShingles(args(0), args(1))),
+    (FunctionIdentifier("word_counts"),
+      new ExpressionInfo(classOf[WordCounts].getName, "word_counts"),
+      (args: Seq[Expression]) => WordCounts(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -50,10 +50,69 @@ case class WordShingles(left: Expression, right: Expression) extends BinaryExpre
     copy(left = newLeft, right = newRight)
 }
 
+/** Per-document term frequencies as one native expression:
+  * `word_counts(text) → array<struct<word: string, tf: bigint>>`,
+  * one entry per DISTINCT token of `split(trim(text), "\\s+")` in
+  * first-occurrence order, `tf` = its occurrence count.
+  *
+  * Replaces the explode → groupBy(doc, word) formulation: term counting
+  * is row-local (a document's words live in ONE row), so the big
+  * per-token shuffle in TF-IDF/BM25-style pipelines is unnecessary —
+  * explode the counted pairs instead (|distinct terms| rows, not
+  * |tokens|) and only document frequency still aggregates globally.
+  * Token semantics identical to the HOF form (space-only trim, regex
+  * split keeping empty tokens, ExpressionSpec pins equality). */
+case class WordCounts(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"word_counts requires string, got ${other.simpleString(10)}")
+  }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("tf", org.apache.spark.sql.types.LongType,
+        nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "word_counts"
+
+  override protected def nullSafeEval(text: Any): Any =
+    WordShinglesImpl.counts(text.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.WordShinglesImpl.counts($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordCounts =
+    copy(child = newChild)
+}
+
 object WordShinglesImpl {
   // Spark's split(str, regex) delegates to Java's Pattern.split with
   // limit -1; reusing the same compiled pattern reproduces it exactly.
   private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  def counts(text: UTF8String): ArrayData = {
+    val words = ws.split(text.trim().toString, -1)
+    val tf = new java.util.LinkedHashMap[String, Long]()
+    var i = 0
+    while (i < words.length) {
+      tf.merge(words(i), 1L, (a, b) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](tf.size())
+    val it = tf.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
 
   def compute(text: UTF8String, n: Int): ArrayData = {
     // UTF8String.trim() strips 0x20 only — same as SQL trim(col)

@@ -178,26 +178,32 @@ object TextQueries {
       md5(regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS norm_hash
       FROM documents"""))
 
-  /** TF-IDF top-5 terms per document. tf and df come from ONE exploded
-    * pass (dl = Σtf per doc reuses the tf aggregate rather than
-    * re-scanning words); n_docs rides in as a broadcast single-row
-    * cross join, never a collect. At 100 TB the explode is the big
-    * term-posting shuffle every search indexer pays — partial
-    * map-side aggregation collapses repeated words per doc first. */
+  /** TF-IDF top-5 terms per document. Term counting is ROW-LOCAL via
+    * the native `word_counts` expression (a doc's words live in one
+    * row — explode→groupBy(doc,word) would shuffle every token for
+    * counts the row already determines); only document frequency
+    * aggregates globally, and the per-token "posting shuffle" becomes
+    * a per-distinct-term one. dl = Σtf rides along row-locally; n_docs
+    * as a broadcast single-row cross join, never a collect. */
   private val tfidf = Q(
     "q67_tfidf",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.ensureRegistered(s)
       val docs = T.documents(s, d)
       val tf = docs
-        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
-        .cache() // feeds dl, df and the final join — 3 consumers
-      val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
+        .select($"doc_id",
+          size(split(trim($"text"), "\\s+")).cast("long").as("dl"), // = Σtf
+          explode(expr("word_counts(text)")).as("w"))
+        .select($"doc_id", $"w.word".as("word"), $"w.tf".as("tf"), $"dl")
+        .cache() // feeds df and the scoring pass
       val dfq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
-      val scored = tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(nd))
+      // broadcast(dfq): vocabulary-sized, fine for any real corpus
+      // vocabulary; at open-vocab extremes drop the hint and Catalyst
+      // falls back to a shuffle join on `word`
+      val scored = tf.join(broadcast(dfq), "word").crossJoin(broadcast(nd))
         .withColumn("score",
           ($"tf".cast("double") / $"dl") *
             (log(($"n_docs".cast("double") + 1.0) / ($"df".cast("double") + 1.0)) + 1.0))
@@ -231,11 +237,16 @@ object TextQueries {
     (s, d) => {
       import s.implicits._
       val terms = Seq("the", "of", "and")
+      graft.GraftExtensions.ensureRegistered(s)
       val docs = T.documents(s, d)
-      val words = docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
-      val dl = words.groupBy($"doc_id").agg(count(lit(1)).as("dl"))
-      val tf = words.filter($"word".isInCollection(terms))
-        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+      // row-local counting (see q67): only the 3 query terms' counted
+      // pairs survive the explode, dl is a plain expression
+      val dl = docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long").as("dl"))
+      val tf = docs
+        .select($"doc_id", explode(expr("word_counts(text)")).as("w"))
+        .select($"doc_id", $"w.word".as("word"), $"w.tf".as("tf"))
+        .filter($"word".isInCollection(terms))
       val dfq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val stats = dl.agg(avg($"dl").as("avgdl"), count(lit(1)).as("n_docs"))
       tf.join(dl, "doc_id").join(dfq, "word").crossJoin(broadcast(stats))

@@ -127,6 +127,26 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT word_shingles('tiny', 3)").head.getSeq[String](0).isEmpty)
   }
 
+  test("word_counts == explode+groupBy term counting (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val tricky = docs.union(Seq(
+      (5L, "\tx y x\t"), (6L, "a a a b"), (7L, " one ")
+    ).toDF("doc_id", "text"))
+    tricky.createOrReplaceTempView("wc_docs")
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val native = spark.sql(
+        """SELECT doc_id, w.word, w.tf FROM wc_docs
+           LATERAL VIEW explode(word_counts(text)) AS w""")
+        .as[(Long, String, Long)].collect().toSet
+      val ref = tricky
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("word"))
+        .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+        .as[(Long, String, Long)].collect().toSet
+      assert(native == ref, s"codegen=$cg")
+    }
+  }
+
   test("native expressions are usable from plain SQL after registration") {
     GraftExtensions.ensureRegistered(spark)
     docs.createOrReplaceTempView("expr_docs")
