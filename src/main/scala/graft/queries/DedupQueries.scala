@@ -78,18 +78,19 @@ object DedupQueries {
   private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sh = withShingles(s, d).cache()
-    val sizes = sh.select($"doc_id", size($"sset").as("n"))
-    val ex = sh.select($"doc_id", explode($"sset").as("sh0"))
-      .select($"doc_id", xxhash64($"sh0").as("sh"))
-    val common = ex.as("a").join(ex.as("b"),
+    // set size rides along through explode + join (two extra ints per
+    // posting) so the jaccard needs NO post-aggregation size joins —
+    // the grouping key (doc_a, doc_b) determines (na, nb), the agg key
+    // just carries them
+    val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
+      .select($"doc_id", $"n", xxhash64($"sh0").as("sh"))
+    ex.as("a").join(ex.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n".as("na"), $"b.n".as("nb"))
       .agg(count(lit(1)).as("c"))
-    common
-      .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-      .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
       .select($"doc_a", $"doc_b",
-        ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+        ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= 0.6)
   }
 
@@ -142,17 +143,17 @@ object DedupQueries {
       val cand = bands.as("a").join(bands.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      val sizes = sh.select($"doc_id", size($"sset").as("n"))
-      val ex = sh.select($"doc_id", explode($"sset").as("sh")).cache()
-      val common = cand
+      // set size rides along through the verification joins (see q41):
+      // per-doc sizes are join-key-determined, never a broadcast table
+      val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh"))
+        .cache()
+      cand
         .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
         .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
+        .agg(count(lit(1)).as("c"))
         .select($"doc_a", $"doc_b",
-          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+          ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
         .filter($"jaccard" >= 0.6)
     },
     Some(s"""$shingleCte,
@@ -297,12 +298,10 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val t = 0.6
       val sh = withShingles(s, d).cache()
-      val sizes = sh.select($"doc_id", size($"sset").as("n"))
-      val ex = sh.select($"doc_id", explode($"sset").as("sh0"))
-        .select($"doc_id", xxhash64($"sh0").as("sh")).cache()
+      val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
+        .select($"doc_id", $"n", xxhash64($"sh0").as("sh")).cache()
       val dfreq = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
       val ranked = ex.join(dfreq, "sh")
-        .join(sizes, "doc_id")
         .withColumn("rn", row_number().over(
           Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)))
         .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
@@ -310,15 +309,13 @@ object DedupQueries {
       val cand = prefix.as("a").join(prefix.as("b"),
           $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      val common = cand
+      cand
         .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
         .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
-        .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.as("sa"), $"doc_a" === $"sa.doc_id")
-        .join(sizes.as("sb"), $"doc_b" === $"sb.doc_id")
+        .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
+        .agg(count(lit(1)).as("c"))
         .select($"doc_a", $"doc_b",
-          ($"c".cast("double") / ($"sa.n" + $"sb.n" - $"c")).as("jaccard"))
+          ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
         .filter($"jaccard" >= t)
     },
     Some(s"""$shingleCte,
