@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards for the scale-critical physical
+  * properties (the things `.explain("formatted")` was iterated on):
+  * filter pushdown reaching the parquet scan, column pruning, dims
+  * broadcast instead of shuffled, top-k pre-limited before the window
+  * shuffle, the as-of join's single big-side shuffle. A refactor that
+  * silently loses one of these stays correct on 60k rows and falls
+  * over at 100 TB — these specs fail instead. */
+class PlanShapeSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    QueryRegistry.byName(name).fn(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  test("q01: shipdate filter pushed into the parquet scan; scan pruned to used columns") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_orderkey"), "pruned column leaked into the scan")
+  }
+
+  test("q02: validity predicates reach the scan as pushed filters") {
+    assert(plan("q02_validity_filter").contains("PushedFilters: [IsNotNull"))
+  }
+
+  test("q09/q11: semi and anti joins broadcast the small side") {
+    assert(plan("q09_semi_join").contains("BroadcastHashJoin LeftSemi"))
+    assert(plan("q11_blacklist_anti").contains("BroadcastHashJoin LeftAnti"))
+  }
+
+  test("q12: star join broadcasts every dimension") {
+    val p = plan("q12_star_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2,
+      "dimensions must broadcast, not shuffle")
+    assert(!p.contains("SortMergeJoin"), "no dim should fall back to SMJ")
+  }
+
+  test("q22: per-group top-k pre-limits before the window shuffle") {
+    // partial WindowGroupLimit (map side) + final after the exchange
+    assert("WindowGroupLimit".r.findAllIn(plan("q22_topk_per_group")).size >= 2)
+  }
+
+  test("q27: as-of join shuffles the unioned input exactly once") {
+    val p = plan("q27_asof_join")
+    assert(p.contains("Union"))
+    // one Exchange for the union (the big side), one for the small
+    // orders pre-dedup aggregate — nothing else
+    assert("\\+- Exchange".r.findAllIn(p).size <= 2, p.linesIterator.take(20).mkString("\n"))
+    assert("SortMergeJoin".r.findAllIn(p).isEmpty, "as-of must not plan a join at all")
+  }
+
+  test("q05: the three distinct-count branches share one cached projection") {
+    val p = plan("q05_distinct_counts")
+    // count in the plan TREE only — the details section re-prints the
+    // cached subtree (and its scan) once per referencing branch
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).mkString("\n")
+    assert("InMemoryTableScan".r.findAllIn(tree).size >= 3,
+      "all three aggregate branches must read the cached block")
+  }
+}
