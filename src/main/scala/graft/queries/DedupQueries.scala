@@ -328,6 +328,40 @@ object DedupQueries {
       FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
       WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""))
 
+  /** Survivor selection — the step that actually SHRINKS the corpus:
+    * left-join docs against the near-dup clusters (q72) and keep only
+    * cluster canonicals (min doc_id) and untouched singletons. The
+    * cluster table is tiny relative to the corpus (only docs with a
+    * near-dup), so the join broadcasts; the corpus side streams
+    * through untouched — the right shape when "docs" is 100 TB and
+    * "dups" is a few percent. */
+  private val dedupPrune = Q(
+    "q78_dedup_prune",
+    (s, d) => {
+      import s.implicits._
+      val clusters = graft.operators.ConnectedComponents
+        .label(jaccardPairs(s, d).select($"doc_a", $"doc_b"))
+      T.documents(s, d)
+        .join(broadcast(clusters), $"doc_id" === $"id", "left")
+        .filter($"component".isNull || $"doc_id" === $"component")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("cluster_root"),
+          $"component".isNotNull.as("had_dups"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      cc AS (SELECT id, min(r) AS root FROM reach GROUP BY id)
+      SELECT d.doc_id, coalesce(cc.root, d.doc_id) AS cluster_root,
+             cc.id IS NOT NULL AS had_dups
+      FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+      WHERE cc.id IS NULL OR d.doc_id = cc.root"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, ccClusters, jaccardPrefix)
+    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune)
 }
