@@ -55,6 +55,8 @@ object ExtendedQueries {
           stddev_samp($"l_extendedprice").as("price_sd"),
           var_samp($"l_quantity").as("qty_var"),
           avg($"l_discount").as("avg_disc"),
+          expr("regr_slope(l_extendedprice, l_quantity)").as("qp_slope"),
+          expr("regr_intercept(l_extendedprice, l_quantity)").as("qp_icept"),
           count(lit(1)).as("n"))
     },
     Some("""SELECT l_returnflag,
@@ -63,6 +65,8 @@ object ExtendedQueries {
       stddev_samp(l_extendedprice) AS price_sd,
       var_samp(l_quantity) AS qty_var,
       avg(l_discount) AS avg_disc,
+      regr_slope(l_extendedprice, l_quantity) AS qp_slope,
+      regr_intercept(l_extendedprice, l_quantity) AS qp_icept,
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
@@ -104,5 +108,32 @@ object ExtendedQueries {
       WHERE CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 14) AS BIGINT) % 100
             < CASE WHEN c_mktsegment = 'AUTOMOBILE' THEN 10 ELSE 30 END"""))
 
-  def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets, stratifiedSample)
+  /** Exact money arithmetic: the double columns re-cast to
+    * DECIMAL(12,2) and summed exactly (no float drift at any row
+    * count — the correctness property a billing pipeline needs at
+    * 100 TB, where double summation error grows with scale). Result
+    * re-cast to DOUBLE only for the comparison harness; the internal
+    * aggregation is decimal-exact in both engines. */
+  private val decimalAgg = Q(
+    "q79_decimal_agg",
+    (s, d) => {
+      import s.implicits._
+      T.lineitem(s, d)
+        .select($"l_returnflag",
+          $"l_extendedprice".cast("decimal(12,2)").as("price"),
+          $"l_discount".cast("decimal(12,2)").as("disc"))
+        .groupBy($"l_returnflag")
+        .agg(
+          sum($"price").cast("double").as("revenue"),
+          sum($"price" * $"disc").cast("double").as("discounted"),
+          count(lit(1)).as("n"))
+    },
+    Some("""SELECT l_returnflag,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS discounted,
+      count(*) AS n
+      FROM lineitem GROUP BY l_returnflag"""))
+
+  def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
+    stratifiedSample, decimalAgg)
 }
