@@ -27,6 +27,7 @@ object QueryRegistry {
       graft.queries.DedupQueries.qs ++
       graft.queries.SimilarityQueries.qs ++
       graft.queries.TextQueries.qs ++
+      graft.queries.TrainingDataQueries.qs ++
       graft.queries.MultimodalQueries.qs ++
       graft.queries.MLQueries.qs
 
