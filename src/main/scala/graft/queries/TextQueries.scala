@@ -197,7 +197,7 @@ object TextQueries {
           size(split(trim($"text"), "\\s+")).cast("long").as("dl"), // = Σtf
           explode(expr("word_counts(text)")).as("w"))
         .select($"doc_id", $"w.word".as("word"), $"w.tf".as("tf"), $"dl")
-        .cache() // feeds df and the scoring pass
+        // (uncached: recomputing the row-local explode twice is cheaper than materializing 1.5M rows)
       val dfq = tf.groupBy($"word").agg(count(lit(1)).as("df"))
       val nd = docs.agg(count(lit(1)).as("n_docs"))
       // broadcast(dfq): vocabulary-sized, fine for any real corpus
