@@ -38,10 +38,16 @@ object Tables {
     * row group → a single scan task) but feed compute-heavy operators
     * (shingling, hashing, vector math). Repartition at load so the
     * per-row work uses every core: the shuffle moves <1 MB while the
-    * downstream gains ~32× parallelism. At real scale the input is
-    * many files and this becomes a no-op-sized rebalance. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * downstream gains ~32× parallelism. CONDITIONAL: when the scan
+    * already yields enough partitions (the real-scale case — many
+    * files), repartitioning would shuffle the whole table for
+    * nothing, so it is skipped. getNumPartitions only plans, it runs
+    * no job. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= math.max(target / 2, 2)) df
+    else df.repartition(target)
+  }
 
   def documents(s: SparkSession, d: String): DataFrame  = spread(s, load(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = spread(s, load(s, d, "embeddings"))
