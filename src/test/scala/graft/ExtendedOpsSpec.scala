@@ -40,6 +40,33 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.toSet === Set(5L))
   }
 
+  test("connected components: random graphs match a union-find reference") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find oracle (test-only; tiny graphs)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      val got = operators.ConnectedComponents.label(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      // min-label CC: component id == min reachable id == union-find
+      // root when unions always keep the smaller id
+      assert(got === expected, s"trial $trial (n=$n)")
+    }
+  }
+
   test("session_window: touching windows merge, strictly-greater gap splits") {
     val spark2 = spark
     import spark2.implicits._
