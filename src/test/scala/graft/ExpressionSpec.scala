@@ -147,6 +147,34 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("word_shingles/word_counts: random whitespace-heavy strings match a Scala reference") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab \t cd  e \n"
+    val texts = (1L to 40L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    def tokens(t: String): Array[String] =
+      java.util.regex.Pattern.compile("\\s+")
+        .split(t.replaceAll("^ +| +$", ""), -1) // space-only trim, like UTF8String.trim
+    val refShingles = texts.map { case (i, t) =>
+      val w = tokens(t)
+      i -> w.indices.dropRight(2).map(j => s"${w(j)} ${w(j + 1)} ${w(j + 2)}").distinct.toSeq
+    }.toMap
+    val refCounts = texts.map { case (i, t) =>
+      i -> tokens(t).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }.toMap
+    val df = texts.toDF("doc_id", "text")
+    df.select($"doc_id", expr("word_shingles(text, 3)")).as[(Long, Seq[String])]
+      .collect().foreach { case (i, got) => assert(got == refShingles(i), s"doc $i shingles") }
+    df.select($"doc_id", expr("word_counts(text)")).as[(Long, Seq[(String, Long)])]
+      .collect().foreach { case (i, got) =>
+        assert(got.toMap == refCounts(i), s"doc $i counts")
+        assert(got.map(_._1).distinct.size == got.size, s"doc $i distinctness")
+      }
+  }
+
   test("native expressions are usable from plain SQL after registration") {
     GraftExtensions.ensureRegistered(spark)
     docs.createOrReplaceTempView("expr_docs")

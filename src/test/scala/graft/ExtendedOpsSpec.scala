@@ -87,6 +87,39 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(sessions === Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
   }
 
+  test("session_window: random event streams match strict-> gaps-and-islands") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(11)
+    val gapUs = 30L * 60 * 1000000
+    val t0 = 1700000000000000L
+    val events = (1 to 4).flatMap { u =>
+      var t = t0
+      (1 to 25).map { _ =>
+        t += (rnd.nextInt(50) + 1) * 60L * 1000000 // 1-50 min steps
+        (u.toLong, t)
+      }
+    }
+    // reference islands: new session iff gap STRICTLY > 30 min
+    val expected = events.groupBy(_._1).map { case (u, es) =>
+      val ts = es.map(_._2).sorted
+      val sessions = ts.tail.foldLeft(List(List(ts.head))) { (acc, t) =>
+        if (t - acc.head.head > gapUs) List(t) :: acc
+        else (t :: acc.head) :: acc.tail
+      }
+      u -> sessions.map(s => (s.min, s.max, s.size.toLong)).toSet
+    }
+    val got = events.toDF("user_id", "us")
+      .select($"user_id", timestamp_micros($"us").as("ts"))
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(min(unix_micros($"ts")).as("a"), max(unix_micros($"ts")).as("b"),
+        count(lit(1)).as("n"))
+      .select($"user_id", $"a", $"b", $"n")
+      .as[(Long, Long, Long, Long)].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(r => (r._2, r._3, r._4)).toSet }
+    assert(got == expected)
+  }
+
   test("stratified sample: per-stratum rates land near target and are deterministic") {
     val spark2 = spark
     import spark2.implicits._
