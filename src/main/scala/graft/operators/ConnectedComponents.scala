@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
 object ConnectedComponents {
 
   /** @param pairs     two numeric columns (a, b) — undirected edges
-    * @param maxRounds safety bound; diameter of near-dup clusters is
-    *                  tiny, real graphs converge long before this
+    * @param maxRounds safety bound; with pointer jumping convergence
+    *                  is O(log diameter), so 25 rounds covers graphs
+    *                  far beyond any physical dataset
     * @return (id, component) — component = min node id reachable */
-  def label(pairs: DataFrame, maxRounds: Int = 20): DataFrame = {
+  def label(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
     val p = pairs.select(a.as("src"), b.as("dst"))
     val edges = p.union(p.select(col("dst"), col("src"))).cache()
@@ -35,15 +36,24 @@ object ConnectedComponents {
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {
+      // step 1: take min over neighbors' labels (hook)
       val nbrMin = edges
         .join(labels.select(col("id").as("dst_id"), col("root").as("nroot")),
           col("dst") === col("dst_id"))
         .groupBy(col("src")).agg(min(col("nroot")).as("nbr_root"))
-      val next = labels
+      val hooked = labels
         .join(nbrMin.select(col("src").as("id2"), col("nbr_root")),
           col("id") === col("id2"), "left")
         .select(col("id"),
           least(col("root"), coalesce(col("nbr_root"), col("root"))).as("root"))
+      // step 2: pointer jump — root := root's root (labels shrink
+      // monotonically, so the root's root is always ≤ the root).
+      // Plain neighbor propagation needs DIAMETER rounds (a long path
+      // would exhaust the cap); hooking + jumping needs O(log d).
+      val next = hooked.as("x")
+        .join(hooked.select(col("id").as("rid"), col("root").as("rroot")),
+          col("x.root") === col("rid"))
+        .select(col("x.id").as("id"), col("rroot").as("root"))
         .localCheckpoint()
       converged = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))

@@ -40,6 +40,16 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.toSet === Set(5L))
   }
 
+  test("connected components: 200-node path converges (needs log-diameter, not diameter, rounds)") {
+    val spark2 = spark
+    import spark2.implicits._
+    val path = (1000L until 1199L).map(i => (i, i + 1))
+    val got = operators.ConnectedComponents.label(path.toDF("a", "b"))
+      .as[(Long, Long)].collect()
+    assert(got.length == 200 && got.forall(_._2 == 1000L),
+      s"unconverged: ${got.filter(_._2 != 1000L).take(5).toSeq}")
+  }
+
   test("connected components: random graphs match a union-find reference") {
     val spark2 = spark
     import spark2.implicits._
