@@ -134,6 +134,64 @@ object ExtendedQueries {
       count(*) AS n
       FROM lineitem GROUP BY l_returnflag"""))
 
+  /** Time-series gap filling: build the full day calendar per group
+    * (sequence + explode — no driver loop), left-join the observed
+    * daily aggregate, then zero-fill and forward-fill (last non-null
+    * via IGNORE NULLS window). The calendar explode is per-group
+    * row-local; the join is keyed — both linear at scale. */
+  private val gapFill = Q(
+    "q83_gap_fill",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = T.orders(s, d)
+        .groupBy($"o_orderpriority".as("prio"),
+          date_trunc("day", $"o_orderdate").as("day"))
+        .agg(sum($"o_totalprice").as("revenue"))
+      val calendar = daily.groupBy($"prio")
+        .agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select($"prio", explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val w = Window.partitionBy($"prio").orderBy($"day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      calendar.join(daily, Seq("prio", "day"), "left")
+        .select($"prio", unix_micros($"day").as("day_us"),
+          coalesce($"revenue", lit(0.0)).as("revenue_zf"),
+          last($"revenue", ignoreNulls = true).over(w).as("revenue_ff"),
+          $"revenue".isNull.as("was_gap"))
+    },
+    Some("""WITH daily AS (
+        SELECT o_orderpriority AS prio, date_trunc('day', o_orderdate) AS day,
+               sum(o_totalprice) AS revenue
+        FROM orders GROUP BY 1, 2),
+      bounds AS (SELECT prio, min(day) d0, max(day) d1 FROM daily GROUP BY 1),
+      cal AS (SELECT prio, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds)
+      SELECT c.prio, epoch_us(c.day) AS day_us,
+        coalesce(d.revenue, 0.0) AS revenue_zf,
+        last_value(d.revenue IGNORE NULLS) OVER (PARTITION BY c.prio ORDER BY c.day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS revenue_ff,
+        d.revenue IS NULL AS was_gap
+      FROM cal c LEFT JOIN daily d ON c.prio = d.prio AND c.day = d.day"""))
+
+  /** Fixed-width histogram (binning): floor-divide into 25k-wide price
+    * buckets with a terminal catch-all — one partial+final count
+    * shuffle over ≤20 groups, the O(1)-output profile at any scale. */
+  private val histogram = Q(
+    "q84_histogram",
+    (s, d) => {
+      import s.implicits._
+      T.orders(s, d)
+        .select(least(floor($"o_totalprice" / 25000), lit(19)).cast("long").as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lo", ($"bucket" * 25000).cast("double"))
+    },
+    Some("""WITH b AS (
+        SELECT CAST(least(floor(o_totalprice / 25000), 19) AS BIGINT) AS bucket
+        FROM orders)
+      SELECT bucket, count(*) AS n, CAST(bucket * 25000 AS DOUBLE) AS lo
+      FROM b GROUP BY bucket"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
-    stratifiedSample, decimalAgg)
+    stratifiedSample, decimalAgg, gapFill, histogram)
 }
