@@ -192,6 +192,26 @@ object ExtendedQueries {
       SELECT bucket, count(*) AS n, CAST(bucket * 25000 AS DOUBLE) AS lo
       FROM b GROUP BY bucket"""))
 
+  /** Sketch family (with q07's HLL++): Apache DataSketches HLL and
+    * approx_top_k frequent-items per language. Sketches are the 100 TB
+    * answer to distinct/top-k — fixed-size mergeable state through the
+    * partial/final agg instead of per-key exact state. Sketch internals
+    * differ per engine, so (like q07) this records a rows-only check;
+    * the exact countDistinct rides along as a sanity anchor. */
+  private val sketchTopK = Q(
+    "q85_sketch_topk",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
+        .groupBy($"lang")
+        .agg(
+          to_json(expr("approx_top_k(word, 10, 50000)")).as("topk"),
+          expr("hll_sketch_estimate(hll_sketch_agg(word, 14))").as("hll_distinct"),
+          countDistinct($"word").as("exact_distinct"))
+    },
+    None)
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
-    stratifiedSample, decimalAgg, gapFill, histogram)
+    stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK)
 }
