@@ -212,6 +212,51 @@ object ExtendedQueries {
     },
     None)
 
+  /** Ordered funnel (view → click → purchase): per user, the earliest
+    * qualifying timestamp of each step STRICTLY AFTER the previous
+    * step, then depth = how far the user got. One conditional-
+    * aggregation pass per step over the pre-shuffled per-user rows —
+    * shuffle once on user_id, never a self-join per step (k-step
+    * funnels over event logs are the canonical adtech rollup). */
+  private val funnel = Q(
+    "q86_funnel",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", $"event_type", unix_micros($"ts").as("us"))
+        .repartition($"user_id").cache()
+      val s1 = ev.filter($"event_type" === "view")
+        .groupBy($"user_id").agg(min($"us").as("t1"))
+      val s2 = ev.filter($"event_type" === "click").join(s1, "user_id")
+        .filter($"us" > $"t1")
+        .groupBy($"user_id").agg(min($"us").as("t2"), min($"t1").as("t1"))
+      val s3 = ev.filter($"event_type" === "purchase").join(s2, "user_id")
+        .filter($"us" > $"t2")
+        .groupBy($"user_id").agg(min($"us").as("t3"))
+      s1.join(s2.select($"user_id", $"t2"), Seq("user_id"), "left")
+        .join(s3, Seq("user_id"), "left")
+        .select($"user_id", $"t1", $"t2", $"t3",
+          (lit(1) + when($"t2".isNotNull, 1).otherwise(0)
+            + when($"t3".isNotNull, 1).otherwise(0)).cast("long").as("depth"))
+    },
+    Some("""WITH s1 AS (
+        SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t2 FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t3 FROM events e
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+        GROUP BY e.user_id)
+      SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        CAST(1 + (s2.t2 IS NOT NULL)::INT + (s3.t3 IS NOT NULL)::INT AS BIGINT) AS depth
+      FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+              LEFT JOIN s3 ON s1.user_id = s3.user_id"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
-    stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK)
+    stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel)
 }
