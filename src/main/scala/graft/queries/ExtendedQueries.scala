@@ -257,6 +257,35 @@ object ExtendedQueries {
       FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
               LEFT JOIN s3 ON s1.user_id = s3.user_id"""))
 
+  /** Cohort retention: users grouped by first-activity week, then
+    * distinct active users per (cohort, weeks-since-cohort) cell —
+    * the other canonical log rollup next to q86's funnel. Two
+    * aggregations on user_id/cohort keys; the distinct-user count is
+    * the q05/q06 dedup-agg shape. */
+  private val retention = Q(
+    "q87_cohort_retention",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d)
+        .select($"user_id", unix_micros(date_trunc("week", $"ts")).as("wk"))
+      val cohort = ev.groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+      ev.join(cohort, "user_id")
+        .select($"user_id", $"cohort_wk",
+          (($"wk" - $"cohort_wk") / (7L * 86400 * 1000000)).cast("long").as("wk_offset"))
+        .distinct()
+        .groupBy($"cohort_wk", $"wk_offset")
+        .agg(count(lit(1)).as("active_users"))
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, epoch_us(date_trunc('week', ts)) AS wk FROM events),
+      cohort AS (SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY user_id),
+      cells AS (SELECT DISTINCT e.user_id, c.cohort_wk,
+                  CAST((e.wk - c.cohort_wk) // (7::BIGINT * 86400 * 1000000) AS BIGINT) AS wk_offset
+                FROM ev e JOIN cohort c ON e.user_id = c.user_id)
+      SELECT cohort_wk, wk_offset, count(*) AS active_users
+      FROM cells GROUP BY 1, 2"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
-    stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel)
+    stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
+    retention)
 }
