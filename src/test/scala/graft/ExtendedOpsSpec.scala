@@ -130,6 +130,28 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == expected)
   }
 
+  test("funnel: out-of-order steps do not count toward depth") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("funnel").toString
+    val h = 3600L * 1000000000L // ns
+    val t0 = 1700000000L * 1000000000L
+    // u1: view→click→purchase (depth 3); u2: click BEFORE view (depth 1);
+    // u3: purchase before click (depth 2); u4: no view at all (absent)
+    val rows = Seq(
+      (1L, t0, 1L, "view", 0.0, "{}"), (2L, t0 + h, 1L, "click", 0.0, "{}"),
+      (3L, t0 + 2 * h, 1L, "purchase", 0.0, "{}"),
+      (4L, t0, 2L, "click", 0.0, "{}"), (5L, t0 + h, 2L, "view", 0.0, "{}"),
+      (6L, t0, 3L, "view", 0.0, "{}"), (7L, t0 + h, 3L, "purchase", 0.0, "{}"),
+      (8L, t0 + 2 * h, 3L, "click", 0.0, "{}"),
+      (9L, t0, 4L, "purchase", 0.0, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = QueryRegistry.byName("q86_funnel").fn(spark, dir)
+      .select($"user_id", $"depth").as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("stratified sample: per-stratum rates land near target and are deterministic") {
     val spark2 = spark
     import spark2.implicits._
