@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pair-generation guarantees for the banded/bucketed dedup rewrites
+  * (round 3 — the O(n²) pair scans were replaced):
+  *
+  *  - q43 SimHash banding is EXACT: 11 disjoint bands over 60 bits
+  *    with hamming ≤ 10 pigeonhole-guarantee one identical band, so
+  *    the banded result must equal the brute-force pair scan.
+  *  - q44 cosine LSH is exact-on-candidates: every emitted pair must
+  *    carry the true brute-force cosine (precision 1), with recall
+  *    measured against brute force and floored (the fixture has no
+  *    planted near-dups — all qualifying pairs are chance pairs at
+  *    the 0.4 noise floor, see the q44 scaladoc for the math).
+  */
+class DedupPairsSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
+
+  private def run(name: String): DataFrame = {
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
+    QueryRegistry.byName(name).fn(spark, sf)
+  }
+
+  test("q43: banded SimHash pairs equal the brute-force pair scan") {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    val fp = Tables.documents(spark, sf)
+      .filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id", expr("simhash60(word_shingles(text, 3))").as("fp"))
+    val brute = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .filter($"hamming" <= 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = run("q43_dedup_simhash")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "fixture should contain SimHash near-dups")
+    assert(banded === brute, "banding must lose (and invent) nothing")
+  }
+
+  test("q44: every LSH pair carries the exact cosine; recall floored vs brute force") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding",
+        graft.functions.Vectors.norm($"embedding").as("nrm"))
+    val brute = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+      .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b"),
+        graft.functions.Vectors
+          .cosineWithNorms($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm")
+          .as("cosine"))
+      .filter($"cosine" >= 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    val lsh = run("q44_dedup_cosine").as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty, "LSH should surface pairs on the fixture")
+    lsh.foreach { case (a, b, c) =>
+      val exact = brute.get((a, b))
+      assert(exact.isDefined, s"($a,$b) not a true >=0.4 pair — precision broken")
+      assert(math.abs(exact.get - c) < 1e-12, s"($a,$b) cosine drifted from exact")
+    }
+    val recall = lsh.length.toDouble / brute.size
+    assert(recall >= 0.2,
+      f"recall $recall%.3f below the measured floor for b=6,L=8 at the 0.4 noise floor")
+  }
+}

@@ -12,11 +12,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * over at 100 TB — these specs fail instead. */
 class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
-  private val sf = "/root/testdata/sf0.001"
+  private val sf =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
     QueryRegistry.byName(name).fn(spark, sf)
       .queryExecution.explainString(FormattedMode)
+  }
 
   test("q01: shipdate filter pushed into the parquet scan; scan pruned to used columns") {
     val p = plan("q01_pricing_summary")
@@ -52,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // orders pre-dedup aggregate — nothing else
     assert("\\+- Exchange".r.findAllIn(p).size <= 2, p.linesIterator.take(20).mkString("\n"))
     assert("SortMergeJoin".r.findAllIn(p).isEmpty, "as-of must not plan a join at all")
+  }
+
+  test("q43/q44: no registered dedup plan carries a pair scan") {
+    // q43 SimHash pairs come from 11-band pigeonhole banding, q44
+    // cosine pairs from SRP bucket tables — both are equi-joins; a
+    // refactor reintroducing the O(n²) cross join fails here
+    for (q <- Seq("q43_dedup_simhash", "q44_dedup_cosine")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian pair scan")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop pair scan")
+    }
   }
 
   test("q05: the three distinct-count branches share one cached projection") {
