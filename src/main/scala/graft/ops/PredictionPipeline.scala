@@ -24,6 +24,11 @@ import org.apache.spark.sql.functions._
   */
 object PredictionPipeline {
 
+  /** Cap on the IAPP side input collected to the driver (~tens of MB
+    * at this record size — generous for a genuine dim table, far below
+    * driver-heap trouble). */
+  val MaxSideInputRows: Long = 4L * 1000 * 1000
+
   /** 15 base 28×28 images (run-length `idx:byte` pairs, data extracted
     * from `utils/PredictionUtils.java:59-282`), value = byte/255f. */
   lazy val baseImages: Array[Array[Float]] = {
@@ -107,6 +112,17 @@ object PredictionPipeline {
     val spark = dps.sparkSession
     import spark.implicits._
     assertNoDuplicateIdsLower(dps)
+    // Reference side-input semantics (View.asMap, Features.java:90-103)
+    // assume IAPP is a small dim table; nothing upstream enforces that,
+    // and this is the engine's one driver-side collect of an input. A
+    // distributed count gates it so an unbounded input fails with a
+    // clear error instead of OOMing the driver. (The feature formula
+    // needs global sums over the WHOLE map, so a broadcast join can't
+    // replace the map without recomputing those sums per row.)
+    val iappCount = iapp.count()
+    require(iappCount <= MaxSideInputRows,
+      s"IAPP side input has $iappCount rows (cap $MaxSideInputRows): " +
+        "not a broadcastable dim table — pre-aggregate it before inputToModel")
     val iappMap = spark.sparkContext.broadcast(
       iapp.collect().map(r => r.bundle -> r).toMap)
     dps

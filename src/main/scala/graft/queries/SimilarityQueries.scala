@@ -24,6 +24,23 @@ object SimilarityQueries {
   private val NPlanes = 6
   private val Dim = 64
 
+  /** The broadcast sides below (query set, IVF centroids) are derived
+    * as `vec_id % 50` — 2% of the CORPUS, so they grow with it and
+    * would break the broadcast silently at 100 TB. Make the smallness
+    * assumption explicit: a distributed count (one pruned scan of the
+    * cached side) gates the broadcast and fails with a clear error
+    * past the cap instead of OOMing executors. At real scale the fix
+    * is sharding the query set (many small broadcast batches) or the
+    * bucketed paths (q46/q47) with a fixed-size probe set. */
+  private val MaxBroadcastRows = 500000L
+  private def guardedBroadcast(df: org.apache.spark.sql.DataFrame, what: String) = {
+    val n = df.count()
+    require(n <= MaxBroadcastRows,
+      s"$what has $n rows (cap $MaxBroadcastRows) — too large to broadcast; " +
+        "shard the query set or use the bucketed q46/q47 paths")
+    broadcast(df)
+  }
+
   /** ±1 hyperplane weights from md5 parity of "plane|dim" — shared,
     * engine-independent randomness (computed once here, embedded as a
     * literal in BOTH the Spark plan and the oracle SQL). */
@@ -63,7 +80,7 @@ object SimilarityQueries {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-      val scored = e.crossJoin(broadcast(qset))
+      val scored = e.crossJoin(guardedBroadcast(qset, "ANN query set"))
         .filter($"vec_id" =!= $"q_vec")
         .select($"q_vec", $"vec_id",
           Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
@@ -99,7 +116,7 @@ object SimilarityQueries {
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"bucket")
-      val scored = e.join(broadcast(qset), Seq("bucket"))
+      val scored = e.join(guardedBroadcast(qset, "ANN query set"), Seq("bucket"))
         .filter($"vec_id" =!= $"q_vec")
         .select($"q_vec", $"vec_id",
           Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
@@ -140,10 +157,11 @@ object SimilarityQueries {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
       val cents = e.filter($"vec_id" % 50 === 1)
         .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
+      val centsB = guardedBroadcast(cents, "IVF centroid set")
       // cell assignment: best centroid per vector (rank over broadcast cross)
       val wAssign = Window.partitionBy($"vec_id")
         .orderBy($"c_cos".desc, $"cid".asc)
-      val assigned = e.crossJoin(broadcast(cents))
+      val assigned = e.crossJoin(centsB)
         .select($"vec_id", $"embedding", $"nrm", $"cid",
           Vectors.cosineWithNorms($"embedding", $"c_emb", $"nrm", $"c_nrm").as("c_cos"))
         .withColumn("rn", row_number().over(wAssign))
@@ -153,7 +171,7 @@ object SimilarityQueries {
       val wProbe = Window.partitionBy($"q_vec").orderBy($"c_cos".desc, $"cid".asc)
       val probes = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-        .crossJoin(broadcast(cents))
+        .crossJoin(centsB)
         .select($"q_vec", $"q_emb", $"q_nrm", $"cid",
           Vectors.cosineWithNorms($"q_emb", $"c_emb", $"q_nrm", $"c_nrm").as("c_cos"))
         .withColumn("rn", row_number().over(wProbe))
