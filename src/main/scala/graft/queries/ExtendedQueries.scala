@@ -285,7 +285,38 @@ object ExtendedQueries {
       SELECT cohort_wk, wk_offset, count(*) AS active_users
       FROM cells GROUP BY 1, 2"""))
 
+  /** Skew-resistant enrichment join, exercising
+    * [[graft.operators.SkewedJoin]] end-to-end against the oracle.
+    * events.event_type has 5 values — every join key is a hot key, the
+    * worst case for a shuffled equi-join (5 reducer tasks own ALL the
+    * data no matter how many run). `innerSalted` spreads each hot key
+    * over 8 salt buckets: the big side salts deterministically, the
+    * small side replicates ×8, and the shuffle key becomes
+    * (event_type, __salt) — 40 evenly-sized tasks. At THIS scale a
+    * broadcast would of course win (the dim is 5 rows); the registered
+    * query pins the salted shape because it's the one that survives
+    * when the enrichment side is itself too big to broadcast and AQE's
+    * runtime splitting needs a static escape hatch (SURVEY §4).
+    * Salted inner join ≡ plain inner join, so the oracle is plain SQL. */
+  private val skewedEnrich = Q(
+    "q88_skewed_enrich",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_id", $"event_type", $"value")
+      val typeStats = T.events(s, d).groupBy($"event_type")
+        .agg(avg($"value").as("type_avg"), count(lit(1)).as("type_n"))
+      graft.operators.SkewedJoin
+        .innerSalted(ev, typeStats, Seq("event_type"), buckets = 8)
+        .select($"event_id", $"event_type",
+          ($"value" / $"type_avg").as("value_ratio"), $"type_n")
+    },
+    Some("""WITH ts AS (SELECT event_type, avg(value) AS type_avg,
+          count(*) AS type_n FROM events GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.value / t.type_avg AS value_ratio,
+        t.type_n
+      FROM events e JOIN ts t USING (event_type)"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
-    retention)
+    retention, skewedEnrich)
 }

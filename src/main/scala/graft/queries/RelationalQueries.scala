@@ -164,6 +164,41 @@ object RelationalQueries {
       FROM lineitem GROUP BY l_partkey"""),
     bench = true)
 
+  /** q05's 100 TB layout made real: the same three distinct-count
+    * aggregations, but reading a BUCKETED copy of the projection
+    * (operators/Bucketing — bucketBy(8, l_partkey), the durable
+    * answer where q05's `.cache()` spills). Bucket metadata gives
+    * every branch hash-partitioning on l_partkey for free:
+    * HashPartitioning(l_partkey) satisfies the clustered-distribution
+    * requirement of BOTH distinct phases (l_partkey determines the
+    * partition) and of the final joins, so the whole query plans with
+    * ZERO shuffle Exchanges (PlanShapeSpec asserts this; the agg
+    * outputs still BroadcastExchange because stats say they're tiny —
+    * at scale those joins flip to exchange-free SMJ on the shared
+    * bucket partitioning). Pay the layout shuffle once at write time;
+    * every downstream join/aggregation on the bucket key is
+    * shuffle-free. Oracle: identical to q05 — layout must not change
+    * results. */
+  private val bucketedDistinctCounts = Q(
+    "q89_bucketed_distinct_counts",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.Bucketing.writeBucketed(
+        T.lineitem(s, d).select($"l_partkey", $"l_suppkey", $"l_orderkey"),
+        "graft_q89_lineitem_b", Seq("l_partkey"), buckets = 8)
+      val li = s.table("graft_q89_lineitem_b")
+      val rows = li.groupBy($"l_partkey").agg(count(lit(1)).as("n_rows"))
+      val supp = li.select($"l_partkey", $"l_suppkey").distinct()
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_supp"))
+      val ords = li.select($"l_partkey", $"l_orderkey").distinct()
+        .groupBy($"l_partkey").agg(count(lit(1)).as("n_orders"))
+      rows.join(supp, "l_partkey").join(ords, "l_partkey")
+        .select($"l_partkey", $"n_supp", $"n_orders", $"n_rows")
+    },
+    Some("""SELECT l_partkey, count(DISTINCT l_suppkey) AS n_supp,
+      count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
+      FROM lineitem GROUP BY l_partkey"""))
+
   /** Per-type distinct-user counts (A4 analogue — AppProfile user_count,
     * `AppProfiles.java:71-111`). */
   private val userCounts = Q(
@@ -619,5 +654,5 @@ object RelationalQueries {
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
     rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery,
-    approxQuantiles)
+    approxQuantiles, bucketedDistinctCounts)
 }

@@ -68,6 +68,24 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q88: the enrichment join is salted — shuffle key carries __salt") {
+    val p = plan("q88_skewed_enrich")
+    assert(p.contains("__salt"), "salted join key lost — hot keys re-concentrate")
+    assert(p.contains("explode"), "small side must replicate per salt bucket")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q89: bucketed layout eliminates every shuffle Exchange") {
+    val p = plan("q89_bucketed_distinct_counts")
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).mkString("\n")
+    // BroadcastExchange of the agg outputs is allowed (stats-driven;
+    // at scale those joins flip to exchange-free SMJ on the shared
+    // bucket partitioning) — what bucketing must kill is data shuffle
+    assert(!tree.linesIterator.exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")),
+      "bucket metadata should satisfy every distribution requirement:\n" + tree)
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
