@@ -31,7 +31,14 @@ case class WordShingles(left: Expression, right: Expression) extends BinaryExpre
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (StringType, IntegerType) if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (StringType, IntegerType) if right.foldable =>
+        // n ≤ 0 would silently yield arrays of empty-string shingles;
+        // reject at analysis time instead
+        right.eval() match {
+          case n: java.lang.Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"word_shingles requires n >= 1, got $n")
+        }
       case other => TypeCheckResult.TypeCheckFailure(
         s"word_shingles requires (string, int literal), got $other")
     }

@@ -62,6 +62,11 @@ object ConnectedComponents {
       round += 1
     }
     edges.unpersist()
+    // an unconverged labeling is PARTIAL (some nodes still carry a
+    // non-minimal root) — never let it be mistaken for a result
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxRounds rounds — " +
+        "raise maxRounds (convergence is O(log diameter) with pointer jumping)")
     labels.select(col("id"), col("root").as("component"))
   }
 }

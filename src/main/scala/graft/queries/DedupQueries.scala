@@ -380,7 +380,10 @@ object DedupQueries {
     * rarest slice of each posting list (hot shingles never join), the
     * difference between a shuffle bounded by Σ|prefix|·df and one
     * bounded by Σ df² — while staying EXACT, unlike MinHash (q42).
-    * Oracle: identical SQL to q41 — equality proves exactness. */
+    * Oracle: identical SQL to q41 — equality proves exactness, modulo
+    * the 2⁻⁶⁴ xxhash64 shingle-collision bound documented at
+    * [[jaccardPairs]] (the oracle joins raw shingle strings; the
+    * engine joins their 64-bit hashes). */
   private val jaccardPrefix = Q(
     "q77_jaccard_prefix_filter",
     (s, d) => {
