@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, VecDot, WordCounts, WordShingles}
+import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -38,7 +38,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordShingles(args(0), args(1))),
     (FunctionIdentifier("word_counts"),
       new ExpressionInfo(classOf[WordCounts].getName, "word_counts"),
-      (args: Seq[Expression]) => WordCounts(args.head)))
+      (args: Seq[Expression]) => WordCounts(args.head)),
+    (FunctionIdentifier("srp_sig"),
+      new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
+      (args: Seq[Expression]) => SrpSig(args(0), args(1), args(2), args(3))))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

@@ -235,34 +235,18 @@ object DedupQueries {
       WHERE bit_count(xor(a.f, b.f)) <= 10"""))
 
   /** Multi-table signed-random-projection constants for q44 — md5
-    * parity planes exactly like [[SimilarityQueries]] (salt "cos"
-    * keeps the two families independent). 8 tables × 6 bits. */
+    * parity planes from [[graft.functions.SrpSigImpl]] (single source
+    * of truth shared with the native `srp_sig` expression; salt "cos"
+    * keeps this family independent of [[SimilarityQueries]]' q46
+    * planes). 8 tables × 6 bits. */
   private val CosTables = 8
   private val CosBits = 6
   private val CosDim = 64
-  private lazy val cosWeights: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(CosTables * CosBits, CosDim) { (h, dd) =>
-      val hex = md.digest(s"cos|$h|$dd".getBytes("UTF-8"))
-      if (((hex(0) >> 4) & 1) == 0) 1 else -1
-    }
-  }
-  private lazy val cosWSpark =
-    cosWeights.map(_.map(v => s"${v}.0D").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
   private lazy val cosWDuck =
-    cosWeights.map(_.map(v => s"${v}.0").mkString("[", ",", "]"))
+    (0 until CosTables * CosBits)
+      .map(h => graft.functions.SrpSigImpl.planeWeights("cos", h, CosDim)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
-
-  /** All 8 bucket keys for a row, as one array<bigint> column (fold
-    * over each table's 6 planes, acc*2 + sign-bit). */
-  private lazy val cosBucketsSparkExpr =
-    s"""transform(sequence(0, ${CosTables - 1}), t ->
-         aggregate(sequence(0, ${CosBits - 1}), CAST(0 AS BIGINT), (acc, p) ->
-           acc * 2 + CASE WHEN aggregate(
-               zip_with($cosWSpark[t * $CosBits + p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),
-               0D, (a, y) -> a + y) > 0
-             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))"""
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.4): hyperplane-LSH
     * candidate generation (8 tables × 6-bit SRP buckets, equi-join
@@ -291,10 +275,14 @@ object DedupQueries {
     "q44_dedup_cosine",
     (s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val e = T.embeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
         .cache() // read by the bucket explode and both verify sides
-      val tb = e.select($"vec_id", posexplode(expr(cosBucketsSparkExpr)))
+      // native srp_sig: one JIT loop for all 48 plane dots per row
+      // (the interpreted HOF fold was tables×bits×dim lambda calls)
+      val tb = e.select($"vec_id",
+          posexplode(expr(s"srp_sig(embedding, 'cos', $CosTables, $CosBits)")))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       val cand = tb.as("a").join(tb.as("b"),
           $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")

@@ -41,32 +41,20 @@ object SimilarityQueries {
     broadcast(df)
   }
 
-  /** ±1 hyperplane weights from md5 parity of "plane|dim" — shared,
-    * engine-independent randomness (computed once here, embedded as a
-    * literal in BOTH the Spark plan and the oracle SQL). */
-  private lazy val weights: Array[Array[Int]] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NPlanes, Dim) { (h, dd) =>
-      val hex = md.digest(s"$h|$dd".getBytes("UTF-8"))
-      if (((hex(0) >> 4) & 1) == 0) 1 else -1
-    }
-  }
-
-  private lazy val wSparkArr = // Spark SQL literal: array<array<double>>
-    weights.map(_.map(v => s"${v}.0D").mkString("array(", ",", ")"))
-      .mkString("array(", ",", ")")
+  /** ±1 hyperplane weights from md5 parity of "plane|dim" — single
+    * source of truth in [[graft.functions.SrpSigImpl]] (empty salt =
+    * this family), interpolated into the DuckDB oracle and evaluated
+    * natively on the Spark side by the `srp_sig` expression. */
   private lazy val wDuckArr = // DuckDB literal: list of lists
-    weights.map(_.map(v => s"${v}.0").mkString("[", ",", "]"))
+    (0 until NPlanes)
+      .map(h => graft.functions.SrpSigImpl.planeWeights("", h, Dim)
+        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
       .mkString("[", ",", "]")
 
-  /** Spark-SQL bucket expression: fold over planes, acc*2 + sign-bit.
-    * Spark arrays are 0-indexed ([h]); DuckDB's are 1-indexed. */
-  private lazy val bucketSparkExpr =
-    s"""aggregate(sequence(0, ${NPlanes - 1}), CAST(0 AS BIGINT), (acc, h) ->
-         acc * 2 + CASE WHEN aggregate(
-             zip_with($wSparkArr[h], embedding, (w, x) -> w * CAST(x AS DOUBLE)),
-             0D, (a, y) -> a + y) > 0
-           THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)"""
+  /** Native single-table bucket: srp_sig's one JIT loop per row
+    * replaces the interpreted planes×dim HOF fold (bit-equality
+    * spec'd in ExpressionSpec). */
+  private lazy val bucketSparkExpr = s"srp_sig(embedding, '', 1, $NPlanes)[0]"
 
   /** Exact brute-force cosine top-5 for each query vector
     * (vec_id % 50 == 0 — the query set grows with the table).
@@ -110,6 +98,7 @@ object SimilarityQueries {
     "q46_ann_lsh",
     (s, d) => {
       import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
       val e = T.embeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
         .withColumn("bucket", expr(bucketSparkExpr))

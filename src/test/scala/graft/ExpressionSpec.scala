@@ -49,6 +49,35 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("srp_sig == HOF multi-table SRP bucket fold (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val (tables, bits, dim) = (3, 4, 16)
+    val emb = (0 until 24)
+      .map(i => (i.toLong, Array.tabulate(dim)(j => math.sin(i * 31 + j).toFloat)))
+      .toDF("vec_id", "embedding")
+    for (salt <- Seq("", "cos")) {
+      val wLit = (0 until tables * bits)
+        .map(h => graft.functions.SrpSigImpl.planeWeights(salt, h, dim)
+          .map(v => s"${v}D").mkString("array(", ",", ")"))
+        .mkString("array(", ",", ")")
+      val hof = s"""transform(sequence(0, ${tables - 1}), t ->
+        aggregate(sequence(0, ${bits - 1}), CAST(0 AS BIGINT), (acc, p) ->
+          acc * 2 + CASE WHEN aggregate(
+              zip_with($wLit[t * $bits + p], embedding, (w, x) -> w * CAST(x AS DOUBLE)),
+              0D, (a, y) -> a + y) > 0
+            THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))"""
+      val q = emb.select(
+        expr(s"srp_sig(embedding, '$salt', $tables, $bits)").as("native"),
+        expr(hof).as("ref"))
+      for (cg <- Seq(true, false)) withCodegen(cg) {
+        q.collect().foreach { r =>
+          assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"salt=$salt codegen=$cg")
+        }
+      }
+    }
+  }
+
   test("simhash60 == SQL ±1-bit-vote formulation (codegen + interpreted)") {
     GraftExtensions.ensureRegistered(spark)
     val base = docs
