@@ -26,7 +26,8 @@ object PredictionPipeline {
 
   /** Cap on the IAPP side input collected to the driver (~tens of MB
     * at this record size — generous for a genuine dim table, far below
-    * driver-heap trouble). */
+    * driver-heap trouble). Overridable per session via
+    * `graft.maxSideInputRows` (used by the guard spec). */
   val MaxSideInputRows: Long = 4L * 1000 * 1000
 
   /** 15 base 28×28 images (run-length `idx:byte` pairs, data extracted
@@ -119,9 +120,11 @@ object PredictionPipeline {
     // clear error instead of OOMing the driver. (The feature formula
     // needs global sums over the WHOLE map, so a broadcast join can't
     // replace the map without recomputing those sums per row.)
+    val sideCap = spark.conf.getOption("graft.maxSideInputRows")
+      .map(_.toLong).getOrElse(MaxSideInputRows)
     val iappCount = iapp.count()
-    require(iappCount <= MaxSideInputRows,
-      s"IAPP side input has $iappCount rows (cap $MaxSideInputRows): " +
+    require(iappCount <= sideCap,
+      s"IAPP side input has $iappCount rows (cap $sideCap): " +
         "not a broadcastable dim table — pre-aggregate it before inputToModel")
     val iappMap = spark.sparkContext.broadcast(
       iapp.collect().map(r => r.bundle -> r).toMap)

@@ -32,11 +32,14 @@ object SimilarityQueries {
     * past the cap instead of OOMing executors. At real scale the fix
     * is sharding the query set (many small broadcast batches) or the
     * bucketed paths (q46/q47) with a fixed-size probe set. */
-  private val MaxBroadcastRows = 500000L
-  private def guardedBroadcast(df: org.apache.spark.sql.DataFrame, what: String) = {
+  private val DefaultMaxBroadcastRows = 500000L
+  private[graft] def guardedBroadcast(df: org.apache.spark.sql.DataFrame, what: String) = {
+    val cap = df.sparkSession.conf
+      .getOption("graft.maxBroadcastRows").map(_.toLong)
+      .getOrElse(DefaultMaxBroadcastRows)
     val n = df.count()
-    require(n <= MaxBroadcastRows,
-      s"$what has $n rows (cap $MaxBroadcastRows) — too large to broadcast; " +
+    require(n <= cap,
+      s"$what has $n rows (cap $cap) — too large to broadcast; " +
         "shard the query set or use the bucketed q46/q47 paths")
     broadcast(df)
   }
