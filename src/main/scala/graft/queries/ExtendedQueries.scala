@@ -316,7 +316,47 @@ object ExtendedQueries {
         t.type_n
       FROM events e JOIN ts t USING (event_type)"""))
 
+  /** Incremental profile maintenance — the pattern that makes a 100 TB
+    * pipeline affordable day over day: instead of reprocessing all
+    * history, yesterday's pre-aggregated profiles full-outer-merge
+    * with today's delta partition. The aggregate state here
+    * (min/max/count/sum) is a commutative monoid, so
+    * merge(profile(base), profile(delta)) ≡ profile(base ∪ delta) —
+    * and the ORACLE enforces exactly that law: the Spark side computes
+    * the split-and-merge, the DuckDB side the single-pass batch
+    * recompute. Split point: 2024-01-16T00Z (mid-corpus). Same shape
+    * as the reference's DeviceProfile merge monoid (A1,
+    * `transforms/DeviceProfiles.java`), generalized to event rollups. */
+  private val incrementalMerge = Q(
+    "q90_incremental_merge",
+    (s, d) => {
+      import s.implicits._
+      val cutoffUs = 1705363200000000L // 2024-01-16T00:00:00Z in epoch µs
+      val ev = T.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("us"), $"event_type", $"value")
+      def prof(df: org.apache.spark.sql.DataFrame) = df.groupBy($"user_id").agg(
+        min($"us").as("first_at"), max($"us").as("last_at"),
+        count(lit(1)).as("n_events"),
+        sum(when($"event_type" === "purchase", $"value").otherwise(0.0))
+          .as("purchase_value"))
+      val base = prof(ev.filter($"us" < cutoffUs))
+      val delta = prof(ev.filter($"us" >= cutoffUs)).select(
+        $"user_id", $"first_at".as("d_first"), $"last_at".as("d_last"),
+        $"n_events".as("d_n"), $"purchase_value".as("d_pv"))
+      base.join(delta, Seq("user_id"), "full")
+        .select($"user_id",
+          least($"first_at", $"d_first").as("first_at"), // least/greatest skip nulls
+          greatest($"last_at", $"d_last").as("last_at"),
+          (coalesce($"n_events", lit(0L)) + coalesce($"d_n", lit(0L))).as("n_events"),
+          (coalesce($"purchase_value", lit(0.0)) + coalesce($"d_pv", lit(0.0)))
+            .as("purchase_value"))
+    },
+    Some("""SELECT user_id, min(epoch_us(ts)) AS first_at,
+        max(epoch_us(ts)) AS last_at, count(*) AS n_events,
+        sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value
+      FROM events GROUP BY user_id"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
-    retention, skewedEnrich)
+    retention, skewedEnrich, incrementalMerge)
 }
