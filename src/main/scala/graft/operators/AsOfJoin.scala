@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -64,5 +64,28 @@ object AsOfJoin {
           rPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .filter(col(side) === 1)
       .drop(side, t)
+  }
+
+  /** As-of join with a tolerance (pandas `merge_asof(tolerance=...)`):
+    * the latest match older than `within` allows is DISCARDED — the
+    * left row survives with null payload (left-outer semantics), it
+    * does not fall back to an even older match. Same single-shuffle
+    * plan as [[leftAsOf]] plus a row-local post-pass: the matched
+    * `rightTime` rides along in the payload, so the tolerance check
+    * needs no extra join.
+    *
+    * @param within row-local predicate (leftTime, matchedRightTime) →
+    *               keep; e.g. micros difference ≤ 7 days */
+  def leftAsOfWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      within: (Column, Column) => Column): DataFrame = {
+    val joined = leftAsOf(left, right, keys, leftTime, rightTime)
+    val rPayload = right.columns.filterNot(keys.contains)
+    val ok = col(rightTime).isNotNull && within(col(leftTime), col(rightTime))
+    joined.select(joined.columns.map { c =>
+      if (rPayload.contains(c))
+        when(ok, col(c)).otherwise(lit(null).cast(right.schema(c).dataType)).as(c)
+      else col(c)
+    }: _*)
   }
 }

@@ -521,6 +521,41 @@ object RelationalQueries {
         ON e.user_id = r.user_id AND e.ts >= r.o_orderdate"""),
     bench = true)
 
+  /** As-of with tolerance (pandas merge_asof(tolerance=7d)): the
+    * matched order must be within 7 days of the event or the match is
+    * nulled (the left row survives; it does NOT fall back to an older
+    * order). Same single-shuffle plan as q27 + a row-local post-pass —
+    * the matched right time rides in the payload so the check needs no
+    * extra join. Oracle: DuckDB ASOF LEFT JOIN + CASE. */
+  private val asofTolerance = Q(
+    "q91_asof_tolerance",
+    (s, d) => {
+      import s.implicits._
+      val tolUs = 7L * 86400 * 1000000
+      val ev = T.events(s, d).select($"event_id", $"user_id", $"ts")
+      val ords = T.orders(s, d)
+        .withColumn("o_orderdate", $"o_orderdate".cast("timestamp"))
+        .groupBy($"o_custkey".as("user_id"), $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"), max($"o_totalprice").as("o_totalprice"))
+      AsOfJoin.leftAsOfWithin(ev, ords, Seq("user_id"), "ts", "o_orderdate",
+          (lt, rt) => unix_micros(lt) - unix_micros(rt) <= tolUs)
+        .select($"event_id", $"user_id", $"o_orderkey",
+          unix_micros($"o_orderdate").as("order_at"), $"o_totalprice")
+    },
+    Some(s"""WITH r AS (
+        SELECT o_custkey AS user_id, o_orderdate,
+               max(o_orderkey) AS o_orderkey, max(o_totalprice) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id,
+             CASE WHEN epoch_us(e.ts) - epoch_us(r.o_orderdate) <= ${7L * 86400 * 1000000}
+                  THEN r.o_orderkey END AS o_orderkey,
+             CASE WHEN epoch_us(e.ts) - epoch_us(r.o_orderdate) <= ${7L * 86400 * 1000000}
+                  THEN epoch_us(r.o_orderdate) END AS order_at,
+             CASE WHEN epoch_us(e.ts) - epoch_us(r.o_orderdate) <= ${7L * 86400 * 1000000}
+                  THEN r.o_totalprice END AS o_totalprice
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.user_id AND e.ts >= r.o_orderdate"""))
+
   /** Grouping sets / rollup (generalized cube surface). */
   private val rollupAgg = Q(
     "q28_rollup",
@@ -654,5 +689,5 @@ object RelationalQueries {
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
     rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery,
-    approxQuantiles, bucketedDistinctCounts)
+    approxQuantiles, bucketedDistinctCounts, asofTolerance)
 }
