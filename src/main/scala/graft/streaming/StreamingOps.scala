@@ -58,6 +58,34 @@ object StreamingOps {
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Streaming NEAR-dup suppression — the ingest-time twin of the
+    * batch dedup family: key = native `simhash60` over the doc's
+    * 3-word shingles, so near-identical docs (identical shingle
+    * vote outcome; hamming-0 twins) collapse to one retained doc
+    * inside the watermark horizon. Docs too short to shingle fall
+    * back to an exact-text key (a separate key kind — the two key
+    * spaces never collide). Deliberate streaming trade vs q43's
+    * banded pair search: that needs a self-join (unbounded streaming
+    * state); this keeps state at one 60-bit key per retained doc,
+    * evicted by the watermark — recall limited to fingerprint-equal
+    * twins, which is what ingest-time suppression is for (the full
+    * banded sweep runs in batch behind it). */
+  def nearDedupStream(docs: DataFrame, textCol: String = "text",
+      watermark: String = "30 minutes"): DataFrame = {
+    graft.GraftExtensions.ensureRegistered(docs.sparkSession)
+    docs
+      .withColumn("__kind",
+        when(size(split(trim(col(textCol)), "\\s+")) >= 3, lit("sh"))
+          .otherwise(lit("tx")))
+      .withColumn("__key",
+        when(col("__kind") === "sh",
+          expr(s"simhash60(word_shingles($textCol, 3))"))
+          .otherwise(xxhash64(col(textCol))))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__kind", "__key")
+      .drop("__kind", "__key")
+  }
+
   /** Stream-static enrichment join: the streaming twin of the
     * reference's broadcast side inputs (J3, `Features.java:90-103`) —
     * each micro-batch joins against the (small, broadcast) static

@@ -35,6 +35,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup suppression: fingerprint twins collapse, distinct docs survive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.nearDedupStream(df, "text", "30 minutes")
+      .writeStream.format("memory").queryName("near_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData(
+        (t(1), 1L, "the quick brown fox jumps over the lazy dog"),
+        (t(2), 2L, "the quick brown fox jumps over the lazy dog"), // fingerprint twin
+        (t(3), 3L, "completely different words entirely here now"),
+        (t(4), 4L, "ab"),  // too short to shingle -> exact-text key
+        (t(5), 5L, "ab"))  // exact twin of the short doc
+      q.processAllAvailable()
+      val kept = spark.table("near_dedup").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L) || kept.contains(2L))
+      assert(!(kept.contains(1L) && kept.contains(2L)), "fingerprint twins must collapse")
+      assert(kept.contains(3L), "distinct doc must survive")
+      assert(kept.contains(4L) ^ kept.contains(5L), "short exact twins must collapse to one")
+    } finally q.stop()
+  }
+
   test("late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
