@@ -84,6 +84,11 @@ object DedupQueries {
     // just carries them
     val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
       .select($"doc_id", $"n", xxhash64($"sh0").as("sh"))
+    // deliberately NOT cached: explode+xxhash from the cached sh is
+    // cheaper than materializing the exploded postings (measured r3:
+    // cached 1.56s vs uncached 1.45s at sf0.1 — materialization cost
+    // exceeds the recompute saving, unlike q42/q77 whose verify joins
+    // read the postings a third time)
     ex.as("a").join(ex.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
