@@ -106,6 +106,22 @@ case class SimHash60(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Band split for SimHash candidate generation (q43): 11 disjoint
+  * bands over bits [0,60) — five 6-bit + six 5-bit. Pigeonhole: two
+  * fingerprints with hamming ≤ 10 differ in ≤ 10 bit positions, each
+  * in exactly one band, so ≥ 1 of the 11 bands is bit-identical —
+  * banding is an EXACT-recall candidate generator (property-tested in
+  * DedupPairsSpec against random bounded-hamming pairs). */
+object SimHashBands {
+  /** (bitOffset, width) per band. */
+  val defs: Seq[(Int, Int)] = {
+    val widths = Seq.fill(5)(6) ++ Seq.fill(6)(5)
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+  def bands(fp: Long): Array[Long] =
+    defs.map { case (off, w) => (fp >>> off) & ((1L << w) - 1) }.toArray
+}
+
 /** Constants + the tight loops. Static forwarders make
   * `MinHashSigImpl.compute(...)` callable from generated Java. */
 object MinHashSigImpl {

@@ -210,13 +210,9 @@ object DedupQueries {
       val fp = withShingles(s, d)
         .select($"doc_id", expr("simhash60(sset)").as("fp"))
         .cache() // banding + verify both read it; one fingerprint pass
-      // 11 bands over bits [0,60): widths 6,6,6,6,6,5,5,5,5,5,5
-      val bandDefs = {
-        val widths = Seq.fill(5)(6) ++ Seq.fill(6)(5)
-        widths.scanLeft(0)(_ + _).zip(widths).map { case (off, w) => (off, w) }
-      }
+      // band layout shared with the property-tested pure helper
       val bands = fp.select($"doc_id", $"fp",
-          posexplode(array(bandDefs.map { case (off, w) =>
+          posexplode(array(graft.functions.SimHashBands.defs.map { case (off, w) =>
             shiftright($"fp", off).bitwiseAND(lit((1L << w) - 1))
           }: _*)))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")

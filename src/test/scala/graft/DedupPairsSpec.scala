@@ -43,6 +43,25 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
     assert(banded === brute, "banding must lose (and invent) nothing")
   }
 
+  test("SimHash banding pigeonhole: every bounded-hamming pair shares a band (property)") {
+    import graft.functions.SimHashBands
+    // layout sanity: 11 disjoint bands tiling exactly [0, 60)
+    assert(SimHashBands.defs.size == 11)
+    assert(SimHashBands.defs.map(_._2).sum == 60)
+    assert(SimHashBands.defs.sliding(2).forall {
+      case Seq((o1, w1), (o2, _)) => o1 + w1 == o2; case _ => true })
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 5000) {
+      val fp = rnd.nextLong() & ((1L << 60) - 1)
+      val flips = rnd.nextInt(11) // hamming 0..10 — always within bound
+      val other = (1 to flips).foldLeft(fp)((f, _) => f ^ (1L << rnd.nextInt(60)))
+      // (re-flipping a bit only lowers the hamming distance — still <= 10)
+      val shared = SimHashBands.bands(fp).zip(SimHashBands.bands(other))
+        .exists { case (a, b) => a == b }
+      assert(shared, f"fp=$fp%x other=$other%x hamming=${java.lang.Long.bitCount(fp ^ other)}")
+    }
+  }
+
   test("q44: every LSH pair carries the exact cosine; recall floored vs brute force") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
