@@ -359,6 +359,49 @@ object TextQueries {
         (1.0 - CAST(n_distinct AS DOUBLE) / n_grams) > 0.3 AS is_repetitive
       FROM g"""))
 
+  /** Bigram language-model quality score (the CCNet/perplexity-filter
+    * shape): score(doc) = mean over consecutive bigrams of
+    * ln P(w₂|w₁), with P estimated from THIS corpus
+    * (c(w₁w₂)/c(w₁·) over bigram positions) — low scores flag
+    * machine-garbled/atypical text for quality filtering. No
+    * smoothing needed: every doc bigram is by construction in the
+    * corpus counts. Scale shape: two global count aggregations keyed
+    * by bigram/unigram (bounded by vocabulary, not corpus size), one
+    * keyed join per doc-bigram position, then a per-doc mean — every
+    * shuffle is on a count key; nothing is quadratic and no model is
+    * broadcast. Spark `log` and DuckDB `ln` are both natural log. */
+  private val bigramLogProb = Q(
+    "q92_bigram_logprob",
+    (s, d) => {
+      import s.implicits._
+      val pos = T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .filter(size($"ws") >= 2)
+        .select($"doc_id", explode(transform(
+          sequence(lit(1), size($"ws") - 1),
+          i => struct(element_at($"ws", i).as("w1"),
+            concat_ws(" ", slice($"ws", i, lit(2))).as("bigram")))).as("p"))
+        .select($"doc_id", $"p.w1", $"p.bigram")
+      val c2 = pos.groupBy($"bigram").agg(count(lit(1)).as("c2"))
+      val c1 = pos.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      pos.join(c2, "bigram").join(c1, "w1")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          avg(log($"c2".cast("double") / $"c1".cast("double"))).as("avg_logprob"))
+    },
+    Some("""WITH w AS (SELECT doc_id, string_split_regex(trim(text),'\s+') ws FROM documents),
+      pos AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> struct_pack(w1 := ws[i], bigram := array_to_string(ws[i:i+1], ' ')))) AS p
+              FROM w WHERE len(ws) >= 2),
+      fl AS (SELECT doc_id, p.w1 AS w1, p.bigram AS bigram FROM pos),
+      c2 AS (SELECT bigram, count(*) AS c2 FROM fl GROUP BY 1),
+      c1 AS (SELECT w1, count(*) AS c1 FROM fl GROUP BY 1)
+      SELECT fl.doc_id, count(*) AS n_bigrams,
+             avg(ln(c2.c2 * 1.0 / c1.c1)) AS avg_logprob
+      FROM fl JOIN c2 USING (bigram) JOIN c1 USING (w1)
+      GROUP BY fl.doc_id"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
-    normalize, tfidf, bm25, bigramCounts, piiScrub, repetition)
+    normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
+    bigramLogProb)
 }
