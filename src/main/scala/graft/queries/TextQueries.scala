@@ -401,7 +401,48 @@ object TextQueries {
       FROM fl JOIN c2 USING (bigram) JOIN c1 USING (w1)
       GROUP BY fl.doc_id"""))
 
+  /** Out-of-vocabulary rate against a fixed-size vocabulary: vocab =
+    * the corpus's top-1000 words by frequency (ties broken by word),
+    * per-doc OOV fraction = tokens outside it / tokens. The vocabulary
+    * is a FIXED-SIZE broadcast regardless of corpus size (contrast
+    * q45's corpus-growing query set, which needs its guard) — the
+    * canonical quality-filter join shape at 100 TB: broadcast the
+    * bounded dictionary, stream the corpus through a left-anti-style
+    * membership probe, never shuffle the big side. */
+  private val oovRate = Q(
+    "q93_oov_rate",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .filter(size($"ws") >= 1)
+        .select($"doc_id", explode($"ws").as("w"))
+      val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy($"n".desc, $"w".asc)))
+        .filter($"rk" <= 1000)
+        .select($"w", lit(1).as("in_vocab"))
+      toks.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"in_vocab".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .select($"doc_id", $"n_tokens", $"n_oov",
+          ($"n_oov".cast("double") / $"n_tokens").as("oov_rate"))
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS w
+        FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 1),
+      vocab AS (SELECT w FROM (
+        SELECT w, row_number() OVER (ORDER BY count(*) DESC, w ASC) AS rk
+        FROM toks GROUP BY w) WHERE rk <= 1000)
+      SELECT t.doc_id, count(*) AS n_tokens,
+             CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+             sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*) AS oov_rate
+      FROM toks t LEFT JOIN vocab v USING (w)
+      GROUP BY t.doc_id"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
-    bigramLogProb)
+    bigramLogProb, oovRate)
 }
