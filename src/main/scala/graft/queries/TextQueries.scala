@@ -442,7 +442,44 @@ object TextQueries {
       FROM toks t LEFT JOIN vocab v USING (w)
       GROUP BY t.doc_id"""))
 
+  /** Per-language doc-length outlier trim (Tukey IQR fence): docs with
+    * token counts outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their
+    * language are flagged — the standard cleanup pass that drops
+    * boilerplate stubs and runaway concatenations before training.
+    * One per-language exact-percentile aggregate (5 languages → tiny
+    * result, broadcast back), then a row-local fence test; the corpus
+    * is scanned twice but never shuffled by doc. Spark `percentile`
+    * and DuckDB `quantile_cont` share linear interpolation (q63
+    * proved bit-parity). */
+  private val lengthOutliers = Q(
+    "q94_length_outliers",
+    (s, d) => {
+      import s.implicits._
+      val lens = T.documents(s, d)
+        .select($"doc_id", $"lang",
+          size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+      val fences = lens.groupBy($"lang").agg(
+        expr("percentile(n_tokens, 0.25)").as("q1"),
+        expr("percentile(n_tokens, 0.75)").as("q3"))
+        .select($"lang", ($"q1" - ($"q3" - $"q1") * 1.5).as("lo"),
+          ($"q3" + ($"q3" - $"q1") * 1.5).as("hi"))
+      lens.join(broadcast(fences), "lang")
+        .select($"doc_id", $"lang", $"n_tokens",
+          ($"n_tokens" < $"lo" || $"n_tokens" > $"hi").as("is_outlier"))
+    },
+    Some("""WITH lens AS (SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS n_tokens
+        FROM documents),
+      f AS (SELECT lang,
+              quantile_cont(n_tokens, 0.25) AS q1,
+              quantile_cont(n_tokens, 0.75) AS q3
+            FROM lens GROUP BY lang)
+      SELECT l.doc_id, l.lang, l.n_tokens,
+             (l.n_tokens < f.q1 - 1.5 * (f.q3 - f.q1)
+              OR l.n_tokens > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
+      FROM lens l JOIN f USING (lang)"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
-    bigramLogProb, oovRate)
+    bigramLogProb, oovRate, lengthOutliers)
 }
