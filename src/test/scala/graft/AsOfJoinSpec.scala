@@ -30,6 +30,29 @@ class AsOfJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("leftAsOfWithin matches the naive tolerance semantics (no fallback to older)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(43)
+    val left = (1 to 300).map(i => (rnd.nextInt(20).toLong, i.toLong, rnd.nextInt(1000).toLong))
+    val right = (1 to 150).map(i => (rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .distinctBy(r => (r._1, r._2))
+    val tol = 50L
+    val got = AsOfJoin.leftAsOfWithin(
+        left.toDF("k", "lid", "lt"), right.toDF("k", "rt", "rid"), Seq("k"),
+        "lt", "rt", (l, r) => l - r <= tol)
+      .select("lid", "rid").as[(Long, Option[Long])].collect().toMap
+    val naive = left.map { case (k, lid, lt) =>
+      // the LATEST match is checked against the tolerance; an older
+      // in-tolerance... cannot exist (older => farther), but the law
+      // under test is: latest out-of-tolerance => null, not fallback
+      val best = right.filter(r => r._1 == k && r._2 <= lt).sortBy(_._2).lastOption
+      lid -> best.filter(lt - _._2 <= tol).map(_._3)
+    }.toMap
+    assert(got.size == naive.size)
+    naive.foreach { case (lid, exp) => assert(got(lid) == exp, s"left row $lid") }
+  }
+
   test("tie at equal timestamps matches (rightTime == leftTime included)") {
     import spark.implicits._
     val lDf = Seq((1L, 10L, 100L)).toDF("k", "lid", "lt")

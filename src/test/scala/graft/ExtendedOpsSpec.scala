@@ -174,4 +174,25 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
       .count()
     assert(again === kept.values.sum)
   }
+  test("q90: incremental merge equals a single-pass batch recompute (fixture)") {
+    import spark.implicits._
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val merged = QueryRegistry.byName("q90_incremental_merge").fn(spark, sf)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val batch = Tables.events(spark, sf)
+      .groupBy($"user_id").agg(
+        min(unix_micros($"ts")).as("f"), max(unix_micros($"ts")).as("l"),
+        count(lit(1)).as("n"),
+        sum(when($"event_type" === "purchase", $"value").otherwise(0.0)).as("pv"))
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(merged.keySet == batch.keySet)
+    merged.foreach { case (u, (f, l, n, pv)) =>
+      val (bf, bl, bn, bpv) = batch(u)
+      assert((f, l, n) == ((bf, bl, bn)), s"user $u")
+      assert(math.abs(pv - bpv) <= math.abs(bpv).max(1.0) * 1e-12, s"user $u pv")
+    }
+  }
 }

@@ -86,6 +86,14 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "bucket metadata should satisfy every distribution requirement:\n" + tree)
   }
 
+  test("q93/q94: bounded dictionaries broadcast; the corpus side never cross-joins") {
+    for (q <- Seq("q93_oov_rate", "q94_length_outliers")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q must broadcast the bounded side")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
