@@ -444,6 +444,38 @@ object DedupQueries {
       FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
       WHERE cc.id IS NULL OR d.doc_id = cc.root"""))
 
+  /** Boilerplate fraction (the C4-style template-contamination
+    * signal): per doc, the share of its distinct 3-shingles that are
+    * corpus-common (document frequency ≥ 5) — template/boilerplate
+    * text scores high and gets down-weighted or cut before training.
+    * Same inverted-index machinery as q41 (xxhash64 shingle keys), but
+    * aggregated per doc instead of per pair: shingle-df is keyed by
+    * the hash (vocabulary-bounded), the corpus joins it once — no
+    * pair-shaped work at all. */
+  private val boilerplate = Q(
+    "q95_boilerplate_fraction",
+    (s, d) => {
+      import s.implicits._
+      val ex = withShingles(s, d)
+        .select($"doc_id", explode($"sset").as("sh0"))
+        .select($"doc_id", xxhash64($"sh0").as("sh"))
+      val df = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
+      ex.join(df, "sh")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" >= 5, 1L).otherwise(0L)).as("n_common"))
+        .select($"doc_id", $"n_shingles", $"n_common",
+          ($"n_common".cast("double") / $"n_shingles").as("boilerplate_frac"))
+    },
+    Some(s"""$shingleCte,
+      ex AS (SELECT doc_id, unnest(sset) AS s FROM sh),
+      df AS (SELECT s, count(*) AS df FROM ex GROUP BY s)
+      SELECT e.doc_id, count(*) AS n_shingles,
+             CAST(sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+             sum(CASE WHEN df.df >= 5 THEN 1 ELSE 0 END) * 1.0 / count(*) AS boilerplate_frac
+      FROM ex e JOIN df USING (s)
+      GROUP BY e.doc_id"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune)
+    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune, boilerplate)
 }
