@@ -170,4 +170,59 @@ object StreamingOps {
           }
       }
   }
+
+  // ---- streaming funnel (q86's ordered steps as running state) ----
+
+  final case class StepEv(userId: Long, eventType: String, tsMicros: Long)
+  /** Step timestamps; -1 = unreached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelRow(userId: Long, depth: Int, t1: Long, t2: Long, t3: Long)
+
+  /** Fold a batch of events into the funnel state. Events are applied
+    * in event-time order; a step is accepted only strictly after the
+    * previous step's time (q86's ordering rule), and an earlier
+    * arrival may improve a step's time only while the NEXT step is
+    * unreached — once a later step accepted, its predecessor is
+    * frozen (otherwise the accepted chain could become unordered).
+    * With all of a user's events in one batch this equals the batch
+    * funnel exactly (spec'd); across batches it is the streaming
+    * approximation every funnel-on-stream makes: late arrivals inside
+    * the watermark refine what's still refinable. */
+  def funnelFold(st: FunnelState, evs: Seq[(String, Long)]): FunnelState =
+    evs.sortBy(_._2).foldLeft(st) { case (s, (tp, ts)) =>
+      tp match {
+        case "view" if s.t2 < 0 && (s.t1 < 0 || ts < s.t1) => s.copy(t1 = ts)
+        case "click" if s.t1 >= 0 && ts > s.t1 && s.t3 < 0 && (s.t2 < 0 || ts < s.t2) =>
+          s.copy(t2 = ts)
+        case "purchase" if s.t2 >= 0 && ts > s.t2 && (s.t3 < 0 || ts < s.t3) =>
+          s.copy(t3 = ts)
+        case _ => s
+      }
+    }
+
+  /** Running view→click→purchase funnel depth per user (update mode);
+    * idle users evicted after `ttl` of event time. */
+  def funnelStream(events: Dataset[StepEv], ttlMs: Long = 3600000L): Dataset[FunnelRow] = {
+    import events.sparkSession.implicits._
+    events
+      .withColumn("ts", timestamp_micros(col("tsMicros")))
+      .withWatermark("ts", "30 minutes")
+      .as[(Long, String, Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelRow](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[(Long, String, Long, java.sql.Timestamp)],
+         state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val st = funnelFold(
+              state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)),
+              rows.map(r => (r._2, r._3)).toSeq)
+            state.update(st)
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + ttlMs)
+            val depth = Seq(st.t1, st.t2, st.t3).count(_ >= 0)
+            Iterator.single(FunnelRow(userId, depth, st.t1, st.t2, st.t3))
+          }
+      }
+  }
 }

@@ -60,6 +60,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming funnel: depth advances only in order, refines across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.StepEv]
+    val q = StreamingOps.funnelStream(in.toDS())
+      .writeStream.format("memory").queryName("funnel_state")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def last(uid: Long): (Int, Long, Long, Long) =
+        spark.table("funnel_state").filter($"userId" === uid)
+          .orderBy($"depth".desc).select("depth", "t1", "t2", "t3")
+          .as[(Int, Long, Long, Long)].head()
+      // user 1: view@10, click@20 in one batch -> depth 2
+      // user 2: click@10 with no view -> depth 0
+      in.addData(StreamingOps.StepEv(1L, "view", 10L), StreamingOps.StepEv(1L, "click", 20L),
+        StreamingOps.StepEv(2L, "click", 10L))
+      q.processAllAvailable()
+      assert(last(1L) == ((2, 10L, 20L, -1L)))
+      assert(last(2L)._1 == 0)
+      // purchase@15 precedes the accepted click@20 -> must NOT advance
+      in.addData(StreamingOps.StepEv(1L, "purchase", 15L))
+      q.processAllAvailable()
+      assert(last(1L)._1 == 2)
+      // purchase@30 follows click@20 -> depth 3
+      in.addData(StreamingOps.StepEv(1L, "purchase", 30L))
+      q.processAllAvailable()
+      assert(last(1L) == ((3, 10L, 20L, 30L)))
+      // user 2's missing view arrives -> later click must still be ignored
+      // (it was never accepted; a FRESH click after the view advances)
+      in.addData(StreamingOps.StepEv(2L, "view", 5L))
+      q.processAllAvailable()
+      assert(last(2L) == ((1, 5L, -1L, -1L)))
+      in.addData(StreamingOps.StepEv(2L, "click", 50L))
+      q.processAllAvailable()
+      assert(last(2L) == ((2, 5L, 50L, -1L)))
+    } finally q.stop()
+  }
+
   test("late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
