@@ -479,7 +479,39 @@ object TextQueries {
               OR l.n_tokens > f.q3 + 1.5 * (f.q3 - f.q1)) AS is_outlier
       FROM lens l JOIN f USING (lang)"""))
 
+  /** Data-mixing sampler: downsample every language to the smallest
+    * stratum's size (the balance step of training-set mixture
+    * construction). Rates derive FROM the data — per-language keep
+    * probability min_n/n as integer ppm (bigint division, exact in
+    * both engines; no float thresholds) — then a deterministic
+    * md5-bucket Bernoulli per doc, so the sample is reproducible and
+    * shuffle-free: counts are a tiny broadcast, the corpus streams
+    * through one row-local filter. Extends q73 (fixed rates) to
+    * data-derived rates. */
+  private val mixtureSample = Q(
+    "q96_mixture_sample",
+    (s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d).groupBy($"lang").agg(count(lit(1)).as("n"))
+      val minN = counts.agg(min($"n").as("min_n"))
+      val rates = counts.crossJoin(broadcast(minN))
+        .select($"lang", expr("min_n * 1000000 div n").as("keep_ppm"))
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string")), 1, 14), 16, 10)
+          .cast("long") % 1000000
+      T.documents(s, d).join(broadcast(rates), "lang")
+        .filter(bucket < $"keep_ppm")
+        .select($"doc_id", $"lang", $"keep_ppm")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      m AS (SELECT min(n) AS min_n FROM c),
+      r AS (SELECT lang, (min_n * 1000000) // n AS keep_ppm FROM c CROSS JOIN m)
+      SELECT d.doc_id, d.lang, r.keep_ppm
+      FROM documents d JOIN r USING (lang)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 1000000
+            < r.keep_ppm"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
-    bigramLogProb, oovRate, lengthOutliers)
+    bigramLogProb, oovRate, lengthOutliers, mixtureSample)
 }
