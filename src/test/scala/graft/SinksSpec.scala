@@ -60,4 +60,22 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
       Seq(("os", "string"), ("uuid", "string"), ("prediction", "integer"), ("score", "float")))
     assert(back.collect().head.getString(0) == "ANDROID")
   }
+  test("ShardWriter: balanced shards, nothing lost, manifest matches disk") {
+    import spark.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => (i.toLong, s"doc body $i")).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    val shards = 8
+    val manifest = graft.io.ShardWriter.writeSharded(df, out, shards, "doc_id")
+      .as[(Int, Long)].collect().toMap
+    assert(manifest.keySet == (0 until shards).toSet)
+    assert(manifest.values.sum == n.toLong, "rows lost or duplicated")
+    val expect = n.toDouble / shards
+    manifest.values.foreach { c =>
+      assert(math.abs(c - expect) < expect * 0.25, s"shard imbalance: $manifest")
+    }
+    // round-trip: content preserved
+    val back = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(back == (1 to n).map(_.toLong).toSet)
+  }
 }
