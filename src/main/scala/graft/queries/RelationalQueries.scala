@@ -682,6 +682,125 @@ object RelationalQueries {
     },
     None)
 
+  /** Revenue expression shared by the TPC-H-classic trio (q97–q99):
+    * decimal-exact in BOTH engines so revenue ordering at a LIMIT
+    * boundary is deterministic (double summation could swap
+    * near-equal ranks between engines), cast to double only at the
+    * output edge. */
+  private val revDec =
+    "sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(12,2))))"
+
+  /** TPC-H Q3 (shipping priority), adapted to the reduced schema:
+    * segment-filtered customers × open orders × shipped-later items,
+    * top-10 orders by exact revenue. The classic 3-way join: customer
+    * broadcasts, orders/lineitem shuffle on the order key once. */
+  private val tpchQ3 = Q(
+    "q97_tpch_q3",
+    (s, d) => {
+      import s.implicits._
+      val cut = "1998-06-01"
+      val c = T.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey")
+      val o = T.orders(s, d).filter($"o_orderdate" < lit(cut).cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val l = T.lineitem(s, d).filter($"l_shipdate" > lit(cut).cast("timestamp"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(expr(revDec).as("rev"))
+        .select($"l_orderkey", expr("CAST(rev AS DOUBLE)").as("revenue"),
+          // parquet column is TIMESTAMP_NTZ; session TZ is UTC so the
+          // cast is identity and unix_micros matches epoch_us
+          unix_micros($"o_orderdate".cast("timestamp")).as("order_at"))
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, CAST($revDec AS DOUBLE) AS revenue,
+        epoch_us(o_orderdate) AS order_at
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-01'
+        AND l_shipdate > TIMESTAMP '1998-06-01'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10"""))
+
+  /** TPC-H Q5 (local supplier volume): the 6-way join — region/nation
+    * prune the supplier side, customer and supplier must share a
+    * nation, revenue per nation for one year. Dims broadcast; the only
+    * shuffles are lineitem⋈orders on the order key and the final
+    * small aggregate. */
+  private val tpchQ5 = Q(
+    "q98_tpch_q5",
+    (s, d) => {
+      import s.implicits._
+      val nr = T.nation(s, d).join(T.region(s, d),
+          $"n_regionkey" === $"r_regionkey")
+        .filter($"r_name" === "ASIA").select($"n_nationkey", $"n_name")
+      val sup = T.supplier(s, d).join(broadcast(nr), $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_nationkey", $"n_name")
+      val o = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-01-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val c = T.customer(s, d).select($"c_custkey", $"c_nationkey")
+      T.lineitem(s, d)
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(broadcast(sup),
+          $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+        .groupBy($"n_name")
+        .agg(expr(revDec).as("rev"))
+        .select($"n_name", expr("CAST(rev AS DOUBLE)").as("revenue"))
+    },
+    Some(s"""SELECT n_name, CAST($revDec AS DOUBLE) AS revenue
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1997-01-01'
+      GROUP BY n_name"""))
+
+  /** TPC-H Q10 (returned items): customers ranked by revenue lost to
+    * returns in one quarter — top 20 by exact revenue, customer key
+    * as the deterministic tiebreak. */
+  private val tpchQ10 = Q(
+    "q99_tpch_q10",
+    (s, d) => {
+      import s.implicits._
+      val o = T.orders(s, d)
+        .filter($"o_orderdate" >= lit("1997-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1997-04-01").cast("timestamp"))
+        .select($"o_orderkey", $"o_custkey")
+      val l = T.lineitem(s, d).filter($"l_returnflag" === "R")
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      val n = T.nation(s, d).select($"n_nationkey", $"n_name")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(T.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(expr(revDec).as("rev"))
+        .select($"c_custkey", $"c_name",
+          expr("CAST(rev AS DOUBLE)").as("revenue"), $"c_acctbal", $"n_name")
+        .orderBy($"revenue".desc, $"c_custkey".asc)
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, CAST($revDec AS DOUBLE) AS revenue,
+        c_acctbal, n_name
+      FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1997-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""))
+
   def qs: Seq[Q] = Seq(
     pricingSummary, validityFilter, profileMerge, profileNested,
     distinctCounts, userCounts, approxDistinct, rowLocalAgg,
@@ -689,5 +808,6 @@ object RelationalQueries {
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
     rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery,
-    approxQuantiles, bucketedDistinctCounts, asofTolerance)
+    approxQuantiles, bucketedDistinctCounts, asofTolerance,
+    tpchQ3, tpchQ5, tpchQ10)
 }
