@@ -94,6 +94,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q97/q98/q99: TPC-H classics broadcast their dims, never cross-join") {
+    for (q <- Seq("q97_tpch_q3", "q98_tpch_q5", "q99_tpch_q10")) {
+      val p = plan(q)
+      assert("BroadcastHashJoin".r.findAllIn(p).nonEmpty, s"$q: dims must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), q)
+    }
+    // Q3/Q10 must pre-limit under the sort (TakeOrderedAndProject),
+    // not globally sort the aggregate output
+    assert(plan("q97_tpch_q3").contains("TakeOrderedAndProject"))
+    assert(plan("q99_tpch_q10").contains("TakeOrderedAndProject"))
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
