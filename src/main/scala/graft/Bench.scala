@@ -31,6 +31,8 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", // see Verify: cwd may not be writable
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

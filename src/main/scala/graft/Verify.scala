@@ -12,6 +12,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // q89 writes a bucketed table; default warehouse = JVM cwd,
+      // which may not be writable wherever the driver runs this
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
