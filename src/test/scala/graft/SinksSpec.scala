@@ -78,4 +78,18 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     val back = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(back == (1 to n).map(_.toLong).toSet)
   }
+  test("Compactor: collapses a many-file directory, preserves content") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/t"
+    val df = (1 to 2000).map(i => (i.toLong, s"row $i")).toDF("id", "payload")
+    df.repartition(64).write.parquet(out) // 64 tiny files
+    val (before, after) = graft.io.Compactor.compact(spark, out, targetFileBytes = 64L * 1024 * 1024)
+    assert(before == 64)
+    assert(after < before && after >= 1, s"$before -> $after")
+    val back = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(back == (1 to 2000).map(i => (i.toLong, s"row $i")).toSet, "content changed")
+    // idempotent: already-compact directory is untouched
+    val (b2, a2) = graft.io.Compactor.compact(spark, out)
+    assert(b2 == a2)
+  }
 }
