@@ -268,8 +268,8 @@ object DedupQueries {
     * all pairs for 95% recall). On a real near-dup corpus the same
     * config gives 1−(1−0.856⁶)⁸ ≈ 98% recall at cos 0.9 and ≈ 99.8%
     * at 0.95, with bucket-bounded shuffles — the 100 TB shape.
-    * CosineLshSpec pins precision = 1 (every emitted pair matches the
-    * exact brute-force cosine) and the measured recall floor; the
+    * DedupPairsSpec pins precision = 1 (every emitted pair matches
+    * the exact brute-force cosine) and the measured recall floor; the
     * exact quadratic baseline remains available as
     * [[SimilarityQueries]]'s q45 brute-force scorer. */
   private val cosineNearDup = Q(
@@ -476,6 +476,35 @@ object DedupQueries {
       FROM ex e JOIN df USING (s)
       GROUP BY e.doc_id"""))
 
+  /** Incremental ingest dedup — q40's day-over-day counterpart (as
+    * q90 is for aggregation): new documents check against the
+    * HISTORICAL corpus's fingerprint store instead of recomputing
+    * dedup over all history. Base = docs with even doc_id standing in
+    * for "already ingested"; their md5 digests are the store (16
+    * bytes/doc — at 100 TB of corpus that is a slim table keyed for
+    * one equi-join). Delta docs survive only if their digest misses
+    * the store AND they aren't internal delta duplicates (min doc_id
+    * wins). Oracle: plain SQL over the same split. */
+  private val incrementalDedup = Q(
+    "q100_incremental_dedup",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d).select($"doc_id", md5($"text").as("fp"))
+      val store = docs.filter($"doc_id" % 2 === 0).select($"fp")
+      val delta = docs.filter($"doc_id" % 2 === 1)
+      delta.join(store, Seq("fp"), "left_anti")
+        .groupBy($"fp").agg(min($"doc_id").as("doc_id"),
+          count(lit(1)).as("n_delta_copies"))
+        .select($"doc_id", $"fp", $"n_delta_copies")
+    },
+    Some("""WITH docs AS (SELECT doc_id, md5(text) AS fp FROM documents),
+      store AS (SELECT fp FROM docs WHERE doc_id % 2 = 0),
+      delta AS (SELECT * FROM docs WHERE doc_id % 2 = 1)
+      SELECT min(doc_id) AS doc_id, fp, count(*) AS n_delta_copies
+      FROM delta WHERE fp NOT IN (SELECT fp FROM store)
+      GROUP BY fp"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune, boilerplate)
+    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune, boilerplate,
+    incrementalDedup)
 }
