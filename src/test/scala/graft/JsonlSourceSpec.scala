@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSONL ingest: schema enforced (not inferred), corrupt lines and
+  * records missing required fields dropped + counted, well-formed
+  * records preserved exactly — the P1 drop-corrupt discipline on the
+  * LLM-corpus interchange format. */
+class JsonlSourceSpec extends AnyFunSuite with SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType)))
+
+  test("reads good lines, drops corrupt and incomplete ones, counts the drops") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val lines = Seq(
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}""",
+      """{"doc_id": 2, "text": "bonjour", "lang": "fr"}""",
+      """not json at all {{{""",                        // corrupt
+      "",                                               // blank line
+      """{"doc_id": 3, "lang": "de"}""",                // missing required text
+      """{"doc_id": 4, "text": "extra is fine", "lang": "en", "extra": 9}""")
+    java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val (df, dropped) = graft.sources.JsonlSource.read(
+      spark, dir.toString, schema, Seq("doc_id", "text"))
+    val got = df.as[(Long, String, String)].collect().toSet
+    assert(got == Set(
+      (1L, "hello world", "en"), (2L, "bonjour", "fr"), (4L, "extra is fine", "en")))
+    assert(dropped == 3L, "corrupt + incomplete + blank must all be counted")
+  }
+
+  test("parquet fixture round-trips through JSONL losslessly") {
+    import org.apache.spark.sql.functions._
+    val sf = sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-rt").toString + "/docs"
+    docs.select(to_json(struct(col("doc_id"), col("text"), col("lang"))).as("value"))
+      .write.text(dir)
+    val (back, dropped) = graft.sources.JsonlSource.read(
+      spark, dir, schema, Seq("doc_id", "text"))
+    assert(dropped == 0L)
+    assert(back.count() == docs.count())
+    assert(back.exceptAll(docs).isEmpty && docs.exceptAll(back).isEmpty)
+  }
+}
