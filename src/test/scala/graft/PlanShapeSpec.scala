@@ -106,6 +106,30 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q99_tpch_q10").contains("TakeOrderedAndProject"))
   }
 
+  test("runtime bloom filter fires on q97's order-lineitem join at shuffle scale") {
+    // At 100 TB the orders side of Q3 outgrows any broadcast; the
+    // shuffle join then relies on Spark's runtime bloom-filter
+    // injection (selective date filter on the creation side prunes
+    // the fact scan before the exchange). Simulate that regime
+    // (injection thresholds floored) and pin that the engine's join
+    // shape still QUALIFIES for injection — a rewrite that broke the
+    // filtered equi-join form would silently lose this at scale.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val p = plan("q97_tpch_q3")
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        "no runtime bloom filter injected:\n" + p.linesIterator.take(30).mkString("\n"))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
