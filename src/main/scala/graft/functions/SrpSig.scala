@@ -62,30 +62,37 @@ case class SrpSig(first: Expression, second: Expression,
 }
 
 object SrpSigImpl {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Array[Double]]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
 
   /** ±1 weights of one plane — md5 parity of "salt|plane|dim" (no
     * leading "salt|" when salt is empty), first hex nibble's low bit. */
-  def planeWeights(salt: String, plane: Int, dim: Int): Array[Double] =
-    cache.computeIfAbsent(s"$salt|$plane|$dim", _ => {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Array.tabulate(dim) { d =>
-        val seed = if (salt.isEmpty) s"$plane|$d" else s"$salt|$plane|$d"
-        val hex = md.digest(seed.getBytes("UTF-8"))
-        if (((hex(0) >> 4) & 1) == 0) 1.0 else -1.0
-      }
-    })
+  def planeWeights(salt: String, plane: Int, dim: Int): Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(dim) { d =>
+      val seed = if (salt.isEmpty) s"$plane|$d" else s"$salt|$plane|$d"
+      val hex = md.digest(seed.getBytes("UTF-8"))
+      if (((hex(0) >> 4) & 1) == 0) 1.0 else -1.0
+    }
+  }
+
+  /** All planes of a family as one matrix, cached — compute() does ONE
+    * map lookup per row, not one per plane (48 string-interpolated CHM
+    * gets per row measurably pollutes the scan hot path). */
+  private def planesMatrix(salt: String, planes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent(s"$salt|$planes|$dim",
+      _ => Array.tabulate(planes)(h => planeWeights(salt, h, dim)))
 
   def compute(arr: ArrayData, salt: UTF8String, tables: Int, bits: Int): ArrayData = {
     val dim = arr.numElements()
-    val s = salt.toString
+    val ws = planesMatrix(salt.toString, tables * bits, dim)
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {
       var key = 0L
       var p = 0
       while (p < bits) {
-        val w = planeWeights(s, t * bits + p, dim)
+        val w = ws(t * bits + p)
         var dot = 0.0
         var d = 0
         while (d < dim) {

@@ -10,7 +10,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * ⌈bytes / targetFileBytes⌉ files via coalesce (no shuffle — file
   * merging doesn't need a repartition; row order within files is not
   * part of the contract) and swaps it in place atomically-enough for
-  * a single-writer pipeline (write to `.compact-tmp`, delete, rename).
+  * a single-writer pipeline (write sibling `.compact-tmp`, move the
+  * original aside, move tmp in, drop the backup — a failure at any
+  * step leaves a complete copy on disk).
   */
 object Compactor {
 
@@ -24,11 +26,21 @@ object Compactor {
     val target = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (parts.length <= target) return (parts.length, parts.length)
 
-    val tmp = new Path(dir + ".compact-tmp")
-    spark.read.parquet(dir).coalesce(target)
+    // tmp/backup are SIBLINGS built from the normalized Path — building
+    // them from the raw string put tmp INSIDE the dataset for a
+    // trailing-slash dir, and the old delete-before-rename ordering
+    // could destroy the original when the rename then failed. Order is
+    // now: write tmp → move original aside → move tmp in → drop backup;
+    // any failure leaves at least one complete copy on disk.
+    val tmp = new Path(path.getParent, path.getName + ".compact-tmp")
+    val backup = new Path(path.getParent, path.getName + ".compact-old")
+    fs.delete(tmp, true)
+    fs.delete(backup, true)
+    spark.read.parquet(path.toString).coalesce(target)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(path, true)
-    require(fs.rename(tmp, path), s"compaction rename failed for $dir")
+    require(fs.rename(path, backup), s"compaction could not move $path aside")
+    require(fs.rename(tmp, path), s"compaction rename failed for $dir — original preserved at $backup")
+    fs.delete(backup, true)
     val after = fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
     (parts.length, after)
   }

@@ -26,7 +26,10 @@ object ShardWriter {
     require(shards > 0, "shards must be positive")
     val spark = df.sparkSession
     df.withColumn("__shard", pmod(xxhash64(col(keyCol)), lit(shards)).cast("int"))
-      .repartition(shards, col("__shard"))
+      // range-partition the shard id: hashing the (already 0..n-1) id
+      // into n partitions collides ~1/e of them onto shared tasks and
+      // leaves others empty; range keeps ~one shard per write task
+      .repartitionByRange(shards, col("__shard"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("__shard")
       .parquet(path)

@@ -122,12 +122,17 @@ object PredictionPipeline {
     // replace the map without recomputing those sums per row.)
     val sideCap = spark.conf.getOption("graft.maxSideInputRows")
       .map(_.toLong).getOrElse(MaxSideInputRows)
-    val iappCount = iapp.count()
-    require(iappCount <= sideCap,
-      s"IAPP side input has $iappCount rows (cap $sideCap): " +
-        "not a broadcastable dim table — pre-aggregate it before inputToModel")
-    val iappMap = spark.sparkContext.broadcast(
-      iapp.collect().map(r => r.bundle -> r).toMap)
+    // persist around the count+collect pair so the guard doesn't
+    // recompute the decode chain end to end a second time
+    val iappP = iapp.persist()
+    val iappMap = try {
+      val iappCount = iappP.count()
+      require(iappCount <= sideCap,
+        s"IAPP side input has $iappCount rows (cap $sideCap): " +
+          "not a broadcastable dim table — pre-aggregate it before inputToModel")
+      spark.sparkContext.broadcast(
+        iappP.collect().map(r => r.bundle -> r).toMap)
+    } finally iappP.unpersist()
     dps
       .join(broadcast(suspicious.toDF()), Seq("os", "uuid"), "left_anti")
       .as[DeviceProfileRec]

@@ -705,8 +705,11 @@ object RelationalQueries {
         .select($"o_orderkey", $"o_custkey", $"o_orderdate")
       val l = T.lineitem(s, d).filter($"l_shipdate" > lit(cut).cast("timestamp"))
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      // no broadcast hint on customer: it grows with the corpus, so the
+      // planner's stats decide (broadcast at fixture scale, SMJ+runtime
+      // bloom filter at 100 TB — PlanShapeSpec pins both regimes)
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .join(c, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate")
         .agg(expr(revDec).as("rev"))
         .select($"l_orderkey", expr("CAST(rev AS DOUBLE)").as("revenue"),
@@ -748,8 +751,9 @@ object RelationalQueries {
       T.lineitem(s, d)
         .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
         .join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(c), $"o_custkey" === $"c_custkey")
-        .join(broadcast(sup),
+        // customer/supplier grow with the corpus — no forced broadcast
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(sup,
           $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
         .groupBy($"n_name")
         .agg(expr(revDec).as("rev"))
@@ -781,7 +785,7 @@ object RelationalQueries {
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
       val n = T.nation(s, d).select($"n_nationkey", $"n_name")
       l.join(o, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(T.customer(s, d)), $"o_custkey" === $"c_custkey")
+        .join(T.customer(s, d), $"o_custkey" === $"c_custkey") // stats decide
         .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
         .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
         .agg(expr(revDec).as("rev"))

@@ -418,10 +418,11 @@ object TextQueries {
         .withColumn("ws", split(trim($"text"), "\\s+"))
         .filter(size($"ws") >= 1)
         .select($"doc_id", explode($"ws").as("w"))
+      // top-k via distributed TakeOrderedAndProject — an unpartitioned
+      // row_number window would funnel the whole vocabulary through one
+      // task's sort at scale
       val vocab = toks.groupBy($"w").agg(count(lit(1)).as("n"))
-        .withColumn("rk", row_number().over(
-          Window.orderBy($"n".desc, $"w".asc)))
-        .filter($"rk" <= 1000)
+        .orderBy($"n".desc, $"w".asc).limit(1000)
         .select($"w", lit(1).as("in_vocab"))
       toks.join(broadcast(vocab), Seq("w"), "left")
         .groupBy($"doc_id")

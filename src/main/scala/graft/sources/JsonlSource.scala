@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** JSONL (one JSON object per line) corpus source — the de-facto
   * interchange format for LLM training corpora, ingested with the
@@ -14,25 +14,40 @@ import org.apache.spark.sql.types.StructType
   * `spark.read.json` so the schema is ENFORCED, not inferred —
   * schema inference reads the data twice and silently widens types
   * at 100 TB (one outlier line turns a long column into string for
-  * the whole corpus). A malformed line yields null from `from_json`
-  * and is counted+dropped; a well-formed line missing required
-  * fields is dropped by the same null check on those fields.
+  * the whole corpus). Corruption is detected via
+  * `columnNameOfCorruptRecord`, NOT a null-struct check: permissive
+  * `from_json` returns a PARTIALLY-parsed row for a malformed line
+  * (a truncated `{"doc_id":7,"text":"ok","lang":` still yields
+  * doc_id/text), so only the corrupt-record column reliably flags
+  * it. Records missing `requiredFields` are dropped by the same
+  * pass.
   */
 object JsonlSource {
+
+  private val CorruptCol = "__corrupt"
 
   /** @param requiredFields non-null fields a record must carry
     * @return (records, corrupt-or-incomplete line count) */
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String]): (DataFrame, Long) = {
-    val raw = spark.read.text(path)
-    val parsed = raw.select(from_json(col("value"), schema).as("r")).cache()
-    val ok = requiredFields
-      .foldLeft(parsed.filter(col("r").isNotNull)) { (df, f) =>
-        df.filter(col(s"r.$f").isNotNull)
-      }
-      .select(col("r.*"))
-    val total = parsed.count()
-    val kept = ok.count()
-    (ok, total - kept)
+    require(!schema.fieldNames.contains(CorruptCol), s"$CorruptCol is reserved")
+    val parseSchema = StructType(schema.fields :+ StructField(CorruptCol, StringType))
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), parseSchema,
+        Map("columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
+      .cache()
+    try {
+      val ok = requiredFields
+        .foldLeft(parsed.filter(col("r").isNotNull &&
+          col(s"r.$CorruptCol").isNull)) { (df, f) =>
+          df.filter(col(s"r.$f").isNotNull)
+        }
+        .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+      val total = parsed.count()
+      val kept = ok.count()
+      // the returned frame recomputes lazily; holding the parse cache
+      // for the session would pin one copy per ingested corpus
+      (ok, total - kept)
+    } finally parsed.unpersist()
   }
 }

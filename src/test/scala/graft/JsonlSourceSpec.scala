@@ -23,6 +23,9 @@ class JsonlSourceSpec extends AnyFunSuite with SparkSpec {
       """not json at all {{{""",                        // corrupt
       "",                                               // blank line
       """{"doc_id": 3, "lang": "de"}""",                // missing required text
+      """{"doc_id": 9, "text": "truncated", "lang": """, // malformed TAIL: permissive
+                                                         // from_json still parses
+                                                         // doc_id/text — must drop
       """{"doc_id": 4, "text": "extra is fine", "lang": "en", "extra": 9}""")
     java.nio.file.Files.write(dir.resolve("part-0.jsonl"),
       lines.mkString("\n").getBytes("UTF-8"))
@@ -32,7 +35,7 @@ class JsonlSourceSpec extends AnyFunSuite with SparkSpec {
     val got = df.as[(Long, String, String)].collect().toSet
     assert(got == Set(
       (1L, "hello world", "en"), (2L, "bonjour", "fr"), (4L, "extra is fine", "en")))
-    assert(dropped == 3L, "corrupt + incomplete + blank must all be counted")
+    assert(dropped == 4L, "corrupt + blank + incomplete + malformed-tail all counted")
   }
 
   test("parquet fixture round-trips through JSONL losslessly") {
