@@ -69,41 +69,65 @@ object DedupQueries {
     Some("""SELECT md5(text) AS text_hash, min(doc_id) AS canonical_doc,
       count(*) AS n_copies FROM documents GROUP BY md5(text)"""))
 
-  /** q41's pair pipeline, reused by the clustering query q72.
+  /** THE shared exact near-dup pair pipeline (q41/q72/q77/q78):
+    * PPJoin-style prefix-filtered candidate generation + full
+    * intersection-count verify.
+    *
+    * Shingles get a global rarity order (ascending document
+    * frequency, shingle hash as tie-break); each doc joins only its
+    * PREFIX — the first |s| − ⌈t·|s|⌉ + 1 shingles in that order —
+    * because two sets with J ≥ t MUST share a prefix element under
+    * any common total order (prefix-filtering theorem). At 100 TB
+    * this bounds the self-join to the rarest slice of each posting
+    * list (hot template shingles never join): a shuffle bounded by
+    * Σ|prefix|·df instead of the Σdf² of a naive postings self-join,
+    * while staying EXACT — which is why q41 and q77 share one oracle.
+    * (Round 3 carried the naive join here; round 4 made the prefix
+    * path the only candidate generator — PrefixFilterSpec pins both
+    * result-parity with the naive formulation and the candidate-count
+    * reduction.)
+    *
     * Postings join on xxhash64(shingle), not the raw ~20-byte string:
     * fixed-width long keys shrink the shuffle and make the join-key
-    * comparison one word. Intersection counts are unchanged absent a
-    * 64-bit collision *within one doc pair's shingles* (P ≈ n²/2⁶⁴ per
-    * pair — negligible at any realistic shingle count). */
-  private def jaccardPairs(s: SparkSession, d: String): DataFrame = {
+    * comparison one word. Results are unchanged absent a 64-bit
+    * collision (P ≈ n²/2⁶⁴ per doc pair — negligible; the DuckDB
+    * oracle joins raw strings, so exactness vs the oracle is modulo
+    * that bound). Set sizes ride along through explode + join so the
+    * jaccard needs NO post-aggregation size joins — the grouping key
+    * (doc_a, doc_b) determines (na, nb). */
+  private[graft] def jaccardPairs(s: SparkSession, d: String,
+      t: Double = 0.6): DataFrame = {
     import s.implicits._
-    val sh = withShingles(s, d).cache()
-    // set size rides along through explode + join (two extra ints per
-    // posting) so the jaccard needs NO post-aggregation size joins —
-    // the grouping key (doc_a, doc_b) determines (na, nb), the agg key
-    // just carries them
-    val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
+    import org.apache.spark.sql.expressions.Window
+    val ex = withShingles(s, d)
+      .select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
       .select($"doc_id", $"n", xxhash64($"sh0").as("sh"))
-    // deliberately NOT cached: explode+xxhash from the cached sh is
-    // cheaper than materializing the exploded postings (measured r3:
-    // cached 1.56s vs uncached 1.45s at sf0.1 — materialization cost
-    // exceeds the recompute saving, unlike q42/q77 whose verify joins
-    // read the postings a third time)
-    ex.as("a").join(ex.as("b"),
+      .cache() // read 4×: df count, prefix ranking, both verify sides
+    val dfreq = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
+    val ranked = ex.join(dfreq, "sh")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)))
+      .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
+    val prefix = ranked.filter($"rn" <= $"plen").select($"doc_id", $"sh")
+    val cand = prefix.as("a").join(prefix.as("b"),
         $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
-        $"a.n".as("na"), $"b.n".as("nb"))
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
+    cand
+      .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
+      .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
+      .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
       .agg(count(lit(1)).as("c"))
       .select($"doc_a", $"doc_b",
         ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
-      .filter($"jaccard" >= 0.6)
+      .filter($"jaccard" >= t)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via a shingle inverted index:
-    * explode shingles → self equi-join on shingle → count common →
-    * |∩|/(|A|+|B|−|∩|) ≥ 0.6. The join is keyed (no cross product);
-    * at 100 TB add prefix filtering (join only each doc's rarest-k
-    * shingles) — the MinHash query below is that cheaper path. */
+  /** Exact n-gram Jaccard near-dup pairs:
+    * |∩|/(|A|+|B|−|∩|) ≥ 0.6 over distinct 3-word shingles, via the
+    * shared prefix-filtered pipeline ([[jaccardPairs]] — keyed joins
+    * only, no cross product, hot shingles never self-join). The
+    * oracle is the straightforward full inverted-index SQL; equality
+    * proves the prefix filter drops nothing. */
   private val jaccardDedup = Q(
     "q41_dedup_jaccard",
     (s, d) => jaccardPairs(s, d),
@@ -358,48 +382,17 @@ object DedupQueries {
         SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
       SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
 
-  /** Exact prefix-filtered Jaccard (the PPJoin family): same result
-    * set as q41, scale-optimal candidate generation. Shingles get a
-    * global rarity order (ascending document frequency, shingle hash
-    * as tie-break); each doc joins only its PREFIX — the first
-    * |s| − ⌈t·|s|⌉ + 1 shingles in that order — because two sets with
-    * J ≥ t MUST share a prefix element under any common total order
-    * (prefix-filtering theorem). Candidates then verify with the full
-    * intersection count. At 100 TB this bounds the self-join to the
-    * rarest slice of each posting list (hot shingles never join), the
-    * difference between a shuffle bounded by Σ|prefix|·df and one
-    * bounded by Σ df² — while staying EXACT, unlike MinHash (q42).
-    * Oracle: identical SQL to q41 — equality proves exactness, modulo
-    * the 2⁻⁶⁴ xxhash64 shingle-collision bound documented at
-    * [[jaccardPairs]] (the oracle joins raw shingle strings; the
-    * engine joins their 64-bit hashes). */
+  /** Exact prefix-filtered Jaccard (the PPJoin family) — since round
+    * 4 this IS [[jaccardPairs]] (the prefix filter became the one
+    * shared candidate generator for q41/q72/q77/q78); the entry stays
+    * registered under its own id as the named PPJoin surface.
+    * Oracle: identical SQL to q41 — equality proves the prefix filter
+    * is exact, modulo the 2⁻⁶⁴ xxhash64 shingle-collision bound
+    * documented at [[jaccardPairs]] (the oracle joins raw shingle
+    * strings; the engine joins their 64-bit hashes). */
   private val jaccardPrefix = Q(
     "q77_jaccard_prefix_filter",
-    (s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val t = 0.6
-      val sh = withShingles(s, d).cache()
-      val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
-        .select($"doc_id", $"n", xxhash64($"sh0").as("sh")).cache()
-      val dfreq = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
-      val ranked = ex.join(dfreq, "sh")
-        .withColumn("rn", row_number().over(
-          Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)))
-        .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
-      val prefix = ranked.filter($"rn" <= $"plen").select($"doc_id", $"sh")
-      val cand = prefix.as("a").join(prefix.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      cand
-        .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
-        .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
-        .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
-        .agg(count(lit(1)).as("c"))
-        .select($"doc_a", $"doc_b",
-          ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
-        .filter($"jaccard" >= t)
-    },
+    (s, d) => jaccardPairs(s, d),
     Some(s"""$shingleCte,
       sizes AS (SELECT doc_id, len(sset) n FROM sh),
       ex AS (SELECT doc_id, unnest(sset) s FROM sh),
