@@ -195,9 +195,20 @@ object ExtendedQueries {
   /** Sketch family (with q07's HLL++): Apache DataSketches HLL and
     * approx_top_k frequent-items per language. Sketches are the 100 TB
     * answer to distinct/top-k — fixed-size mergeable state through the
-    * partial/final agg instead of per-key exact state. Sketch internals
-    * differ per engine, so (like q07) this records a rows-only check;
-    * the exact countDistinct rides along as a sanity anchor. */
+    * partial/final agg instead of per-key exact state.
+    *
+    * Unlike q07 (whose HLL++ runs in its estimating regime), BOTH
+    * sketches here are provably in their EXACT regime on this data —
+    * the per-language vocabulary (~31 words) is far below the
+    * DataSketches lgK=14 coupon threshold and the approx_top_k
+    * capacity (50 000 tracked items), so the estimates are not
+    * approximations but exact values, and the row hash-checks against
+    * a plain-SQL oracle: hll_distinct = count(DISTINCT word), and the
+    * sketch's top-10 count list (sorted desc — count MULTISET, so
+    * engine-specific tie order between equal-count words can't flip
+    * the compare) = the exact top-10 count list. SketchBoundSpec
+    * additionally pins sketch-vs-exact equality with the raw values
+    * in view. */
   private val sketchTopK = Q(
     "q85_sketch_topk",
     (s, d) => {
@@ -206,11 +217,18 @@ object ExtendedQueries {
         .select($"lang", explode(split(trim($"text"), "\\s+")).as("word"))
         .groupBy($"lang")
         .agg(
-          to_json(expr("approx_top_k(word, 10, 50000)")).as("topk"),
+          to_json(reverse(array_sort(
+            expr("transform(approx_top_k(word, 10, 50000), x -> x.count)"))))
+            .as("topk_counts"),
           expr("hll_sketch_estimate(hll_sketch_agg(word, 14))").as("hll_distinct"),
           countDistinct($"word").as("exact_distinct"))
     },
-    None)
+    Some("""WITH w AS (SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents),
+      c AS (SELECT lang, word, count(*) AS cnt FROM w GROUP BY lang, word)
+      SELECT lang, to_json((list(cnt ORDER BY cnt DESC))[1:10]) AS topk_counts,
+        count(*) AS hll_distinct, count(*) AS exact_distinct
+      FROM c GROUP BY lang"""))
 
   /** Ordered funnel (view → click → purchase): per user, the earliest
     * qualifying timestamp of each step STRICTLY AFTER the previous

@@ -212,8 +212,15 @@ object RelationalQueries {
     Some("""SELECT event_type, count(DISTINCT user_id) AS user_count,
       count(*) AS n_events FROM events GROUP BY event_type"""))
 
-  /** Approximate distinct (HLL++) — the 100TB-scale path for A3/A4 counts.
-    * No DuckDB oracle (sketch internals differ); driver does rows-only check. */
+  /** Approximate distinct (HLL++) — the 100TB-scale path for A3/A4
+    * counts. Sketch registers are engine-specific, so the registered
+    * output carries the CHECKABLE form: the exact anchor plus a
+    * relative-error bound verdict on the sketch (|hll − exact| ≤ 5%
+    * of exact — the default-rsd envelope; measured ≤ 2.7% on every
+    * fixture SF, SketchBoundSpec pins the raw error). The oracle
+    * computes the anchor and asserts the bound verdict is `true`, so
+    * this row is hash-checked like any other query rather than
+    * rows-only. */
   private val approxDistinct = Q(
     "q07_approx_distinct",
     (s, d) => {
@@ -223,8 +230,12 @@ object RelationalQueries {
         .agg(
           approx_count_distinct($"l_partkey").as("approx_parts"),
           countDistinct($"l_partkey").as("exact_parts"))
+        .select($"l_returnflag", $"exact_parts",
+          (abs($"approx_parts" - $"exact_parts")
+            <= $"exact_parts" * 0.05).as("hll_within_5pct"))
     },
-    None)
+    Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+      true AS hll_within_5pct FROM lineitem GROUP BY l_returnflag"""))
 
   /** Row-local array aggregation via higher-order functions (A5 analogue:
     * per-row sum over nested map values, `SuspiciousIDs.java:100-107`) —
@@ -663,10 +674,14 @@ object RelationalQueries {
       WHERE p_retailprice > (SELECT avg(p2.p_retailprice) * 1.2
                              FROM part p2 WHERE p2.p_brand = p.p_brand)"""))
 
-  /** Approximate quantiles (t-digest/GK sketch) — the 100 TB path for
-    * q63's exact percentiles; sketch internals are engine-specific so
-    * the driver records a rows-only check (like q07's HLL). The exact
-    * p50 rides along as a sanity anchor. */
+  /** Approximate quantiles (GK sketch, accuracy 1000) — the 100 TB
+    * path for q63's exact percentiles. Like q07, the registered
+    * output is the CHECKABLE form: exact anchors for p50/p95/p99 plus
+    * a relative-error bound verdict on the sketch (each approx within
+    * 1% of its exact anchor — GK's rank-error 1/accuracy = 0.1%
+    * translates to ≤ 0.27% value error measured on every fixture SF;
+    * SketchBoundSpec pins the raw errors). Oracle: quantile_cont
+    * anchors + `true`, so the row hash-checks. */
   private val approxQuantiles = Q(
     "q65_approx_quantiles",
     (s, d) => {
@@ -674,13 +689,23 @@ object RelationalQueries {
       T.lineitem(s, d)
         .groupBy($"l_returnflag")
         .agg(
-          // serialized: the driver sorts output rows in pandas even for
-          // rows-only checks — raw array cells would crash that sort
-          to_json(expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)"))
-            .as("approx_p"),
-          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"))
+          expr("approx_percentile(l_extendedprice, array(0.5, 0.95, 0.99), 1000)")
+            .as("a"),
+          expr("percentile(l_extendedprice, 0.5)").as("exact_p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("exact_p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("exact_p99"))
+        .select($"l_returnflag", $"exact_p50", $"exact_p95", $"exact_p99",
+          (abs($"a" (0) - $"exact_p50") <= $"exact_p50" * 0.01 &&
+            abs($"a" (1) - $"exact_p95") <= $"exact_p95" * 0.01 &&
+            abs($"a" (2) - $"exact_p99") <= $"exact_p99" * 0.01)
+            .as("gk_within_1pct"))
     },
-    None)
+    Some("""SELECT l_returnflag,
+      quantile_cont(l_extendedprice, 0.5) AS exact_p50,
+      quantile_cont(l_extendedprice, 0.95) AS exact_p95,
+      quantile_cont(l_extendedprice, 0.99) AS exact_p99,
+      true AS gk_within_1pct
+      FROM lineitem GROUP BY l_returnflag"""))
 
   /** Revenue expression shared by the TPC-H-classic trio (q97–q99):
     * decimal-exact in BOTH engines so revenue ordering at a LIMIT
