@@ -26,22 +26,34 @@ object SimilarityQueries {
 
   /** The broadcast sides below (query set, IVF centroids) are derived
     * as `vec_id % 50` — 2% of the CORPUS, so they grow with it and
-    * would break the broadcast silently at 100 TB. Make the smallness
-    * assumption explicit: a distributed count (one pruned scan of the
-    * cached side) gates the broadcast and fails with a clear error
-    * past the cap instead of OOMing executors. At real scale the fix
-    * is sharding the query set (many small broadcast batches) or the
-    * bucketed paths (q46/q47) with a fixed-size probe set. */
+    * would break a naive broadcast silently at 100 TB. Round 3 made
+    * the smallness assumption a hard guard (fail loudly past the
+    * cap); round 4 replaces refusal with the real scale path:
+    * CHUNKED broadcast. A distributed count (one pruned scan) sizes
+    * the side; past the cap it splits into ⌈n/cap⌉ hash-chunks, each
+    * broadcast separately, and callers union the per-chunk results
+    * BEFORE any cross-chunk ranking window — so the result is
+    * identical to the single-broadcast plan (the union covers the
+    * whole small side; top-k ranks across all chunks). Executor
+    * memory is bounded by the cap per in-flight chunk while total
+    * compute stays the same O(n·|Q|) the exact algorithm costs —
+    * chunking fixes memory, not work; the cheaper-work paths remain
+    * q46/q47's bucketed candidates. */
   private val DefaultMaxBroadcastRows = 500000L
-  private[graft] def guardedBroadcast(df: org.apache.spark.sql.DataFrame, what: String) = {
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+  private[graft] def broadcastChunks(df: org.apache.spark.sql.DataFrame,
+      keyCol: org.apache.spark.sql.Column, what: String): Seq[org.apache.spark.sql.DataFrame] = {
     val cap = df.sparkSession.conf
       .getOption("graft.maxBroadcastRows").map(_.toLong)
       .getOrElse(DefaultMaxBroadcastRows)
     val n = df.count()
-    require(n <= cap,
-      s"$what has $n rows (cap $cap) — too large to broadcast; " +
-        "shard the query set or use the bucketed q46/q47 paths")
-    broadcast(df)
+    if (n <= cap) Seq(broadcast(df))
+    else {
+      val nch = math.ceil(n.toDouble / cap).toInt
+      log.warn(s"$what has $n rows (cap $cap) — chunked broadcast, $nch chunks")
+      (0 until nch).map(i =>
+        broadcast(df.filter(pmod(xxhash64(keyCol), lit(nch)) === i)))
+    }
   }
 
   /** ±1 hyperplane weights from md5 parity of "plane|dim" — single
@@ -61,8 +73,10 @@ object SimilarityQueries {
 
   /** Exact brute-force cosine top-5 for each query vector
     * (vec_id % 50 == 0 — the query set grows with the table).
-    * Query side is broadcast; big side is scanned once, row-local dot
-    * products, then a per-query top-k window over |Q|·n rows. */
+    * Query side is broadcast (chunked past the cap — see
+    * [[broadcastChunks]]); big side is scanned once per chunk,
+    * row-local dot products, then a per-query top-k window across all
+    * chunks' |Q|·n rows. */
   private val bruteForceTopK = Q(
     "q45_ann_bruteforce",
     (s, d) => {
@@ -71,10 +85,12 @@ object SimilarityQueries {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-      val scored = e.crossJoin(guardedBroadcast(qset, "ANN query set"))
-        .filter($"vec_id" =!= $"q_vec")
-        .select($"q_vec", $"vec_id",
-          Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
+      val scored = broadcastChunks(qset, $"q_vec", "ANN query set")
+        .map(q => e.crossJoin(q)
+          .filter($"vec_id" =!= $"q_vec")
+          .select($"q_vec", $"vec_id",
+            Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
+        .reduce(_ union _)
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
@@ -108,10 +124,12 @@ object SimilarityQueries {
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"),
           $"nrm".as("q_nrm"), $"bucket")
-      val scored = e.join(guardedBroadcast(qset, "ANN query set"), Seq("bucket"))
-        .filter($"vec_id" =!= $"q_vec")
-        .select($"q_vec", $"vec_id",
-          Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
+      val scored = broadcastChunks(qset, $"q_vec", "ANN query set")
+        .map(q => e.join(q, Seq("bucket"))
+          .filter($"vec_id" =!= $"q_vec")
+          .select($"q_vec", $"vec_id",
+            Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
+        .reduce(_ union _)
       scored
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
@@ -149,23 +167,29 @@ object SimilarityQueries {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
       val cents = e.filter($"vec_id" % 50 === 1)
         .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
-      val centsB = guardedBroadcast(cents, "IVF centroid set")
-      // cell assignment: best centroid per vector (rank over broadcast cross)
+      val centChunks = broadcastChunks(cents, $"cid", "IVF centroid set")
+      // cell assignment: best centroid per vector — the rank window
+      // runs over the UNION of all chunks, so chunking can't change
+      // which centroid wins
       val wAssign = Window.partitionBy($"vec_id")
         .orderBy($"c_cos".desc, $"cid".asc)
-      val assigned = e.crossJoin(centsB)
-        .select($"vec_id", $"embedding", $"nrm", $"cid",
-          Vectors.cosineWithNorms($"embedding", $"c_emb", $"nrm", $"c_nrm").as("c_cos"))
+      val assigned = centChunks
+        .map(c => e.crossJoin(c)
+          .select($"vec_id", $"embedding", $"nrm", $"cid",
+            Vectors.cosineWithNorms($"embedding", $"c_emb", $"nrm", $"c_nrm").as("c_cos")))
+        .reduce(_ union _)
         .withColumn("rn", row_number().over(wAssign))
         .filter($"rn" === 1)
         .select($"vec_id", $"embedding", $"nrm", $"cid")
       // queries probe nprobe=2 cells
       val wProbe = Window.partitionBy($"q_vec").orderBy($"c_cos".desc, $"cid".asc)
-      val probes = e.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
-        .crossJoin(centsB)
-        .select($"q_vec", $"q_emb", $"q_nrm", $"cid",
-          Vectors.cosineWithNorms($"q_emb", $"c_emb", $"q_nrm", $"c_nrm").as("c_cos"))
+      val probes = centChunks
+        .map(c => e.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
+          .crossJoin(c)
+          .select($"q_vec", $"q_emb", $"q_nrm", $"cid",
+            Vectors.cosineWithNorms($"q_emb", $"c_emb", $"q_nrm", $"c_nrm").as("c_cos")))
+        .reduce(_ union _)
         .withColumn("rn", row_number().over(wProbe))
         .filter($"rn" <= 2)
         .select($"q_vec", $"q_emb", $"q_nrm", $"cid")

@@ -3,10 +3,11 @@ package graft
 import graft.ops.PredictionPipeline
 import org.scalatest.funsuite.AnyFunSuite
 
-/** The size guards must actually fire: an unbounded broadcast side or
-  * side-input collect should fail loudly, not OOM silently at scale.
-  * Caps are lowered via session conf so the failure path runs on
-  * fixture-sized data. */
+/** The size guards must hold at scale: an over-cap broadcast side
+  * falls back to chunked broadcast (round 4 — same results, bounded
+  * executor memory), and an unbounded side-input collect still fails
+  * loudly rather than OOMing. Caps are lowered via session conf so
+  * the over-cap regime runs on fixture-sized data. */
 class GuardSpec extends AnyFunSuite with SparkSpec {
 
   private val sf =
@@ -17,13 +18,28 @@ class GuardSpec extends AnyFunSuite with SparkSpec {
     try f finally spark.conf.unset(key)
   }
 
-  test("q45 refuses to broadcast a query set over the cap") {
+  private def rows(name: String): Set[String] =
+    QueryRegistry.byName(name).fn(spark, sf)
+      .collect().map(_.mkString("|")).toSet
+
+  test("q45/q46/q47 chunked-broadcast fallback matches the single-broadcast result") {
+    assume(new java.io.File(sf).isDirectory)
+    for (q <- Seq("q45_ann_bruteforce", "q46_ann_lsh", "q47_ann_ivf")) {
+      val whole = rows(q)
+      val chunked = withConf("graft.maxBroadcastRows", "3")(rows(q))
+      assert(whole.nonEmpty, s"$q: empty result")
+      assert(chunked === whole, s"$q: chunked regime diverged")
+    }
+  }
+
+  test("over-cap q45 plan is a union of per-chunk broadcasts") {
     assume(new java.io.File(sf).isDirectory)
     withConf("graft.maxBroadcastRows", "3") {
-      val e = intercept[IllegalArgumentException] {
-        QueryRegistry.byName("q45_ann_bruteforce").fn(spark, sf).collect()
-      }
-      assert(e.getMessage.contains("too large to broadcast"))
+      val plan = QueryRegistry.byName("q45_ann_bruteforce").fn(spark, sf)
+        .queryExecution.sparkPlan.toString
+      assert(plan.contains("Union"), "expected per-chunk union in the plan")
+      assert("BroadcastNestedLoopJoin|BroadcastExchange".r
+        .findAllIn(plan).size >= 2, "expected multiple broadcast chunks")
     }
   }
 
