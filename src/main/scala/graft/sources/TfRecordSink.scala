@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.Dataset
+
+/** TFRecord(.gz) WRITE side — the export half of the reference's
+  * interchange story (its IO layer reads and writes the format,
+  * `utils/IOUtils.java:15-19`; training-data export commonly targets
+  * tfrecord shards alongside [[graft.io.ShardWriter]]'s parquet).
+  *
+  * One output file per partition: gzip members are non-splittable, so
+  * file count = read-side parallelism — the exact mirror of
+  * [[TfRecordSource]]'s one-task-per-file read. Size the partitioning
+  * upstream (`repartition(n)` / [[graft.io.ShardWriter]]-style byte
+  * balancing) to pick the shard layout; each task streams its records
+  * through [[TfRecordSource.writeFrame]] (same CRC32C framing the
+  * read side verifies — round-trip is bit-exact, TfRecordSpec).
+  * Nothing is collected to the driver beyond one count per file.
+  */
+object TfRecordSink {
+
+  /** @return (filesWritten, recordsWritten) */
+  def write(records: Dataset[Array[Byte]], dir: String,
+      gzip: Boolean = true): (Int, Long) = {
+    val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    val counts = records.rdd.mapPartitionsWithIndex { (idx, it) =>
+      if (it.isEmpty) Iterator.empty
+      else {
+        val p = new Path(dir, f"part-$idx%05d$ext")
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val raw: java.io.OutputStream = fs.create(p, true)
+        val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
+        var n = 0L
+        try it.foreach { r => TfRecordSource.writeFrame(out, r); n += 1 }
+        finally out.close()
+        Iterator.single(n)
+      }
+    }.collect()
+    (counts.length, counts.sum)
+  }
+}

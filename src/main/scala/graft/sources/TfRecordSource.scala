@@ -94,21 +94,27 @@ object TfRecordSource {
       }
   }
 
-  /** Local writer (fixtures/tests; the engine's sinks are S3/S4/S5). */
+  /** Frame ONE record (`uint64 len | crc(len) | bytes | crc(bytes)`) —
+    * the single encoder shared by [[writeLocal]] and the distributed
+    * [[TfRecordSink]], so write-side framing can never drift from the
+    * read-side verification above. */
+  def writeFrame(out: java.io.OutputStream, r: Array[Byte]): Unit = {
+    val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(r.length.toLong)
+    val lenHdr = bb.array()
+    out.write(lenHdr)
+    writeLe32(out, maskedCrc(lenHdr, 0, 8))
+    out.write(r)
+    writeLe32(out, maskedCrc(r, 0, r.length))
+  }
+
+  /** Local writer (fixtures/tests; the distributed sink is
+    * [[TfRecordSink]]). */
   def writeLocal(records: Seq[Array[Byte]], file: java.io.File, gzip: Boolean): Unit = {
     val fout = new java.io.FileOutputStream(file)
     val out = if (gzip) new java.util.zip.GZIPOutputStream(fout) else fout
-    try {
-      val bb = java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      records.foreach { r =>
-        bb.clear(); bb.putLong(r.length.toLong)
-        val lenHdr = bb.array().clone()
-        out.write(lenHdr)
-        writeLe32(out, maskedCrc(lenHdr, 0, 8))
-        out.write(r)
-        writeLe32(out, maskedCrc(r, 0, r.length))
-      }
-    } finally out.close()
+    try records.foreach(writeFrame(out, _))
+    finally out.close()
   }
 
   private def writeLe32(out: java.io.OutputStream, v: Int): Unit = {

@@ -31,6 +31,32 @@ class TfRecordSpec extends AnyFunSuite with SparkSpec {
     assert(dps.count() == 4) // golden expectation of corpus 07
   }
 
+  test("distributed TfRecordSink round-trips bit-exact (gzip and plain)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // golden protos + random blobs of varied size, incl. a zero-length
+    // record (the framing must carry it: len=0, crc of empty payload)
+    val recs = corpusBytes ++
+      (1 to 40).map(i => Array.fill(rnd.nextInt(2000))(rnd.nextInt().toByte)) :+
+      Array.emptyByteArray
+    val want = recs.map(java.util.Base64.getEncoder.encodeToString).sorted
+    for (gzip <- Seq(true, false)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"tfsink-$gzip").toString
+      val ds = spark.createDataset(recs).repartition(3)
+      val (files, n) = graft.sources.TfRecordSink.write(ds, dir, gzip = gzip)
+      assert(n == recs.size.toLong)
+      assert(files == 3, "one shard per non-empty partition")
+      val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+      // ignore Hadoop LocalFS .crc sidecars
+      assert(new java.io.File(dir).listFiles()
+        .filterNot(_.getName.startsWith("."))
+        .forall(_.getName.endsWith(ext)))
+      val got = TfRecordSource.read(spark, s"$dir/part-*")
+        .collect().map(java.util.Base64.getEncoder.encodeToString).sorted
+      assert(got.toSeq === want, s"gzip=$gzip round-trip diverged")
+    }
+  }
+
   test("CRC corruption is detected") {
     val tmp = java.nio.file.Files.createTempDirectory("tfrec-bad").toFile
     val f = new java.io.File(tmp, "bad.tfrecord")
