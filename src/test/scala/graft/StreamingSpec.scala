@@ -3,6 +3,7 @@ package graft
 import graft.streaming.StreamingOps
 import graft.streaming.StreamingOps.Ev
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.expr
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -57,6 +58,43 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(!(kept.contains(1L) && kept.contains(2L)), "fingerprint twins must collapse")
       assert(kept.contains(3L), "distinct doc must survive")
       assert(kept.contains(4L) ^ kept.contains(5L), "short exact twins must collapse to one")
+    } finally q.stop()
+  }
+
+  test("banded streaming near-dup: hamming<=10 near-twin suppressed across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight while stars shine bright above the quiet hills tonight"
+    val b = "the quick brown fox jumps over the lazy dog and runs far away home tonight while mouse shine bright above the quiet hills tonight"
+    val c = "completely different words entirely here now with nothing shared at all today"
+    // precondition: b is a NEAR twin of a (0 < hamming <= 10 — the case
+    // the fingerprint-equality dedup can't catch), c is far from both
+    def fp(t: String): Long = spark.createDataset(Seq(t)).toDF("text")
+      .select(expr("simhash60(word_shingles(text, 3))")).as[Long].head()
+    val hamAB = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(hamAB > 0 && hamAB <= 10, s"fixture texts: hamming(a,b)=$hamAB not in (0,10]")
+    assert(java.lang.Long.bitCount(fp(a) ^ fp(c)) > 10, "fixture texts: c too close to a")
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.nearDedupStreamBanded(df, "text", "doc_id", "30 minutes")
+      .writeStream.format("memory").queryName("banded_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(1), 1L, a), (t(2), 10L, "xy"))
+      q.processAllAvailable() // batch 1: originals claim their buckets
+      in.addData((t(3), 2L, b), (t(4), 3L, c), (t(5), 11L, "xy"))
+      q.processAllAvailable() // batch 2: near-twin + distinct + short twin
+      in.addData((t(120), 99L, "watermark flush row"))
+      q.processAllAvailable() // push the watermark past batch-1/2 windows
+      val kept = spark.table("banded_dedup").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L), "original must be retained")
+      assert(!kept.contains(2L), "hamming<=10 near-twin must be suppressed cross-batch")
+      assert(kept.contains(3L), "distinct doc must survive")
+      assert(kept.contains(10L) && !kept.contains(11L),
+        "short docs: exact twin suppressed via the text bucket")
     } finally q.stop()
   }
 
