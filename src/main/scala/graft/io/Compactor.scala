@@ -12,7 +12,17 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * part of the contract) and swaps it in place atomically-enough for
   * a single-writer pipeline (write sibling `.compact-tmp`, move the
   * original aside, move tmp in, drop the backup — a failure at any
-  * step leaves a complete copy on disk).
+  * step leaves a complete copy on disk). A completed compaction
+  * leaves `_compaction_manifest.json` inside the directory (files
+  * before/after, bytes, target, wall-clock stamp) so operators can
+  * audit what ran without trawling job logs.
+  *
+  * Filesystem contract: the swap is two `rename`s of SIBLING paths,
+  * so it needs rename within one filesystem/bucket — true on HDFS,
+  * local FS, and S3A within a bucket (where rename is a copy but
+  * still safe here: the backup ordering never leaves zero copies).
+  * Compacting ACROSS filesystems is not supported — write to a
+  * sibling and distcp instead.
   */
 object Compactor {
 
@@ -42,6 +52,13 @@ object Compactor {
     require(fs.rename(tmp, path), s"compaction rename failed for $dir — original preserved at $backup")
     fs.delete(backup, true)
     val after = fs.listStatus(path).count(_.getPath.getName.startsWith("part-"))
+    val manifest =
+      s"""{"files_before":${parts.length},"files_after":$after,""" +
+        s""""bytes":$totalBytes,"target_file_bytes":$targetFileBytes,""" +
+        s""""compacted_at_ms":${System.currentTimeMillis}}"""
+    val mOut = fs.create(new Path(path, "_compaction_manifest.json"), true)
+    try mOut.write(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally mOut.close()
     (parts.length, after)
   }
 }

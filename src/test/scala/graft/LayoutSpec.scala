@@ -8,10 +8,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * selective dim-side filter. */
 class LayoutSpec extends AnyFunSuite with SparkSpec {
 
+  private val sf =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
+
   test("partitionBy write + static partition pruning") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-part").toString
-    Tables.events(spark, "/root/testdata/sf0.001")
+    Tables.events(spark, sf)
       .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
 
     val dirs = new java.io.File(tmp).listFiles().filter(_.isDirectory).map(_.getName)
@@ -21,7 +24,7 @@ class LayoutSpec extends AnyFunSuite with SparkSpec {
     val scan = q.queryExecution.executedPlan.toString
     assert(scan.contains("PartitionFilters") && scan.contains("event_type"),
       s"partition filter must be pushed:\n$scan")
-    val expected = Tables.events(spark, "/root/testdata/sf0.001")
+    val expected = Tables.events(spark, sf)
       .filter($"event_type" === "click").count()
     assert(q.count() == expected)
   }

@@ -88,6 +88,14 @@ class SinksSpec extends AnyFunSuite with SparkSpec {
     assert(after < before && after >= 1, s"$before -> $after")
     val back = spark.read.parquet(out).as[(Long, String)].collect().toSet
     assert(back == (1 to 2000).map(i => (i.toLong, s"row $i")).toSet, "content changed")
+    // a completed compaction leaves an audit manifest in the directory
+    // (underscore-prefixed: invisible to parquet reads, like _SUCCESS)
+    val mf = new java.io.File(out, "_compaction_manifest.json")
+    assert(mf.isFile, "compaction must leave _compaction_manifest.json")
+    val mjson = new String(java.nio.file.Files.readAllBytes(mf.toPath), "UTF-8")
+    assert(mjson.contains("\"files_before\":64"))
+    assert(mjson.contains(s""""files_after":$after"""))
+    assert(mjson.contains("\"bytes\":") && mjson.contains("\"compacted_at_ms\":"))
     // idempotent: already-compact directory is untouched
     val (b2, a2) = graft.io.Compactor.compact(spark, out)
     assert(b2 == a2)
