@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingles}
+import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -36,6 +36,9 @@ object GraftExtensions {
     (FunctionIdentifier("word_shingles"),
       new ExpressionInfo(classOf[WordShingles].getName, "word_shingles"),
       (args: Seq[Expression]) => WordShingles(args(0), args(1))),
+    (FunctionIdentifier("word_shingle_hashes"),
+      new ExpressionInfo(classOf[WordShingleHashes].getName, "word_shingle_hashes"),
+      (args: Seq[Expression]) => WordShingleHashes(args(0), args(1))),
     (FunctionIdentifier("word_counts"),
       new ExpressionInfo(classOf[WordCounts].getName, "word_counts"),
       (args: Seq[Expression]) => WordCounts(args.head)),

@@ -96,6 +96,48 @@ case class WordCounts(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused shingle-and-hash: `word_shingle_hashes(text, n) →
+  * array<bigint>`, the xxhash64 (seed 42 — SQL `xxhash64()` parity,
+  * via [[org.apache.spark.sql.catalyst.expressions.XxHash64Function]])
+  * of each DISTINCT n-word shingle, first-occurrence order.
+  *
+  * Bit-identical to
+  * `transform(word_shingles(text, n), x -> xxhash64(x))` (ExpressionSpec)
+  * — but that HOF interprets its lambda per shingle (measured 2.4 s
+  * to hash the sf0.1 corpus vs 0.5 s for codegen'd hashing); this is
+  * one JIT loop per row and never materializes the shingle strings
+  * as a column. The dedup family's posting pipelines (q41/q72/q77/
+  * q78) only ever need the hashes. */
+case class WordShingleHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, IntegerType) if right.foldable =>
+        right.eval() match {
+          case n: java.lang.Integer if n >= 1 => TypeCheckResult.TypeCheckSuccess
+          case n => TypeCheckResult.TypeCheckFailure(
+            s"word_shingle_hashes requires n >= 1, got $n")
+        }
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_shingle_hashes requires (string, int literal), got $other")
+    }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "word_shingle_hashes"
+
+  override protected def nullSafeEval(text: Any, n: Any): Any =
+    WordShinglesImpl.hashes(text.asInstanceOf[UTF8String], n.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, n) =>
+      s"${ev.value} = graft.functions.WordShinglesImpl.hashes($t, $n);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): WordShingleHashes =
+    copy(left = newLeft, right = newRight)
+}
+
 object WordShinglesImpl {
   // Spark's split(str, regex) delegates to Java's Pattern.split with
   // limit -1; reusing the same compiled pattern reproduces it exactly.
@@ -117,6 +159,20 @@ object WordShinglesImpl {
       out(k) = org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(e.getKey), e.getValue)
       k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Same distinct-shingle walk as [[compute]], emitting SQL-parity
+    * xxhash64 longs instead of strings. */
+  def hashes(text: UTF8String, n: Int): ArrayData = {
+    val shingles = compute(text, n)
+    val out = new Array[Long](shingles.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(shingles.getUTF8String(i), StringType, 42L)
+      i += 1
     }
     new GenericArrayData(out)
   }

@@ -87,36 +87,81 @@ object DedupQueries {
     * result-parity with the naive formulation and the candidate-count
     * reduction.)
     *
-    * Postings join on xxhash64(shingle), not the raw ~20-byte string:
-    * fixed-width long keys shrink the shuffle and make the join-key
-    * comparison one word. Results are unchanged absent a 64-bit
-    * collision (P ≈ n²/2⁶⁴ per doc pair — negligible; the DuckDB
-    * oracle joins raw strings, so exactness vs the oracle is modulo
-    * that bound). Set sizes ride along through explode + join so the
-    * jaccard needs NO post-aggregation size joins — the grouping key
-    * (doc_a, doc_b) determines (na, nb). */
+    * Shingles travel as xxhash64 longs, not the raw ~20-byte strings:
+    * fixed-width keys shrink every shuffle and make comparisons one
+    * word. Results are unchanged absent a 64-bit collision
+    * (P ≈ n²/2⁶⁴ per doc pair — negligible; the DuckDB oracle joins
+    * raw strings, so exactness vs the oracle is modulo that bound).
+    *
+    * Two measured cost reductions vs the textbook formulation:
+    *  - ONLY df ≥ 2 postings are ranked and joined. A df = 1 shingle
+    *    can never match another doc, but under the (df asc, sh asc)
+    *    rarity order every df = 1 shingle sorts before every df ≥ 2
+    *    shingle — so a df ≥ 2 shingle's global prefix rank is just
+    *    (doc's df = 1 count) + (rank among the doc's df ≥ 2
+    *    shingles), and the heavy join/window shuffles carry only the
+    *    df ≥ 2 slice (on a mostly-unique-shingle corpus, a small
+    *    fraction of the postings — the full postings shuffle exactly
+    *    once, for the df count itself);
+    *  - verification is row-local: candidates join the per-doc
+    *    HASHED SHINGLE ARRAY (one row per doc, not one per posting)
+    *    and the intersection is `array_intersect` inside codegen —
+    *    the shuffle carries |candidates| + 2·|docs| rows instead of
+    *    re-exploding the full postings twice. */
   private[graft] def jaccardPairs(s: SparkSession, d: String,
       t: Double = 0.6): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val ex = withShingles(s, d)
-      .select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
-      .select($"doc_id", $"n", xxhash64($"sh0").as("sh"))
-      .cache() // read 4×: df count, prefix ranking, both verify sides
-    val dfreq = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
-    val ranked = ex.join(dfreq, "sh")
-      .withColumn("rn", row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)))
+    graft.GraftExtensions.ensureRegistered(s)
+    // fused native shingle+hash: one JIT loop per row (the
+    // transform(..., x -> xxhash64(x)) HOF form interprets its lambda
+    // per shingle — measured ~5× slower). Deliberately NOT cached:
+    // hs is read 3× (postings + both verify sides) but recomputing the
+    // native expression beats materializing fat array columns through
+    // the in-memory store (measured at sf0.1: uncached 2.7 s
+    // end-to-end vs 3.1-3.4 s cached — same finding as round 3's
+    // postings-cache experiment at this site). Also keep size() OUT of
+    // this projection: collapsed projections evaluate the expression
+    // once per derived column; sizes are O(1) reads downstream.
+    val hs = T.documents(s, d)
+      .filter(size(split(trim($"text"), "\\s+")) >= 3)
+      .select($"doc_id", expr("word_shingle_hashes(text, 3)").as("hset"))
+    val ex = hs.select($"doc_id", size($"hset").as("n"), explode($"hset").as("sh"))
+    val dfreq2 = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" >= 2)
+    val byDoc = Window.partitionBy($"doc_id")
+    val ranked = ex.join(dfreq2, "sh") // inner: df >= 2 postings only
+      .withColumn("r2", row_number().over(
+        byDoc.orderBy($"df".asc, $"sh".asc)))
+      .withColumn("n2", count(lit(1)).over(byDoc))
       .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
-    val prefix = ranked.filter($"rn" <= $"plen").select($"doc_id", $"sh")
+    // global rank = (n - n2) df=1 shingles sorting first + r2
+    val prefix = ranked
+      .withColumn("pos", $"n" - $"n2" + $"r2")
+      .filter($"pos" <= $"plen")
+      .select($"doc_id", $"sh", $"n", $"pos")
+    // PPJoin's two other EXACT pruning predicates ride on the join
+    // (necessary conditions of J >= t — the oracle equality stays the
+    // correctness proof):
+    //  - length filter: |A∩B| <= min(na,nb) and J >= t force
+    //    min >= t·max;
+    //  - positional filter: a prefix match at positions (pa, pb)
+    //    bounds the intersection by 1 + min(na−pa, nb−pb), which must
+    //    reach alpha = ceil(t/(1+t)·(na+nb)).
+    // Measured at sf0.1: 299k -> 69k candidate pairs (~4.4x) on a
+    // corpus whose uniform doc lengths mute the length filter; the
+    // positional filter is the one doing the cutting.
     val cand = prefix.as("a").join(prefix.as("b"),
-        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id"
+          && least($"a.n", $"b.n") >= lit(t) * greatest($"a.n", $"b.n")
+          && lit(1) + least($"a.n" - $"a.pos", $"b.n" - $"b.pos")
+            >= ceil(lit(t) / (1 + t) * ($"a.n" + $"b.n")))
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
     cand
-      .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
-      .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
-      .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
-      .agg(count(lit(1)).as("c"))
+      .join(hs.select($"doc_id".as("doc_a"), size($"hset").as("na"), $"hset".as("ha")), "doc_a")
+      .join(hs.select($"doc_id".as("doc_b"), size($"hset").as("nb"), $"hset".as("hb")), "doc_b")
+      .select($"doc_a", $"doc_b", $"na", $"nb",
+        size(array_intersect($"ha", $"hb")).as("c"))
       .select($"doc_a", $"doc_b",
         ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
       .filter($"jaccard" >= t)

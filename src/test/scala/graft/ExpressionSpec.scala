@@ -156,6 +156,26 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     assert(spark.sql("SELECT word_shingles('tiny', 3)").head.getSeq[String](0).isEmpty)
   }
 
+  test("word_shingle_hashes == transform(word_shingles, xxhash64) (codegen + interpreted)") {
+    GraftExtensions.ensureRegistered(spark)
+    import spark.implicits._
+    val tricky = docs.union(Seq(
+      (5L, "\tx y z w\t"),
+      (6L, "a  b   c a  b   c"),
+      (7L, " padded   with spaces ")
+    ).toDF("doc_id", "text"))
+    val q = tricky.select(
+      expr("word_shingle_hashes(text, 3)").as("native"),
+      expr("transform(word_shingles(text, 3), x -> xxhash64(x))").as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      val rows = q.collect()
+      assert(rows.length >= 7)
+      rows.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"codegen=$cg")
+      }
+    }
+  }
+
   test("word_counts == explode+groupBy term counting (codegen + interpreted)") {
     GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
