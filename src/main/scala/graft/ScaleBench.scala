@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling measurement harness: materializes a ×10 replica of an SF
+  * dir (key-shifted copies, so joins/groupings see 10× keys, not 10×
+  * rows per key) and times representative queries at both scales.
+  * Converts the plan-level "should scale" claims into measured data —
+  * a query whose runtime grows ≫ 10× when the data grows 10× has a
+  * super-linear stage to explain.
+  *
+  * Replication semantics (the point is REALISTIC growth):
+  *  - every entity key (custkey/orderkey/partkey/suppkey/user_id/
+  *    doc_id/vec_id and the FKs that reference them) shifts by
+  *    copy·10⁹, so copy i is a disjoint universe — key cardinality
+  *    grows 10×, per-key row counts stay fixed (what real corpus
+  *    growth looks like for these tables);
+  *  - `documents.text` gets a copy-marker token prefixed, so the
+  *    planted near-dup structure repeats per copy (pairs grow ~10×)
+  *    instead of every doc gaining 9 cross-copy identical twins
+  *    (which would grow pairs quadratically — a different problem
+  *    than corpus growth);
+  *  - dims `nation`/`region` stay fixed (genuinely bounded tables).
+  *
+  * Usage: `runMain graft.ScaleBench` (env `SPARK_GRAFT_SF_DIR`
+  * defaults to /root/testdata/sf0.1; the replica lands under
+  * target/scale10 and is reused if present). Prints one JSON line
+  * per query with both times and the ratio; SCALING.md records the
+  * analyzed results.
+  */
+object ScaleBench {
+
+  private val Shift = 1000000000L
+  private val Copies = 10
+
+  private def replicate(spark: SparkSession, src: String, dst: String): Unit = {
+    val shifted: Map[String, Seq[String]] = Map(
+      "customer" -> Seq("c_custkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    for ((table, keys) <- shifted) {
+      val base =
+        if (table == "events")
+          // write ts back as int64 nanos — Tables.events expects the
+          // raw nanos column and does the timestamp conversion itself
+          Tables.events(spark, src)
+            .withColumn("ts", unix_micros(col("ts")) * 1000L)
+        else spark.read.parquet(s"$src/$table.parquet")
+      val copies = (0 until Copies).map { i =>
+        val k = keys.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * Shift)))
+        if (table == "documents")
+          k.withColumn("text", concat(lit(s"c$i "), col("text")))
+        else k
+      }
+      copies.reduce(_ union _).write.mode("overwrite")
+        .parquet(s"$dst/$table.parquet")
+      println(s"SCALE replicated $table")
+    }
+    for (t <- Seq("nation", "region"))
+      spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
+        .parquet(s"$dst/$t.parquet")
+  }
+
+  /** Linear-expectation probe set: the relational/window/text core
+    * plus the dedup candidates. Excluded by design: q45/q46/q47 (the
+    * ANN query SET is defined as 2% of the corpus, so total work is
+    * quadratic in corpus size by construction — scaling them means
+    * fixing |Q|, a different experiment), and sub-second queries
+    * whose times are all scheduling overhead. */
+  private val probes = Seq(
+    "q01_pricing_summary", "q03_profile_merge", "q05_distinct_counts",
+    "q12_star_join_revenue", "q21_window_running", "q26_interval_join",
+    "q27_asof_join", "q30_sessionize", "q40_dedup_exact",
+    "q41_dedup_jaccard", "q42_dedup_minhash_lsh", "q53_fingerprint",
+    "q58_batched_inference", "q67_tfidf", "q95_boilerplate_fraction")
+
+  private def time(spark: SparkSession, name: String, d: String): Double = {
+    val t0 = System.nanoTime
+    QueryRegistry.byName(name).fn(spark, d).write
+      .mode("overwrite").format("noop").save()
+    (System.nanoTime - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-wh").toString)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftExtensions.ensureRegistered(spark)
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    if (!new java.io.File(s"$big/lineitem.parquet").exists())
+      replicate(spark, base, big)
+    // warm-up pass at the small scale (JIT + file listing)
+    probes.foreach(q => time(spark, q, base))
+    val rows = probes.map { q =>
+      val tSmall = (1 to 3).map(_ => time(spark, q, base)).min
+      val tBig = (1 to 3).map(_ => time(spark, q, big)).min
+      val r = tBig / tSmall
+      println(f"""{"query":"$q","small_s":$tSmall%.2f,"x10_s":$tBig%.2f,"ratio":$r%.1f}""")
+      (q, tSmall, tBig, r)
+    }
+    val med = rows.map(_._4).sorted.apply(rows.size / 2)
+    println(f"""{"metric":"scale10_median_ratio","value":$med%.2f,"queries":${rows.size}}""")
+    spark.stop()
+  }
+}
