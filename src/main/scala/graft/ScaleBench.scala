@@ -16,11 +16,14 @@ import org.apache.spark.sql.functions._
   *    copy·10⁹, so copy i is a disjoint universe — key cardinality
   *    grows 10×, per-key row counts stay fixed (what real corpus
   *    growth looks like for these tables);
-  *  - `documents.text` gets a copy-marker token prefixed, so the
-  *    planted near-dup structure repeats per copy (pairs grow ~10×)
-  *    instead of every doc gaining 9 cross-copy identical twins
-  *    (which would grow pairs quadratically — a different problem
-  *    than corpus growth);
+  *  - every TOKEN of `documents.text` gets a copy-marker prefix
+  *    (an injective per-copy renaming), so copies share NO shingles:
+  *    within-copy near-dup structure is preserved exactly (pairs
+  *    grow ~10×) and per-shingle document frequency matches the
+  *    original corpus. A single prefixed marker token was tried
+  *    first and is NOT enough — it leaves cross-copy Jaccard at
+  *    s/(s+2) ≥ 0.6, which silently measures duplication-factor
+  *    growth (quadratic pairs, ~10× df) instead of corpus growth;
   *  - dims `nation`/`region` stay fixed (genuinely bounded tables).
   *
   * Usage: `runMain graft.ScaleBench` (env `SPARK_GRAFT_SF_DIR`
@@ -55,7 +58,8 @@ object ScaleBench {
       val copies = (0 until Copies).map { i =>
         val k = keys.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * Shift)))
         if (table == "documents")
-          k.withColumn("text", concat(lit(s"c$i "), col("text")))
+          k.withColumn("text",
+            regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
         else k
       }
       copies.reduce(_ union _).write.mode("overwrite")

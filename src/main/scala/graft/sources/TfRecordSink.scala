@@ -23,16 +23,31 @@ object TfRecordSink {
   def write(records: Dataset[Array[Byte]], dir: String,
       gzip: Boolean = true): (Int, Long) = {
     val ext = if (gzip) ".tfrecord.gz" else ".tfrecord"
+    // carry the session's Hadoop conf to executors — a fresh
+    // Configuration() there would drop every spark.hadoop.* setting
+    // (S3A credentials/endpoints, fs.defaultFS)
+    val hadoopConf = TfRecordSource.confEntries(
+      records.sparkSession.sparkContext.hadoopConfiguration)
     val counts = records.rdd.mapPartitionsWithIndex { (idx, it) =>
       if (it.isEmpty) Iterator.empty
       else {
-        val p = new Path(dir, f"part-$idx%05d$ext")
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val raw: java.io.OutputStream = fs.create(p, true)
+        val conf = TfRecordSource.rebuildConf(hadoopConf)
+        val finalPath = new Path(dir, f"part-$idx%05d$ext")
+        val fs = finalPath.getFileSystem(conf)
+        // attempt-unique temp + rename-on-success: a speculative or
+        // zombie attempt can never tear a file another attempt wrote —
+        // rename is atomic, so the final name only ever holds a
+        // COMPLETE file (last complete attempt wins)
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId).getOrElse(0L)
+        val tmp = new Path(dir, f".part-$idx%05d.attempt-$attempt$ext.tmp")
+        val raw: java.io.OutputStream = fs.create(tmp, true)
         val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw
         var n = 0L
         try it.foreach { r => TfRecordSource.writeFrame(out, r); n += 1 }
         finally out.close()
+        fs.delete(finalPath, false)
+        require(fs.rename(tmp, finalPath), s"commit rename failed for $finalPath")
         Iterator.single(n)
       }
     }.collect()

@@ -75,16 +75,34 @@ object TfRecordSource {
       }
     }
 
+  /** Serializable snapshot of a Hadoop conf (the class itself is not
+    * serializable; executors must not fall back to a fresh
+    * `new Configuration()` that drops every spark.hadoop.* setting). */
+  private[sources] def confEntries(
+      c: org.apache.hadoop.conf.Configuration): Seq[(String, String)] = {
+    val it = c.iterator()
+    val buf = Seq.newBuilder[(String, String)]
+    while (it.hasNext) { val e = it.next(); buf += ((e.getKey, e.getValue)) }
+    buf.result()
+  }
+  private[sources] def rebuildConf(
+      entries: Seq[(String, String)]): org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration(false)
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Distributed read: glob → one task per file (gzip non-splittable),
     * streamed record iteration. */
   def read(spark: SparkSession, pathGlob: String): Dataset[Array[Byte]] = {
     import spark.implicits._
+    val hadoopConf = confEntries(spark.sparkContext.hadoopConfiguration)
     spark.read.format("binaryFile").load(pathGlob)
       .select("path")
       .as[String]
       .mapPartitions { paths =>
+        val conf = rebuildConf(hadoopConf)
         paths.flatMap { p =>
-          val conf = new org.apache.hadoop.conf.Configuration()
           val hPath = new org.apache.hadoop.fs.Path(p)
           val fs = hPath.getFileSystem(conf)
           val raw: java.io.InputStream = fs.open(hPath)

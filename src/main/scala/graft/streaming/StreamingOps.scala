@@ -91,16 +91,15 @@ object StreamingOps {
   final case class BandVerdict(docId: Long, suppressed: Boolean, ts: java.sql.Timestamp)
   final case class BucketOwner(fp: Long)
 
+  /** Spark's own interval parser, so every string `withWatermark`
+    * accepts ("30 minutes", "10 sec", "1 hour 30 minutes", …) works
+    * here identically — a hand-rolled unit match rejected legal
+    * abbreviations like "min". */
   private def durationMs(s: String): Long = {
-    val Array(n, unit) = s.trim.split("\\s+")
-    val v = n.toLong
-    unit.toLowerCase match {
-      case u if u.startsWith("milli")  => v
-      case u if u.startsWith("second") => v * 1000L
-      case u if u.startsWith("minute") => v * 60000L
-      case u if u.startsWith("hour")   => v * 3600000L
-      case u if u.startsWith("day")    => v * 86400000L
-    }
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0, s"calendar months are ambiguous in a watermark: $s")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** BANDED streaming near-dup suppression — the q43-grade-recall
@@ -139,7 +138,12 @@ object StreamingOps {
     * agg applied directly to the input — a doc later than the
     * watermark allowance is dropped on input, same as anywhere else.
     * The function therefore disables the check on the session (a
-    * session-wide conf — Spark offers no per-query scope for it).
+    * session-wide conf — Spark offers no per-query scope, and the
+    * checker runs at query START, so the setting cannot be restored
+    * after plan construction either). CALLER NOTE: if other streaming
+    * queries in the same session rely on that checker, re-enable
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled`
+    * after `.start()`ing this one.
     *
     * Returns (idCol, ts) of retained docs. */
   def nearDedupStreamBanded(docs: DataFrame, textCol: String = "text",

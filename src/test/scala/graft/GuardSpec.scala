@@ -38,8 +38,13 @@ class GuardSpec extends AnyFunSuite with SparkSpec {
       val plan = QueryRegistry.byName("q45_ann_bruteforce").fn(spark, sf)
         .queryExecution.sparkPlan.toString
       assert(plan.contains("Union"), "expected per-chunk union in the plan")
-      assert("BroadcastNestedLoopJoin|BroadcastExchange".r
-        .findAllIn(plan).size >= 2, "expected multiple broadcast chunks")
+      // one join node per chunk — a single un-chunked broadcast has
+      // exactly 1 (sparkPlan precedes EnsureRequirements, so count
+      // join nodes, not the exchanges inserted later)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size >= 2,
+        "expected one broadcast join per chunk")
+      // and the chunks really partition the query set by hash
+      assert(plan.contains("pmod"), "expected pmod chunk filters")
     }
   }
 
