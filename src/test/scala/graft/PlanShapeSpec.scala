@@ -57,11 +57,13 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("SortMergeJoin".r.findAllIn(p).isEmpty, "as-of must not plan a join at all")
   }
 
-  test("q43/q44: no registered dedup plan carries a pair scan") {
+  test("q41/q43/q44/q77: no registered dedup plan carries a pair scan") {
     // q43 SimHash pairs come from 11-band pigeonhole banding, q44
-    // cosine pairs from SRP bucket tables — both are equi-joins; a
+    // cosine pairs from SRP bucket tables, q41/q77 candidates from
+    // the PPJoin prefix equi-join (round 4) — all equi-joins; a
     // refactor reintroducing the O(n²) cross join fails here
-    for (q <- Seq("q43_dedup_simhash", "q44_dedup_cosine")) {
+    for (q <- Seq("q41_dedup_jaccard", "q43_dedup_simhash",
+        "q44_dedup_cosine", "q77_jaccard_prefix_filter")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian pair scan")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop pair scan")
