@@ -482,6 +482,66 @@ object DedupQueries {
       FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
       WHERE cc.id IS NULL OR d.doc_id = cc.root"""))
 
+  /** Cross-doc repeated-SPAN coverage — the exact-substring-dedup
+    * signal (the public "dedup training data by cutting long verbatim
+    * repeats" recipe): per doc, the fraction of token POSITIONS
+    * covered by some k=20-token span that also appears verbatim in
+    * another doc. Complements q95 (distinct-shingle commonness) and
+    * q41 (whole-doc similarity): this finds long verbatim overlap
+    * even between globally-dissimilar docs — the quotes/licenses/
+    * navigation-chrome case — and its output is the cut list shape
+    * (how much of each doc is cuttable span).
+    *
+    * Shape at 100 TB: k-gram extraction is row-local; the df count
+    * and the coverage join are keyed by the k-gram — same
+    * inverted-index shuffle family as q95, no pair-shaped work. The
+    * position explode multiplies covered grams by k; on real data
+    * covered positions are a small corpus slice (and k-gram keys
+    * would travel as fixed-width hashes like q41's — here they stay
+    * raw strings so the DuckDB oracle joins identically). Spans
+    * repeated only WITHIN one doc don't count (cross-doc df ≥ 2),
+    * matching the dedup use case: self-repetition is q76's signal. */
+  private val repeatedSpans = Q(
+    "q71_repeated_spans",
+    (s, d) => {
+      import s.implicits._
+      val k = 20
+      val toks = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      val grams = toks.filter(size($"ws") >= k)
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(1), size($"ws") - (k - 1)),
+            i => concat_ws(" ", slice($"ws", i, lit(k))))))
+        .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("g"))
+      val shared = grams.select($"g", $"doc_id").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"g")
+      val covered = grams.join(shared, "g")
+        .select($"doc_id", explode(sequence($"p", $"p" + (k - 1))).as("cp"))
+        .groupBy($"doc_id").agg(countDistinct($"cp").as("covered"))
+      toks.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+        .join(covered, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          coalesce($"covered", lit(0L)).as("covered_tokens"),
+          (coalesce($"covered", lit(0L)).cast("double") / $"n_tokens")
+            .as("dup_span_frac"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+        FROM documents),
+      pos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 19)) p
+              FROM t WHERE len(ws) >= 20),
+      gr AS (SELECT doc_id, p, array_to_string(ws[p:p+19], ' ') g FROM pos),
+      shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) nd
+                                FROM gr GROUP BY g) WHERE nd >= 2),
+      cov AS (SELECT doc_id, count(DISTINCT cp) covered FROM (
+                SELECT doc_id, unnest(generate_series(p, p + 19)) cp
+                FROM gr JOIN shared USING (g)) GROUP BY doc_id)
+      SELECT t.doc_id, len(t.ws)::BIGINT AS n_tokens,
+        CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+        coalesce(cov.covered, 0) * 1.0 / len(t.ws) AS dup_span_frac
+      FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id"""))
+
   /** Boilerplate fraction (the C4-style template-contamination
     * signal): per doc, the share of its distinct 3-shingles that are
     * corpus-common (document frequency ≥ 5) — template/boilerplate
@@ -543,6 +603,6 @@ object DedupQueries {
       GROUP BY fp"""))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, ccClusters, jaccardPrefix, dedupPrune, boilerplate,
-    incrementalDedup)
+    cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
+    boilerplate, incrementalDedup)
 }
