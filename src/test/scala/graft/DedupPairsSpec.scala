@@ -62,6 +62,32 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q71: span coverage matches hand-computed fractions on a planted corpus") {
+    import spark.implicits._
+    // planted corpus with KNOWN coverage: the 20-token span S appears
+    // in docs 1, 2 (exact dup of 1) and 3 (S + 10 unique tokens)
+    val span = (1 to 20).map(i => s"s$i").mkString(" ")
+    val d1 = span + " " + (1 to 10).map(i => s"a$i").mkString(" ") // 30 toks
+    val d3 = (1 to 10).map(i => s"b$i").mkString(" ") + " " + span // 30 toks
+    val d4 = (1 to 30).map(i => s"u$i").mkString(" ")              // unique
+    val d5 = "too short to host a span"                            // < k toks
+    val dir = java.nio.file.Files.createTempDirectory("q71fix").toString
+    Seq((1L, d1), (2L, d1), (3L, d3), (4L, d4), (5L, d5))
+      .toDF("doc_id", "text")
+      .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+      .withColumn("source", org.apache.spark.sql.functions.lit("t"))
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text"))
+      .write.parquet(s"$dir/documents.parquet")
+    val got = QueryRegistry.byName("q71_repeated_spans").fn(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map { case (id, n, cov, frac) => id -> ((n, cov, frac)) }.toMap
+    assert(got(1L) == ((30L, 30L, 1.0)), s"exact dup: ${got(1L)}") // full cover
+    assert(got(2L) == ((30L, 30L, 1.0)), s"exact dup: ${got(2L)}")
+    assert(got(3L) == ((30L, 20L, 20.0 / 30.0)), s"partial: ${got(3L)}")
+    assert(got(4L) == ((30L, 0L, 0.0)), s"unique: ${got(4L)}")
+    assert(got(5L)._2 == 0L, s"short doc hosts no k-gram: ${got(5L)}")
+  }
+
   test("q44: every LSH pair carries the exact cosine; recall floored vs brute force") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf)
