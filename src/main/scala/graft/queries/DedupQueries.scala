@@ -513,6 +513,9 @@ object DedupQueries {
           posexplode(transform(sequence(lit(1), size($"ws") - (k - 1)),
             i => concat_ws(" ", slice($"ws", i, lit(k))))))
         .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("g"))
+        .cache() // read by the df-count branch AND the coverage join
+        // (different join keys — no ReusedExchange; measured at sf0.1:
+        // cached ~1.3 s vs ~1.7 s recomputing the k-gram concat twice)
       val shared = grams.select($"g", $"doc_id").distinct()
         .groupBy($"g").agg(count(lit(1)).as("ndocs"))
         .filter($"ndocs" >= 2)
