@@ -82,7 +82,8 @@ object ScaleBench {
     "q12_star_join_revenue", "q21_window_running", "q26_interval_join",
     "q27_asof_join", "q30_sessionize", "q40_dedup_exact",
     "q41_dedup_jaccard", "q42_dedup_minhash_lsh", "q53_fingerprint",
-    "q58_batched_inference", "q67_tfidf", "q95_boilerplate_fraction")
+    "q58_batched_inference", "q67_tfidf", "q71_repeated_spans",
+    "q95_boilerplate_fraction")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime

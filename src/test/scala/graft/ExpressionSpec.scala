@@ -222,6 +222,15 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
         assert(got.toMap == refCounts(i), s"doc $i counts")
         assert(got.map(_._1).distinct.size == got.size, s"doc $i distinctness")
       }
+    // the fused hash variant must track word_shingles exactly on the
+    // same adversarial inputs (per-element xxhash64, order preserved)
+    df.select($"doc_id",
+        expr("word_shingle_hashes(text, 3)").as("h"),
+        expr("transform(word_shingles(text, 3), x -> xxhash64(x))").as("ref"))
+      .as[(Long, Seq[Long], Seq[Long])]
+      .collect().foreach { case (i, got, ref) =>
+        assert(got == ref, s"doc $i shingle hashes")
+      }
   }
 
   test("native expressions are usable from plain SQL after registration") {
