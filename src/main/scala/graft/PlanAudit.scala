@@ -10,7 +10,8 @@ object PlanAudit {
         "q05_distinct_counts", "q26_interval_join", "q42_dedup_minhash_lsh",
         "q67_tfidf", "q66_grouping_sets", "q74_session_window",
         "q41_dedup_jaccard", "q43_dedup_simhash", "q44_dedup_cosine",
-        "q88_skewed_enrich", "q89_bucketed_distinct_counts")) {
+        "q71_repeated_spans", "q88_skewed_enrich",
+        "q89_bucketed_distinct_counts")) {
       println(s"===== $name")
       println(QueryRegistry.byName(name).fn(s, d).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
