@@ -19,6 +19,37 @@ import org.apache.spark.sql.Dataset
   */
 object TfRecordSink {
 
+  /** TFRecord framing overhead per record: 8-byte length + two
+    * 4-byte masked CRCs. */
+  private val FrameOverhead = 16L
+
+  /** Byte-balanced shard export — [[graft.io.ShardWriter]]'s
+    * discipline for the tfrecord format: size the shard count from
+    * the actual framed payload (⌈bytes / targetShardBytes⌉) and
+    * hash-spread records across shards, so every shard is a
+    * statistically interchangeable ~target-sized sample of the
+    * corpus regardless of input skew or ordering. One counting pass +
+    * one shuffle; no driver-side data movement. Sizes are pre-gzip
+    * (compressed shard size depends on content; the target bounds
+    * the uncompressed payload like a row-group target does).
+    * @return (filesWritten, recordsWritten) */
+  def writeBalanced(records: Dataset[Array[Byte]], dir: String,
+      targetShardBytes: Long = 128L * 1024 * 1024,
+      gzip: Boolean = true): (Int, Long) = {
+    import records.sparkSession.implicits._
+    require(targetShardBytes > 0, "targetShardBytes must be positive")
+    val totalBytes = records.map(r => r.length + FrameOverhead)
+      .agg(org.apache.spark.sql.functions.sum("value"))
+      .as[Option[Long]].head().getOrElse(0L)
+    if (totalBytes == 0L) return (0, 0L)
+    val shards = math.max(1L, math.ceil(
+      totalBytes.toDouble / targetShardBytes).toLong).toInt
+    write(records.toDF("value")
+      .repartition(shards, org.apache.spark.sql.functions.xxhash64(
+        org.apache.spark.sql.functions.col("value")))
+      .as[Array[Byte]], dir, gzip)
+  }
+
   /** @return (filesWritten, recordsWritten) */
   def write(records: Dataset[Array[Byte]], dir: String,
       gzip: Boolean = true): (Int, Long) = {

@@ -57,6 +57,37 @@ class TfRecordSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("writeBalanced: shard count tracks payload bytes, shards balanced, lossless") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // ~1000 records of ~1 KiB framed -> ~1 MiB payload; 128 KiB target
+    // -> expect ~8 shards
+    val recs = (1 to 1000).map(_ => Array.fill(1000 + rnd.nextInt(48))(rnd.nextInt().toByte))
+    val totalFramed = recs.map(_.length + 16L).sum
+    val target = 128L * 1024
+    val dir = java.nio.file.Files.createTempDirectory("tfbal").toString
+    val (files, n) = graft.sources.TfRecordSink.writeBalanced(
+      spark.createDataset(recs), dir, targetShardBytes = target, gzip = false)
+    assert(n == recs.size.toLong)
+    assert(files == math.ceil(totalFramed.toDouble / target).toInt,
+      s"shard count $files should be ceil($totalFramed / $target)")
+    // balance: with ~1000 hash-spread records no shard should exceed
+    // twice the target or hold less than a third of the mean
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-")).map(_.length())
+    assert(sizes.length == files)
+    assert(sizes.max <= 2 * target, s"oversized shard: ${sizes.mkString(",")}")
+    assert(sizes.min >= sizes.sum / sizes.length / 3,
+      s"starved shard: ${sizes.mkString(",")}")
+    // lossless
+    val got = TfRecordSource.read(spark, s"$dir/part-*")
+      .collect().map(java.util.Base64.getEncoder.encodeToString).sorted
+    assert(got.toSeq === recs.map(java.util.Base64.getEncoder.encodeToString).sorted)
+    // empty input: no files, no error
+    assert(graft.sources.TfRecordSink.writeBalanced(
+      spark.emptyDataset[Array[Byte]], dir + "-empty") == ((0, 0L)))
+  }
+
   test("CRC corruption is detected") {
     val tmp = java.nio.file.Files.createTempDirectory("tfrec-bad").toFile
     val f = new java.io.File(tmp, "bad.tfrecord")
