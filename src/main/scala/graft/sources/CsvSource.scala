@@ -6,7 +6,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** CSV/TSV corpus source — [[JsonlSource]]'s corrupt-input discipline
   * (P1: decode, DROP corrupt records + COUNT them, never abort and
-  * never infer) for the other ubiquitous dump format.
+  * never infer) for the other ubiquitous dump format. The post-parse
+  * keep/count machinery is shared with JsonlSource
+  * ([[LineSource.keepAndCount]]) so the two can't drift.
   *
   * Schema is ENFORCED (no inference pass, no silent widening).
   * CSV's failure taxonomy (verified in CsvSourceSpec):
@@ -15,40 +17,55 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *    direction (both fewer and more tokens than schema fields);
   *  - rows that PARSE cleanly but carry an empty (→ null) value in a
   *    required column — "1,,en" — are only caught by the
-  *    required-fields check, the leg the parser cannot see;
-  *  - blank lines are skipped by the reader BEFORE parsing and are
-  *    therefore not visible in the drop count (unlike JsonlSource,
-  *    whose text-based reader sees and counts them).
+  *    required-fields check, the leg the parser cannot see.
+  *
+  * The default path parses `spark.read.text` lines with `from_csv`
+  * (like JsonlSource): always a whole-line parse, so the returned
+  * frame and the drop count can never disagree, blank lines are
+  * visible (dropped + counted), and line splitting stays splittable.
+  * `header=true` / `multiLine=true` (RFC-4180 quoted newlines) need
+  * Spark's CSV reader instead; that branch disables
+  * `spark.sql.csv.parser.columnPruning` for the session — with
+  * pruning on, a downstream projection re-parses only the projected
+  * columns, so a row corrupt ONLY in a pruned column would pass the
+  * corrupt filter it was counted as failing (documented Spark
+  * behavior: "corrupt records can be different based on required set
+  * of fields"). multiLine also makes each file non-splittable — the
+  * price of embedded newlines at 100 TB.
   */
 object CsvSource {
-
-  private val CorruptCol = "__corrupt"
 
   /** @param requiredFields non-null fields a record must carry
     * @return (records, corrupt-or-incomplete line count) */
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String], delimiter: String = ",",
-      header: Boolean = false): (DataFrame, Long) = {
-    require(!schema.fieldNames.contains(CorruptCol), s"$CorruptCol is reserved")
-    val parseSchema = StructType(schema.fields :+ StructField(CorruptCol, StringType))
-    val parsed = spark.read
-      .options(Map(
-        "header" -> header.toString,
-        "sep" -> delimiter,
-        "mode" -> "PERMISSIVE",
-        "columnNameOfCorruptRecord" -> CorruptCol))
-      .schema(parseSchema)
-      .csv(path)
-      .cache()
-    try {
-      val ok = requiredFields
-        .foldLeft(parsed.filter(col(CorruptCol).isNull)) { (df, f) =>
-          df.filter(col(f).isNotNull)
-        }
-        .select(schema.fieldNames.map(col): _*)
-      val total = parsed.count()
-      val kept = ok.count()
-      (ok, total - kept)
-    } finally parsed.unpersist()
+      header: Boolean = false, multiLine: Boolean = false): (DataFrame, Long) = {
+    require(!schema.fieldNames.contains(LineSource.CorruptCol),
+      s"${LineSource.CorruptCol} is reserved")
+    val parseSchema =
+      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
+    if (header || multiLine) {
+      // see scaladoc: required for count/result consistency on this path
+      spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
+      val parsed = spark.read
+        .options(Map(
+          "header" -> header.toString,
+          "sep" -> delimiter,
+          "multiLine" -> multiLine.toString,
+          "mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> LineSource.CorruptCol))
+        .schema(parseSchema)
+        .csv(path)
+        .select(struct(parseSchema.fieldNames.map(col): _*).as("r"))
+      LineSource.keepAndCount(parsed, schema, requiredFields)
+    } else {
+      val parsed = spark.read.text(path)
+        .select(from_csv(col("value"),
+          parseSchema,
+          Map("sep" -> delimiter,
+            "mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
+      LineSource.keepAndCount(parsed, schema, requiredFields)
+    }
   }
 }

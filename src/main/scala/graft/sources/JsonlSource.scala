@@ -24,30 +24,17 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   */
 object JsonlSource {
 
-  private val CorruptCol = "__corrupt"
-
   /** @param requiredFields non-null fields a record must carry
     * @return (records, corrupt-or-incomplete line count) */
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String]): (DataFrame, Long) = {
-    require(!schema.fieldNames.contains(CorruptCol), s"$CorruptCol is reserved")
-    val parseSchema = StructType(schema.fields :+ StructField(CorruptCol, StringType))
+    require(!schema.fieldNames.contains(LineSource.CorruptCol),
+      s"${LineSource.CorruptCol} is reserved")
+    val parseSchema =
+      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
     val parsed = spark.read.text(path)
       .select(from_json(col("value"), parseSchema,
-        Map("columnNameOfCorruptRecord" -> CorruptCol)).as("r"))
-      .cache()
-    try {
-      val ok = requiredFields
-        .foldLeft(parsed.filter(col("r").isNotNull &&
-          col(s"r.$CorruptCol").isNull)) { (df, f) =>
-          df.filter(col(s"r.$f").isNotNull)
-        }
-        .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
-      val total = parsed.count()
-      val kept = ok.count()
-      // the returned frame recomputes lazily; holding the parse cache
-      // for the session would pin one copy per ingested corpus
-      (ok, total - kept)
-    } finally parsed.unpersist()
+        Map("columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
+    LineSource.keepAndCount(parsed, schema, requiredFields)
   }
 }

@@ -42,12 +42,14 @@ object TfRecordSink {
       .agg(org.apache.spark.sql.functions.sum("value"))
       .as[Option[Long]].head().getOrElse(0L)
     if (totalBytes == 0L) return (0, 0L)
-    val shards = math.max(1L, math.ceil(
-      totalBytes.toDouble / targetShardBytes).toLong).toInt
-    write(records.toDF("value")
-      .repartition(shards, org.apache.spark.sql.functions.xxhash64(
-        org.apache.spark.sql.functions.col("value")))
-      .as[Array[Byte]], dir, gzip)
+    // clamped so a tiny target on a huge corpus can't wrap Int
+    val shards = math.min(Int.MaxValue.toLong, math.max(1L,
+      math.ceil(totalBytes.toDouble / targetShardBytes).toLong)).toInt
+    // round-robin, NOT content-keyed: hashing record bytes would pile
+    // every duplicate of a hot record into one shard (pre-dedup crawl
+    // exports are exactly that shape) — row-count spreading is what
+    // actually bounds shard bytes for near-uniform record sizes
+    write(records.repartition(shards), dir, gzip)
   }
 
   /** @return (filesWritten, recordsWritten) */

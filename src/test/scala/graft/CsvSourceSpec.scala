@@ -22,8 +22,8 @@ class CsvSourceSpec extends AnyFunSuite with SparkSpec {
       "2,bonjour,fr",
       "abc,bad id,en",      // unparsable long -> corrupt column set
       "3,short row",        // fewer tokens than schema -> parser-corrupt
-      "",                   // blank: the CSV reader SKIPS it pre-parse —
-                            // never a row, so not counted as a drop
+      "",                   // blank: visible to the text-based default
+                            // path -> dropped + counted (like JSONL)
       "5,,en",              // parses fine; empty text -> null -> required drop
       "6,too,many,tokens")  // more tokens than schema -> parser-corrupt
     java.nio.file.Files.write(dir.resolve("part-0.csv"),
@@ -34,8 +34,51 @@ class CsvSourceSpec extends AnyFunSuite with SparkSpec {
     val got = df.as[(Long, String, Option[String])].collect().toSet
     assert(got == Set(
       (1L, "hello world", Some("en")), (2L, "bonjour", Some("fr"))))
-    assert(dropped == 4L,
-      s"bad-long + short + empty-required + extra-tokens: $dropped")
+    assert(dropped == 5L,
+      s"bad-long + short + blank + empty-required + extra-tokens: $dropped")
+  }
+
+  test("count and frame agree under downstream column pruning") {
+    import spark.implicits._
+    // score is corrupt but NOT required: the row must stay dropped
+    // even when a downstream projection no longer references score
+    // (the read.csv pruning trap — the from_csv path is immune)
+    val wide = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("score", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvprune")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      Seq("1,hi,10", "2,yo,notanumber").mkString("\n").getBytes("UTF-8"))
+    val (df, dropped) = graft.sources.CsvSource.read(
+      spark, dir.toString, wide, Seq("doc_id", "text"))
+    assert(dropped == 1L)
+    assert(df.select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "projected read resurrected a counted-dropped row")
+    assert(df.count() == 1L)
+  }
+
+  test("multiLine branch: RFC-4180 quoted embedded newlines survive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvml")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      "1,\"hello\nworld\",en\n2,flat,fr".getBytes("UTF-8"))
+    val (df, dropped) = graft.sources.CsvSource.read(
+      spark, dir.toString, schema, Seq("doc_id", "text"), multiLine = true)
+    assert(dropped == 0L)
+    val got = df.as[(Long, String, String)].collect().toSet
+    assert(got == Set((1L, "hello\nworld", "en"), (2L, "flat", "fr")))
+  }
+
+  test("header branch: header row consumed, not parsed as data") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvhdr")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      Seq("doc_id,text,lang", "1,hi,en").mkString("\n").getBytes("UTF-8"))
+    val (df, dropped) = graft.sources.CsvSource.read(
+      spark, dir.toString, schema, Seq("doc_id", "text"), header = true)
+    assert(dropped == 0L)
+    assert(df.as[(Long, String, String)].collect().toSeq == Seq((1L, "hi", "en")))
   }
 
   test("TSV delimiter and required trailing field") {

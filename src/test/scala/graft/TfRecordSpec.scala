@@ -83,6 +83,18 @@ class TfRecordSpec extends AnyFunSuite with SparkSpec {
     val got = TfRecordSource.read(spark, s"$dir/part-*")
       .collect().map(java.util.Base64.getEncoder.encodeToString).sorted
     assert(got.toSeq === recs.map(java.util.Base64.getEncoder.encodeToString).sorted)
+    // duplicate-heavy input (the pre-dedup crawl shape): balance must
+    // hold — content-keyed sharding would pile all copies in one shard
+    val hot = Array.fill(1000)(7.toByte)
+    val dupRecs = Seq.fill(500)(hot) ++
+      (1 to 500).map(_ => Array.fill(1000)(rnd.nextInt().toByte))
+    val dupDir = java.nio.file.Files.createTempDirectory("tfdup").toString
+    val (dupFiles, _) = graft.sources.TfRecordSink.writeBalanced(
+      spark.createDataset(dupRecs), dupDir, targetShardBytes = target, gzip = false)
+    val dupSizes = new java.io.File(dupDir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length())
+    assert(dupSizes.length == dupFiles && dupSizes.max <= 2 * target,
+      s"duplicate-heavy shards unbalanced: ${dupSizes.mkString(",")}")
     // empty input: no files, no error
     assert(graft.sources.TfRecordSink.writeBalanced(
       spark.emptyDataset[Array[Byte]], dir + "-empty") == ((0, 0L)))
