@@ -63,7 +63,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     // the PPJoin prefix equi-join (round 4) — all equi-joins; a
     // refactor reintroducing the O(n²) cross join fails here
     for (q <- Seq("q41_dedup_jaccard", "q43_dedup_simhash",
-        "q44_dedup_cosine", "q77_jaccard_prefix_filter")) {
+        "q44_dedup_cosine", "q71_repeated_spans",
+        "q77_jaccard_prefix_filter")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian pair scan")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop pair scan")
