@@ -37,4 +37,30 @@ object JsonlSource {
         Map("columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
     LineSource.keepAndCount(parsed, schema, requiredFields)
   }
+
+  /** STREAMING ingest of a growing JSONL directory — same enforced
+    * schema and keep predicate as [[read]] (shared via
+    * [[LineSource.okPredicate]]), but a stream has no single drop
+    * count to return, so drops surface per micro-batch through the
+    * Observation API: each `StreamingQueryProgress.observedMetrics`
+    * carries `{lines, dropped}` under the `jsonl_ingest` key — the
+    * operational feed a 100 TB/day ingest monitors and alerts on
+    * (corrupt-rate spikes mean an upstream producer broke, and the
+    * watcher must see it without re-reading the data). */
+  def readStream(spark: SparkSession, path: String, schema: StructType,
+      requiredFields: Seq[String]): DataFrame = {
+    require(!schema.fieldNames.contains(LineSource.CorruptCol),
+      s"${LineSource.CorruptCol} is reserved")
+    val parseSchema =
+      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
+    spark.readStream.text(path)
+      .select(from_json(col("value"), parseSchema,
+        Map("columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
+      .withColumn("__ok", LineSource.okPredicate(requiredFields))
+      .observe("jsonl_ingest",
+        count(lit(1)).as("lines"),
+        sum(when(col("__ok"), 0L).otherwise(1L)).as("dropped"))
+      .filter(col("__ok"))
+      .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+  }
 }

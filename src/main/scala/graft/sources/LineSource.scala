@@ -14,16 +14,20 @@ private[sources] object LineSource {
 
   val CorruptCol = "__corrupt"
 
+  /** The single keep predicate: parsed struct present, not flagged
+    * corrupt, every required field non-null. */
+  def okPredicate(requiredFields: Seq[String]): org.apache.spark.sql.Column =
+    requiredFields.foldLeft(
+      col("r").isNotNull && col(s"r.${CorruptCol}").isNull) { (p, f) =>
+      p && col(s"r.$f").isNotNull
+    }
+
   /** @return (records projected to `schema`, dropped-row count) */
   def keepAndCount(parsed: DataFrame, schema: StructType,
       requiredFields: Seq[String]): (DataFrame, Long) = {
     val cached = parsed.cache()
     try {
-      val ok = requiredFields
-        .foldLeft(cached.filter(col("r").isNotNull &&
-          col(s"r.${CorruptCol}").isNull)) { (df, f) =>
-          df.filter(col(s"r.$f").isNotNull)
-        }
+      val ok = cached.filter(okPredicate(requiredFields))
         .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
       val total = cached.count()
       val kept = ok.count()

@@ -38,6 +38,34 @@ class JsonlSourceSpec extends AnyFunSuite with SparkSpec {
     assert(dropped == 4L, "corrupt + blank + incomplete + malformed-tail all counted")
   }
 
+  test("streaming ingest: records flow, drops surface as observed metrics") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-stream")
+    java.nio.file.Files.write(dir.resolve("b0.jsonl"), Seq(
+      """{"doc_id": 1, "text": "alpha", "lang": "en"}""",
+      """broken {{{""",
+      """{"doc_id": 2, "text": "beta", "lang": "fr"}""").mkString("\n").getBytes("UTF-8"))
+    val q = graft.sources.JsonlSource.readStream(
+        spark, dir.toString + "/*.jsonl", schema, Seq("doc_id", "text"))
+      .writeStream.format("memory").queryName("jsonl_stream").start()
+    try {
+      q.processAllAvailable()
+      // second batch arrives later with one incomplete record
+      java.nio.file.Files.write(dir.resolve("b1.jsonl"), Seq(
+        """{"doc_id": 3, "text": "gamma", "lang": "de"}""",
+        """{"doc_id": 4, "lang": "es"}""").mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val got = spark.table("jsonl_stream").as[(Long, String, String)]
+        .collect().map(_._1).toSet
+      assert(got == Set(1L, 2L, 3L), "kept records across both batches")
+      val metrics = q.recentProgress.toSeq
+        .flatMap(p => Option(p.observedMetrics.get("jsonl_ingest")))
+        .map(r => (r.getAs[Long]("lines"), r.getAs[Long]("dropped")))
+      assert(metrics.contains((3L, 1L)), s"batch-0 metrics missing: $metrics")
+      assert(metrics.contains((2L, 1L)), s"batch-1 metrics missing: $metrics")
+    } finally q.stop()
+  }
+
   test("parquet fixture round-trips through JSONL losslessly") {
     import org.apache.spark.sql.functions._
     val sf = sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"

@@ -80,6 +80,30 @@ class SketchBoundSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("HLL sketches merge associatively: per-day union == whole-corpus sketch") {
+    import spark.implicits._
+    fixture()
+    // the 100 TB incremental-distinct pattern (q90's monoid law for
+    // sketches): persist per-day sketch BYTES, union day over day —
+    // history is never recounted. Days = orderkey parity; the merged
+    // estimate must equal the single-pass estimate EXACTLY (sketch
+    // union is the same register-max fold) and sit within q07's 5%
+    // envelope of exact.
+    val li = Tables.lineitem(spark, sf).select($"l_orderkey", $"l_partkey")
+    val whole = li
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(l_partkey, 14))").as("est"))
+      .as[Long].head()
+    val perDay = li.withColumn("day", $"l_orderkey" % 2)
+      .groupBy($"day").agg(expr("hll_sketch_agg(l_partkey, 14)").as("sk"))
+    val merged = perDay
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .as[Long].head()
+    assert(merged === whole, s"union-of-days $merged != single-pass $whole")
+    val exact = li.select(countDistinct($"l_partkey")).as[Long].head()
+    assert(math.abs(merged - exact).toDouble / exact <= 0.05,
+      s"merged estimate $merged outside 5% of exact $exact")
+  }
+
   test("registered q07/q65 bound verdicts are all true") {
     import spark.implicits._
     fixture()
