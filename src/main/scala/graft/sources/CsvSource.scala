@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** CSV/TSV corpus source — [[JsonlSource]]'s corrupt-input discipline
   * (P1: decode, DROP corrupt records + COUNT them, never abort and
@@ -23,15 +23,20 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * (like JsonlSource): always a whole-line parse, so the returned
   * frame and the drop count can never disagree, blank lines are
   * visible (dropped + counted), and line splitting stays splittable.
+  *
   * `header=true` / `multiLine=true` (RFC-4180 quoted newlines) need
-  * Spark's CSV reader instead; that branch disables
-  * `spark.sql.csv.parser.columnPruning` for the session — with
-  * pruning on, a downstream projection re-parses only the projected
-  * columns, so a row corrupt ONLY in a pruned column would pass the
-  * corrupt filter it was counted as failing (documented Spark
-  * behavior: "corrupt records can be different based on required set
-  * of fields"). multiLine also makes each file non-splittable — the
-  * price of embedded newlines at 100 TB.
+  * Spark's CSV reader instead, whose lazy re-parses prune columns —
+  * a row corrupt ONLY in a pruned column would pass the corrupt
+  * filter it was counted as failing (documented Spark behavior:
+  * "corrupt records can be different based on required set of
+  * fields"). That branch therefore MATERIALIZES the kept frame
+  * (eager localCheckpoint) while the full-schema counting cache is
+  * alive, pinning the classification the count saw — no session conf
+  * is touched and later reads cannot reclassify. Two further
+  * reader-branch behavior differences, by Spark's design: blank
+  * lines are skipped BEFORE parsing (not visible in the drop count,
+  * unlike the default path), and multiLine makes each file
+  * non-splittable — the price of embedded newlines at 100 TB.
   */
 object CsvSource {
 
@@ -40,13 +45,8 @@ object CsvSource {
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String], delimiter: String = ",",
       header: Boolean = false, multiLine: Boolean = false): (DataFrame, Long) = {
-    require(!schema.fieldNames.contains(LineSource.CorruptCol),
-      s"${LineSource.CorruptCol} is reserved")
-    val parseSchema =
-      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
+    val parseSchema = LineSource.parseSchema(schema)
     if (header || multiLine) {
-      // see scaladoc: required for count/result consistency on this path
-      spark.conf.set("spark.sql.csv.parser.columnPruning.enabled", "false")
       val parsed = spark.read
         .options(Map(
           "header" -> header.toString,
@@ -57,7 +57,7 @@ object CsvSource {
         .schema(parseSchema)
         .csv(path)
         .select(struct(parseSchema.fieldNames.map(col): _*).as("r"))
-      LineSource.keepAndCount(parsed, schema, requiredFields)
+      LineSource.keepAndCount(parsed, schema, requiredFields, materialize = true)
     } else {
       val parsed = spark.read.text(path)
         .select(from_csv(col("value"),

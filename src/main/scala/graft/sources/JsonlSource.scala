@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.types.StructType
 
 /** JSONL (one JSON object per line) corpus source — the de-facto
   * interchange format for LLM training corpora, ingested with the
@@ -28,12 +28,8 @@ object JsonlSource {
     * @return (records, corrupt-or-incomplete line count) */
   def read(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String]): (DataFrame, Long) = {
-    require(!schema.fieldNames.contains(LineSource.CorruptCol),
-      s"${LineSource.CorruptCol} is reserved")
-    val parseSchema =
-      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
     val parsed = spark.read.text(path)
-      .select(from_json(col("value"), parseSchema,
+      .select(from_json(col("value"), LineSource.parseSchema(schema),
         Map("columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
     LineSource.keepAndCount(parsed, schema, requiredFields)
   }
@@ -49,17 +45,15 @@ object JsonlSource {
     * watcher must see it without re-reading the data). */
   def readStream(spark: SparkSession, path: String, schema: StructType,
       requiredFields: Seq[String]): DataFrame = {
-    require(!schema.fieldNames.contains(LineSource.CorruptCol),
-      s"${LineSource.CorruptCol} is reserved")
-    val parseSchema =
-      StructType(schema.fields :+ StructField(LineSource.CorruptCol, StringType))
     spark.readStream.text(path)
-      .select(from_json(col("value"), parseSchema,
+      .select(from_json(col("value"), LineSource.parseSchema(schema),
         Map("columnNameOfCorruptRecord" -> LineSource.CorruptCol)).as("r"))
       .withColumn("__ok", LineSource.okPredicate(requiredFields))
       .observe("jsonl_ingest",
         count(lit(1)).as("lines"),
-        sum(when(col("__ok"), 0L).otherwise(1L)).as("dropped"))
+        // coalesce: SUM over an empty micro-batch (an empty file
+        // landing) is null — the alerting feed must read 0, not null
+        coalesce(sum(when(col("__ok"), 0L).otherwise(1L)), lit(0L)).as("dropped"))
       .filter(col("__ok"))
       .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
   }

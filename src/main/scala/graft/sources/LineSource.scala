@@ -14,6 +14,16 @@ private[sources] object LineSource {
 
   val CorruptCol = "__corrupt"
 
+  /** The widened parse schema (target schema + corrupt column), with
+    * the reserved-name guard — the ONE place the corrupt-column
+    * contract lives. */
+  def parseSchema(schema: StructType): StructType = {
+    require(!schema.fieldNames.contains(CorruptCol), s"$CorruptCol is reserved")
+    StructType(schema.fields :+
+      org.apache.spark.sql.types.StructField(CorruptCol,
+        org.apache.spark.sql.types.StringType))
+  }
+
   /** The single keep predicate: parsed struct present, not flagged
     * corrupt, every required field non-null. */
   def okPredicate(requiredFields: Seq[String]): org.apache.spark.sql.Column =
@@ -22,18 +32,28 @@ private[sources] object LineSource {
       p && col(s"r.$f").isNotNull
     }
 
-  /** @return (records projected to `schema`, dropped-row count) */
+  /** @param materialize eagerly localCheckpoint the kept frame while
+    *        the parse cache is alive — required when later lazy
+    *        re-parses could classify rows DIFFERENTLY than the
+    *        counting pass did (the CSV reader's column pruning); the
+    *        default path leaves the frame lazy (whole-line parsers
+    *        reclassify identically on recompute)
+    * @return (records projected to `schema`, dropped-row count) */
   def keepAndCount(parsed: DataFrame, schema: StructType,
-      requiredFields: Seq[String]): (DataFrame, Long) = {
+      requiredFields: Seq[String], materialize: Boolean = false): (DataFrame, Long) = {
     val cached = parsed.cache()
     try {
       val ok = cached.filter(okPredicate(requiredFields))
         .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
       val total = cached.count()
-      val kept = ok.count()
-      // the returned frame recomputes lazily; holding the parse cache
-      // for the session would pin one copy per ingested corpus
-      (ok, total - kept)
+      // within this pass the cache holds FULL parsed rows, so the keep
+      // classification is pruning-proof by construction; materialize
+      // pins that classification for the caller's later reads too
+      val out = if (materialize) ok.localCheckpoint(true) else ok
+      val kept = out.count()
+      // the (lazy) returned frame recomputes on read; holding the parse
+      // cache for the session would pin one copy per ingested corpus
+      (out, total - kept)
     } finally cached.unpersist()
   }
 }

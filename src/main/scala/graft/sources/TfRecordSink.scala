@@ -23,15 +23,20 @@ object TfRecordSink {
     * 4-byte masked CRCs. */
   private val FrameOverhead = 16L
 
-  /** Byte-balanced shard export — [[graft.io.ShardWriter]]'s
+  /** Byte-TARGETED shard export — [[graft.io.ShardWriter]]'s
     * discipline for the tfrecord format: size the shard count from
     * the actual framed payload (⌈bytes / targetShardBytes⌉) and
-    * hash-spread records across shards, so every shard is a
-    * statistically interchangeable ~target-sized sample of the
-    * corpus regardless of input skew or ordering. One counting pass +
-    * one shuffle; no driver-side data movement. Sizes are pre-gzip
-    * (compressed shard size depends on content; the target bounds
-    * the uncompressed payload like a row-group target does).
+    * spread records round-robin across that many shards. Round-robin
+    * equalizes per-shard ROW counts exactly, so shard BYTES track the
+    * target as long as record sizes are not pathologically skewed
+    * (a single record bigger than the target necessarily overflows
+    * its shard — no row-level sharding can fix that); it is
+    * deliberately NOT content-keyed, which would pile every copy of
+    * a duplicated record into one shard on pre-dedup corpora. One
+    * counting pass + one shuffle; no driver-side data movement.
+    * Sizes are pre-gzip (compressed size depends on content; the
+    * target bounds the uncompressed payload like a row-group target
+    * does).
     * @return (filesWritten, recordsWritten) */
   def writeBalanced(records: Dataset[Array[Byte]], dir: String,
       targetShardBytes: Long = 128L * 1024 * 1024,

@@ -58,6 +58,27 @@ class CsvSourceSpec extends AnyFunSuite with SparkSpec {
     assert(df.count() == 1L)
   }
 
+  test("reader branch: count and frame stay consistent (materialized kept frame)") {
+    import spark.implicits._
+    // the CSV reader's lazy re-parses prune columns; the branch pins
+    // the counting pass's classification by materializing — a row
+    // corrupt only in the non-required score column must stay dropped
+    // under a later narrow projection
+    val wide = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("score", LongType)))
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvpin")
+    java.nio.file.Files.write(dir.resolve("d.csv"),
+      Seq("doc_id,text,score", "1,hi,10", "2,yo,notanumber")
+        .mkString("\n").getBytes("UTF-8"))
+    val (df, dropped) = graft.sources.CsvSource.read(
+      spark, dir.toString, wide, Seq("doc_id", "text"), header = true)
+    assert(dropped == 1L)
+    assert(df.select("doc_id").as[Long].collect().toSeq == Seq(1L),
+      "reader-branch projection resurrected a counted-dropped row")
+  }
+
   test("multiLine branch: RFC-4180 quoted embedded newlines survive") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-csvml")

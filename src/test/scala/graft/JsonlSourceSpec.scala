@@ -58,11 +58,18 @@ class JsonlSourceSpec extends AnyFunSuite with SparkSpec {
       val got = spark.table("jsonl_stream").as[(Long, String, String)]
         .collect().map(_._1).toSet
       assert(got == Set(1L, 2L, 3L), "kept records across both batches")
+      // an EMPTY file landing must report dropped=0, not null (SUM
+      // over an empty batch is null without the coalesce)
+      java.nio.file.Files.write(dir.resolve("b2.jsonl"), Array.emptyByteArray)
+      q.processAllAvailable()
       val metrics = q.recentProgress.toSeq
         .flatMap(p => Option(p.observedMetrics.get("jsonl_ingest")))
-        .map(r => (r.getAs[Long]("lines"), r.getAs[Long]("dropped")))
-      assert(metrics.contains((3L, 1L)), s"batch-0 metrics missing: $metrics")
-      assert(metrics.contains((2L, 1L)), s"batch-1 metrics missing: $metrics")
+        .map(r => (r.getAs[Long]("lines"),
+          Option(r.get(r.fieldIndex("dropped"))).map(_.asInstanceOf[Long])))
+      assert(metrics.contains((3L, Some(1L))), s"batch-0 metrics missing: $metrics")
+      assert(metrics.contains((2L, Some(1L))), s"batch-1 metrics missing: $metrics")
+      metrics.foreach { case (_, d) =>
+        assert(d.isDefined, s"null dropped metric leaked: $metrics") }
     } finally q.stop()
   }
 
