@@ -118,9 +118,10 @@ object DedupQueries {
     // per shingle — measured ~5× slower). Deliberately NOT cached:
     // hs is read 3× (postings + both verify sides) but recomputing the
     // native expression beats materializing fat array columns through
-    // the in-memory store (measured at sf0.1: uncached 2.7 s
-    // end-to-end vs 3.1-3.4 s cached — same finding as round 3's
-    // postings-cache experiment at this site). Also keep size() OUT of
+    // the in-memory store (re-measured round 5 with the array-based
+    // verify: uncached 2.0 s end-to-end at sf0.1 vs 3.1 s with an hs
+    // cache — same finding as round 3's postings-cache experiment at
+    // this site). Also keep size() OUT of
     // this projection: collapsed projections evaluate the expression
     // once per derived column; sizes are O(1) reads downstream.
     val hs = T.documents(s, d)
@@ -129,11 +130,20 @@ object DedupQueries {
     val ex = hs.select($"doc_id", size($"hset").as("n"), explode($"hset").as("sh"))
     val dfreq2 = ex.groupBy($"sh").agg(count(lit(1)).as("df"))
       .filter($"df" >= 2)
-    val byDoc = Window.partitionBy($"doc_id")
+    // ONE ordered window spec for both rank and per-doc count: sharing
+    // the (partition, order) pair puts r2 and n2 in a single WindowExec
+    // pass over one sort (n2's frame widens to unbounded-unbounded —
+    // count is order-insensitive, so the value is unchanged). The
+    // round-4 form used an unordered second spec for n2, which planned
+    // a second WindowExec; folding them measured 2.56 s → 2.03 s
+    // end-to-end at sf0.1 (round-5 variant shootout; the no-window
+    // collect_list+sort_array aggregate form and prefix/hs caches all
+    // measured slower — 2.6-3.1 s).
+    val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
     val ranked = ex.join(dfreq2, "sh") // inner: df >= 2 postings only
-      .withColumn("r2", row_number().over(
-        byDoc.orderBy($"df".asc, $"sh".asc)))
-      .withColumn("n2", count(lit(1)).over(byDoc))
+      .withColumn("r2", row_number().over(w))
+      .withColumn("n2", count(lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .withColumn("plen", $"n" - ceil(lit(t) * $"n").cast("int") + 1)
     // global rank = (n - n2) df=1 shingles sorting first + r2
     val prefix = ranked
