@@ -100,6 +100,55 @@ class TfRecordSpec extends AnyFunSuite with SparkSpec {
       spark.emptyDataset[Array[Byte]], dir + "-empty") == ((0, 0L)))
   }
 
+  test("writeBalanced: 100:1 record-size skew still bounds shard bytes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // heavy tail: 40 records of ~100 KiB among 400 of ~1 KiB, shuffled
+    // so big records cluster unpredictably; target 256 KiB keeps the
+    // biggest record under target/2, so cumulative packing guarantees
+    // max shard < target + maxRec <= 1.5x target
+    val recs = rnd.shuffle(
+      (1 to 40).map(_ => Array.fill(100 * 1024)(rnd.nextInt().toByte)) ++
+      (1 to 400).map(_ => Array.fill(1024)(rnd.nextInt().toByte)))
+    val totalFramed = recs.map(_.length + 16L).sum
+    val target = 256L * 1024
+    val dir = java.nio.file.Files.createTempDirectory("tfskew").toString
+    val (files, n) = graft.sources.TfRecordSink.writeBalanced(
+      spark.createDataset(recs).repartition(7), dir,
+      targetShardBytes = target, gzip = false)
+    assert(n == recs.size.toLong)
+    // a big record straddling the final boundary can leave the last
+    // byte-window with no record START -> count may undershoot ceil by 1
+    val want = math.ceil(totalFramed.toDouble / target).toInt
+    assert(files == want || files == want - 1,
+      s"shard count $files should be within 1 of ceil($totalFramed / $target) = $want")
+    val sizes = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.length())
+    assert(sizes.length == files)
+    assert(sizes.max <= (1.5 * target).toLong,
+      s"skewed shard blew the byte bound: ${sizes.sorted.mkString(",")}")
+    val got = TfRecordSource.read(spark, s"$dir/part-*")
+      .collect().map(java.util.Base64.getEncoder.encodeToString).sorted
+    assert(got.toSeq === recs.map(java.util.Base64.getEncoder.encodeToString).sorted)
+  }
+
+  test("commit sweeps stale attempt temps and never leaves a torn final") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("tfstale").toString
+    // plant a stale temp from a "failed attempt" of partition 0
+    val stale = new java.io.File(dir, ".part-00000.attempt-999.tfrecord.tmp")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    val recs = (1 to 10).map(i => Array.fill(64)(i.toByte))
+    val (files, n) = graft.sources.TfRecordSink.write(
+      spark.createDataset(recs).repartition(1), dir, gzip = false)
+    assert(files == 1 && n == 10)
+    assert(!stale.exists(), "stale attempt temp survived commit")
+    // no temp of any kind remains; final file round-trips
+    assert(new java.io.File(dir).listFiles()
+      .forall(f => !f.getName.endsWith(".tmp")))
+    assert(TfRecordSource.read(spark, s"$dir/part-*").count() == 10)
+  }
+
   test("CRC corruption is detected") {
     val tmp = java.nio.file.Files.createTempDirectory("tfrec-bad").toFile
     val f = new java.io.File(tmp, "bad.tfrecord")
