@@ -89,7 +89,27 @@ object StreamingOps {
   final case class BandProbe(docId: Long, kind: String, band: Int, bv: Long,
       fp: Long, ts: java.sql.Timestamp)
   final case class BandVerdict(docId: Long, suppressed: Boolean, ts: java.sql.Timestamp)
-  final case class BucketOwner(fp: Long)
+  final case class BucketOwners(fps: List[Long])
+
+  /** One bucket's fold step, pure for spec-ability: run `probes`
+    * (pre-sorted by the caller) against the owner ring, newest owner
+    * first. A probe within its hamming threshold of ANY ring owner is
+    * suppressed; otherwise it claims a ring slot (oldest evicted past
+    * `cap`). Returns (updated ring, verdicts in probe order). */
+  private[graft] def foldBucket(owners0: List[Long], probes: Seq[BandProbe],
+      cap: Int): (List[Long], Vector[BandVerdict]) = {
+    var owners = owners0
+    val out = probes.iterator.map { p =>
+      val thresh = if (p.kind == "tx") 0 else 10
+      if (owners.exists(o => java.lang.Long.bitCount(p.fp ^ o) <= thresh))
+        BandVerdict(p.docId, suppressed = true, p.ts)
+      else {
+        owners = (p.fp :: owners).take(cap)
+        BandVerdict(p.docId, suppressed = false, p.ts)
+      }
+    }.toVector
+    (owners, out)
+  }
 
   /** Spark's own interval parser, so every string `withWatermark`
     * accepts ("30 minutes", "10 sec", "1 hour 30 minutes", …) works
@@ -105,25 +125,31 @@ object StreamingOps {
   /** BANDED streaming near-dup suppression — the q43-grade-recall
     * upgrade of [[nearDedupStream]]: each doc emits its 11 SimHash
     * band keys (5×6-bit + 6×5-bit over the 60-bit fingerprint); a
-    * keyed state per (band, value) bucket remembers the bucket's
-    * first-claimer fingerprint inside the watermark horizon, and an
-    * arriving doc is suppressed when ANY band bucket's owner is
-    * within hamming ≤ 10 of it (exact verify against the stored
-    * fingerprint — a chance bucket collision past the hamming bound
-    * does NOT suppress). By the q43 pigeonhole bound, a near-twin
-    * (hamming ≤ 10) of a bucket owner always lands in at least one of
-    * the owner's buckets, so owner-twins are never missed; recall vs
-    * the batch sweep is bounded only by the one-owner-per-bucket
-    * state cap (a later doc matching a SUPPRESSED doc's other bands
-    * is judged against that doc's stored fingerprint — transitive
-    * suppression, same spirit as q72's clustering). Docs too short to
-    * shingle fall back to an exact-text bucket (band = −1, threshold
-    * hamming 0).
+    * keyed state per (band, value) bucket remembers a small FIFO RING
+    * of the bucket's claimant fingerprints (up to `ownersPerBucket`,
+    * default 4) inside the watermark horizon, and an arriving doc is
+    * suppressed when ANY band bucket holds an owner within
+    * hamming ≤ 10 of it (exact verify against the stored fingerprints
+    * — a chance bucket collision past the hamming bound does NOT
+    * suppress; instead the colliding doc claims a ring slot of its
+    * own, evicting the OLDEST owner if the ring is full). By the q43
+    * pigeonhole bound, a near-twin (hamming ≤ 10) of any ring owner
+    * always lands in at least one of that owner's buckets, so
+    * ring-owner twins are never missed while the owner holds its
+    * slot. The round-4 one-owner-per-bucket cap let a doc B that
+    * chance-collided (beyond threshold) with owner A pass WITHOUT
+    * being recorded — a later twin of B whose only shared band was
+    * that bucket slipped through; the ring closes that hole up to
+    * ring depth (a doc suppressed in one band still claims its OTHER
+    * band buckets — transitive suppression, same spirit as q72's
+    * clustering). Docs too short to shingle fall back to an
+    * exact-text bucket (band = −1, threshold hamming 0).
     *
-    * State stays bounded for 100 TB/day ingest: ONE 8-byte
-    * fingerprint per non-empty band bucket, event-time-timed-out once
-    * the watermark passes. The per-doc verdict (suppress iff any of
-    * its 11 band probes matched) folds back in a watermark-bounded
+    * State stays bounded for 100 TB/day ingest: at most
+    * `ownersPerBucket` 8-byte fingerprints per non-empty band bucket
+    * (32 bytes at the default), event-time-timed-out once the
+    * watermark passes. The per-doc verdict (suppress iff any of its
+    * 11 band probes matched) folds back in a watermark-bounded
     * tumbling-window aggregation — all 11 probes carry the doc's own
     * event time, so they land in one window deterministically; the
     * kept stream emits when the watermark passes that window.
@@ -148,13 +174,25 @@ object StreamingOps {
     * Returns (idCol, ts) of retained docs. */
   def nearDedupStreamBanded(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", watermark: String = "30 minutes",
-      verdictWindow: String = "1 minute"): DataFrame = {
+      verdictWindow: String = "1 minute", ownersPerBucket: Int = 4): DataFrame = {
+    require(ownersPerBucket >= 1, "ownersPerBucket must be >= 1")
     val s = docs.sparkSession
     graft.GraftExtensions.ensureRegistered(s)
     import s.implicits._
     // safe here — see scaladoc (verdicts inherit their input's event
-    // time and batch, so downstream lateness = plain windowed agg)
-    s.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // time and batch, so downstream lateness = plain windowed agg);
+    // loudly recorded because the conf is session-wide
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = s.conf.getOption(checkKey)
+    if (!prior.contains("false")) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"nearDedupStreamBanded: disabling $checkKey SESSION-WIDE " +
+        s"(was ${prior.getOrElse("unset/true")}) — this chain is safe " +
+        "(verdicts inherit input event time), but other streaming " +
+        "queries in this session lose the check; re-enable it after " +
+        ".start()ing this query if they rely on it")
+    }
+    s.conf.set(checkKey, "false")
     val wmMs = durationMs(watermark)
     val base = docs
       .withColumn("__kind",
@@ -176,29 +214,16 @@ object StreamingOps {
       .withWatermark("ts", watermark)
       .as[BandProbe]
       .groupByKey(p => (p.kind, p.band, p.bv))
-      .flatMapGroupsWithState[BucketOwner, BandVerdict](
+      .flatMapGroupsWithState[BucketOwners, BandVerdict](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (_, rows, state) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // deterministic within-batch order: earliest (ts, docId) claims
             val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.docId))
-            var owner = state.getOption.map(_.fp)
-            val out = sorted.map { p =>
-              val thresh = if (p.kind == "tx") 0 else 10
-              owner match {
-                case Some(o) if java.lang.Long.bitCount(p.fp ^ o) <= thresh =>
-                  BandVerdict(p.docId, suppressed = true, p.ts)
-                case Some(_) =>
-                  // chance collision beyond the hamming bound: pass, and
-                  // keep the original owner (one fingerprint per bucket)
-                  BandVerdict(p.docId, suppressed = false, p.ts)
-                case None =>
-                  owner = Some(p.fp)
-                  BandVerdict(p.docId, suppressed = false, p.ts)
-              }
-            }
-            owner.foreach(o => state.update(BucketOwner(o)))
+            val (owners, out) = foldBucket(
+              state.getOption.map(_.fps).getOrElse(Nil), sorted, ownersPerBucket)
+            if (owners.nonEmpty) state.update(BucketOwners(owners))
             state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + wmMs)
             out.iterator
           }

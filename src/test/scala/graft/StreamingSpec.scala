@@ -98,6 +98,107 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("bucket owner ring: second distinct owner is recorded, its twin suppressed") {
+    import graft.streaming.StreamingOps.{foldBucket, BandProbe}
+    def probe(id: Long, fp: Long) =
+      BandProbe(id, "sh", 0, 0L, fp, new java.sql.Timestamp(id * 60000L))
+    // fpA and fpB share a bucket (same band key by construction here)
+    // but are far apart: hamming = 24 > 10. fpC is a near twin of fpB
+    // (hamming 2 <= 10) and far from fpA.
+    val fpA = 0L
+    val fpB = 0xFFFFFFL            // 24 low bits set
+    val fpC = 0xFFFFFCL            // fpB with 2 low bits cleared
+    assert(java.lang.Long.bitCount(fpA ^ fpB) > 10)
+    assert(java.lang.Long.bitCount(fpB ^ fpC) <= 10)
+    assert(java.lang.Long.bitCount(fpA ^ fpC) > 10)
+    // ring >= 2: B passes but claims the second slot; C is suppressed
+    val (owners, verdicts) =
+      foldBucket(Nil, Seq(probe(1, fpA), probe(2, fpB), probe(3, fpC)), cap = 4)
+    assert(verdicts.map(_.suppressed) == Vector(false, false, true),
+      "twin of the SECOND owner must be suppressed")
+    assert(owners == List(fpB, fpA), "both distinct owners recorded, newest first")
+    // cap = 1 keeps only the NEWEST claimant (B evicts A), so a twin
+    // of A now slips — the capacity trade the ring depth buys back
+    // (round 4's keep-the-ORIGINAL single owner had the mirror hole:
+    // twins of B slipped)
+    val fpA2 = 1L // hamming(A, A2) = 1, far from B
+    assert(java.lang.Long.bitCount(fpB ^ fpA2) > 10)
+    val (ring1, oneOwner) =
+      foldBucket(Nil, Seq(probe(1, fpA), probe(2, fpB)), cap = 1)
+    assert(ring1 == List(fpB), "cap=1: newest claimant evicts the original")
+    assert(!foldBucket(ring1, Seq(probe(3, fpA2)), cap = 1)._2.head.suppressed,
+      "cap=1 forgot A; its twin passes — ring depth >= 2 closes this")
+    assert(oneOwner.map(_.suppressed) == Vector(false, false))
+    // FIFO eviction past capacity: oldest owner leaves, its twin passes
+    val far = Seq(0L, 0xFFFL << 12, 0xFFFL << 24, 0xFFFL << 36, 0xFFFL << 48)
+    far.combinations(2).foreach { case Seq(x, y) =>
+      assert(java.lang.Long.bitCount(x ^ y) > 10) }
+    val (ring4, _) = foldBucket(Nil,
+      far.zipWithIndex.map { case (f, i) => probe(i + 1, f) }, cap = 4)
+    assert(ring4.size == 4 && !ring4.contains(0L), "oldest owner evicted at cap")
+    val (_, evictedTwin) = foldBucket(ring4, Seq(probe(9, 1L)), cap = 4)
+    assert(!evictedTwin.head.suppressed, "twin of the EVICTED owner passes (documented cap)")
+    val (_, newestTwin) = foldBucket(ring4, Seq(probe(10, (0xFFFL << 48) ^ 3L)), cap = 4)
+    assert(newestTwin.head.suppressed, "twin of a retained owner suppressed")
+  }
+
+  test("banded streaming near-dup: two owners sharing a bucket, twin of the second suppressed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    // fixture search: among seeded random texts, find A,B whose
+    // fingerprints are FAR apart (hamming > 10) yet share at least one
+    // SimHash band value — the two-distinct-owners-in-one-bucket shape
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "fox",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform")
+    val texts = Vector.fill(60)((1 to 24).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    def fpOf(t: String): Long = spark.createDataset(Seq(t)).toDF("text")
+      .select(expr("simhash60(word_shingles(text, 3))")).as[Long].head()
+    val fps = texts.map(t => t -> fpOf(t))
+    val pair = (for {
+      (ta, fa) <- fps.iterator
+      (tb, fb) <- fps.iterator
+      if ta < tb && java.lang.Long.bitCount(fa ^ fb) > 10 &&
+        graft.functions.SimHashBands.bands(fa).zip(
+          graft.functions.SimHashBands.bands(fb)).exists(p => p._1 == p._2)
+    } yield (ta, tb, fb)).buffered.headOption
+    assert(pair.isDefined, "fixture search found no band-sharing far pair")
+    val (a, b, fpB) = pair.get
+    // near twin of B: search one-word edits for a (0,10] hamming twin
+    val c = (for {
+      pos <- (4 until 20).iterator
+      w <- Iterator("zulu", "whiskey", "xray", "yankee")
+      cand = { val bw = b.split(" "); bw(pos) = w; bw.mkString(" ") }
+      ham = java.lang.Long.bitCount(fpB ^ fpOf(cand))
+      if ham > 0 && ham <= 10
+    } yield cand).buffered.headOption
+    assert(c.isDefined, "fixture search found no (0,10] one-word twin of b")
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val df = in.toDF().toDF("ts", "doc_id", "text")
+    val q = StreamingOps.nearDedupStreamBanded(df, "text", "doc_id", "30 minutes")
+      .writeStream.format("memory").queryName("banded_ring")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(1), 1L, a))
+      q.processAllAvailable() // A claims its buckets
+      in.addData((t(2), 2L, b))
+      q.processAllAvailable() // B collides with A's bucket(s) beyond the
+                              // bound -> kept, claims ring slots
+      in.addData((t(3), 3L, c.get))
+      q.processAllAvailable() // twin of the SECOND owner
+      in.addData((t(120), 99L, "watermark flush row"))
+      q.processAllAvailable()
+      val kept = spark.table("banded_ring").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L) && kept.contains(2L),
+        "far-apart docs both retained (two distinct owners)")
+      assert(!kept.contains(3L), "twin of the second owner must be suppressed")
+    } finally q.stop()
+  }
+
   test("streaming funnel: depth advances only in order, refines across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
