@@ -29,10 +29,12 @@ import org.apache.spark.sql.types.StructType
   * a row corrupt ONLY in a pruned column would pass the corrupt
   * filter it was counted as failing (documented Spark behavior:
   * "corrupt records can be different based on required set of
-  * fields"). That branch therefore MATERIALIZES the kept frame
-  * (eager localCheckpoint) while the full-schema counting cache is
-  * alive, pinning the classification the count saw — no session conf
-  * is touched and later reads cannot reclassify. Two further
+  * fields"). That branch therefore MATERIALIZES the kept frame —
+  * spilled to parquet (under `graft.spillDir`, the app checkpoint
+  * dir, or a local temp; see [[LineSource]]) while the full-schema
+  * counting cache is alive, pinning the classification the count saw
+  * — no session conf is touched, later reads cannot reclassify, and
+  * executor storage stays O(1) at any corpus size. Two further
   * reader-branch behavior differences, by Spark's design: blank
   * lines are skipped BEFORE parsing (not visible in the drop count,
   * unlike the default path), and multiLine makes each file

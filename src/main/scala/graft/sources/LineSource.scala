@@ -32,7 +32,7 @@ private[sources] object LineSource {
       p && col(s"r.$f").isNotNull
     }
 
-  /** @param materialize eagerly localCheckpoint the kept frame while
+  /** @param materialize eagerly SPILL the kept frame to parquet while
     *        the parse cache is alive — required when later lazy
     *        re-parses could classify rows DIFFERENTLY than the
     *        counting pass did (the CSV reader's column pruning); the
@@ -48,12 +48,34 @@ private[sources] object LineSource {
       val total = cached.count()
       // within this pass the cache holds FULL parsed rows, so the keep
       // classification is pruning-proof by construction; materialize
-      // pins that classification for the caller's later reads too
-      val out = if (materialize) ok.localCheckpoint(true) else ok
+      // pins that classification for the caller's later reads too.
+      // The spill is a distributed parquet write + plain re-read —
+      // executor storage stays O(1) however big the corpus is (the
+      // round-4 eager localCheckpoint pinned the WHOLE kept frame in
+      // executor block storage: fine at GBs, a cliff at 100 TB), and
+      // the returned frame is a splittable, pruning-friendly scan.
+      val out = if (materialize) {
+        val spark = parsed.sparkSession
+        val path = spillRoot(spark).stripSuffix("/") +
+          "/csv-keep-" + java.util.UUID.randomUUID()
+        ok.write.parquet(path)
+        spark.read.schema(schema).parquet(path)
+      } else ok
       val kept = out.count()
       // the (lazy) returned frame recomputes on read; holding the parse
       // cache for the session would pin one copy per ingested corpus
       (out, total - kept)
     } finally cached.unpersist()
   }
+
+  /** Spill location for materialized reads: `graft.spillDir` session
+    * conf if set, else the app's reliable checkpoint dir (both must be
+    * CLUSTER-VISIBLE storage on a real cluster), else a driver-local
+    * temp dir — correct in local mode only, which is where the
+    * fallback can arise. Spills live for the app's duration; the dir
+    * is per-read (UUID), so periodic cleanup of the root is safe. */
+  private def spillRoot(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.getOption("graft.spillDir")
+      .orElse(spark.sparkContext.getCheckpointDir)
+      .getOrElse(java.nio.file.Files.createTempDirectory("graft-spill").toString)
 }
