@@ -35,9 +35,13 @@ import org.apache.spark.sql.functions._
 object ScaleBench {
 
   private val Shift = 1000000000L
-  private val Copies = 10
 
-  private def replicate(spark: SparkSession, src: String, dst: String): Unit = {
+  /** Materialize a ×`copies` replica of `src` under `dst` (also used
+    * by ScaleCheckSpec's CI growth guard). */
+  private[graft] def replicate(spark: SparkSession, src: String, dst: String,
+      copies: Int): Unit = {
+    require(copies >= 1 && copies.toLong * Shift < Long.MaxValue / 4,
+      s"copies out of range: $copies")
     val shifted: Map[String, Seq[String]] = Map(
       "customer" -> Seq("c_custkey"),
       "orders" -> Seq("o_orderkey", "o_custkey"),
@@ -49,22 +53,27 @@ object ScaleBench {
       "embeddings" -> Seq("vec_id"))
     for ((table, keys) <- shifted) {
       val base =
-        if (table == "events")
-          // write ts back as int64 nanos — Tables.events expects the
-          // raw nanos column and does the timestamp conversion itself
-          Tables.events(spark, src)
-            .withColumn("ts", unix_micros(col("ts")) * 1000L)
-        else spark.read.parquet(s"$src/$table.parquet")
-      val copies = (0 until Copies).map { i =>
+        if (table == "events") {
+          // copy the raw int64 nanos column untouched (a round-trip
+          // through Tables.events' micros conversion truncated
+          // sub-microsecond nanos); with nanosAsLong the TIMESTAMP
+          // (NANOS) column reads as plain long and writes back as
+          // int64, which Tables.events handles identically
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$src/events.parquet")
+        } else spark.read.parquet(s"$src/$table.parquet")
+      val allCopies = (0 until copies).map { i =>
         val k = keys.foldLeft(base)((df, c) => df.withColumn(c, col(c) + lit(i * Shift)))
         if (table == "documents")
           k.withColumn("text",
             regexp_replace(col("text"), "(\\S+)", s"c$i$$1"))
+            // keep the byte-stats column faithful to the renamed text
+            .withColumn("n_chars", length(col("text")).cast("long"))
         else k
       }
-      copies.reduce(_ union _).write.mode("overwrite")
+      allCopies.reduce(_ union _).write.mode("overwrite")
         .parquet(s"$dst/$table.parquet")
-      println(s"SCALE replicated $table")
+      println(s"SCALE replicated $table x$copies")
     }
     for (t <- Seq("nation", "region"))
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
@@ -104,20 +113,24 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("ERROR")
     GraftExtensions.ensureRegistered(spark)
     val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "target/scale10")
+    val copies = sys.env.getOrElse("SPARK_GRAFT_SCALE_COPIES", "10").toInt
+    val big = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", s"target/scale$copies")
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").toSet)
+    val run = only.fold(probes)(f => probes.filter(f))
     if (!new java.io.File(s"$big/lineitem.parquet").exists())
-      replicate(spark, base, big)
+      replicate(spark, base, big, copies)
     // warm-up pass at the small scale (JIT + file listing)
-    probes.foreach(q => time(spark, q, base))
-    val rows = probes.map { q =>
+    run.foreach(q => time(spark, q, base))
+    val rows = run.map { q =>
       val tSmall = (1 to 3).map(_ => time(spark, q, base)).min
       val tBig = (1 to 3).map(_ => time(spark, q, big)).min
       val r = tBig / tSmall
-      println(f"""{"query":"$q","small_s":$tSmall%.2f,"x10_s":$tBig%.2f,"ratio":$r%.1f}""")
+      println(f"""{"query":"$q","small_s":$tSmall%.2f,"x${copies}_s":$tBig%.2f,"ratio":$r%.1f}""")
       (q, tSmall, tBig, r)
     }
     val med = rows.map(_._4).sorted.apply(rows.size / 2)
-    println(f"""{"metric":"scale10_median_ratio","value":$med%.2f,"queries":${rows.size}}""")
+    println(f"""{"metric":"scale${copies}_median_ratio","value":$med%.2f,"queries":${rows.size}}""")
     spark.stop()
   }
 }

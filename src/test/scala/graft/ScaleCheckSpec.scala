@@ -1,0 +1,108 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** CI growth guard — the ×10 ScaleBench promoted to an assertion.
+  * PlanShapeSpec pins plan SHAPE (no cartesians, broadcasts where
+  * promised) and ShuffleBytesSpec pins two absolute numbers; neither
+  * catches a regression that keeps the plan shape but doubles the
+  * data-dependent work — a lost pushdown, a candidate filter that
+  * stops cutting, a dedup key that collides everything. This spec
+  * builds a ×10 key-shifted replica of sf0.001 (ScaleBench.replicate
+  * — same semantics as the measured SCALING.md runs) and asserts that
+  * each inverted-index-family query's total SHUFFLE RECORDS grow by
+  * at most 2× its recorded round-5 ratio. Records, not seconds:
+  * wall time on a contended CI box is noise, while shuffle-record
+  * counts are a deterministic function of data and plan.
+  *
+  * The recorded ratios (sf0.001 → ×10, round 5): see each entry —
+  * near-10 for row-linear pipelines; the prefix-filter family sits
+  * lower than 10 here because df=1 shingles (which dominate this tiny
+  * corpus slice) never reach the ranked join. If a ratio breaches
+  * 2× its recording, a super-linear stage crept in — fix the plan,
+  * don't bump the bound without re-measuring SCALING.md. */
+class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
+
+  private val base =
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
+
+  /** replica marker: bump when replicate()'s semantics change so a
+    * stale on-disk replica can't silently skew the ratios */
+  private val ReplicaVersion = "r5-rawnanos-nchars"
+  private lazy val big: String = {
+    val dir = "target/scalecheck10"
+    val marker = new java.io.File(s"$dir/_replica_version_$ReplicaVersion")
+    if (!marker.exists()) {
+      val d = new java.io.File(dir)
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+      ScaleBench.replicate(spark, base, dir, 10)
+      marker.createNewFile()
+    }
+    dir
+  }
+
+  private def shuffleRecordsOf(name: String, d: String): Long = {
+    val records = new AtomicLong(0L)
+    val listener = new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
+        records.addAndGet(s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+    }
+    spark.catalog.clearCache() // query-internal caches must not carry over
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      QueryRegistry.byName(name).fn(spark, d).write
+        .format("noop").mode("overwrite").save()
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    records.get()
+  }
+
+  /** Recorded shuffle-record growth ratios, sf0.001 → ×10 (round-5
+    * measurement). Sub-10 values are real: df=1 shingles never reach
+    * q41's ranked join, and the tiny base pays a Tables.spread
+    * repartition shuffle the many-file replica doesn't (which is why
+    * q42/q53 measure ≤ 1 — the replica side shuffles less than the
+    * single-file base). */
+  private val recorded = Map(
+    "q40_dedup_exact" -> 5.0,
+    "q41_dedup_jaccard" -> 8.0,
+    "q42_dedup_minhash_lsh" -> 0.5,
+    "q53_fingerprint" -> 0.0,
+    "q67_tfidf" -> 6.1,
+    "q95_boilerplate_fraction" -> 6.8)
+
+  /** Red line: 2× the recording, floored at 12 (= ×10 data growth
+    * plus 20% allowance) so the spread-shuffle artifacts above don't
+    * make sub-linear recordings hair-trigger — any ratio ≤ 12 is
+    * linear-or-better by construction. */
+  private def bound(q: String): Double = math.max(2.0 * recorded(q), 12.0)
+
+  test("x10 data growth: inverted-index families' shuffle records stay within 2x recorded ratio") {
+    assume(new java.io.File(base).isDirectory)
+    val dir = big // force replica build
+    val report = recorded.keys.toSeq.sorted.map { q =>
+      val small = shuffleRecordsOf(q, base)
+      val bigR = shuffleRecordsOf(q, dir)
+      val ratio = bigR.toDouble / math.max(small, 1L)
+      (q, small, bigR, ratio)
+    }
+    report.foreach { case (q, s, b, r) =>
+      info(f"$q: $s%d -> $b%d shuffle records, ratio $r%.1f")
+    }
+    val breaches = report.filter { case (q, _, _, r) => r > bound(q) }
+    assert(breaches.isEmpty,
+      "super-linear shuffle growth (fix the plan, don't bump the bound): " +
+        breaches.map { case (q, s, b, r) =>
+          f"$q grew $s%d -> $b%d (x$r%.1f > bound ${bound(q)}%.1f)"
+        }.mkString("; "))
+  }
+}
