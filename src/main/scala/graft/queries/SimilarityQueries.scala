@@ -34,11 +34,19 @@ object SimilarityQueries {
     * broadcast separately, and callers union the per-chunk results
     * BEFORE any cross-chunk ranking window — so the result is
     * identical to the single-broadcast plan (the union covers the
-    * whole small side; top-k ranks across all chunks). Executor
-    * memory is bounded by the cap per in-flight chunk while total
-    * compute stays the same O(n·|Q|) the exact algorithm costs —
-    * chunking fixes memory, not work; the cheaper-work paths remain
-    * q46/q47's bucketed candidates. */
+    * whole small side; top-k ranks across all chunks). What chunking
+    * actually bounds: each BROADCAST (driver build, torrent block,
+    * per-join hash-relation build) stays under the cap and under
+    * Spark's hard 8 GB per-broadcast limit. It does NOT shrink
+    * aggregate executor STORAGE — all chunks belong to one unioned
+    * query, so their broadcast blocks stay resident together for the
+    * query's duration (≈ the full small side; processing chunks as
+    * separate jobs with unpersist between them would bound that too,
+    * at the price of one output pass per chunk), and each chunk
+    * re-runs the small side's derivation scan plus one driver count.
+    * Total compute stays the same O(n·|Q|) the exact algorithm costs
+    * — chunking fixes per-broadcast limits, not work; the
+    * cheaper-work paths remain q46/q47's bucketed candidates. */
   private val DefaultMaxBroadcastRows = 500000L
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
   private[graft] def broadcastChunks(df: org.apache.spark.sql.DataFrame,
