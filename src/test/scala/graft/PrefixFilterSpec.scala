@@ -30,10 +30,10 @@ class PrefixFilterSpec extends AnyFunSuite with SparkSpec {
 
   /** The pre-round-4 naive pipeline, kept here as the spec reference:
     * postings self-join on every shingle (Σdf² work). */
-  private def naivePairs(): DataFrame = {
+  private def naivePairs(dir: String = sf): DataFrame = {
     import spark.implicits._
     GraftExtensions.ensureRegistered(spark)
-    val ex = Tables.documents(spark, sf)
+    val ex = Tables.documents(spark, dir)
       .filter(size(split(trim($"text"), "\\s+")) >= 3)
       .select($"doc_id", expr("word_shingles(text, 3)").as("sset"))
       .select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh0"))
@@ -56,6 +56,55 @@ class PrefixFilterSpec extends AnyFunSuite with SparkSpec {
     val want = naivePairs().as[(Long, Long, Double)].collect().toSet
     assert(want.nonEmpty, "fixture should contain Jaccard near-dups")
     assert(got === want, "prefix filtering must lose (and invent) nothing")
+  }
+
+  /** The fixture corpus is PPJoin's WORST case (31-word vocabulary,
+    * every shingle df ≥ 2, near-uniform lengths) — the pruning math
+    * (plen, the df=1 global-rank offset `(n − n2) + r2`, positional
+    * upper bounds) barely fires there. This fuzz builds corpora the
+    * pruning actually cuts: Zipfian vocabulary (a genuine df=1 rare
+    * tail), doc lengths 3–40 tokens, planted near-dup copies with
+    * 0–3 token edits (straddling the 0.6 threshold both ways), and
+    * asserts exact pair parity against the naive Σdf² reference.
+    * Seeded — failures reproduce. */
+  test("randomized corpora: prefix-filtered pairs equal naive pairs (3 seeds)") {
+    import spark.implicits._
+    for (seed <- Seq(7, 41, 1013)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabN = 300
+      def word(): String = { // Zipf-ish: rank r with weight ~ 1/(r+1)
+        val u = rnd.nextDouble()
+        val r = ((math.exp(u * math.log(vocabN + 1.0)) - 1.0)).toInt.min(vocabN - 1)
+        s"w$r"
+      }
+      val base = (0 until 120).map { i =>
+        val len = 3 + rnd.nextInt(38)
+        (i.toLong, Seq.fill(len)(word()))
+      }
+      val editedCopies = base.filter(_ => rnd.nextDouble() < 0.3).map {
+        case (id, toks) =>
+          val edits = rnd.nextInt(4)
+          val mutated = (0 until edits).foldLeft(toks) { (t, _) =>
+            if (t.size > 3 && rnd.nextBoolean()) t.patch(rnd.nextInt(t.size), Nil, 1)
+            else t.updated(rnd.nextInt(t.size), word())
+          }
+          (1000L + id, mutated)
+      }
+      val docs = (base ++ editedCopies).map { case (id, toks) =>
+        val text = toks.mkString(" ")
+        (id, text, "en", "fuzz", text.length.toLong)
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"ppfuzz$seed").toString
+      docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = queries.DedupQueries.jaccardPairs(spark, dir)
+        .as[(Long, Long, Double)].collect().toSet
+      val want = naivePairs(dir).as[(Long, Long, Double)].collect().toSet
+      assert(want.nonEmpty, s"seed $seed planted no near-dup pairs — weaken edits")
+      assert(got === want,
+        s"seed $seed: prefix filtering lost or invented pairs " +
+          s"(got ${got.size}, want ${want.size})")
+    }
   }
 
   test("prefix candidates are a strict subset of naive shared-shingle candidates") {
