@@ -11,10 +11,14 @@ object PlanAudit {
         "q67_tfidf", "q66_grouping_sets", "q74_session_window",
         "q41_dedup_jaccard", "q43_dedup_simhash", "q44_dedup_cosine",
         "q71_repeated_spans", "q88_skewed_enrich",
-        "q89_bucketed_distinct_counts")) {
+        "q89_bucketed_distinct_counts", "q100_incremental_dedup")) {
       println(s"===== $name")
-      println(QueryRegistry.byName(name).fn(s, d).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      val plan = QueryRegistry.byName(name).fn(s, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      // q100's plan embeds the Bloom bitset as a BinaryType literal —
+      // keep the snapshot text-clean: non-printables → '·', runs collapsed
+      println(plan.replaceAll("[^\\x09\\x0A\\x20-\\x7E]+", "·")
+        .replaceAll("(·.{0,2}){8,}", "·<binary literal elided>·"))
     }
     s.stop()
   }

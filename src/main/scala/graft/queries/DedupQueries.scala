@@ -595,7 +595,15 @@ object DedupQueries {
     * bytes/doc — at 100 TB of corpus that is a slim table keyed for
     * one equi-join). Delta docs survive only if their digest misses
     * the store AND they aren't internal delta duplicates (min doc_id
-    * wins). Oracle: plain SQL over the same split. */
+    * wins).
+    *
+    * The store probe is [[graft.operators.BloomAntiJoin]] (round 5):
+    * a Bloom filter over the store's hashed fingerprints routes the
+    * delta so only true dupes plus the fpp sliver pay the anti-join
+    * shuffle — the billion-fingerprint store regime where neither
+    * side broadcasts as rows. Exactness is unchanged (the filter
+    * routes, the anti-join decides), so the oracle stays the plain
+    * SQL over the same split. */
   private val incrementalDedup = Q(
     "q100_incremental_dedup",
     (s, d) => {
@@ -603,7 +611,7 @@ object DedupQueries {
       val docs = T.documents(s, d).select($"doc_id", md5($"text").as("fp"))
       val store = docs.filter($"doc_id" % 2 === 0).select($"fp")
       val delta = docs.filter($"doc_id" % 2 === 1)
-      delta.join(store, Seq("fp"), "left_anti")
+      graft.operators.BloomAntiJoin(delta, store, "fp")
         .groupBy($"fp").agg(min($"doc_id").as("doc_id"),
           count(lit(1)).as("n_delta_copies"))
         .select($"doc_id", $"fp", $"n_delta_copies")
