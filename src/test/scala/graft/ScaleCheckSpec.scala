@@ -78,7 +78,10 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     "q42_dedup_minhash_lsh" -> 0.5,
     "q53_fingerprint" -> 0.0,
     "q67_tfidf" -> 6.1,
-    "q95_boilerplate_fraction" -> 6.8)
+    "q95_boilerplate_fraction" -> 6.8,
+    // q100: only the dupe sliver + final groupBy shuffle — the Bloom
+    // route keeps delta misses out of every exchange
+    "q100_incremental_dedup" -> 2.0)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
