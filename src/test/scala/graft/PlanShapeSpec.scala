@@ -71,6 +71,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q100: the store probe is Bloom-routed — might_contain rides the delta Filter") {
+    // a revert to the plain left-anti (whole delta into the join)
+    // loses the might_contain route; the definite-miss branch and the
+    // exact-join branch union back together
+    val p = plan("q100_incremental_dedup")
+    assert(p.contains("might_contain"), "q100 lost the Bloom route")
+    assert(p.contains("LeftAnti"), "q100 lost the exact anti-join backstop")
+    assert(p.contains("Union"), "q100 should union the definite-miss and sliver branches")
+  }
+
   test("q88: the enrichment join is salted — shuffle key carries __salt") {
     val p = plan("q88_skewed_enrich")
     assert(p.contains("__salt"), "salted join key lost — hot keys re-concentrate")
