@@ -218,10 +218,11 @@ object DedupQueries {
       val sig = sh.select($"doc_id", $"sset", expr("minhash_sig(sset)").as("sig"))
       // cache: the self-join below would otherwise recompute the whole
       // signature pipeline (md5 per shingle) once per side
+      // banding factored to operators/IncrementalNearDedup.bandDigests
+      // (round 5) so the incremental re-ingest path provably buckets
+      // identically to this full recompute
       val bands = sig.select($"doc_id",
-          posexplode(transform(sequence(lit(0), lit(7)),
-            b => md5(concat_ws(",", transform(slice($"sig", b * 3 + 1, lit(3)),
-              x => x.cast("string")))))))
+          posexplode(graft.operators.IncrementalNearDedup.bandDigests($"sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
         .cache()
       val cand = bands.as("a").join(bands.as("b"),
