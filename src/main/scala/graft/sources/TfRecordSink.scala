@@ -44,8 +44,12 @@ object TfRecordSink {
     * can fix that). The round-4 row-count round-robin only bounded
     * shard bytes for near-uniform record sizes. Packing is
     * content-agnostic (never keyed on record bytes), so duplicate-
-    * heavy pre-dedup corpora stay balanced, and it preserves input
-    * record order within and across shards. Sizes are pre-gzip
+    * heavy pre-dedup corpora stay balanced. Order: each input
+    * partition's records stay contiguous and in order inside a shard,
+    * and shards cover contiguous byte ranges — but a shard straddling
+    * an input-partition boundary receives its (at most a handful of)
+    * per-partition runs in shuffle-fetch order, so cross-partition
+    * interleave at the seam is not pinned. Sizes are pre-gzip
     * (compressed size depends on content; the target bounds the
     * uncompressed payload like a row-group target does).
     *

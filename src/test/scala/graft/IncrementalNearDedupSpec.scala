@@ -122,6 +122,53 @@ class IncrementalNearDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got === Set(5L, 11L))
   }
 
+  /** The fixture corpus has a narrow near-dup structure (template
+    * copies). This fuzz builds corpora with a Zipfian vocabulary,
+    * doc lengths 3–40 tokens, planted copies with 0–3 token edits
+    * (straddling the 0.6 threshold both ways), and a RANDOM
+    * store/delta split — so chains cross the split boundary in every
+    * direction — and asserts the incremental path keeps exactly the
+    * delta docs the independent batch reference keeps. Seeded —
+    * failures reproduce. */
+  test("randomized corpora + random store split: incremental equals batch (3 seeds)") {
+    val s = spark
+    import s.implicits._
+    for (seed <- Seq(11, 271, 9001)) {
+      val rnd = new scala.util.Random(seed)
+      val vocabN = 300
+      def word(): String = { // Zipf-ish: rank r with weight ~ 1/(r+1)
+        val u = rnd.nextDouble()
+        val r = ((math.exp(u * math.log(vocabN + 1.0)) - 1.0)).toInt.min(vocabN - 1)
+        s"w$r"
+      }
+      val base = (0 until 100).map { i =>
+        val len = 3 + rnd.nextInt(38)
+        (i.toLong, Seq.fill(len)(word()))
+      }
+      val editedCopies = base.filter(_ => rnd.nextDouble() < 0.35).map {
+        case (id, toks) =>
+          val edits = rnd.nextInt(4)
+          val mutated = (0 until edits).foldLeft(toks) { (t, _) =>
+            if (t.size > 3 && rnd.nextBoolean()) t.patch(rnd.nextInt(t.size), Nil, 1)
+            else t.updated(rnd.nextInt(t.size), word())
+          }
+          (1000L + id, mutated)
+      }
+      val corpus = (base ++ editedCopies)
+        .map { case (id, toks) => (id, toks.mkString(" ")) }
+      val all = corpus.toDF("doc_id", "text")
+      val storeIds = corpus.map(_._1).filter(_ => rnd.nextDouble() < 0.4).toSet
+      val got = incremental(all, storeIds, t = 0.6)
+      val want = referenceSurvivors(all, storeIds, t = 0.6)
+      val deltaIds = corpus.map(_._1).toSet -- storeIds
+      assert(want.nonEmpty && want.size < deltaIds.size,
+        s"seed $seed planted no cross-split suppression — weaken edits")
+      assert(got === want,
+        s"seed $seed: incremental != batch reference " +
+          s"(missing=${want -- got}, extra=${got -- want})")
+    }
+  }
+
   test("empty store degenerates to within-batch dedup; untouched docs survive") {
     val corpus = docs(
       1L -> "a b c d e f g h i j",
