@@ -47,7 +47,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val benchQs = QueryRegistry.all.filter(_.bench)
+    // dev iteration aid: SPARK_GRAFT_BENCH_ONLY=q41_dedup_jaccard,...
+    // restricts the suite (the recorded artifact always runs the full set)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+    val benchQs = only.fold(QueryRegistry.all.filter(_.bench))(
+      f => QueryRegistry.all.filter(q => f(q.name)))
 
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()
