@@ -52,6 +52,8 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
     val benchQs = only.fold(QueryRegistry.all.filter(_.bench))(
       f => QueryRegistry.all.filter(q => f(q.name)))
+    require(benchQs.nonEmpty, "SPARK_GRAFT_BENCH_ONLY matched no query; " +
+      s"registered: ${QueryRegistry.all.map(_.name).mkString(", ")}")
 
     def runOnce(q: Q): Double = {
       val t0 = System.nanoTime()

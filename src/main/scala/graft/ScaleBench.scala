@@ -118,6 +118,11 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
       .map(_.split(",").toSet)
     val run = only.fold(probes)(f => probes.filter(f))
+    // fail BEFORE the (expensive) replica build, naming the valid set
+    // — a typo'd filter would otherwise burn the build and then crash
+    // the median index on an empty run
+    require(run.nonEmpty, "SPARK_GRAFT_SCALE_ONLY matched no probe query; " +
+      s"valid names: ${probes.mkString(", ")}")
     if (!new java.io.File(s"$big/lineitem.parquet").exists())
       replicate(spark, base, big, copies)
     // warm-up pass at the small scale (JIT + file listing)

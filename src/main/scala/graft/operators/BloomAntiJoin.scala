@@ -2,11 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.BinaryType
-import org.apache.spark.util.sketch.BloomFilter
 
 /** Exact left-anti join accelerated by a Bloom pre-filter — the scale
   * path for "new data vs. historical fingerprint store" checks
@@ -17,11 +15,21 @@ import org.apache.spark.util.sketch.BloomFilter
   * Semantics: EXACTLY `left.join(right, Seq(key), "left_anti")`.
   * The Bloom filter only routes rows; it never decides membership:
   *
-  *  - build: one aggregate scan of `right` folds `xxhash64(key)`
-  *    into a Bloom filter (Spark's own `BloomFilterAggregate`, the
-  *    expression behind AQE runtime filters — partial filters merge
-  *    associatively on executors, only the final bitset reaches the
-  *    driver);
+  *  - build: `right.stat.bloomFilter` over `xxhash64(key)` — an RDD
+  *    treeAggregate whose per-partition partial filters merge on
+  *    executors, only merged bitsets reaching the driver. NOT the
+  *    Catalyst `BloomFilterAggregate` behind AQE runtime filters:
+  *    that expression silently clamps to
+  *    `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+  *    2²⁶ bits = 8 MiB) and `...maxNumItems` (default 4×10⁶), so past
+  *    ~10⁷ keys the filter saturates and every probe answers "maybe"
+  *    — defeating the routing at exactly the store sizes this
+  *    operator exists for. The sketch builder sizes the bitset from
+  *    (n, fpp) with no cap (BloomAntiJoinSpec pins an 8M-key filter
+  *    past the Catalyst clamp). The serialized format and the
+  *    putLong/mightContainLong hashing are the same classes the
+  *    Catalyst probe expression deserializes, so the codegen'd
+  *    `might_contain` probe works unchanged;
   *  - route: left rows whose key the filter rejects are DEFINITE
   *    non-members (a Bloom filter has no false negatives over the
   *    inserted hashes) and are kept without ever shuffling; only the
@@ -33,6 +41,12 @@ import org.apache.spark.util.sketch.BloomFilter
   * a null-keyed left row either misses the filter (kept, correct) or
   * hits it and flows to the exact anti-join (null ≠ anything — kept,
   * correct).
+  *
+  * Build cost: TWO jobs over `right` — a count to size the filter,
+  * then the aggregate — unless the caller passes `expectedKeys` (a
+  * store that maintains its own row count skips the count scan; an
+  * OVERestimate only widens the bitset, an underestimate only raises
+  * the realized fpp — exactness never depends on it).
   *
   * At 100 TB: the store has ~10⁹ fingerprints; at the default 3% fpp
   * the bitset is ~0.9 GiB — it rides the stage's task-binary torrent
@@ -48,29 +62,37 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomAntiJoin {
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Serialized sketch Bloom filter over `xxhash64(right.key)`, sized
+    * for `n` keys at `fpp`. Exposed for specs (clamp regression). */
+  private[graft] def filterBytes(right: DataFrame, key: String,
+      fpp: Double, n: Long): Array[Byte] = {
+    val bf = right.stat.bloomFilter(xxhash64(col(key)), n, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
   /** `might_contain(bloom-of-right[key], xxhash64(key))` as a Column,
-    * with the filter built eagerly (one job over `right`). Returns
-    * None when `right` is empty — no filter needed, nothing matches.
-    * Exposed for specs to measure the routing split directly. */
+    * with the filter built eagerly. Returns None when `right` is
+    * empty — no filter needed, nothing matches. Exposed for specs to
+    * measure the routing split directly. */
   private[graft] def mightContainCol(right: DataFrame, key: String,
-      fpp: Double): Option[Column] = {
-    val n = right.count()
-    if (n == 0L) return None
-    val numBits = math.max(64L, BloomFilter.optimalNumOfBits(n, fpp))
-    val bloomAgg = ColumnBridge.column(
-      new BloomFilterAggregate(
-        ColumnBridge.expression(xxhash64(col(key))),
-        Literal(n), Literal(numBits)).toAggregateExpression())
-    val bits = right.select(bloomAgg).head.getAs[Array[Byte]](0)
+      fpp: Double, expectedKeys: Option[Long] = None): Option[Column] = {
+    val n = expectedKeys.getOrElse(right.count())
+    if (n <= 0L) return None
+    val bits = filterBytes(right, key, fpp, n)
     log.info(s"BloomAntiJoin: $n store keys, ${bits.length} filter bytes (fpp target $fpp)")
     Some(ColumnBridge.column(BloomFilterMightContain(
       Literal.create(bits, BinaryType),
       ColumnBridge.expression(xxhash64(col(key))))))
   }
 
+  /** @param expectedKeys skip the sizing `count()` over `right` when
+    *        the caller already knows (approximately) how many keys the
+    *        store holds; see the build-cost note above. */
   def apply(left: DataFrame, right: DataFrame, key: String,
-      fpp: Double = 0.03): DataFrame =
-    mightContainCol(right, key, fpp) match {
+      fpp: Double = 0.03, expectedKeys: Option[Long] = None): DataFrame =
+    mightContainCol(right, key, fpp, expectedKeys) match {
       case None => left // empty store: anti-join keeps everything
       case Some(mc) =>
         // unknown → exact path: conservative routing can only cost

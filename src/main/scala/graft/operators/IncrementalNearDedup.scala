@@ -113,8 +113,16 @@ object IncrementalNearDedup {
     val edges = storeEdges.unionByName(deltaEdges).cache()
 
     // transitive closure over the verified pairs; a component is
-    // poisoned iff any member id belongs to the store
+    // poisoned iff any member id belongs to the store. label() is
+    // EAGER (its rounds run now) and returns a localCheckpoint-backed
+    // frame, so once it returns the three caches above have served
+    // every reader — unpersist here, not at session end: the
+    // documented shape is a day-over-day re-ingest LOOP, and leaked
+    // per-call caches would accumulate in executor storage across it.
+    // (labels' ids are exactly the edge-touched nodes, so edges isn't
+    // needed again either.)
     val labels = ConnectedComponents.label(edges)
+    edges.unpersist(); dBands.unpersist(); dSets.unpersist()
     val storeIds = storeSets.select(col("id"))
     val poisoned = labels.join(storeIds, Seq("id"), "left_semi")
       .select(col("component")).distinct()
@@ -124,8 +132,9 @@ object IncrementalNearDedup {
       .groupBy(col("component")).agg(min(col("id")).as("id"))
       .select(col("id"))
     // docs in no verified pair never enter the graph — they survive
-    val edgeIds = edges.select(col("lid").as("id"))
-      .unionByName(edges.select(col("rid").as("id"))).distinct()
+    // (labels holds every edge-touched id, checkpoint-backed — using
+    // it instead of edges lets the edge cache release above)
+    val edgeIds = labels.select(col("id"))
     val untouched = delta.select(col(idCol).as("id"))
       .join(edgeIds, Seq("id"), "left_anti")
 

@@ -71,11 +71,20 @@ private[sources] object LineSource {
   /** Spill location for materialized reads: `graft.spillDir` session
     * conf if set, else the app's reliable checkpoint dir (both must be
     * CLUSTER-VISIBLE storage on a real cluster), else a driver-local
-    * temp dir — correct in local mode only, which is where the
-    * fallback can arise. Spills live for the app's duration; the dir
-    * is per-read (UUID), so periodic cleanup of the root is safe. */
+    * temp dir — which is only correct in local mode, where executors
+    * share the driver's filesystem, so the fallback REFUSES to run
+    * under a cluster master: executors would write part files to
+    * their own local disks and the driver's re-read would silently
+    * return a partial frame. Spills live for the app's duration; the
+    * dir is per-read (UUID), so periodic cleanup of the root is safe. */
   private def spillRoot(spark: org.apache.spark.sql.SparkSession): String =
     spark.conf.getOption("graft.spillDir")
       .orElse(spark.sparkContext.getCheckpointDir)
-      .getOrElse(java.nio.file.Files.createTempDirectory("graft-spill").toString)
+      .getOrElse {
+        require(spark.sparkContext.isLocal,
+          "materialized CSV/TSV read on a cluster needs cluster-visible " +
+            "spill storage: set graft.spillDir or sc.setCheckpointDir " +
+            "(a driver-local temp dir would silently lose executor writes)")
+        java.nio.file.Files.createTempDirectory("graft-spill").toString
+      }
 }

@@ -145,6 +145,14 @@ object StreamingOps {
     * clustering). Docs too short to shingle fall back to an
     * exact-text bucket (band = −1, threshold hamming 0).
     *
+    * CHECKPOINT COMPATIBILITY: the ring changed the state encoding
+    * from the round-4 single `fp: Long` to `fps: List[Long]` — a
+    * checkpoint written by the old code fails Spark's state-schema
+    * check on restart. Restart such a query with a fresh checkpoint
+    * dir (suppression state inside the watermark horizon rebuilds
+    * from the stream; duplicates arriving during that warm-up window
+    * can pass once).
+    *
     * State stays bounded for 100 TB/day ingest: at most
     * `ownersPerBucket` 8-byte fingerprints per non-empty band bucket
     * (32 bytes at the default), event-time-timed-out once the

@@ -92,6 +92,37 @@ class BloomAntiJoinSpec extends AnyFunSuite with SparkSpec {
     assert(got.nonEmpty && got === want)
   }
 
+  /** Regression pin for the build path: the Catalyst
+    * `BloomFilterAggregate` silently clamps its bitset to
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` (default
+    * 2²⁶ bits = 8 MiB) and its item count to 4×10⁶ — a filter "sized"
+    * for a large store would saturate and route every probe to the
+    * join. The sketch-builder path must keep sizing from (n, fpp)
+    * unclamped: 8M keys at 1% fpp need ~76.7M bits ≈ 9.6 MB > the
+    * 8 MiB clamp, so a clamped build CANNOT produce this length. */
+  test("filter sizing is unclamped past the Catalyst 8 MiB runtime-filter cap") {
+    val s = spark
+    import s.implicits._
+    val n = 8000000L
+    val right = s.range(n).select($"id".cast("string").as("k"))
+    val bits = BloomAntiJoin.filterBytes(right, "k", fpp = 0.01, n = n)
+    val clampBytes = (1L << 26) / 8 // 8 MiB bitset = 2^26 bits
+    assert(bits.length > clampBytes,
+      s"filter is ${bits.length} bytes — at or under the ${clampBytes}B clamp; " +
+        "the build regressed to a capped aggregate")
+  }
+
+  test("expectedKeys skips the sizing count and stays exact (over- and under-estimates)") {
+    val l = df(Seq(Some("a"), Some("b"), Some("c"), None), "L")
+    val r = df(Seq(Some("b"), Some("c"), Some("d")), "R")
+    val want = plainAnti(l, r)
+    for (est <- Seq(1L, 3L, 1000L)) {
+      val got = BloomAntiJoin(l, r.select("k"), "k", expectedKeys = Some(est))
+        .collect().map(row => (row.getAs[String]("k"), row.getAs[String]("payload"))).toSet
+      assert(got === want, s"expectedKeys=$est broke exactness")
+    }
+  }
+
   test("empty store keeps everything; delta dupes preserved for downstream grouping") {
     val s = spark
     import s.implicits._
