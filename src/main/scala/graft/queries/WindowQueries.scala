@@ -71,7 +71,12 @@ object WindowQueries {
           row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         FROM orders) WHERE rn <= 3"""))
 
-  /** Sliding frame: 7-row centered moving average of daily revenue. */
+  /** Sliding frame: 7-row centered moving average of daily revenue.
+    * The global-order window here runs AFTER the day-level aggregate,
+    * so its input is bounded by |distinct days| (a few thousand for
+    * any calendar span) no matter the corpus size — single-partition
+    * is the right plan for a global time series that small, unlike a
+    * raw-table global rank (see q32's distributed formulation). */
   private val movingAvg = Q(
     "q31_moving_avg",
     (s, d) => {
@@ -92,17 +97,55 @@ object WindowQueries {
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)"""))
 
-  /** ntile + percent_rank + cumulative distribution. */
+  /** ntile + percent_rank + cumulative distribution — computed
+    * DISTRIBUTED: the naive `Window.orderBy(...)` (no partition) that
+    * these functions invite plans a single-partition WindowExec — the
+    * whole table through one task, the classic global-rank scale
+    * killer. Instead: range-partition on the order key (partition i's
+    * keys all precede partition i+1's), rank locally in parallel,
+    * then add each partition's starting offset — an exclusive prefix
+    * sum over the per-partition COUNTS, ≤ one row per partition, the
+    * only place a global-order window remains (bounded by cluster
+    * width, like q31's bounded day count). The order key is UNIQUE
+    * (c_custkey tie-break), so rank = row_number and all three
+    * outputs are exact integer/IEEE arithmetic on (rn, n):
+    * percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and ntile(k) is
+    * the standard bucketing (first n mod k buckets get ⌈n/k⌉ rows) —
+    * bit-identical to the window-function forms the oracle runs.
+    * Range boundary placement (sampling) can vary; the rank algebra
+    * doesn't depend on where the cuts fall. */
   private val distributionRanks = Q(
     "q32_distribution_ranks",
     (s, d) => {
       import s.implicits._
-      val w = Window.orderBy($"c_acctbal".asc, $"c_custkey".asc)
-      T.customer(s, d).select(
-        $"c_custkey", $"c_acctbal",
-        ntile(10).over(w).cast("long").as("decile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cdf"))
+      val cust = T.customer(s, d).select($"c_custkey", $"c_acctbal")
+      val nParts = s.sparkContext.defaultParallelism.max(1)
+      val local = cust
+        .repartitionByRange(nParts, $"c_acctbal".asc, $"c_custkey".asc)
+        .sortWithinPartitions($"c_acctbal".asc, $"c_custkey".asc)
+        .withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(
+          Window.partitionBy($"pid")
+            .orderBy($"c_acctbal".asc, $"c_custkey".asc)))
+      val offsets = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum($"cnt").over(Window.orderBy($"pid")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select($"pid", $"off")
+      val tot = cust.agg(count(lit(1)).as("n"))
+      local.join(broadcast(offsets), "pid")
+        .withColumn("rn", $"off" + $"lrn")
+        .crossJoin(broadcast(tot))
+        // ntile(10): q = n div 10, r = n mod 10; buckets 1..r hold
+        // q+1 rows, the rest q (CASE guards the q=0 divide when n<10)
+        .selectExpr("c_custkey", "c_acctbal",
+          """CASE WHEN rn <= (n % 10) * (n div 10 + 1)
+               THEN (rn - 1) div (n div 10 + 1) + 1
+               ELSE (n % 10) + (rn - (n % 10) * (n div 10 + 1) - 1) div (n div 10) + 1
+             END AS decile""",
+          """CASE WHEN n = 1 THEN 0.0
+             ELSE CAST(rn - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE) END AS pct_rank""",
+          "CAST(rn AS DOUBLE) / CAST(n AS DOUBLE) AS cdf")
     },
     Some("""SELECT c_custkey, c_acctbal,
       ntile(10)      OVER w AS decile,

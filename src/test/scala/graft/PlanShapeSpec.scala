@@ -81,6 +81,19 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("Union"), "q100 should union the definite-miss and sliver branches")
   }
 
+  test("q32: global ranks are range-partitioned — no full-table single-partition window") {
+    val p = plan("q32_distribution_ranks")
+    // the distributed form: range exchange + per-partition local rank
+    // (keyed by spark_partition_id) + broadcast offset/total joins
+    assert(p.contains("rangepartitioning"), "lost the range repartition")
+    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
+      "local rank must partition by spark_partition_id")
+    // a revert to Window.orderBy(...) would bring these back: the
+    // window-function forms run the whole table through one task
+    for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
+      assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
+  }
+
   test("q88: the enrichment join is salted — shuffle key carries __salt") {
     val p = plan("q88_skewed_enrich")
     assert(p.contains("__salt"), "salted join key lost — hot keys re-concentrate")
