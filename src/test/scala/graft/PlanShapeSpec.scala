@@ -94,6 +94,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
   }
 
+  test("every registered global window is fed by an aggregate (bounded input)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
+    // a Window with an empty partition spec runs the whole input
+    // through ONE task. That is only acceptable when an Aggregate
+    // below it has already reduced cardinality to something bounded
+    // (q31: days; q32: one count row per partition). A global window
+    // directly over a relation is a scale killer — this tripwire
+    // fails the build for any future query that plans one.
+    val offenders = QueryRegistry.all.flatMap { q =>
+      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+          s"${q.name} (window over ${w.child.nodeName})"
+      }
+    }
+    assert(offenders.isEmpty,
+      "global window over a non-aggregated input: " + offenders.mkString("; "))
+  }
+
   test("q88: the enrichment join is salted — shuffle key carries __salt") {
     val p = plan("q88_skewed_enrich")
     assert(p.contains("__salt"), "salted join key lost — hot keys re-concentrate")
