@@ -94,25 +94,33 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
   }
 
-  test("every registered global window is fed by an aggregate (bounded input)") {
+  test("all-plan scale tripwires: bounded global windows, no shuffle cartesian") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
     assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
-    // a Window with an empty partition spec runs the whole input
-    // through ONE task. That is only acceptable when an Aggregate
-    // below it has already reduced cardinality to something bounded
-    // (q31: days; q32: one count row per partition). A global window
-    // directly over a relation is a scale killer — this tripwire
-    // fails the build for any future query that plans one.
+    // Two invariants walked over EVERY registered query's plan, so a
+    // future query can't silently reintroduce either trap:
+    //  - a Window with an empty partition spec runs its whole input
+    //    through ONE task — only acceptable when an Aggregate below
+    //    has already reduced cardinality to something bounded (q31:
+    //    days; q32: one count row per partition);
+    //  - a CartesianProduct is the shuffle cartesian — both sides
+    //    big. (Condition-less joins are fine only as broadcast-NLJ
+    //    against a capped side: 1-row aggregates, limit-capped or
+    //    chunk-capped broadcast sets — q32/q47/q67/q68's shapes.)
     val offenders = QueryRegistry.all.flatMap { q =>
-      val plan = q.fn(spark, sf).queryExecution.optimizedPlan
-      plan.collect {
+      val qe = q.fn(spark, sf).queryExecution
+      val windows = qe.optimizedPlan.collect {
         case w: LWindow if w.partitionSpec.isEmpty &&
             w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
-          s"${q.name} (window over ${w.child.nodeName})"
+          s"${q.name}: global window over non-aggregated ${w.child.nodeName}"
       }
+      val cartesian =
+        if (qe.executedPlan.toString.contains("CartesianProduct"))
+          Seq(s"${q.name}: CartesianProduct")
+        else Nil
+      windows ++ cartesian
     }
-    assert(offenders.isEmpty,
-      "global window over a non-aggregated input: " + offenders.mkString("; "))
+    assert(offenders.isEmpty, "scale tripwire hit:\n" + offenders.mkString("\n"))
   }
 
   test("q88: the enrichment join is salted — shuffle key carries __salt") {
