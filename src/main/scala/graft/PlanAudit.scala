@@ -9,6 +9,7 @@ object PlanAudit {
         "q02_validity_filter", "q27_asof_join", "q45_ann_bruteforce",
         "q05_distinct_counts", "q26_interval_join", "q42_dedup_minhash_lsh",
         "q67_tfidf", "q66_grouping_sets", "q74_session_window",
+        "q32_distribution_ranks",
         "q41_dedup_jaccard", "q43_dedup_simhash", "q44_dedup_cosine",
         "q71_repeated_spans", "q88_skewed_enrich",
         "q89_bucketed_distinct_counts", "q100_incremental_dedup")) {

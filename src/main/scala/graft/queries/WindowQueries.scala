@@ -113,7 +113,21 @@ object WindowQueries {
     * the standard bucketing (first n mod k buckets get ⌈n/k⌉ rows) —
     * bit-identical to the window-function forms the oracle runs.
     * Range boundary placement (sampling) can vary; the rank algebra
-    * doesn't depend on where the cuts fall. */
+    * doesn't depend on where the cuts fall.
+    *
+    * The local rank comes from `monotonically_increasing_id` over the
+    * range-sorted stream — (partition << 33) + row index, decoded
+    * into (pid, lrn) with bit ops — NOT a `Window.partitionBy(pid)`,
+    * which would plan a SECOND full-table Exchange (hash on pid):
+    * Catalyst can't know the data is already clustered by the id it
+    * is about to mint. One big-side shuffle total (the range
+    * exchange), everything after it partition-local + two broadcast
+    * joins. The offsets branch re-derives the range exchange from the
+    * shared lineage fork (Catalyst prunes its sort/columns away) —
+    * consistent because BOTH exchanges are REPARTITION_BY_NUM with
+    * the same deterministic boundary sampling over the same scan:
+    * explicit-count repartitions are exempt from AQE partition
+    * coalescing, so the two pid spaces cannot diverge. */
   private val distributionRanks = Q(
     "q32_distribution_ranks",
     (s, d) => {
@@ -123,10 +137,10 @@ object WindowQueries {
       val local = cust
         .repartitionByRange(nParts, $"c_acctbal".asc, $"c_custkey".asc)
         .sortWithinPartitions($"c_acctbal".asc, $"c_custkey".asc)
-        .withColumn("pid", spark_partition_id())
-        .withColumn("lrn", row_number().over(
-          Window.partitionBy($"pid")
-            .orderBy($"c_acctbal".asc, $"c_custkey".asc)))
+        .withColumn("mid", monotonically_increasing_id())
+        .withColumn("pid", shiftrightunsigned($"mid", 33))
+        .withColumn("lrn", ($"mid".bitwiseAND(lit((1L << 33) - 1)) + 1L))
+        .drop("mid")
       val offsets = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
         .withColumn("off", coalesce(
           sum($"cnt").over(Window.orderBy($"pid")

@@ -83,11 +83,23 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("q32: global ranks are range-partitioned — no full-table single-partition window") {
     val p = plan("q32_distribution_ranks")
-    // the distributed form: range exchange + per-partition local rank
-    // (keyed by spark_partition_id) + broadcast offset/total joins
+    // the distributed form: ONE range exchange, then the local rank
+    // minted partition-locally from monotonically_increasing_id (a
+    // Window.partitionBy(pid) here would plan a SECOND full-table
+    // hash exchange), then broadcast offset/total joins
     assert(p.contains("rangepartitioning"), "lost the range repartition")
-    assert(p.contains("SPARK_PARTITION_ID") || p.contains("spark_partition_id"),
-      "local rank must partition by spark_partition_id")
+    assert(p.contains("monotonically_increasing_id"),
+      "local rank must be minted from monotonically_increasing_id")
+    // every Exchange that carries the full row stream (c_custkey in
+    // its output) must be the range exchange; a hash exchange there
+    // means a second full-table shuffle crept back in (the tiny
+    // pid-count/total aggregate exchanges carry no row data)
+    val exchanges = p.split("\\(\\d+\\) Exchange").drop(1)
+      .map(_.linesIterator.take(3).mkString(" "))
+    exchanges.filter(_.contains("c_custkey")).foreach { e =>
+      assert(e.contains("rangepartitioning"),
+        s"full-row exchange is not range-partitioned: $e")
+    }
     // a revert to Window.orderBy(...) would bring these back: the
     // window-function forms run the whole table through one task
     for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
