@@ -127,7 +127,10 @@ object WindowQueries {
     * consistent because BOTH exchanges are REPARTITION_BY_NUM with
     * the same deterministic boundary sampling over the same scan:
     * explicit-count repartitions are exempt from AQE partition
-    * coalescing, so the two pid spaces cannot diverge. */
+    * coalescing, so the two pid spaces cannot diverge. Bound: the id
+    * layout gives 33 bits to the in-partition index — fine until a
+    * single range partition exceeds 2³³ (≈8.6B) rows; size nParts so
+    * it can't. */
   private val distributionRanks = Q(
     "q32_distribution_ranks",
     (s, d) => {
