@@ -78,6 +78,13 @@ object BloomAntiJoin {
     * measure the routing split directly. */
   private[graft] def mightContainCol(right: DataFrame, key: String,
       fpp: Double, expectedKeys: Option[Long] = None): Option[Column] = {
+    // an expectedKeys of 0/negative must NOT alias the empty-store
+    // fast path: None there means "nothing can match" and skips the
+    // anti-join entirely — a stale zero from a store counter would
+    // silently keep every true duplicate. Only a real count may
+    // conclude emptiness; estimates must be positive.
+    expectedKeys.foreach(k => require(k > 0,
+      s"expectedKeys must be positive (got $k) — pass None to have the store counted"))
     val n = expectedKeys.getOrElse(right.count())
     if (n <= 0L) return None
     val bits = filterBytes(right, key, fpp, n)

@@ -115,44 +115,40 @@ object WindowQueries {
     * Range boundary placement (sampling) can vary; the rank algebra
     * doesn't depend on where the cuts fall.
     *
-    * The local rank comes from `monotonically_increasing_id` over the
-    * range-sorted stream — (partition << 33) + row index, decoded
-    * into (pid, lrn) with bit ops — NOT a `Window.partitionBy(pid)`,
-    * which would plan a SECOND full-table Exchange (hash on pid):
-    * Catalyst can't know the data is already clustered by the id it
-    * is about to mint. One big-side shuffle total (the range
-    * exchange), everything after it partition-local + two broadcast
-    * joins. The offsets branch re-derives the range exchange from the
-    * shared lineage fork (Catalyst prunes its sort/columns away) —
-    * consistent because BOTH exchanges are REPARTITION_BY_NUM with
-    * the same deterministic boundary sampling over the same scan:
-    * explicit-count repartitions are exempt from AQE partition
-    * coalescing, so the two pid spaces cannot diverge. Bound: the id
-    * layout gives 33 bits to the in-partition index — fine until a
-    * single range partition exceeds 2³³ (≈8.6B) rows; size nParts so
-    * it can't. */
+    * The global index comes from `zipWithIndex` on the range-sorted
+    * frame's ONE underlying RDD: its per-partition size job and the
+    * main pass run against the same RDD object, so the range shuffle's
+    * map stage executes once and both see ONE partitioning. (The
+    * superficially cleaner all-DataFrame fork — offsets branch +
+    * data branch both re-deriving the exchange — is NOT sound:
+    * RangePartitioner seeds its boundary sampling from rdd.id, so
+    * two physically distinct exchanges can cut different boundaries,
+    * and cross-branch consistency would rest on Catalyst exchange
+    * reuse, an optimization a conf can switch off. zipWithIndex is
+    * Spark's own primitive for exactly this prefix-sum.) A
+    * `Window.partitionBy(spark_partition_id())` alternative would
+    * plan a SECOND full-table hash Exchange. One big-side shuffle
+    * total; the RDD seam is two narrow maps, and the rank arithmetic
+    * runs codegen'd after `createDataFrame`. */
   private val distributionRanks = Q(
     "q32_distribution_ranks",
     (s, d) => {
       import s.implicits._
+      import org.apache.spark.sql.types.LongType
       val cust = T.customer(s, d).select($"c_custkey", $"c_acctbal")
       val nParts = s.sparkContext.defaultParallelism.max(1)
-      val local = cust
+      val ranged = cust
         .repartitionByRange(nParts, $"c_acctbal".asc, $"c_custkey".asc)
         .sortWithinPartitions($"c_acctbal".asc, $"c_custkey".asc)
-        .withColumn("mid", monotonically_increasing_id())
-        .withColumn("pid", shiftrightunsigned($"mid", 33))
-        .withColumn("lrn", ($"mid".bitwiseAND(lit((1L << 33) - 1)) + 1L))
-        .drop("mid")
-      val offsets = local.groupBy($"pid").agg(count(lit(1)).as("cnt"))
-        .withColumn("off", coalesce(
-          sum($"cnt").over(Window.orderBy($"pid")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-        .select($"pid", $"off")
-      val tot = cust.agg(count(lit(1)).as("n"))
-      local.join(broadcast(offsets), "pid")
-        .withColumn("rn", $"off" + $"lrn")
-        .crossJoin(broadcast(tot))
+      val withRn = s.createDataFrame(
+        ranged.rdd.zipWithIndex().map { case (r, i) =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+        },
+        ranged.schema.add("rn", LongType, nullable = false))
+      // total from the zipped frame: a zero-column count over the
+      // already-shuffled result, not another scan of the table
+      val tot = withRn.agg(count(lit(1)).as("n"))
+      withRn.crossJoin(broadcast(tot))
         // ntile(10): q = n div 10, r = n mod 10; buckets 1..r hold
         // q+1 rows, the rest q (CASE guards the q=0 divide when n<10)
         .selectExpr("c_custkey", "c_acctbal",

@@ -83,22 +83,20 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("q32: global ranks are range-partitioned — no full-table single-partition window") {
     val p = plan("q32_distribution_ranks")
-    // the distributed form: ONE range exchange, then the local rank
-    // minted partition-locally from monotonically_increasing_id (a
-    // Window.partitionBy(pid) here would plan a SECOND full-table
-    // hash exchange), then broadcast offset/total joins
-    assert(p.contains("rangepartitioning"), "lost the range repartition")
-    assert(p.contains("monotonically_increasing_id"),
-      "local rank must be minted from monotonically_increasing_id")
-    // every Exchange that carries the full row stream (c_custkey in
-    // its output) must be the range exchange; a hash exchange there
-    // means a second full-table shuffle crept back in (the tiny
-    // pid-count/total aggregate exchanges carry no row data)
+    // the distributed form: the range shuffle + zipWithIndex global
+    // index live in ONE shared RDD lineage (surfacing as an
+    // ExistingRDD scan), so the SQL plan carries no Window at all and
+    // no full-row exchange — only the broadcast of the 1-row total
+    assert(p.contains("ExistingRDD"),
+      "lost the zipWithIndex seam — global rank must come from the shared-RDD prefix sum")
+    // node match, not substring — the RDD callsite string mentions
+    // the defining file "WindowQueries.scala"
+    assert("""\(\d+\) Window""".r.findFirstIn(p).isEmpty,
+      "a Window node reappeared in q32")
     val exchanges = p.split("\\(\\d+\\) Exchange").drop(1)
       .map(_.linesIterator.take(3).mkString(" "))
     exchanges.filter(_.contains("c_custkey")).foreach { e =>
-      assert(e.contains("rangepartitioning"),
-        s"full-row exchange is not range-partitioned: $e")
+      assert(false, s"full-row exchange reappeared in q32: $e")
     }
     // a revert to Window.orderBy(...) would bring these back: the
     // window-function forms run the whole table through one task
@@ -107,23 +105,31 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("all-plan scale tripwires: bounded global windows, no shuffle cartesian") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
+      LocalLimit, LogicalPlan, UnaryNode, Window => LWindow}
     assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
     // Two invariants walked over EVERY registered query's plan, so a
     // future query can't silently reintroduce either trap:
     //  - a Window with an empty partition spec runs its whole input
-    //    through ONE task — only acceptable when an Aggregate below
-    //    has already reduced cardinality to something bounded (q31:
-    //    days; q32: one count row per partition);
+    //    through ONE task — only acceptable when the window's input
+    //    is DOMINATED by an Aggregate/Limit (cardinality already
+    //    reduced — q31: days). The walk descends only through unary
+    //    nodes: an aggregate merely *somewhere* below (e.g. a tiny
+    //    agg on one side of a join) must NOT excuse a global window
+    //    over the join's full output;
     //  - a CartesianProduct is the shuffle cartesian — both sides
     //    big. (Condition-less joins are fine only as broadcast-NLJ
     //    against a capped side: 1-row aggregates, limit-capped or
     //    chunk-capped broadcast sets — q32/q47/q67/q68's shapes.)
+    def bounded(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      case u: UnaryNode => bounded(u.child)
+      case _ => false
+    }
     val offenders = QueryRegistry.all.flatMap { q =>
       val qe = q.fn(spark, sf).queryExecution
       val windows = qe.optimizedPlan.collect {
-        case w: LWindow if w.partitionSpec.isEmpty &&
-            w.child.collectFirst { case a: Aggregate => a }.isEmpty =>
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) =>
           s"${q.name}: global window over non-aggregated ${w.child.nodeName}"
       }
       val cartesian =
