@@ -81,7 +81,15 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     "q95_boilerplate_fraction" -> 6.8,
     // q100: only the dupe sliver + final groupBy shuffle — the Bloom
     // route keeps delta misses out of every exchange
-    "q100_incremental_dedup" -> 2.0)
+    "q100_incremental_dedup" -> 2.0,
+    // q32: one range exchange carrying every customer row — growth
+    // tracks the table exactly (round-5 zipWithIndex form; a revert
+    // to a single-partition window would also show here as a
+    // shuffle-record collapse into one partition with the same
+    // count, but the plan pin catches that — this entry guards
+    // against a SECOND full-table exchange creeping in, which would
+    // double the ratio)
+    "q32_distribution_ranks" -> 10.0)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
