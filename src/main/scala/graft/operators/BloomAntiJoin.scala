@@ -78,14 +78,14 @@ object BloomAntiJoin {
     * measure the routing split directly. */
   private[graft] def mightContainCol(right: DataFrame, key: String,
       fpp: Double, expectedKeys: Option[Long] = None): Option[Column] = {
-    // an expectedKeys of 0/negative must NOT alias the empty-store
-    // fast path: None there means "nothing can match" and skips the
-    // anti-join entirely — a stale zero from a store counter would
-    // silently keep every true duplicate. Only a real count may
-    // conclude emptiness; estimates must be positive.
-    expectedKeys.foreach(k => require(k > 0,
-      s"expectedKeys must be positive (got $k) — pass None to have the store counted"))
-    val n = expectedKeys.getOrElse(right.count())
+    // expectedKeys is a SIZING estimate, never an emptiness verdict:
+    // the None return skips the anti-join entirely ("nothing can
+    // match"), and only a real count may conclude that — a stale
+    // zero from a store counter aliasing that path would silently
+    // keep every true duplicate. Non-positive estimates therefore
+    // fall back to counting (which also makes the legitimate
+    // first-batch empty-store case exact instead of an error).
+    val n = expectedKeys.filter(_ > 0).getOrElse(right.count())
     if (n <= 0L) return None
     val bits = filterBytes(right, key, fpp, n)
     log.info(s"BloomAntiJoin: $n store keys, ${bits.length} filter bytes (fpp target $fpp)")
@@ -96,7 +96,9 @@ object BloomAntiJoin {
 
   /** @param expectedKeys skip the sizing `count()` over `right` when
     *        the caller already knows (approximately) how many keys the
-    *        store holds; see the build-cost note above. */
+    *        store holds; see the build-cost note above. Non-positive
+    *        values are treated as "unknown" and counted — the
+    *        estimate sizes the filter, it never decides emptiness. */
   def apply(left: DataFrame, right: DataFrame, key: String,
       fpp: Double = 0.03, expectedKeys: Option[Long] = None): DataFrame =
     mightContainCol(right, key, fpp, expectedKeys) match {

@@ -101,54 +101,64 @@ object WindowQueries {
     * DISTRIBUTED: the naive `Window.orderBy(...)` (no partition) that
     * these functions invite plans a single-partition WindowExec — the
     * whole table through one task, the classic global-rank scale
-    * killer. Instead: range-partition on the order key (partition i's
-    * keys all precede partition i+1's), rank locally in parallel,
-    * then add each partition's starting offset — an exclusive prefix
-    * sum over the per-partition COUNTS, ≤ one row per partition, the
-    * only place a global-order window remains (bounded by cluster
-    * width, like q31's bounded day count). The order key is UNIQUE
-    * (c_custkey tie-break), so rank = row_number and all three
-    * outputs are exact integer/IEEE arithmetic on (rn, n):
-    * percent_rank = (rn−1)/(n−1), cume_dist = rn/n, and ntile(k) is
-    * the standard bucketing (first n mod k buckets get ⌈n/k⌉ rows) —
-    * bit-identical to the window-function forms the oracle runs.
-    * Range boundary placement (sampling) can vary; the rank algebra
-    * doesn't depend on where the cuts fall.
+    * killer. Instead, a VALUE-DERIVED two-level rank:
     *
-    * The global index comes from `zipWithIndex` on the range-sorted
-    * frame's ONE underlying RDD: its per-partition size job and the
-    * main pass run against the same RDD object, so the range shuffle's
-    * map stage executes once and both see ONE partitioning. (The
-    * superficially cleaner all-DataFrame fork — offsets branch +
-    * data branch both re-deriving the exchange — is NOT sound:
-    * RangePartitioner seeds its boundary sampling from rdd.id, so
-    * two physically distinct exchanges can cut different boundaries,
-    * and cross-branch consistency would rest on Catalyst exchange
-    * reuse, an optimization a conf can switch off. zipWithIndex is
-    * Spark's own primitive for exactly this prefix-sum.) A
-    * `Window.partitionBy(spark_partition_id())` alternative would
-    * plan a SECOND full-table hash Exchange. One big-side shuffle
-    * total; the RDD seam is two narrow maps, and the rank arithmetic
-    * runs codegen'd after `createDataFrame`. */
+    *  1. bucket = `width_bucket(c_acctbal, lo, hi, nb)` — a pure,
+    *     MONOTONE function of the primary sort key (out-of-range
+    *     values clamp to end buckets 0 / nb+1, still ordered), so
+    *     bucket order agrees with global order and equal-key rows
+    *     share a bucket;
+    *  2. local rank: `row_number` over Window.partitionBy(bucket) —
+    *     ONE hash exchange on bucket, ranks computed in parallel;
+    *  3. bucket offsets: per-bucket counts (map-side-combined
+    *     aggregate, ≤ nb+2 rows) prefix-summed by the only global
+    *     window left — over that bounded aggregate, like q31 — and
+    *     broadcast back; the grand total n is the same tiny frame
+    *     summed, no second table scan.
+    *
+    * Deriving the partition key from row VALUES — never from
+    * physical placement — is what makes the two branches of the
+    * lineage fork provably consistent: a range-exchange fork is
+    * unsound (RangePartitioner seeds boundary sampling from rdd.id,
+    * so two exchanges can cut different boundaries and consistency
+    * would rest on Catalyst exchange reuse, an optimization a conf
+    * can turn off), and a `zipWithIndex`/`spark_partition_id` form
+    * is placement-derived too — it additionally runs an eager
+    * size job at DataFrame-construction time and hides the shuffle
+    * from the SQL plan, blinding the CI plan pins. Here everything
+    * is lazy, declarative, codegen'd, and visible to `.explain`.
+    *
+    * The order key is UNIQUE (c_custkey tie-break), so rank =
+    * row_number and all three outputs are exact integer/IEEE
+    * arithmetic on (rn, n): percent_rank = (rn−1)/(n−1),
+    * cume_dist = rn/n, ntile(k) by the standard bucketing (first
+    * n mod k buckets get ⌈n/k⌉ rows) — bit-identical to the
+    * window-function forms the oracle runs. Skew caveat: rows
+    * concentrated in a narrow value range concentrate in few
+    * buckets; size nb (and the bounds) for the expected value
+    * distribution — the per-bucket work is what a 100 TB run
+    * parallelizes over. */
   private val distributionRanks = Q(
     "q32_distribution_ranks",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.types.LongType
+      val nb = 1024
       val cust = T.customer(s, d).select($"c_custkey", $"c_acctbal")
-      val nParts = s.sparkContext.defaultParallelism.max(1)
-      val ranged = cust
-        .repartitionByRange(nParts, $"c_acctbal".asc, $"c_custkey".asc)
-        .sortWithinPartitions($"c_acctbal".asc, $"c_custkey".asc)
-      val withRn = s.createDataFrame(
-        ranged.rdd.zipWithIndex().map { case (r, i) =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-        },
-        ranged.schema.add("rn", LongType, nullable = false))
-      // total from the zipped frame: a zero-column count over the
-      // already-shuffled result, not another scan of the table
-      val tot = withRn.agg(count(lit(1)).as("n"))
-      withRn.crossJoin(broadcast(tot))
+        // TPC-H acctbal spans [-999.99, 9999.99]; clamp buckets keep
+        // out-of-range values ordered
+        .withColumn("bkt", expr(s"width_bucket(c_acctbal, -1000.0, 10000.0, $nb)"))
+      val local = cust.withColumn("lrn", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"c_acctbal".asc, $"c_custkey".asc)))
+      val counts = cust.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+      // exclusive prefix sum + grand total over ≤ nb+2 rows
+      val offsets = counts
+        .withColumn("off", coalesce(
+          sum($"cnt").over(Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val tot = counts.agg(sum($"cnt").as("n"))
+      local.join(broadcast(offsets.select($"bkt", $"off")), "bkt")
+        .withColumn("rn", $"off" + $"lrn")
+        .crossJoin(broadcast(tot))
         // ntile(10): q = n div 10, r = n mod 10; buckets 1..r hold
         // q+1 rows, the rest q (CASE guards the q=0 divide when n<10)
         .selectExpr("c_custkey", "c_acctbal",

@@ -116,7 +116,10 @@ class BloomAntiJoinSpec extends AnyFunSuite with SparkSpec {
     val l = df(Seq(Some("a"), Some("b"), Some("c"), None), "L")
     val r = df(Seq(Some("b"), Some("c"), Some("d")), "R")
     val want = plainAnti(l, r)
-    for (est <- Seq(1L, 3L, 1000L)) {
+    // non-positive estimates must fall back to counting, NOT alias
+    // the empty-store fast path (a stale 0 from a store counter
+    // would otherwise keep every true duplicate)
+    for (est <- Seq(-1L, 0L, 1L, 3L, 1000L)) {
       val got = BloomAntiJoin(l, r.select("k"), "k", expectedKeys = Some(est))
         .collect().map(row => (row.getAs[String]("k"), row.getAs[String]("payload"))).toSet
       assert(got === want, s"expectedKeys=$est broke exactness")

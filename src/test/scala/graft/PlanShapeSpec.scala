@@ -83,21 +83,27 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
 
   test("q32: global ranks are range-partitioned — no full-table single-partition window") {
     val p = plan("q32_distribution_ranks")
-    // the distributed form: the range shuffle + zipWithIndex global
-    // index live in ONE shared RDD lineage (surfacing as an
-    // ExistingRDD scan), so the SQL plan carries no Window at all and
-    // no full-row exchange — only the broadcast of the 1-row total
-    assert(p.contains("ExistingRDD"),
-      "lost the zipWithIndex seam — global rank must come from the shared-RDD prefix sum")
-    // node match, not substring — the RDD callsite string mentions
-    // the defining file "WindowQueries.scala"
-    assert("""\(\d+\) Window""".r.findFirstIn(p).isEmpty,
-      "a Window node reappeared in q32")
+    // the distributed two-level form: the big side shuffles ONCE, by
+    // the value-derived width_bucket key, and the local rank window
+    // is partitioned by it; the bounded offsets/total branches
+    // broadcast back. All of it is visible to the SQL plan — that is
+    // the point (the zipWithIndex variant hid the shuffle inside RDD
+    // lineage and blinded this pin).
+    assert(p.contains("width_bucket"), "lost the value-derived bucket key")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the local-rank window must shuffle on the bucket key")
+    // the full-row stream must shuffle exactly once: every Exchange
+    // whose output carries c_custkey is the bkt hash exchange
     val exchanges = p.split("\\(\\d+\\) Exchange").drop(1)
       .map(_.linesIterator.take(3).mkString(" "))
     exchanges.filter(_.contains("c_custkey")).foreach { e =>
-      assert(false, s"full-row exchange reappeared in q32: $e")
+      assert(e.contains("hashpartitioning(bkt"),
+        s"full-row exchange not keyed by bucket in q32: $e")
     }
+    // a revert to the global window-function forms would bring these
+    // back (whole table through one task)
+    for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
+      assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
     // a revert to Window.orderBy(...) would bring these back: the
     // window-function forms run the whole table through one task
     for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
@@ -105,8 +111,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("all-plan scale tripwires: bounded global windows, no shuffle cartesian") {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit,
-      LocalLimit, LogicalPlan, UnaryNode, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand,
+      Generate, GlobalLimit, LocalLimit, LogicalPlan, UnaryNode, Window => LWindow}
     assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
     // Two invariants walked over EVERY registered query's plan, so a
     // future query can't silently reintroduce either trap:
@@ -123,6 +129,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     //    chunk-capped broadcast sets — q32/q47/q67/q68's shapes.)
     def bounded(p: LogicalPlan): Boolean = p match {
       case _: Aggregate | _: GlobalLimit | _: LocalLimit => true
+      // cardinality-INCREASING unary nodes un-bound whatever an
+      // aggregate below them reduced (explode of collect_list, Expand
+      // of grouping sets) — stop the descent
+      case _: Generate | _: Expand => false
       case u: UnaryNode => bounded(u.child)
       case _ => false
     }

@@ -82,13 +82,17 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     // q100: only the dupe sliver + final groupBy shuffle — the Bloom
     // route keeps delta misses out of every exchange
     "q100_incremental_dedup" -> 2.0,
-    // q32: one range exchange carrying every customer row — growth
-    // tracks the table exactly (round-5 zipWithIndex form; a revert
-    // to a single-partition window would also show here as a
-    // shuffle-record collapse into one partition with the same
-    // count, but the plan pin catches that — this entry guards
-    // against a SECOND full-table exchange creeping in, which would
-    // double the ratio)
+    // q32: one bucket-keyed exchange carrying every customer row —
+    // growth tracks the table exactly. NOTE what this entry can and
+    // cannot catch: a GROWTH ratio is scale-invariant to constant
+    // plan changes (a second full-table exchange doubles records at
+    // BOTH scales, ratio unchanged), so structural regressions —
+    // extra exchanges, single-partition collapse — are the plan
+    // pin's and the global-window tripwire's job; this entry guards
+    // against super-linear creep only (a bucket key that degenerates
+    // with data, e.g. all rows clamping into one width_bucket end
+    // bucket wouldn't change the ratio either, but a data-dependent
+    // candidate blowup in a future edit would).
     "q32_distribution_ranks" -> 10.0)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
