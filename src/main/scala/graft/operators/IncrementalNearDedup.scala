@@ -91,15 +91,30 @@ object IncrementalNearDedup {
       .select(col("lid"), col("rid"))
 
   /** Delta rows that survive near-dup suppression against the store
-    * and within the delta (see object scaladoc for the contract). */
+    * and within the delta (see object scaladoc for the contract).
+    *
+    * Hot-bucket guard (round 6): a (band, bv) bucket whose COMBINED
+    * delta + store occupancy exceeds `maxBucket` is skipped by both
+    * candidate joins — what detonates the delta↔store join is the
+    * product of the two sides' widths, so the guard caps their sum
+    * (which bounds the product at (cap/2)²). Recall contract — a pair
+    * is lost only when every shared band is hot, i.e. only inside
+    * ≥ cap-sized boilerplate families — and the division of labor
+    * with exact dedup / boilerplate detection: [[LshGuard]]. */
   def survivors(delta: DataFrame, storeBands: DataFrame, storeSets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      t: Double = 0.6): DataFrame = {
-    val dBands = bandTable(delta, idCol, textCol).cache()
+      t: Double = 0.6,
+      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+    val dBands0 = bandTable(delta, idCol, textCol)
+    val sBands = storeBands.select(col("band"), col("bv"), col("id"))
+    val hot = LshGuard.hotBuckets(
+      dBands0.select(col("band"), col("bv"))
+        .unionByName(sBands.select(col("band"), col("bv"))), maxBucket)
+    val dBands = LshGuard.prune(dBands0, hot).cache()
     val dSets = shingleSets(delta, idCol, textCol).cache()
 
     val candStore = dBands
-      .join(storeBands.select(col("band"), col("bv"), col("id").as("rid")),
+      .join(LshGuard.prune(sBands, hot).withColumnRenamed("id", "rid"),
         Seq("band", "bv"))
       .select(col("id").as("lid"), col("rid")).distinct()
     val candDelta = dBands.as("a")

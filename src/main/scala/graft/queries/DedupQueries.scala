@@ -208,7 +208,15 @@ object DedupQueries {
     * band bucket (equi-join on the band digest — the 100 TB-scale
     * candidate generator: shuffle is per-bucket, never per-pair),
     * then verified with exact Jaccard ≥ 0.6. Finds all 25 planted
-    * near-dups at sf0.01. */
+    * near-dups at sf0.01.
+    *
+    * Buckets wider than [[graft.operators.LshGuard.maxBucket]] are
+    * skipped as candidate generators (round 6) — a boilerplate family
+    * of k near-identical docs would otherwise emit k²/2 in-bucket
+    * pairs, the one way this plan detonates at crawl scale. Recall
+    * contract + measured gate-data headroom (widest sf0.1 bucket: 4
+    * docs vs the 256 default cap — the oracle never sees a pruned
+    * bucket): see [[graft.operators.LshGuard]]. */
   private val minhashLsh = Q(
     "q42_dedup_minhash_lsh",
     (s, d) => {
@@ -225,7 +233,11 @@ object DedupQueries {
           posexplode(graft.operators.IncrementalNearDedup.bandDigests($"sig")))
         .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
         .cache()
-      val cand = bands.as("a").join(bands.as("b"),
+      // hot-bucket guard (see scaladoc): occupancy agg + anti-join key
+      // on (band, bv) — the same key the candidate join shuffles on
+      val pruned = graft.operators.LshGuard.pruneSelf(
+        bands, graft.operators.LshGuard.maxBucket(s))
+      val cand = pruned.as("a").join(pruned.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
       // set size rides along through the verification joins (see q41):
