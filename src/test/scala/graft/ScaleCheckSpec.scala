@@ -32,8 +32,8 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
   /** replica marker: bump when replicate()'s semantics change so a
     * stale on-disk replica can't silently skew the ratios */
   private val ReplicaVersion = "r5-rawnanos-nchars"
-  private lazy val big: String = {
-    val dir = "target/scalecheck10"
+  private def replica(copies: Int): String = {
+    val dir = s"target/scalecheck$copies"
     val marker = new java.io.File(s"$dir/_replica_version_$ReplicaVersion")
     if (!marker.exists()) {
       val d = new java.io.File(dir)
@@ -44,11 +44,13 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
         }
         rm(d)
       }
-      ScaleBench.replicate(spark, base, dir, 10)
+      ScaleBench.replicate(spark, base, dir, copies)
       marker.createNewFile()
     }
     dir
   }
+  private lazy val big: String = replica(10)
+  private lazy val big30: String = replica(30)
 
   private def shuffleRecordsOf(name: String, d: String): Long = {
     val records = new AtomicLong(0L)
@@ -119,5 +121,28 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
         breaches.map { case (q, s, b, r) =>
           f"$q grew $s%d -> $b%d (x$r%.1f > bound ${bound(q)}%.1f)"
         }.mkString("; "))
+  }
+
+  /** SECOND decade, CI-pinned (round 6): the ×10 test can only see
+    * the first decade of growth, and a stage that is quadratic with a
+    * small constant can hide inside one decade's 2× allowance — the
+    * SCALING.md ×30 runs exist precisely to expose the trend, but
+    * they were manual. This pins q41 (the prefix-filter family's
+    * flagship, the engine's most optimization-worked text query) on
+    * the ×10 → ×30 step: data grows 3×, so linear-or-better shuffle
+    * growth is ≤ ~3× — a quadratic candidate stage would show ~9×.
+    * Recorded round-6 measurement: 2.6× (sub-linear — df=1 shingles
+    * still never reach the ranked join); red line = 2× recorded,
+    * comfortably below the 9× a quadratic stage would produce. */
+  test("x30 second decade: q41 shuffle records grow linearly from x10 to x30") {
+    assume(new java.io.File(base).isDirectory)
+    val r10 = shuffleRecordsOf("q41_dedup_jaccard", big)
+    val r30 = shuffleRecordsOf("q41_dedup_jaccard", big30)
+    val ratio = r30.toDouble / math.max(r10, 1L)
+    info(f"q41: x10 $r10%d -> x30 $r30%d shuffle records, ratio $ratio%.2f on 3x data")
+    assert(ratio <= 5.2,
+      f"q41 second-decade shuffle growth $r10%d -> $r30%d (x$ratio%.2f > 5.2 " +
+        "= 2x the recorded 2.6 on 3x data) — a super-linear candidate " +
+        "stage crept in; fix the plan, don't bump the bound")
   }
 }
