@@ -53,9 +53,24 @@ import org.apache.spark.sql.types.BinaryType
   * broadcast as a plan literal (one transfer per executor, same
   * mechanism as an explicit broadcast variable), while the anti-join
   * shuffle shrinks from |delta| rows to ~(dupes + 0.03·|delta|).
-  * `left` is scanned twice (once per route); two scans beat one scan
-  * plus a full-corpus shuffle whenever the store outgrows broadcast
-  * range. For stores that still fit Spark's 8 GB broadcast limit as
+  *
+  * CALLER CONTRACT — `left` is evaluated TWICE (once per route, miss
+  * and sliver). For a file-backed delta that is the right trade: two
+  * parquet scans beat one scan plus a full-corpus shuffle whenever
+  * the store outgrows broadcast range. But if `left` is an EXPENSIVE
+  * DERIVED frame (joins, aggregations, UDF-heavy projections), the
+  * whole lineage recomputes per route — either `.cache()` it before
+  * calling, or pass `eagerRoute = true`: that variant materializes
+  * the routed frame `(left.*, maybe)` ONCE via `localCheckpoint`
+  * (executor-local MEMORY_AND_DISK blocks, lineage-GC'd — no caller
+  * unpersist to forget in a day-over-day loop), so both routes read
+  * blocks instead of recomputing. The cost is eagerness (a job runs
+  * at call time) and storage for one copy of the delta — which is
+  * why it is not the default for the file-backed common case.
+  * BloomAntiJoinSpec counts scans over an instrumented source for
+  * both settings.
+  *
+  * For stores that still fit Spark's 8 GB broadcast limit as
   * plain rows, a broadcast anti-join may win — this operator is for
   * the store sizes past that.
   */
@@ -98,17 +113,24 @@ object BloomAntiJoin {
     *        the caller already knows (approximately) how many keys the
     *        store holds; see the build-cost note above. Non-positive
     *        values are treated as "unknown" and counted — the
-    *        estimate sizes the filter, it never decides emptiness. */
+    *        estimate sizes the filter, it never decides emptiness.
+    * @param eagerRoute materialize `(left.*, maybe)` once instead of
+    *        evaluating `left` per route — for expensive derived
+    *        lineages; see the caller contract above. */
   def apply(left: DataFrame, right: DataFrame, key: String,
-      fpp: Double = 0.03, expectedKeys: Option[Long] = None): DataFrame =
+      fpp: Double = 0.03, expectedKeys: Option[Long] = None,
+      eagerRoute: Boolean = false): DataFrame =
     mightContainCol(right, key, fpp, expectedKeys) match {
       case None => left // empty store: anti-join keeps everything
       case Some(mc) =>
         // unknown → exact path: conservative routing can only cost
         // work, never correctness (the exact join re-decides it)
-        val maybe = coalesce(mc, lit(true))
-        val definiteMiss = left.filter(!maybe)
-        val sliver = left.filter(maybe).join(right, Seq(key), "left_anti")
+        val flag = "__graft_bloom_maybe"
+        val flagged = left.withColumn(flag, coalesce(mc, lit(true)))
+        val routed = if (eagerRoute) flagged.localCheckpoint() else flagged
+        val definiteMiss = routed.filter(!col(flag)).drop(flag)
+        val sliver = routed.filter(col(flag)).drop(flag)
+          .join(right, Seq(key), "left_anti")
         definiteMiss.unionByName(sliver)
     }
 }

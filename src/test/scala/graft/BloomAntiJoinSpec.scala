@@ -126,6 +126,43 @@ class BloomAntiJoinSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  /** The caller contract made measurable: `left`'s lineage runs once
+    * per route on the default path (fine for file-backed deltas,
+    * expensive for derived frames) and exactly once under
+    * `eagerRoute = true`. The accumulator increments once per
+    * partition COMPUTATION, so recomputation is visible as a doubled
+    * count — reading materialized checkpoint blocks adds nothing. */
+  test("caller contract: default routing evaluates left once per route; eagerRoute exactly once") {
+    val s = spark
+    import s.implicits._
+    val parts = 4
+    def instrumented() = {
+      val acc = s.sparkContext.longAccumulator("left-partition-computations")
+      val frame = s.sparkContext.range(0L, 400L, 1L, parts)
+        .mapPartitions { it => acc.add(1); it }
+        .toDF("id").select($"id".cast("string").as("k"))
+      (acc, frame)
+    }
+    val store = (0 until 400 by 2).map(_.toString).toDF("k")
+
+    val (accLazy, lazyLeft) = instrumented()
+    val gotLazy = BloomAntiJoin(lazyLeft, store, "k")
+    assert(gotLazy.count() === 200L) // odd keys survive
+    assert(accLazy.value === 2L * parts,
+      s"default path should compute left twice (got ${accLazy.value} partition computations)")
+
+    val (accEager, eagerLeft) = instrumented()
+    val gotEager = BloomAntiJoin(eagerLeft, store, "k", eagerRoute = true)
+    val eagerScans = accEager.value // localCheckpoint ran at call time
+    assert(gotEager.count() === 200L)
+    assert(accEager.value === 1L * parts && accEager.value === eagerScans,
+      s"eagerRoute should compute left exactly once, at call time " +
+        s"(got ${accEager.value} partition computations, $eagerScans at call)")
+    // both routes agree with the plain anti-join
+    val wantKeys = (1 until 400 by 2).map(_.toString).toSet
+    assert(gotEager.select($"k").as[String].collect().toSet === wantKeys)
+  }
+
   test("empty store keeps everything; delta dupes preserved for downstream grouping") {
     val s = spark
     import s.implicits._
