@@ -151,7 +151,11 @@ object StreamingOps {
     * check on restart. Restart such a query with a fresh checkpoint
     * dir (suppression state inside the watermark horizon rebuilds
     * from the stream; duplicates arriving during that warm-up window
-    * can pass once).
+    * can pass once). Spark surfaces the mismatch as a generic
+    * state-schema error buried in a `StreamingQueryException` cause
+    * chain; wrap `start()`/`awaitTermination()`/`processAllAvailable()`
+    * in [[withCheckpointMigrationHint]] to get this migration note
+    * rethrown with the actionable fix attached.
     *
     * State stays bounded for 100 TB/day ingest: at most
     * `ownersPerBucket` 8-byte fingerprints per non-empty band bucket
@@ -244,6 +248,45 @@ object StreamingOps {
       .filter(col("sup") === 0)
       .select(col("docId").as(idCol), col("doc_ts").as("ts"))
   }
+
+  /** The actionable fix for a round-4 checkpoint restarted under the
+    * round-5 ring encoding — see the CHECKPOINT COMPATIBILITY note on
+    * [[nearDedupStreamBanded]]. */
+  val CheckpointMigrationMessage: String =
+    "state-schema mismatch restarting a banded near-dup query: this " +
+    "checkpoint was written by the pre-ring encoding (per-bucket " +
+    "`fp: Long`); the multi-owner ring stores `fps: List[Long]` and " +
+    "Spark cannot migrate flatMapGroupsWithState state in place. " +
+    "Restart the query with a FRESH checkpoint directory — " +
+    "suppression state inside the watermark horizon rebuilds from " +
+    "the stream; duplicates arriving during that warm-up window can " +
+    "pass once."
+
+  /** True when `t`'s cause chain contains Spark's state-schema
+    * incompatibility failure (error conditions
+    * `STATE_STORE_{KEY,VALUE}_SCHEMA_NOT_COMPATIBLE` — Spark buries
+    * them under a `StreamingQueryException`). */
+  private[graft] def isStateSchemaMismatch(t: Throwable): Boolean =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(20).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition)
+          .exists(c => c.startsWith("STATE_STORE_") && c.contains("SCHEMA"))
+      case e =>
+        Option(e.getMessage).exists(_.contains("StateSchemaNotCompatible"))
+    }
+
+  /** Runs `body` (typically `start()` + `awaitTermination()` /
+    * `processAllAvailable()` on a banded near-dup query) and rethrows
+    * Spark's state-schema-incompatibility failure with
+    * [[CheckpointMigrationMessage]] attached — the raw Spark error
+    * names the schemas but not the migration, and the operator knows
+    * the checkpoint history its caller doesn't. Any other failure
+    * passes through untouched. */
+  def withCheckpointMigrationHint[T](body: => T): T =
+    try body catch {
+      case t: Throwable if isStateSchemaMismatch(t) =>
+        throw new IllegalStateException(CheckpointMigrationMessage, t)
+    }
 
   /** Stream-static enrichment join: the streaming twin of the
     * reference's broadcast side inputs (J3, `Features.java:90-103`) —

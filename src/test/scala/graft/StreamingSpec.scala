@@ -237,6 +237,65 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  /** The round-4 → round-5 state migration made loud: a checkpoint
+    * whose per-key fMGWS state was written as `Long` (the r4
+    * one-owner encoding) restarted under a `List[Long]` state (the r5
+    * ring) trips Spark's state-schema check;
+    * [[StreamingOps.withCheckpointMigrationHint]] must rethrow that —
+    * and only that — with the actionable fresh-checkpoint message. */
+  test("checkpoint migration: old-encoding state restarted under the ring fails with the actionable message") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt-mig").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-out-mig").toString
+
+    // run 1: state encoded as Long (the r4 shape), one committed batch
+    // (file sink — the memory sink refuses checkpoint recovery)
+    val in1 = MemoryStream[Long]
+    val q1 = in1.toDS().groupByKey(_ % 4)
+      .flatMapGroupsWithState[Long, Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          state.update(state.getOption.getOrElse(0L) + rows.size)
+          Iterator.single(state.get)
+      }
+      .toDF("n")
+      .writeStream.format("parquet").option("path", out)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    try { in1.addData(1L, 2L, 3L); q1.processAllAvailable() } finally q1.stop()
+
+    // run 2: same query shape, state now List[Long] (the r5 ring shape)
+    val in2 = MemoryStream[Long]
+    in2.addData(1L, 2L) // offset parity with run 1 so the restart batch has data
+    val q2 = in2.toDS().groupByKey(_ % 4)
+      .flatMapGroupsWithState[List[Long], Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state) =>
+          state.update(rows.map(identity).toList.take(4))
+          Iterator.single(state.get.size.toLong)
+      }
+      .toDF("n")
+      .writeStream.format("parquet").option("path", out)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", ckpt).start()
+    val ex = intercept[IllegalStateException] {
+      try StreamingOps.withCheckpointMigrationHint {
+        in2.addData(4L, 5L)
+        q2.processAllAvailable()
+      } finally q2.stop()
+    }
+    assert(ex.getMessage === StreamingOps.CheckpointMigrationMessage)
+    assert(StreamingOps.isStateSchemaMismatch(ex.getCause),
+      "the original Spark failure must ride along as the cause")
+    // non-schema failures pass through untouched
+    val other = new RuntimeException("boom")
+    val passed = intercept[RuntimeException](
+      StreamingOps.withCheckpointMigrationHint(throw other))
+    assert(passed eq other)
+  }
+
   test("late rows beyond the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
