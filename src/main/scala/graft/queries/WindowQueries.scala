@@ -133,7 +133,14 @@ object WindowQueries {
     * arithmetic on (rn, n): percent_rank = (rn−1)/(n−1),
     * cume_dist = rn/n, ntile(k) by the standard bucketing (first
     * n mod k buckets get ⌈n/k⌉ rows) — bit-identical to the
-    * window-function forms the oracle runs. Skew caveat: rows
+    * window-function forms the oracle runs, PROVIDED the sort key is
+    * non-null: a NULL key makes `width_bucket` return NULL and the
+    * equi-join on bkt silently drops the row, whereas the
+    * window-function form ranks NULLs (NULLS FIRST). Safe here —
+    * TPC-H c_acctbal is NOT NULL — but a reuse of this pattern on a
+    * nullable key must first map NULL to a sentinel bucket below
+    * every real one (e.g. bucket −1) to reproduce NULLS FIRST.
+    * Skew caveat: rows
     * concentrated in a narrow value range concentrate in few
     * buckets; size nb (and the bounds) for the expected value
     * distribution — the per-bucket work is what a 100 TB run

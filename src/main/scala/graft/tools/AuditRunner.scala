@@ -20,12 +20,19 @@ private[graft] object AuditRunner {
     s.sparkContext.setLogLevel("ERROR")
     val d = sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.001"
     graft.GraftExtensions.ensureRegistered(s)
-    val qs =
-      if (names.isEmpty) graft.QueryRegistry.all
-      else names.map(graft.QueryRegistry.byName)
-    for (q <- qs) {
-      try inspect(q, q.fn(s, d).queryExecution).foreach(println)
-      catch { case e: Throwable => println(s"ERR ${q.name}: ${e.getMessage}") }
+    // resolve each name inside the loop: a typo'd entry in a snapshot
+    // set prints an ERR line like a query failure instead of aborting
+    // the whole sweep before any output (and skipping s.stop())
+    val keys =
+      if (names.isEmpty) graft.QueryRegistry.all.map(_.name)
+      else names
+    val registry = graft.QueryRegistry.byName
+    for (name <- keys) {
+      try {
+        val q = registry.getOrElse(name,
+          throw new NoSuchElementException(s"unknown query name: $name"))
+        inspect(q, q.fn(s, d).queryExecution).foreach(println)
+      } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage}") }
     }
     s.stop()
   }

@@ -100,12 +100,8 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       assert(e.contains("hashpartitioning(bkt"),
         s"full-row exchange not keyed by bucket in q32: $e")
     }
-    // a revert to the global window-function forms would bring these
-    // back (whole table through one task)
-    for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
-      assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
-    // a revert to Window.orderBy(...) would bring these back: the
-    // window-function forms run the whole table through one task
+    // a revert to the global Window.orderBy(...) function forms would
+    // bring these back (whole table through one task)
     for (fn <- Seq("ntile(", "percent_rank(", "cume_dist("))
       assert(!p.contains(fn), s"$fn reappeared — single-partition global window")
   }
