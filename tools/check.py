@@ -29,7 +29,18 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         elif str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[ns]")
-    df = df.sort_values(by=list(df.columns), key=lambda s: s.map(str) if s.dtype == object else s)
+    # sort rows with non-float columns FIRST: each engine sorts by its
+    # own float sums, which differ in the last ulp, so a float used as
+    # a tie-break key interleaves tie blocks differently per engine and
+    # misaligns the exact columns positionally (seen on q16 at sf1:
+    # identical row sets, 1962 user_id "diffs" under name-order sort, 0
+    # under non-float-first). Floats still participate (last) so rows
+    # not keyed by the exact columns stay nearly aligned for the
+    # tolerant compare.
+    cols = list(df.columns)
+    key = ([c for c in cols if not str(df[c].dtype).startswith("float")]
+           + [c for c in cols if str(df[c].dtype).startswith("float")])
+    df = df.sort_values(by=key, key=lambda s: s.map(str) if s.dtype == object else s)
     return df.reset_index(drop=True)
 
 
