@@ -293,7 +293,16 @@ object DedupQueries {
     * LSH this loses nothing: recall is guaranteed 100% by the
     * pigeonhole bound, which is why the oracle below can stay the
     * exact all-pairs SQL. Hash = first 15 md5 hex chars as int64,
-    * reproducible in DuckDB. */
+    * reproducible in DuckDB.
+    *
+    * [[graft.operators.LshGuard]] is deliberately NOT wired here:
+    * pruning a hot band bucket would break the 100%-recall contract
+    * this query advertises (and the all-pairs oracle checks). A
+    * crawl-scale caller expecting ≥cap-sized boilerplate families
+    * must choose: keep exactness and pay the k²/2 in-bucket pairs,
+    * or apply `LshGuard.pruneSelf(bands, cap)` before the self-join
+    * and accept the documented family-local recall loss — the same
+    * trade q42 now makes by default. */
   private val simhash = Q(
     "q43_dedup_simhash",
     (s, d) => {
@@ -363,7 +372,15 @@ object DedupQueries {
     * DedupPairsSpec pins precision = 1 (every emitted pair matches
     * the exact brute-force cosine) and the measured recall floor; the
     * exact quadratic baseline remains available as
-    * [[SimilarityQueries]]'s q45 brute-force scorer. */
+    * [[SimilarityQueries]]'s q45 brute-force scorer.
+    *
+    * [[graft.operators.LshGuard]] is not wired here because the
+    * oracle IS the bucketed computation (pruning would change
+    * results), and an embedding corpus has no analogue of verbatim
+    * boilerplate families — identical vectors come from identical
+    * inputs, which exact dedup upstream removes. A caller bucketing
+    * raw crawl embeddings can still apply `LshGuard.pruneSelf` to
+    * `tb` (renaming (t, bucket) to the guard's (band, bv) key). */
   private val cosineNearDup = Q(
     "q44_dedup_cosine",
     (s, d) => {
