@@ -96,13 +96,8 @@ object Bench {
     // reps full interleaved passes over the suite (see scaladoc)
     val passes: Vector[Seq[Double]] = Vector.fill(reps)(benchQs.map(runOnce))
 
-    def median(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0 else xs.sorted.apply((xs.size - 1) / 2)
-    // drop the slowest ceil(20%) samples, then median the rest — one
-    // contended pass out of five cannot touch the reported value
-    def trimmed(xs: Seq[Double]): Double =
-      if (xs.isEmpty) -1.0
-      else median(xs.sorted.dropRight(math.ceil(xs.size * 0.2).toInt.min(xs.size - 1)))
+    // the artifact-deciding statistics are spec-pinned in BenchStats
+    import BenchStats.{median, trimmed}
 
     val samples = benchQs.indices.map(i =>
       benchQs(i).name -> passes.map(_(i)).filter(_ >= 0))
@@ -119,8 +114,8 @@ object Bench {
     // the suite and even the trimmed totals deserve suspicion
     val probe = samples.filter(_._2.nonEmpty)
       .minByOption { case (_, xs) => trimmed(xs) }
-    val probeRatio = probe.map { case (_, xs) => xs.max / xs.min.max(1e-9) }
-    val contended = probeRatio.exists(_ > 3.0)
+    val probeRatio = probe.map { case (_, xs) => BenchStats.maxMinRatio(xs) }
+    val contended = probe.exists { case (_, xs) => BenchStats.contended(xs) }
 
     def total(stat: Seq[Double] => Double): Double =
       samples.map(s => stat(s._2)).filter(_ >= 0).sum
