@@ -78,6 +78,10 @@ object Bench {
       // or crowd out — the next sample's run (outside the timer; the
       // unpersist itself is driver-side bookkeeping)
       spark.catalog.clearCache()
+      // NOT done here: System.gc() per sample to flush prior queries'
+      // broadcasts — A/B-measured (round 6) at +0.8s total with q41's
+      // in-suite/isolated spread unchanged, i.e. the residual spread
+      // is JIT/code-cache state, not reclaimable heap.
       val t0 = System.nanoTime()
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
