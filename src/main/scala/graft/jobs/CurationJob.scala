@@ -1,0 +1,154 @@
+package graft.jobs
+
+import graft.operators.IncrementalNearDedup
+import graft.sources.TfRecordSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the north-star extension
+  * operators (dedup / quality / decontamination / export, each
+  * individually oracle- or spec-gated as q40/q42/q51/q82/TfRecordSpec)
+  * composed into one runnable unit, the way [[Jobs]] composes the
+  * reference's ad-tech pipelines — so the library offers the LLM-data
+  * surface as a JOB a user can run, not only as a query catalogue.
+  *
+  * Stage order is cheapest-cut-first, which is also the semantically
+  * required order:
+  *
+  *   1. EXACT dedup — one fixed-width-key shuffle (`md5(text)`,
+  *      min-id canonical, q40's rule). Must precede near-dedup: it is
+  *      the operator with no bucket-width pathology, and it is what
+  *      collapses the ≥cap-sized byte-identical families the
+  *      [[graft.operators.LshGuard]] recall contract hands off.
+  *   2. QUALITY floor — row-local char-length bounds + alpha ratio +
+  *      min word count (q51's signals as a filter). No shuffle.
+  *   3. NEAR dedup — [[IncrementalNearDedup.survivors]] against an
+  *      empty store: MinHash-banded candidates under the hot-bucket
+  *      guard, exact-Jaccard verify, transitive (connected-component)
+  *      suppression keeping each cluster's min id.
+  *   4. DECONTAMINATION — corpus docs sharing ≥ `contamMinShingles`
+  *      word 3-grams with the benchmark set are dropped (q82's
+  *      broadcast-probe shape: the benchmark side is tiny and
+  *      broadcasts; the corpus streams through one equi-join).
+  *   5. EXPORT — one JSON line per doc, byte-PACKED gzip TFRecord
+  *      shards ([[TfRecordSink.writeBalanced]]) + a JSON manifest
+  *      recording per-stage counts next to the shards.
+  *
+  * 100 TB notes: stages 1-4 are each one keyed shuffle or row-local;
+  * nothing driver-side grows with the corpus (the manifest holds
+  * scalar counts only). Per-stage counts cost one extra action each —
+  * `run(stats = false)` skips them (the record count still comes free
+  * from the export's metadata pass) for production-size runs.
+  */
+object CurationJob {
+
+  /** Thresholds; defaults sized for the synthetic `documents` corpus
+    * (short English-like templated text). */
+  case class Config(
+      minChars: Int = 30,
+      maxChars: Int = 100000,
+      minWords: Int = 5,
+      minAlphaRatio: Double = 0.5,
+      jaccardT: Double = 0.6,
+      contamShingleLen: Int = 3,
+      contamMinShingles: Int = 1,
+      targetShardBytes: Long = 64L * 1024 * 1024)
+
+  /** Every stage as a lazily-declared frame, so callers can count,
+    * inspect, or re-plan any cut without paying for the others. */
+  case class Stages(input: DataFrame, afterExact: DataFrame,
+      afterQuality: DataFrame, afterNear: DataFrame, curated: DataFrame)
+
+  /** Per-stage row counts as written to the manifest; -1 = not
+    * measured (`stats = false`). */
+  case class Report(input: Long, afterExact: Long, afterQuality: Long,
+      afterNear: Long, curated: Long, shards: Int, recordsWritten: Long)
+
+  /** Declare the curation plan over `docs` (needs `doc_id`, `text`;
+    * other columns ride along). `benchmark` needs `text`. Lazy — no
+    * job runs until a stage is acted on. */
+  def curate(docs: DataFrame, benchmark: DataFrame,
+      cfg: Config = Config()): Stages = {
+    val s = docs.sparkSession
+    graft.GraftExtensions.ensureRegistered(s)
+
+    // 1. exact: min-id row per text digest, one shuffle on the digest
+    val cols = docs.columns.toSeq
+    val afterExact = docs
+      .groupBy(md5(col("text")).as("__h"))
+      .agg(min_by(struct(cols.map(col): _*), col("doc_id")).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+
+    // 2. quality floor: all row-local
+    val alphaRatio = length(regexp_replace(col("text"), "[^\\p{L}]", "")) /
+      greatest(length(col("text")), lit(1))
+    val afterQuality = afterExact.filter(
+      length(col("text")).between(cfg.minChars, cfg.maxChars) &&
+        size(split(trim(col("text")), "\\s+")) >= cfg.minWords &&
+        alphaRatio >= cfg.minAlphaRatio)
+
+    // 3. near-dedup vs an empty store (LshGuard-capped banding, exact
+    // verify, transitive min-id survivor selection)
+    val emptyDocs = docs.select(col("doc_id"), col("text")).limit(0)
+    val afterNear = IncrementalNearDedup.survivors(
+      afterQuality,
+      IncrementalNearDedup.bandTable(emptyDocs),
+      IncrementalNearDedup.shingleSets(emptyDocs),
+      t = cfg.jaccardT,
+      maxBucket = graft.operators.LshGuard.maxBucket(s))
+
+    // 4. decontamination: benchmark shingles broadcast, corpus streams
+    val shingles = (df: DataFrame) => df
+      .filter(size(split(trim(col("text")), "\\s+")) >= cfg.contamShingleLen)
+      .select(col("doc_id"),
+        explode(expr(s"word_shingles(text, ${cfg.contamShingleLen})")).as("sh"))
+    val probe = shingles(benchmark.select(lit(0L).as("doc_id"), col("text")))
+      .select(col("sh")).distinct()
+    val contaminated = shingles(afterNear)
+      .join(broadcast(probe), "sh")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("sh")).as("__n"))
+      .filter(col("__n") >= cfg.contamMinShingles)
+      .select(col("doc_id"))
+    val curated = afterNear.join(contaminated, Seq("doc_id"), "left_anti")
+
+    Stages(docs, afterExact, afterQuality, afterNear, curated)
+  }
+
+  /** Run the full pipeline: parquet `documents` in, gzip TFRecord
+    * shards (one UTF-8 JSON line per doc) + `_manifest.json` out. */
+  def run(spark: SparkSession, docsDir: String, benchmarkDir: String,
+      outDir: String, cfg: Config = Config(), stats: Boolean = true): Report = {
+    import spark.implicits._
+    val stages = curate(
+      spark.read.parquet(docsDir), spark.read.parquet(benchmarkDir), cfg)
+
+    // the near-dedup output feeds the decontam probe join AND the
+    // export (plus an optional count) — cache the narrow final frame,
+    // not the wide intermediates
+    val curated = stages.curated.cache()
+    try {
+      val records = curated
+        .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .select(encode(col("j"), "UTF-8").as("b")).as[Array[Byte]]
+      val (shards, written) =
+        TfRecordSink.writeBalanced(records, outDir, cfg.targetShardBytes)
+
+      def n(df: DataFrame): Long = if (stats) df.count() else -1L
+      val report = Report(n(stages.input), n(stages.afterExact),
+        n(stages.afterQuality), n(stages.afterNear), written, shards, written)
+
+      // scalar-only manifest, one driver-side file next to the shards
+      val manifest =
+        s"""{"input":${report.input},"after_exact":${report.afterExact},
+           |"after_quality":${report.afterQuality},"after_near":${report.afterNear},
+           |"curated":${report.curated},"shards":${report.shards},
+           |"records_written":${report.recordsWritten}}""".stripMargin.replace("\n", "")
+      val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(path, true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      report
+    } finally curated.unpersist()
+  }
+}

@@ -67,6 +67,10 @@ object Jobs {
         runBidLogJob(spark, kv("input"), kv("output"), t)
       case "predictionJob" =>
         runPredictionJob(spark, kv("dp"), kv("suspicious"), kv("iapp"), kv("output"))
+      case "curationJob" => // extension: LLM-corpus curation (CurationJob)
+        val report = CurationJob.run(spark, kv("input"), kv("benchmark"),
+          kv("output"), stats = kv.get("stats").forall(_.toBoolean))
+        println(report)
       case other => sys.error(s"unknown job $other")
     }
     spark.stop()
