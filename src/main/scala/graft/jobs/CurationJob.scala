@@ -52,7 +52,12 @@ object CurationJob {
       jaccardT: Double = 0.6,
       contamShingleLen: Int = 3,
       contamMinShingles: Int = 1,
-      targetShardBytes: Long = 64L * 1024 * 1024)
+      targetShardBytes: Long = 64L * 1024 * 1024,
+      /** Spill dir for the near-dedup band/shingle-set tables. None =
+        * executor-storage cache, fine up to corpora whose shingle sets
+        * fit aggregate storage; set it for full-corpus runs at scale
+        * (see [[IncrementalNearDedup.survivors]]'s materializeDir). */
+      nearDedupSpillDir: Option[String] = None)
 
   /** Every stage as a lazily-declared frame, so callers can count,
     * inspect, or re-plan any cut without paying for the others. */
@@ -95,7 +100,8 @@ object CurationJob {
       IncrementalNearDedup.bandTable(emptyDocs),
       IncrementalNearDedup.shingleSets(emptyDocs),
       t = cfg.jaccardT,
-      maxBucket = graft.operators.LshGuard.maxBucket(s))
+      maxBucket = graft.operators.LshGuard.maxBucket(s),
+      materializeDir = cfg.nearDedupSpillDir)
 
     // 4. decontamination: benchmark shingles broadcast, corpus streams
     val shingles = (df: DataFrame) => df

@@ -100,18 +100,39 @@ object IncrementalNearDedup {
     * (which bounds the product at (cap/2)²). Recall contract — a pair
     * is lost only when every shared band is hot, i.e. only inside
     * ≥ cap-sized boilerplate families — and the division of labor
-    * with exact dedup / boilerplate detection: [[LshGuard]]. */
+    * with exact dedup / boilerplate detection: [[LshGuard]].
+    *
+    * `materializeDir` (round 6): the band and shingle-set tables are
+    * read by several joins, so by default they `cache()` in executor
+    * storage — right for the day-over-day DELTA this operator is named
+    * for, wrong when a caller (e.g. [[graft.jobs.CurationJob]]'s
+    * full-corpus pass) hands it the whole corpus: corpus-scale shingle
+    * sets would pin/spill executor storage. Passing a directory
+    * materializes both tables as parquet there instead (the CsvSource
+    * spill precedent): distributed-FS-backed, O(1) executor memory at
+    * any corpus size, re-read per join with scan-time pruning. The
+    * caller owns the directory's lifecycle. */
   def survivors(delta: DataFrame, storeBands: DataFrame, storeSets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       t: Double = 0.6,
-      maxBucket: Int = LshGuard.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = LshGuard.DefaultMaxBucket,
+      materializeDir: Option[String] = None): DataFrame = {
+    val spark = delta.sparkSession
+    val persist: (DataFrame, String) => DataFrame = materializeDir match {
+      case Some(dir) => (df, name) => {
+        val path = s"$dir/$name"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+      }
+      case None => (df, _) => df.cache()
+    }
     val dBands0 = bandTable(delta, idCol, textCol)
     val sBands = storeBands.select(col("band"), col("bv"), col("id"))
     val hot = LshGuard.hotBuckets(
       dBands0.select(col("band"), col("bv"))
         .unionByName(sBands.select(col("band"), col("bv"))), maxBucket)
-    val dBands = LshGuard.prune(dBands0, hot).cache()
-    val dSets = shingleSets(delta, idCol, textCol).cache()
+    val dBands = persist(LshGuard.prune(dBands0, hot), "bands")
+    val dSets = persist(shingleSets(delta, idCol, textCol), "sets")
 
     val candStore = dBands
       .join(LshGuard.prune(sBands, hot).withColumnRenamed("id", "rid"),

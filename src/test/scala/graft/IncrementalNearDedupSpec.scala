@@ -183,4 +183,25 @@ class IncrementalNearDedupSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(got === Set(1L, 5L))
   }
+
+  test("materializeDir spill path decides identically to the cache path") {
+    val s = spark
+    import s.implicits._
+    assume(new java.io.File(sf).isDirectory, s"fixture dir $sf absent — skipping")
+    val all = Tables.documents(spark, sf).select($"doc_id", $"text")
+    val store = all.filter($"doc_id" % 2 === 0)
+    val delta = all.filter($"doc_id" % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("ind-spill").toString
+    def run(mat: Option[String]): Set[Long] =
+      IncrementalNearDedup.survivors(delta,
+          IncrementalNearDedup.bandTable(store),
+          IncrementalNearDedup.shingleSets(store),
+          materializeDir = mat)
+        .select($"doc_id").as[Long].collect().toSet
+    val spilled = run(Some(dir))
+    // the tables actually landed on disk (the path was exercised)
+    assert(new java.io.File(s"$dir/bands").exists()
+      && new java.io.File(s"$dir/sets").exists())
+    assert(spilled === run(None))
+  }
 }
