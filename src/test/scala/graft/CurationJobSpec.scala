@@ -80,4 +80,27 @@ class CurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(report.input === -1 && report.afterNear === -1)
     assert(report.curated === 3 && report.recordsWritten === 3)
   }
+
+  test("nearDedupSpillDir: spill-backed near-dedup decides identically end to end") {
+    val s = spark
+    import s.implicits._
+    val docs = (good ++ Seq(
+      11L -> "completely different content about distributed query engines and shuffle costs"))
+      .toDF("doc_id", "text")
+    val docsDir = java.nio.file.Files.createTempDirectory("cur-docs3").toString
+    val benchDir = java.nio.file.Files.createTempDirectory("cur-bench3").toString
+    val spill = java.nio.file.Files.createTempDirectory("cur-spill").toString
+    docs.write.mode("overwrite").parquet(docsDir)
+    Seq("unrelated benchmark line with enough words here")
+      .toDF("text").write.mode("overwrite").parquet(benchDir)
+
+    def survivors(cfg: CurationJob.Config): Set[Long] =
+      CurationJob.curate(s.read.parquet(docsDir), s.read.parquet(benchDir), cfg)
+        .curated.select($"doc_id").as[Long].collect().toSet
+
+    val spilled = survivors(CurationJob.Config(nearDedupSpillDir = Some(spill)))
+    assert(new java.io.File(s"$spill/bands").exists(), "spill dir unused")
+    assert(spilled === survivors(CurationJob.Config()))
+    assert(spilled === Set(1L, 2L, 3L)) // 11 suppressed by doc 2 either way
+  }
 }
