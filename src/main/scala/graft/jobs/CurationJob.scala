@@ -69,6 +69,14 @@ object CurationJob {
   case class Report(input: Long, afterExact: Long, afterQuality: Long,
       afterNear: Long, curated: Long, shards: Int, recordsWritten: Long)
 
+  /** The quality floor as one row-local predicate — shared by the
+    * batch plan and [[curateStream]] so the two paths cannot drift. */
+  private[graft] def qualityPredicate(cfg: Config): org.apache.spark.sql.Column =
+    length(col("text")).between(cfg.minChars, cfg.maxChars) &&
+      size(split(trim(col("text")), "\\s+")) >= cfg.minWords &&
+      (length(regexp_replace(col("text"), "[^\\p{L}]", "")) /
+        greatest(length(col("text")), lit(1))) >= cfg.minAlphaRatio
+
   /** Declare the curation plan over `docs` (needs `doc_id`, `text`;
     * other columns ride along). `benchmark` needs `text`. Lazy — no
     * job runs until a stage is acted on. */
@@ -85,12 +93,7 @@ object CurationJob {
       .select(cols.map(c => col(s"__r.$c")): _*)
 
     // 2. quality floor: all row-local
-    val alphaRatio = length(regexp_replace(col("text"), "[^\\p{L}]", "")) /
-      greatest(length(col("text")), lit(1))
-    val afterQuality = afterExact.filter(
-      length(col("text")).between(cfg.minChars, cfg.maxChars) &&
-        size(split(trim(col("text")), "\\s+")) >= cfg.minWords &&
-        alphaRatio >= cfg.minAlphaRatio)
+    val afterQuality = afterExact.filter(qualityPredicate(cfg))
 
     // 3. near-dedup vs an empty store (LshGuard-capped banding, exact
     // verify, transitive min-id survivor selection)
@@ -119,6 +122,52 @@ object CurationJob {
     val curated = afterNear.join(contaminated, Seq("doc_id"), "left_anti")
 
     Stages(docs, afterExact, afterQuality, afterNear, curated)
+  }
+
+  /** Streaming twin of [[curate]] — ingest-time curation over a
+    * streaming `docs` frame (needs `doc_id`, `text`, event-time `ts`):
+    *
+    *   1. quality floor — the SAME row-local predicate as batch
+    *      (shared [[qualityPredicate]], the paths cannot drift);
+    *   2. near-dedup — [[StreamingOps.nearDedupStream]]'s
+    *      fingerprint-keyed `dropDuplicatesWithinWatermark`. This
+    *      SUBSUMES the batch plan's separate exact stage: identical
+    *      texts always carry identical fingerprints, so byte-dups and
+    *      fp-twins collapse in one stateful operator (state = one
+    *      60-bit key per retained doc inside the watermark horizon).
+    *      Recall is the documented ingest-time trade — fp-equal twins
+    *      only; the full banded/batch sweep runs behind it;
+    *   3. decontamination — ROW-LOCAL `array_intersect` against the
+    *      benchmark's shingles collected to a plan literal (the
+    *      benchmark is an eval set, megabytes by definition;
+    *      `maxProbeShingles` guards the collect like J3's broadcast
+    *      map). No streaming state, no shuffle — the stream shape of
+    *      q82's broadcast probe.
+    *
+    * Returns the curated stream (all input columns); the caller picks
+    * the sink (e.g. `foreachBatch` + [[TfRecordSink.writeBalanced]]
+    * per micro-batch, or a JSONL file sink). */
+  def curateStream(docs: DataFrame, benchmark: DataFrame,
+      cfg: Config = Config(), watermark: String = "30 minutes",
+      maxProbeShingles: Int = 1 << 20): DataFrame = {
+    val s = docs.sparkSession
+    graft.GraftExtensions.ensureRegistered(s)
+    val near = graft.streaming.StreamingOps.nearDedupStream(
+      docs.filter(qualityPredicate(cfg)), watermark = watermark)
+    val probe = benchmark
+      .filter(size(split(trim(col("text")), "\\s+")) >= cfg.contamShingleLen)
+      .select(explode(expr(
+        s"word_shingles(text, ${cfg.contamShingleLen})")).as("sh"))
+      .distinct().limit(maxProbeShingles + 1)
+      .collect().map(_.getString(0))
+    require(probe.length <= maxProbeShingles,
+      s"benchmark probe exceeds $maxProbeShingles shingles — too big for " +
+        "a plan literal; decontaminate in batch (q82's broadcast join) instead")
+    if (probe.isEmpty) near
+    else near.filter(
+      size(array_intersect(
+        expr(s"word_shingles(text, ${cfg.contamShingleLen})"),
+        typedLit(probe.toSeq))) < cfg.contamMinShingles)
   }
 
   /** Run the full pipeline: parquet `documents` in, gzip TFRecord

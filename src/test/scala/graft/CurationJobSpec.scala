@@ -103,4 +103,43 @@ class CurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(spilled === survivors(CurationJob.Config()))
     assert(spilled === Set(1L, 2L, 3L)) // 11 suppressed by doc 2 either way
   }
+
+  /** The streaming twin: quality + fp-keyed near-dedup (subsumes exact
+    * — identical text ⇒ identical fingerprint) + row-local probe
+    * decontamination, driven through real micro-batches. Twins arrive
+    * in a LATER batch than their originals so the retained row is
+    * deterministic. */
+  test("curateStream: each planted row is cut by its stage across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+
+    val bench = Seq("what is the secret benchmark question about esoteric trivia")
+      .toDF("text")
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val stream = CurationJob.curateStream(
+      in.toDF().toDF("doc_id", "ts", "text"), bench,
+      watermark = "10 minutes")
+    val q = stream.writeStream.format("memory").queryName("curated_stream")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData(
+        (1L, t(1), good(0)._2),
+        (2L, t(1), good(1)._2))
+      q.processAllAvailable()
+      in.addData(
+        (10L, t(2), good(0)._2),                     // exact dup of 1 (same fp)
+        (11L, t(2), good(1)._2.replace(" ", "  ")),  // whitespace twin of 2: md5 differs, shingles identical
+        (12L, t(2), "tiny"),                         // quality: too short
+        (13L, t(2), "1234567890 !!!! ???? %%%% 0987654321 #### $$$$ 1111 2222 3333"),
+        (15L, t(2), "the secret benchmark question about esoteric trivia appears here word for word today"))
+      q.processAllAvailable()
+      val got = s.table("curated_stream")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got === Set(1L, 2L))
+    } finally q.stop()
+  }
 }
