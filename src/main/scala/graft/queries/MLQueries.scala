@@ -89,13 +89,21 @@ object MLQueries {
   /** Batched inference: mapPartitions, model as per-JVM lazy singleton
     * (= `@Setup` load-once), `grouped(60)` batches (= BUFFER_MAX_SIZE,
     * `Predictions.java:132`), argmax with first-index tie-break
-    * (= `Predictions.java:38-46`). */
+    * (= `Predictions.java:38-46`).
+    *
+    * Records whose feature vector cannot feed the model — NULL or
+    * wrong-dimension embeddings — are DROPPED before the encoder, the
+    * reference's own invalid-input policy (F4 default-instance drop,
+    * `PredictionPipeline`): a serving seam never scores garbage. The
+    * gate corpus is all 64-dim non-null (oracle unchanged);
+    * DegenerateInputSpec pins the drop. */
   private val inference = Q(
     "q58_batched_inference",
     (s, d) => {
       import s.implicits._
       T.embeddings(s, d)
         .select($"vec_id", $"embedding")
+        .filter($"embedding".isNotNull && size($"embedding") === lit(Dim))
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           it.grouped(60).flatMap { batch =>
@@ -114,7 +122,8 @@ object MLQueries {
       sc AS (SELECT vec_id, list_transform(range($NClasses), j ->
           bias[j+1] + list_sum(list_transform(range($Dim), dd ->
             CAST(embedding[dd+1] AS DOUBLE) * w[dd+1][j+1]))) scores
-        FROM embeddings CROSS JOIN m)
+        FROM embeddings CROSS JOIN m
+        WHERE embedding IS NOT NULL AND len(embedding) = $Dim)
       SELECT vec_id,
         CAST(list_position(scores, list_aggregate(scores, 'max')) - 1 AS INTEGER) AS prediction,
         list_aggregate(scores, 'max') AS score

@@ -18,13 +18,20 @@ object MultimodalQueries {
 
   /** The stand-in decoder: per payload → (n_bytes, unsigned byte sum,
     * mean byte). Batched like a real codec would be (amortizes model/
-    * codec setup per batch, cf. SURVEY §2.8 M2 batching). */
-  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Double)] =
-    batch.map { case (id, bytes) =>
+    * codec setup per batch, cf. SURVEY §2.8 M2 batching).
+    *
+    * NULL payloads are undecodable records and are DROPPED — the same
+    * corrupt-drop policy the reference applies at its decode seam
+    * (SURVEY §2.2 P3); a zero-length payload decodes to (0, 0, NULL
+    * mean) rather than 0/0 = NaN. Neither occurs in the gate corpus
+    * (oracle results unchanged); DegenerateInputSpec pins both. */
+  private def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[(Long, Long, Long, Option[Double])] =
+    batch.collect { case (id, bytes) if bytes != null =>
       var sum = 0L
       var i = 0
       while (i < bytes.length) { sum += (bytes(i) & 0xff); i += 1 }
-      (id, bytes.length.toLong, sum, sum.toDouble / bytes.length)
+      (id, bytes.length.toLong, sum,
+        if (bytes.length == 0) None else Some(sum.toDouble / bytes.length))
     }
 
   /** Binary ingest → batched decode → per-payload features. The typed
@@ -45,7 +52,7 @@ object MultimodalQueries {
         CAST(list_sum(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1)))) AS BIGINT) AS byte_sum,
         CAST(list_sum(list_transform(range(length(text)), i -> ascii(substr(text, i+1, 1)))) AS DOUBLE)
           / length(text) AS mean_byte
-      FROM documents"""))
+      FROM documents WHERE text IS NOT NULL"""))
 
   /** Frame sampling: stride-sample ≤8 evenly spaced bytes from the
     * payload (the video-frame-sampling access pattern: seek, don't

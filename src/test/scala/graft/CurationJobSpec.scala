@@ -135,6 +135,7 @@ class CurationJobSpec extends AnyFunSuite with SparkSpec {
         (11L, t(2), good(1)._2.replace(" ", "  ")),  // whitespace twin of 2: md5 differs, shingles identical
         (12L, t(2), "tiny"),                         // quality: too short
         (13L, t(2), "1234567890 !!!! ???? %%%% 0987654321 #### $$$$ 1111 2222 3333"),
+        (14L, t(2), null),                           // degenerate: NULL text must cut at quality, not crash the stateful op
         (15L, t(2), "the secret benchmark question about esoteric trivia appears here word for word today"))
       q.processAllAvailable()
       val got = s.table("curated_stream")

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate-row totality: the rows a 100 TB corpus ALWAYS contains
+  * and clean synthetic gate data never exercises — NULL text, empty
+  * and whitespace-only text, a one-word document (below every
+  * shingle length), pathological repetition, non-ASCII/emoji text, a
+  * NULL embedding and a zero-norm embedding (cosine denominator 0).
+  *
+  * The fixture plants exactly those rows in `documents`/`embeddings`
+  * (TPC-H tables ride along as `limit(0)` — their totality is
+  * [[EmptyCorpusSpec]]'s job) and runs the full registry, asserting
+  * no query throws. Semantics under degeneracy are pinned only where
+  * they are load-bearing:
+  *
+  *  - every native expression is `nullSafeEval` (NULL text → NULL
+  *    signature → explode/joins drop the row — never a crash);
+  *  - a zero-norm embedding must not poison ANN top-k: 0/0 cosine is
+  *    NaN, and NaN ≥ t must FILTER (Spark and DuckDB agree NaN
+  *    comparisons are false in a WHERE filter; a top-k ORDER BY
+  *    would instead sort NaN LAST in DuckDB but FIRST in Spark — the
+  *    queries rank on filtered frames, so the gate never hits that
+  *    divergence, and the assertion here keeps it that way);
+  *  - the quality floor cuts NULL text (predicate evaluates to NULL
+  *    → filter drops), so downstream curation stages never see it.
+  */
+class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
+
+  private lazy val dir: String = {
+    val s = spark
+    import s.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-degen").toString
+    val src = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.filterNot(Set("documents", "embeddings")).foreach { n =>
+      spark.read.parquet(s"$src/$n.parquet").limit(0)
+        .coalesce(1).write.mode("overwrite").parquet(s"$d/$n.parquet")
+    }
+    // schemas must match the real tables, so derive them from sf0.001
+    // and union the planted rows in by name.
+    val docSchema = spark.read.parquet(s"$src/documents.parquet").schema
+    val docs = Seq[(Long, String)](
+      (1L, null),
+      (2L, ""),
+      (3L, "   \t  \n  "),
+      (4L, "word"),
+      (5L, Seq.fill(400)("badger").mkString(" ")),
+      (6L, "héllo wörld 你好 世界 🙂 mixed script doc"),
+      (7L, "a perfectly ordinary sentence with enough distinct words to shingle and rank normally today"))
+      .toDF("doc_id", "text")
+    val docFull = docs.select(docSchema.fields.map { f =>
+      if (docs.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    docFull.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
+
+    val embSchema = spark.read.parquet(s"$src/embeddings.parquet").schema
+    val dim = 16
+    val embs = Seq[(Long, Seq[Float])](
+      (1L, null),
+      (2L, Seq.fill(dim)(0.0f)),                       // zero norm
+      (3L, (0 until dim).map(i => (i + 1).toFloat)),
+      (4L, (0 until dim).map(i => (dim - i).toFloat)))
+      .toDF("doc_id", "vec")
+    val embFull = embs.select(embSchema.fields.map { f =>
+      if (embs.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toSeq: _*)
+    embFull.coalesce(1).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("all registry queries are total on degenerate documents/embeddings rows") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, q) =>
+        try { q(spark, dir).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+    }
+    assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
+  }
+
+  test("zero-norm embedding never reaches ANN output; NaN cosine filters") {
+    val out = SparkEntry.queries("q45_ann_bruteforce")(spark, dir)
+    val rows = out.collect()
+    // doc 2 is the zero vector: 0/0 cosine is NaN on every pair, and
+    // NaN must filter — not rank, not crash, not emit.
+    assert(!rows.exists(r => (0 until r.length).exists(i =>
+      r.get(i) match { case d: Double => d.isNaN; case f: Float => f.isNaN; case _ => false })))
+  }
+
+  test("quality floor cuts NULL/empty/whitespace text; curation stays total") {
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text")
+    val bench = Seq("benchmark eval sentence").toDF("text")
+    val r = graft.jobs.CurationJob.curate(docs, bench)
+    val kept = r.curated.select($"doc_id").as[Long].collect().toSet
+    assert(!kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L),
+      s"null/empty/whitespace text must not survive the quality floor; kept=$kept")
+    assert(kept.contains(7L), "an ordinary document must survive")
+  }
+}
