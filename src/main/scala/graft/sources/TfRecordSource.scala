@@ -92,6 +92,26 @@ object TfRecordSource {
     c
   }
 
+  /** Wrap a record iterator so any framing/IO failure names the FILE
+    * it came from. A bare "data CRC mismatch" in a dead task on a
+    * 100k-file input is undebuggable; with the path it's one `hdfs
+    * dfs -stat` away. Construction is guarded too (gzip header
+    * errors throw before the first record). */
+  private def withFileContext(p: String)(
+      mk: => Iterator[Array[Byte]]): Iterator[Array[Byte]] =
+    new Iterator[Array[Byte]] {
+      private def ctx[B](f: => B): B =
+        try f catch {
+          case e: java.io.IOException =>
+            throw new java.io.IOException(s"corrupt TFRecord file $p: ${e.getMessage}", e)
+          case e: IllegalArgumentException =>
+            throw new java.io.IOException(s"corrupt TFRecord framing in $p: ${e.getMessage}", e)
+        }
+      private val inner = ctx(mk)
+      override def hasNext: Boolean = ctx(inner.hasNext)
+      override def next(): Array[Byte] = ctx(inner.next())
+    }
+
   /** Distributed read: glob → one task per file (gzip non-splittable),
     * streamed record iteration. */
   def read(spark: SparkSession, pathGlob: String): Dataset[Array[Byte]] = {
@@ -103,11 +123,13 @@ object TfRecordSource {
       .mapPartitions { paths =>
         val conf = rebuildConf(hadoopConf)
         paths.flatMap { p =>
-          val hPath = new org.apache.hadoop.fs.Path(p)
-          val fs = hPath.getFileSystem(conf)
-          val raw: java.io.InputStream = fs.open(hPath)
-          val in = if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
-          parseStream(new java.io.BufferedInputStream(in))
+          withFileContext(p) {
+            val hPath = new org.apache.hadoop.fs.Path(p)
+            val fs = hPath.getFileSystem(conf)
+            val raw: java.io.InputStream = fs.open(hPath)
+            val in = if (p.endsWith(".gz")) new java.util.zip.GZIPInputStream(raw) else raw
+            parseStream(new java.io.BufferedInputStream(in))
+          }
         }
       }
   }

@@ -163,5 +163,31 @@ class TfRecordSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("CRC") ||
       Option(e.getCause).exists(_.getMessage.contains("CRC")))
+    // the error must NAME the file — a bare "CRC mismatch" from one
+    // task over a 100k-file glob is undebuggable
+    assert(e.getMessage.contains("bad.tfrecord") ||
+      Option(e.getCause).exists(_.getMessage.contains("bad.tfrecord")))
+  }
+
+  test("truncated file (killed writer) fails loudly, naming the file") {
+    val tmp = java.nio.file.Files.createTempDirectory("tfrec-trunc").toFile
+    val f = new java.io.File(tmp, "torn.tfrecord")
+    TfRecordSource.writeLocal(corpusBytes.take(3), f, gzip = false)
+    // chop mid-record: keep the first frame intact, cut into the second
+    val full = java.nio.file.Files.readAllBytes(f.toPath)
+    val firstFrame = 8 + 4 + corpusBytes.head.length + 4
+    java.nio.file.Files.write(f.toPath,
+      java.util.Arrays.copyOf(full, firstFrame + 9))
+    val e = intercept[org.apache.spark.SparkException] {
+      TfRecordSource.read(spark, f.getAbsolutePath).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    // the cut lands mid-CRC → readFully's "expected N bytes" EOF; a
+    // cut mid-length-header raises "truncated length header" — either
+    // way the wrapped message must name the file
+    assert(msgs(e).exists(m => m.contains("torn.tfrecord") &&
+        (m.contains("truncated") || m.contains("expected"))),
+      s"expected a truncation error naming the file, got: ${msgs(e)}")
   }
 }
