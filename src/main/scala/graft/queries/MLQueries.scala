@@ -103,7 +103,17 @@ object MLQueries {
       import s.implicits._
       T.embeddings(s, d)
         .select($"vec_id", $"embedding")
-        .filter($"embedding".isNotNull && size($"embedding") === lit(Dim))
+        .withColumn("__ok", $"embedding".isNotNull && size($"embedding") === lit(Dim))
+        // drops must be OBSERVABLE, not silent: `observedMetrics`
+        // under "q58_inference_input" carries {records, dropped} per
+        // execution — the feed a serving pipeline alerts on (same
+        // pattern as JsonlSource's jsonl_ingest; coalesce keeps an
+        // all-dropped or empty input at 0, not null)
+        .observe("q58_inference_input",
+          count(lit(1)).as("records"),
+          coalesce(sum(when($"__ok", 0L).otherwise(1L)), lit(0L)).as("dropped"))
+        .filter($"__ok")
+        .drop("__ok")
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           it.grouped(60).flatMap { batch =>

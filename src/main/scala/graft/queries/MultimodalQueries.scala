@@ -43,6 +43,16 @@ object MultimodalQueries {
       import s.implicits._
       T.documents(s, d)
         .select($"doc_id", $"text".cast("binary").as("payload"))
+        .withColumn("__ok", $"payload".isNotNull)
+        // corrupt-drop rate surfaces via observedMetrics
+        // ("q55_decode_input" → {records, dropped}) — the decode
+        // seam's operational feed; decodeBatch keeps its own null
+        // guard as defense-in-depth for direct callers
+        .observe("q55_decode_input",
+          count(lit(1)).as("records"),
+          coalesce(sum(when($"__ok", 0L).otherwise(1L)), lit(0L)).as("dropped"))
+        .filter($"__ok")
+        .drop("__ok")
         .as[(Long, Array[Byte])]
         .mapPartitions(_.grouped(32).flatMap(decodeBatch))
         .toDF("doc_id", "n_bytes", "byte_sum", "mean_byte")

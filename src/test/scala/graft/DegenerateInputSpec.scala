@@ -92,6 +92,36 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       r.get(i) match { case d: Double => d.isNaN; case f: Float => f.isNaN; case _ => false })))
   }
 
+  test("drop seams report observed metrics: every cut is counted, none silent") {
+    import scala.collection.mutable
+    val seen = mutable.Map[String, (Long, Long)]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (k, row) =>
+          seen.synchronized {
+            seen(k) = (row.getAs[Long]("records"), row.getAs[Long]("dropped"))
+          }
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      SparkEntry.queries("q55_mm_byte_features")(spark, dir).count()
+      SparkEntry.queries("q58_batched_inference")(spark, dir).count()
+      // listener delivery is async; poll (the bus's waitUntilEmpty is private[spark])
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      def both(): Boolean = seen.synchronized(
+        seen.contains("q55_decode_input") && seen.contains("q58_inference_input"))
+      while (!both() && System.nanoTime() < deadline) Thread.sleep(50)
+      // 7 documents, 1 NULL payload; 4 embeddings, all invalid for the
+      // 64-dim model (NULL, zero-norm 16-dim, two normal 16-dim)
+      assert(seen.synchronized(seen.get("q55_decode_input")) === Some((7L, 1L)))
+      assert(seen.synchronized(seen.get("q58_inference_input")) === Some((4L, 4L)))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("quality floor cuts NULL/empty/whitespace text; curation stays total") {
     val s = spark
     import s.implicits._
