@@ -114,10 +114,18 @@ object TfRecordSource {
 
   /** Distributed read: glob → one task per file (gzip non-splittable),
     * streamed record iteration. */
-  def read(spark: SparkSession, pathGlob: String): Dataset[Array[Byte]] = {
+  def read(spark: SparkSession, pathGlob: String): Dataset[Array[Byte]] =
+    readFiles(spark, Seq(pathGlob))
+
+  /** Multi-path variant of [[read]] — an explicit file list (e.g. from
+    * [[graft.streaming.TfRecordStreamSink.readCommitted]]'s manifests)
+    * instead of one glob. Empty list → empty dataset (a day-zero
+    * export directory has no committed batches). */
+  def readFiles(spark: SparkSession, paths: Seq[String]): Dataset[Array[Byte]] = {
     import spark.implicits._
+    if (paths.isEmpty) return spark.emptyDataset[Array[Byte]]
     val hadoopConf = confEntries(spark.sparkContext.hadoopConfiguration)
-    spark.read.format("binaryFile").load(pathGlob)
+    spark.read.format("binaryFile").load(paths: _*)
       .select("path")
       .as[String]
       .mapPartitions { paths =>
