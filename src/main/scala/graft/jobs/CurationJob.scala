@@ -170,6 +170,25 @@ object CurationJob {
         typedLit(probe.toSeq))) < cfg.contamMinShingles)
   }
 
+  /** Start the full STREAMING pipeline — the streaming twin of [[run]]:
+    * [[curateStream]]'s kept docs, encoded exactly like the batch
+    * export (one UTF-8 JSON line of `{doc_id, text}` per doc), flow
+    * into [[graft.streaming.TfRecordStreamSink]]'s manifest-committed
+    * `batch-<id>/` shard directories. Exactly-once per micro-batch by
+    * batch-id dedup; a training job can consume committed batches
+    * (`TfRecordStreamSink.readCommitted`) while ingest continues. */
+  def runStream(docs: DataFrame, benchmark: DataFrame, outDir: String,
+      checkpointDir: String, cfg: Config = Config(),
+      watermark: String = "30 minutes"): org.apache.spark.sql.streaming.StreamingQuery = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val records = curateStream(docs, benchmark, cfg, watermark)
+      .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+      .select(encode(col("j"), "UTF-8").as("b")).as[Array[Byte]]
+    graft.streaming.TfRecordStreamSink.start(
+      records, outDir, checkpointDir, cfg.targetShardBytes)
+  }
+
   /** Run the full pipeline: parquet `documents` in, gzip TFRecord
     * shards (one UTF-8 JSON line per doc) + `_manifest.json` out. */
   def run(spark: SparkSession, docsDir: String, benchmarkDir: String,

@@ -143,4 +143,36 @@ class CurationJobSpec extends AnyFunSuite with SparkSpec {
       assert(got === Set(1L, 2L))
     } finally q.stop()
   }
+
+  test("runStream: curated stream lands as committed TFRecord batches, batch-parity encoding") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    val bench = Seq("what is the secret benchmark question about esoteric trivia")
+      .toDF("text")
+    val out = java.nio.file.Files.createTempDirectory("curate-stream-out").toString
+    val in = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = CurationJob.runStream(
+      in.toDF().toDF("doc_id", "ts", "text"), bench,
+      out, java.nio.file.Files.createTempDirectory("curate-stream-ckpt").toString,
+      watermark = "10 minutes")
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((1L, t(1), good(0)._2), (2L, t(1), good(1)._2))
+      q.processAllAvailable()
+      in.addData(
+        (10L, t(2), good(0)._2),   // fp dup of 1 — cut
+        (12L, t(2), "tiny"),       // quality — cut
+        (15L, t(2), "the secret benchmark question about esoteric trivia appears here word for word today"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val lines = graft.streaming.TfRecordStreamSink.readCommitted(s, out)
+      .collect().map(new String(_, "UTF-8")).sorted.toSeq
+    // exact batch-run encoding: one compact JSON object per doc
+    assert(lines === Seq(1L -> good(0)._2, 2L -> good(1)._2).map { case (id, tx) =>
+      s"""{"doc_id":$id,"text":"$tx"}"""
+    })
+  }
 }
