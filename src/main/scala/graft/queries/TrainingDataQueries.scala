@@ -95,5 +95,94 @@ object TrainingDataQueries {
       FROM sh s JOIN probe p ON s.sh = p.sh
       WHERE s.doc_id >= 5 GROUP BY s.doc_id"""))
 
-  def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate)
+  /** Deterministic global shuffle + contiguous sample indexing — the
+    * step between a curated corpus and epoch sharding: every doc gets
+    * a pseudo-random but REPRODUCIBLE position (`md5(doc_id)` as the
+    * permutation key), a contiguous 1-based global index in that
+    * order, and a round-robin shard assignment over the index. The
+    * global index uses q32's value-derived two-level rank (the key's
+    * leading 32 hex bits are uniform, so 1024 `width_bucket` buckets
+    * stay balanced; per-bucket `row_number` + broadcast prefix-sum
+    * offsets over ≤1026 rows) — ONE hash exchange, no
+    * single-partition window, no placement-derived `zipWithIndex`
+    * (see `WindowQueries.scala` q32 for why the alternatives are
+    * unsound or plan-opaque). The md5 key is non-null by
+    * construction, satisfying the pattern's non-null precondition.
+    * Skew-free by design: unlike q32's data-valued sort key, a
+    * cryptographic hash is uniform regardless of corpus shape. */
+  private val shuffleIndex = Q(
+    "q101_shuffle_index",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val nb = 1024
+      val keyed = T.documents(s, d)
+        .select($"doc_id", md5($"doc_id".cast("string")).as("shuffle_key"))
+        // leading 8 hex chars → uniform value in [0, 2^32)
+        .withColumn("bkt", expr(
+          s"width_bucket(CAST(conv(substring(shuffle_key, 1, 8), 16, 10) AS DOUBLE), " +
+            s"0.0, 4294967296.0, $nb)"))
+      val local = keyed.withColumn("lrn", row_number().over(
+        Window.partitionBy($"bkt").orderBy($"shuffle_key".asc, $"doc_id".asc)))
+      val offsets = keyed.groupBy($"bkt").agg(count(lit(1)).as("cnt"))
+        .withColumn("off", coalesce(
+          sum($"cnt").over(Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      local.join(broadcast(offsets.select($"bkt", $"off")), "bkt")
+        .select($"doc_id", $"shuffle_key",
+          ($"off" + $"lrn").as("sample_idx"),
+          (($"off" + $"lrn" - 1) % 8).as("shard_id"))
+    },
+    Some("""SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+      row_number() OVER w AS sample_idx,
+      (row_number() OVER w - 1) % 8 AS shard_id
+      FROM documents
+      WINDOW w AS (ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC)"""))
+
+  /** Corpus snapshot diff — the audit between two days of a living
+    * corpus: which docs were ADDED, REMOVED, or CHANGED (content
+    * digest differs). One co-partitioned full-outer join on the
+    * primary key carrying only (id, digest) — at 100 TB both sides
+    * hash-partition on `doc_id`, and with q89's bucketed layout the
+    * Exchange disappears entirely; unchanged rows (the overwhelming
+    * majority day-over-day) never leave the join. The two snapshots
+    * here derive deterministically from the one `documents` table
+    * (yesterday = ids ≢ 7 (mod 10); today = ids ≢ 3 (mod 10), with
+    * every id ≡ 0 (mod 5) re-edited), same stand-in discipline as
+    * q82's benchmark probe. */
+  private val snapshotDiff = Q(
+    "q102_snapshot_diff",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val old = docs.filter($"doc_id" % 10 =!= 7)
+        .select($"doc_id", md5($"text").as("old_digest"))
+      val cur = docs.filter($"doc_id" % 10 =!= 3)
+        .select($"doc_id", md5(when($"doc_id" % 5 === 0,
+          concat($"text", lit(" [edited v2]"))).otherwise($"text")).as("new_digest"))
+      old.join(cur, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when($"old_digest".isNull, lit("added"))
+            .when($"new_digest".isNull, lit("removed"))
+            .when($"old_digest" =!= $"new_digest", lit("changed")))
+        .filter($"status".isNotNull) // unchanged rows are not part of the delta
+        .select($"doc_id", $"status", $"old_digest", $"new_digest")
+    },
+    Some("""WITH old AS (SELECT doc_id, md5(text) AS old_digest
+               FROM documents WHERE doc_id % 10 <> 7),
+      cur AS (SELECT doc_id,
+                md5(CASE WHEN doc_id % 5 = 0 THEN text || ' [edited v2]'
+                         ELSE text END) AS new_digest
+              FROM documents WHERE doc_id % 10 <> 3)
+      SELECT coalesce(old.doc_id, cur.doc_id) AS doc_id,
+        CASE WHEN old_digest IS NULL THEN 'added'
+             WHEN new_digest IS NULL THEN 'removed'
+             WHEN old_digest <> new_digest THEN 'changed' END AS status,
+        old_digest, new_digest
+      FROM old FULL OUTER JOIN cur ON old.doc_id = cur.doc_id
+      WHERE old_digest IS NULL OR new_digest IS NULL
+         OR old_digest <> new_digest"""))
+
+  def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
+    shuffleIndex, snapshotDiff)
 }
