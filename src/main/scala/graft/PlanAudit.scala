@@ -15,7 +15,8 @@ object PlanAudit {
     "q41_dedup_jaccard", "q43_dedup_simhash", "q44_dedup_cosine",
     "q71_repeated_spans", "q88_skewed_enrich",
     "q89_bucketed_distinct_counts", "q100_incremental_dedup",
-    "q101_shuffle_index", "q102_snapshot_diff")
+    "q101_shuffle_index", "q102_snapshot_diff",
+    "q103_partition_pruned_daily")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>

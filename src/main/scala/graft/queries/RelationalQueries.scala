@@ -199,6 +199,39 @@ object RelationalQueries {
       count(DISTINCT l_orderkey) AS n_orders, count(*) AS n_rows
       FROM lineitem GROUP BY l_partkey"""))
 
+  /** Date-partitioned layout + one-day aggregate
+    * ([[graft.operators.PartitionedLayout]] end-to-end — the scan-side
+    * twin of q89's bucketed layout): events land as
+    * `dt=YYYY-MM-DD/part-*.parquet`, and the LITERAL one-day filter
+    * prunes every other day's files out of the scan at the file index
+    * — before a row is decoded (the plan's `PartitionFilters` carries
+    * `dt = <day>`; PartitionPruneSpec additionally pins the pruned
+    * file COUNT on a layout it controls). A join-derived day (e.g.
+    * `dt = (SELECT min(dt))`) would NOT prune here: Spark's dynamic
+    * partition pruning only fires for filtered dimension sides, not
+    * bare aggregates — measured on this very query, so the day is a
+    * literal, the honest static-prune shape a daily job has anyway
+    * (its run date is a parameter, not data). The fixture corpus
+    * spans 2024-01-01..30 at every SF; mid-range keeps the day
+    * non-degenerate. Oracle: the layout must not change results —
+    * same aggregate straight off the raw table. */
+  private val partitionPrunedDaily = Q(
+    "q103_partition_pruned_daily",
+    (s, d) => {
+      import s.implicits._
+      val ev = T.events(s, d).select($"event_type", $"value", $"ts",
+        to_date($"ts").as("dt"))
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q103_events_by_day"
+      graft.operators.PartitionedLayout.writePartitioned(ev, dir, Seq("dt"))
+      graft.operators.PartitionedLayout.read(s, dir, ev.schema)
+        .filter($"dt" === lit("2024-01-15").cast("date"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value").as("total_value"))
+    },
+    Some("""SELECT event_type, count(*) AS n, sum(value) AS total_value
+      FROM events WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+      GROUP BY event_type"""))
+
   /** Per-type distinct-user counts (A4 analogue — AppProfile user_count,
     * `AppProfiles.java:71-111`). */
   private val userCounts = Q(
@@ -837,6 +870,6 @@ object RelationalQueries {
     deterministicSample, popularParts, suspiciousUsers, argmax,
     setIntersect, setExcept, setUnion, intervalJoin, asofJoin,
     rollupAgg, hourlyAgg, sessionize, percentiles, scalarSubquery,
-    approxQuantiles, bucketedDistinctCounts, asofTolerance,
-    tpchQ3, tpchQ5, tpchQ10)
+    approxQuantiles, bucketedDistinctCounts, partitionPrunedDaily,
+    asofTolerance, tpchQ3, tpchQ5, tpchQ10)
 }
