@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned keyed snapshot store — the operational wrapper that turns
+  * q90's incremental monoid merge into a day-over-day PIPELINE: a
+  * profile table maintained on disk, updated by merging each day's
+  * delta into the current snapshot, with atomic publication so readers
+  * never see a torn table.
+  *
+  * Layout under `root`:
+  * {{{
+  *   v=00000001/part-*.parquet     full snapshot, one dir per version
+  *   v=00000002/part-*.parquet
+  *   _CURRENT                      tiny pointer file: "v=00000002"
+  * }}}
+  *
+  * Commit protocol (same family as TfRecordStreamSink's manifests and
+  * TfRecordSink's rename commit): the new version directory is written
+  * COMPLETELY first, then `_CURRENT` is replaced by one atomic
+  * OVERWRITE rename. A reader resolves the pointer once and reads that
+  * immutable directory — a concurrent commit publishes a NEW directory
+  * and flips the pointer; nothing the reader holds is mutated. A crash
+  * before the flip leaves an orphan `v=` dir that the pointer never
+  * references: invisible to readers, version numbering skips past it
+  * (next = max existing + 1, pointed or not), [[vacuum]] sweeps it.
+  *
+  * Single WRITER at a time is assumed (one daily driver) — the
+  * standard warehouse-job discipline; readers are unrestricted.
+  *
+  * At 100 TB: the store pays one full-outer co-partitioned merge join
+  * per update (both sides hash-partition on the key; with a bucketed
+  * layout even that Exchange disappears — q89) and one snapshot
+  * rewrite. That is the batch-incremental trade: rewrite cost buys
+  * immutable-snapshot reads, time travel to any retained version, and
+  * trivially correct crash recovery. For sub-day latencies the
+  * streaming twin is `StreamingOps.runningProfiles` (state-store
+  * backed); this store is the batch system of record behind it.
+  */
+object SnapshotStore {
+
+  private val Pointer = "_CURRENT"
+  private val VerFmt = "v=%08d"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Version the pointer currently publishes, if any. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
+    val f = fs(spark, root)
+    val p = new Path(root, Pointer)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Some(s.stripPrefix("v=").toLong)
+    }
+  }
+
+  /** All version numbers on disk, pointed or orphaned. */
+  private def versionsOnDisk(spark: SparkSession, root: String): Seq[Long] = {
+    val f = fs(spark, root)
+    val r = new Path(root)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toLong)
+  }
+
+  /** The current snapshot, or an empty frame of `schema` when the
+    * store has never committed (day zero). */
+  def read(spark: SparkSession, root: String, schema: StructType): DataFrame =
+    currentVersion(spark, root) match {
+      case None => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(v) =>
+        spark.read.schema(schema).parquet(s"$root/${VerFmt.format(v)}")
+    }
+
+  /** Write `df` as the next version and atomically publish it.
+    * @return the committed version number */
+  def commit(df: DataFrame, root: String): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val next = (versionsOnDisk(spark, root) :+ 0L).max + 1
+    val dir = new Path(root, VerFmt.format(next))
+    // a crashed prior attempt can't collide: `next` skips every dir on
+    // disk; Overwrite still clears any half-written partial of THIS
+    // attempt's own retries
+    df.write.mode(SaveMode.Overwrite).parquet(dir.toString)
+    val tmp = new Path(root, s".$Pointer.tmp")
+    val out = f.create(tmp, true)
+    try out.write(VerFmt.format(next).getBytes("UTF-8")) finally out.close()
+    FileContext.getFileContext(f.getUri, spark.sparkContext.hadoopConfiguration)
+      .rename(f.makeQualified(tmp), f.makeQualified(new Path(root, Pointer)),
+        Options.Rename.OVERWRITE)
+    next
+  }
+
+  /** Merge `delta` into the current snapshot with `merge` (a full
+    * snapshot-out function of (current, delta) — e.g. q90's full-outer
+    * monoid merge) and commit the result.
+    * @return the committed version number */
+  def upsert(root: String, delta: DataFrame,
+      merge: (DataFrame, DataFrame) => DataFrame): Long = {
+    val current = read(delta.sparkSession, root, delta.schema)
+    commit(merge(current, delta), root)
+  }
+
+  /** Delete orphaned versions and all but the newest `keep` pointed
+    * lineage versions; never deletes the pointer target.
+    * @return versions deleted */
+  def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "keep must be >= 1")
+    val cur = currentVersion(spark, root)
+    val f = fs(spark, root)
+    val victims = versionsOnDisk(spark, root).sorted.reverse
+      .filterNot(cur.contains) // the published version is never a victim
+      .drop(keep - 1)          // keep the newest (keep-1) besides current
+    victims.foreach(v => f.delete(new Path(root, VerFmt.format(v)), true))
+    victims.sorted
+  }
+}
