@@ -374,7 +374,46 @@ object ExtendedQueries {
         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END) AS purchase_value
       FROM events GROUP BY user_id"""))
 
+  /** Re-aggregatable sketch store — the pattern that makes distinct
+    * counts affordable at 100 TB: per-day HLL sketches are
+    * materialized ONCE (a binary column in parquet, ~KB/day), and any
+    * date-range question is answered by UNIONING the sketches
+    * (`hll_union_agg`) — 30 tiny rows instead of a rescan of 30 days
+    * of raw events. The raw-scan exact count here is the ORACLE
+    * ANCHOR, not the production path; the hash-checkable output is
+    * q07's trick — exact anchor + a bound verdict on the estimate
+    * (|est − exact| ≤ 5%·exact, the default-precision envelope), so
+    * sketch-register differences between engines can't flake the
+    * gate. Day sketches survive a parquet round-trip (write + re-read
+    * of the binary column is part of the query — the STORE is real). */
+  private val sketchStore = Q(
+    "q104_sketch_store",
+    (s, d) => {
+      import s.implicits._
+      val lo = lit("2024-01-10").cast("date")
+      val hi = lit("2024-01-20").cast("date")
+      val ev = T.events(s, d).select(to_date($"ts").as("dt"), $"user_id")
+      val dir = s.conf.get("spark.sql.warehouse.dir") + "/graft_q104_daily_sketches"
+      ev.groupBy($"dt").agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+        .write.mode("overwrite").parquet(dir)
+      val merged = s.read.schema("dt date, sk binary").parquet(dir)
+        .filter($"dt".between(lo, hi))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
+          count(lit(1)).as("n_days_merged"))
+      val exact = ev.filter($"dt".between(lo, hi))
+        .agg(countDistinct($"user_id").as("exact_users"))
+      exact.crossJoin(broadcast(merged))
+        .select($"exact_users", $"n_days_merged",
+          (abs($"est" - $"exact_users") <= lit(0.05) * $"exact_users")
+            .as("bound_ok"))
+    },
+    Some("""SELECT count(DISTINCT user_id) AS exact_users,
+      count(DISTINCT CAST(ts AS DATE)) AS n_days_merged,
+      true AS bound_ok
+      FROM events
+      WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
-    retention, skewedEnrich, incrementalMerge)
+    retention, skewedEnrich, incrementalMerge, sketchStore)
 }
