@@ -124,6 +124,11 @@ object Bench {
     def total(stat: Seq[Double] => Double): Double =
       samples.map(s => stat(s._2)).filter(_ >= 0).sum
     val extras = List(
+      // methodology stamp: "value" is a 20%-trimmed-median-of-reps
+      // total since r6 (r1-r5 artifacts recorded a median-of-3 total
+      // under the same key) — downstream tooling must compare rounds
+      // only within the same stat version
+      s""""stat":"trimmed_median_r6"""",
       s""""median_total":${total(median)}""",
       s""""min_queries":${field(xs => if (xs.isEmpty) -1.0 else xs.min)}""",
       s""""median_queries":${field(median)}""",

@@ -212,16 +212,26 @@ object CurationJob {
       val report = Report(n(stages.input), n(stages.afterExact),
         n(stages.afterQuality), n(stages.afterNear), written, shards, written)
 
-      // scalar-only manifest, one driver-side file next to the shards
+      // scalar-only manifest, one driver-side file next to the shards.
+      // The manifest is the COMMIT MARKER consumers key on, so it gets
+      // the same tmp-write + atomic OVERWRITE-rename protocol as every
+      // other commit point (SnapshotStore._CURRENT, TfRecordStreamSink
+      // manifests, TfRecordSink's rename commit) — a crash mid-write
+      // leaves only a dot-tmp, never a torn/empty marker.
       val manifest =
         s"""{"input":${report.input},"after_exact":${report.afterExact},
            |"after_quality":${report.afterQuality},"after_near":${report.afterNear},
            |"curated":${report.curated},"shards":${report.shards},
            |"records_written":${report.recordsWritten}}""".stripMargin.replace("\n", "")
       val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+      val tmp = new org.apache.hadoop.fs.Path(outDir, "._manifest.json.tmp")
       val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val out = fs.create(path, true)
+      val out = fs.create(tmp, true)
       try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(path),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       report
     } finally curated.unpersist()
   }

@@ -64,11 +64,18 @@ import org.apache.spark.sql.types.BinaryType
   * the routed frame `(left.*, maybe)` ONCE via `localCheckpoint`
   * (executor-local MEMORY_AND_DISK blocks, lineage-GC'd — no caller
   * unpersist to forget in a day-over-day loop), so both routes read
-  * blocks instead of recomputing. The cost is eagerness (a job runs
-  * at call time) and storage for one copy of the delta — which is
-  * why it is not the default for the file-backed common case.
-  * BloomAntiJoinSpec counts scans over an instrumented source for
-  * both settings.
+  * blocks instead of recomputing. The costs: eagerness (a job runs
+  * at call time), storage for one copy of the delta, and — the
+  * fault-tolerance trade vs `.cache()` — `localCheckpoint` blocks
+  * are UNREPLICATED and TRUNCATE LINEAGE, so losing any executor
+  * after the checkpoint makes the routed frame unrecoverable and
+  * FAILS the query rather than recomputing. On long multi-hour jobs
+  * or preemptible/spot executors where that risk is real, prefer
+  * caller-side `.cache()` (recomputes lost blocks from lineage) or a
+  * reliable `checkpoint()` to a distributed FS. eagerRoute is for
+  * the short day-over-day delta pass where a retry of the whole call
+  * is cheaper than replicated storage. BloomAntiJoinSpec counts
+  * scans over an instrumented source for both settings.
   *
   * For stores that still fit Spark's 8 GB broadcast limit as
   * plain rows, a broadcast anti-join may win — this operator is for
@@ -116,7 +123,11 @@ object BloomAntiJoin {
     *        estimate sizes the filter, it never decides emptiness.
     * @param eagerRoute materialize `(left.*, maybe)` once instead of
     *        evaluating `left` per route — for expensive derived
-    *        lineages; see the caller contract above. */
+    *        lineages. Uses `localCheckpoint`: executor-local,
+    *        unreplicated, lineage-truncating — an executor loss after
+    *        the checkpoint fails the query instead of recomputing;
+    *        see the caller contract above for when to `.cache()`
+    *        instead. */
   def apply(left: DataFrame, right: DataFrame, key: String,
       fpp: Double = 0.03, expectedKeys: Option[Long] = None,
       eagerRoute: Boolean = false): DataFrame =

@@ -111,7 +111,11 @@ object IncrementalNearDedup {
     * materializes both tables as parquet there instead (the CsvSource
     * spill precedent): distributed-FS-backed, O(1) executor memory at
     * any corpus size, re-read per join with scan-time pruning. The
-    * caller owns the directory's lifecycle. */
+    * caller owns the directory's lifecycle; each invocation spills
+    * under its own `run-<unique>/` subdirectory, so two concurrent
+    * runs (or a retry racing a straggling consumer scan of the prior
+    * attempt) sharing `materializeDir` can never overwrite each
+    * other's parquet between a downstream join's scans. */
   def survivors(delta: DataFrame, storeBands: DataFrame, storeSets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       t: Double = 0.6,
@@ -119,11 +123,17 @@ object IncrementalNearDedup {
       materializeDir: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val persist: (DataFrame, String) => DataFrame = materializeDir match {
-      case Some(dir) => (df, name) => {
-        val path = s"$dir/$name"
-        df.write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      }
+      case Some(dir) =>
+        // per-invocation token: the spilled tables are re-read LAZILY
+        // by several downstream joins, so a fixed subpath would let a
+        // second run's overwrite change this run's parquet between two
+        // consumers' scans — silently altering survivors
+        val run = java.util.UUID.randomUUID().toString.take(8)
+        (df, name) => {
+          val path = s"$dir/run-$run/$name"
+          df.write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+        }
       case None => (df, _) => df.cache()
     }
     val dBands0 = bandTable(delta, idCol, textCol)

@@ -112,12 +112,26 @@ object SnapshotStore {
 
   /** Delete orphaned versions and all but the newest `keep` pointed
     * lineage versions; never deletes the pointer target.
+    *
+    * Orphans and lineage are budgeted SEPARATELY: a crashed commit's
+    * orphan (version > current, never published) is half-written
+    * garbage, so it is deleted unconditionally rather than allowed to
+    * consume a slot of the `keep` budget — otherwise, with lineage
+    * [1,2,3], current=3 and torn orphan 4, `vacuum(keep=2)` would
+    * retain the unreadable 4 and delete 2, the only usable rollback
+    * target. The budget is spent exclusively on pointed-lineage
+    * versions (≤ current); with no pointer at all, every dir on disk
+    * is a crashed first commit and is swept.
     * @return versions deleted */
   def vacuum(spark: SparkSession, root: String, keep: Int = 2): Seq[Long] = {
     require(keep >= 1, "keep must be >= 1")
     val cur = currentVersion(spark, root)
     val f = fs(spark, root)
-    val victims = versionsOnDisk(spark, root).sorted.reverse
+    val (lineage, orphans) = cur match {
+      case Some(c) => versionsOnDisk(spark, root).partition(_ <= c)
+      case None    => (Nil, versionsOnDisk(spark, root))
+    }
+    val victims = orphans ++ lineage.sorted.reverse
       .filterNot(cur.contains) // the published version is never a victim
       .drop(keep - 1)          // keep the newest (keep-1) besides current
     victims.foreach(v => f.delete(new Path(root, VerFmt.format(v)), true))

@@ -99,7 +99,9 @@ class CurationJobSpec extends AnyFunSuite with SparkSpec {
         .curated.select($"doc_id").as[Long].collect().toSet
 
     val spilled = survivors(CurationJob.Config(nearDedupSpillDir = Some(spill)))
-    assert(new java.io.File(s"$spill/bands").exists(), "spill dir unused")
+    assert(new java.io.File(spill).listFiles()
+      .exists(f => f.getName.startsWith("run-") && new java.io.File(f, "bands").exists()),
+      "spill dir unused")
     assert(spilled === survivors(CurationJob.Config()))
     assert(spilled === Set(1L, 2L, 3L)) // 11 suppressed by doc 2 either way
   }

@@ -199,9 +199,15 @@ class IncrementalNearDedupSpec extends AnyFunSuite with SparkSpec {
           materializeDir = mat)
         .select($"doc_id").as[Long].collect().toSet
     val spilled = run(Some(dir))
-    // the tables actually landed on disk (the path was exercised)
-    assert(new java.io.File(s"$dir/bands").exists()
-      && new java.io.File(s"$dir/sets").exists())
+    // the tables actually landed on disk, under a per-invocation
+    // run-<token>/ subdir (two runs sharing the dir must not collide)
+    val runDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("run-"))
+    assert(runDirs.length === 1)
+    assert(new java.io.File(runDirs.head, "bands").exists()
+      && new java.io.File(runDirs.head, "sets").exists())
     assert(spilled === run(None))
+    // a second spilled invocation gets its OWN subdir — no overwrite
+    assert(spilled === run(Some(dir)))
+    assert(new java.io.File(dir).listFiles().count(_.getName.startsWith("run-")) === 2)
   }
 }

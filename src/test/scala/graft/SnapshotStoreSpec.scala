@@ -80,6 +80,22 @@ class SnapshotStoreSpec extends AnyFunSuite with SparkSpec {
     assert(readAll(root).map(_._1) === Set(1L, 2L, 3L, 4L))
   }
 
+  test("vacuum deletes a torn orphan unconditionally — it never consumes a keep slot") {
+    // lineage [1,2,3], current=3, crashed-commit orphan v=4: the keep
+    // budget must be spent on pointed lineage (retain 3 and 2, drop 1)
+    // while the unreadable orphan is swept NOW, not one commit later
+    val root = Files.createTempDirectory("snap-orphan").toString
+    (1 to 3).foreach(i =>
+      SnapshotStore.upsert(root, day((i.toLong, 1L, 2L, 1L)), mergeProfiles))
+    val orphan = new java.io.File(s"$root/v=00000004")
+    assert(orphan.mkdirs())
+    Files.write(orphan.toPath.resolve("part-torn.parquet"), Array[Byte](9))
+    assert(SnapshotStore.vacuum(spark, root, keep = 2) === Seq(1L, 4L))
+    val dirs = new java.io.File(root).listFiles().map(_.getName).filter(_.startsWith("v=")).sorted
+    assert(dirs.toSeq === Seq("v=00000002", "v=00000003")) // rollback target survives
+    assert(readAll(root).map(_._1) === Set(1L, 2L, 3L))
+  }
+
   test("day zero: empty store reads as an empty frame; first upsert is the identity") {
     val root = Files.createTempDirectory("snap-zero").toString
     assert(readAll(root) === Set.empty)
