@@ -512,7 +512,31 @@ object TextQueries {
       WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT) % 1000000
             < r.keep_ppm"""))
 
+  /** Corpus-wide heavy hitters: every token at >= 0.2% relative
+    * frequency with its EXACT count, via the Misra–Gries
+    * sketch-route-verify in [[graft.operators.HeavyHitters]] — the
+    * shuffle carries <=k sketch entries per partition plus <=k exact
+    * recount groups, never the full distinct-token key space (the
+    * frequency analogue of q100's Bloom routing; contrast q49/q85,
+    * which pay the full token shuffle for per-lang output). The
+    * oracle is the plain exact SQL — the sketch is a cost device,
+    * invisible in the result. */
+  private val heavyHitters = Q(
+    "q105_heavy_hitters",
+    (s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select(explode(split(trim($"text"), "\\s+")).as("tok")).as[String]
+      graft.operators.HeavyHitters.exactAbove(toks, 0.002)
+    },
+    Some("""WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      tot AS (SELECT count(*) AS n FROM w)
+      SELECT tok, count(*) AS cnt FROM w CROSS JOIN tot
+      GROUP BY tok, n
+      HAVING count(*) >= greatest(1, CAST(ceil(0.002 * n) AS BIGINT))"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
-    bigramLogProb, oovRate, lengthOutliers, mixtureSample)
+    bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters)
 }

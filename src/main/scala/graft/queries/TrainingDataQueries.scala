@@ -183,6 +183,94 @@ object TrainingDataQueries {
       WHERE old_digest IS NULL OR new_digest IS NULL
          OR old_digest <> new_digest"""))
 
+  /** Deterministic train/val/test split + stratification report: each
+    * doc's split derives from the first hex char of `md5(doc_id)` —
+    * '0'..'c' → train (13/16 ≈ 81%), 'd','e' → val (2/16), 'f' → test
+    * (1/16) — so membership is REPRODUCIBLE across runs, clusters and
+    * engines with no stored assignment table, and adding docs never
+    * reshuffles existing ones (the property a stored random split
+    * loses on every re-materialization). Output is the per-(lang,
+    * split) report — doc counts, token mass, and the within-lang doc
+    * fraction — i.e. the stratification evidence a pipeline gates on
+    * before training. Row-local hash + one small agg + a window over
+    * ≤3 rows per lang: no corpus shuffle beyond the report agg.
+    * Leakage note: when docs share provenance (same crawl page,
+    * same repo), key the hash on that GROUP column instead of doc_id
+    * so near-copies can't straddle train/test. */
+  private val splitReport = Q(
+    "q106_split_report",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val assigned = T.documents(s, d).select(
+        $"lang",
+        when(h <= "c", "train").when(h <= "e", "val").otherwise("test")
+          .as("split"),
+        size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
+      assigned.groupBy($"lang", $"split")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+        .withColumn("frac_docs", $"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"lang")))
+    },
+    Some("""WITH a AS (SELECT lang,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+             ELSE 'test' END AS split,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        FROM documents),
+      g AS (SELECT lang, split, count(*) AS n_docs,
+              CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM a GROUP BY 1, 2)
+      SELECT lang, split, n_docs, n_tokens,
+        CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (PARTITION BY lang) AS frac_docs
+      FROM g"""))
+
+  /** Temperature-scaled source mixture (the mT5/XLM-R sampling rule):
+    * per-source keep rates ∝ n^α / n with α = 0.5, total budget τ =
+    * half the corpus — boosting small sources and damping dominant
+    * ones instead of q96's flatten-to-the-minimum. keep_ppm(src) =
+    * min(1e6, ⌊1e6 · τ·N·w / (n·S)⌋) with w = ⌊√n⌋ and S = Σw: the
+    * weights are INTEGERS (floor of a correctly-rounded IEEE sqrt),
+    * so S is an exact integer sum — no float-summation order to
+    * diverge between engines — and the one double expression is
+    * written in identical association order in both. Membership is
+    * the q96 discipline: a doc's md5-derived ppm bucket against its
+    * source's broadcast rate — counts-agg + tiny broadcast + row-local
+    * hash filter, the corpus itself never shuffles at any scale. */
+  private val temperatureMix = Q(
+    "q107_temperature_mix",
+    (s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d).groupBy($"source")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt($"n".cast("double"))))
+      val tot = counts.agg(sum($"n").as("n_total"), sum($"w").as("s_w"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("keep_ppm", least(lit(1000000L),
+          floor(lit(1000000.0) * $"n_total" * $"w" /
+            (lit(2.0) * $"n" * $"s_w"))))
+        .select($"source", $"keep_ppm")
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string")), 1, 14), 16, 10)
+          .cast("long") % 1000000
+      T.documents(s, d).join(broadcast(rates), "source")
+        .filter(bucket < $"keep_ppm")
+        .select($"doc_id", $"source", $"keep_ppm")
+    },
+    Some("""WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT source, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(w) AS BIGINT) AS s_w FROM w),
+      r AS (SELECT source, least(1000000,
+              CAST(floor(1000000.0 * n_total * w / (2.0 * n * s_w)) AS BIGINT))
+              AS keep_ppm
+            FROM w CROSS JOIN t)
+      SELECT d.doc_id, d.source, r.keep_ppm
+      FROM documents d JOIN r USING (source)
+      WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT)
+            % 1000000 < r.keep_ppm"""))
+
   def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
-    shuffleIndex, snapshotDiff)
+    shuffleIndex, snapshotDiff, splitReport, temperatureMix)
 }
