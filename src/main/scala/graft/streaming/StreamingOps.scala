@@ -58,6 +58,37 @@ object StreamingOps {
       watermark: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(idCol)
 
+  /** Windowed streaming heavy hitters — the ingest-time half of
+    * q105's Misra–Gries sketch-route-verify ([[graft.operators
+    * .HeavyHitters]]): per tumbling window, the same mergeable
+    * summary runs as the streaming aggregate (partials merge into the
+    * state store exactly as they merge across a batch shuffle), and
+    * the window emits its ≤k survivors on watermark close as
+    * `(win_start, win_end, tok, min_cnt)`.
+    *
+    * Contract — CANDIDATES, not exact counts: `min_cnt` is the MG
+    * lower-bound count (never an overestimate), and every token with
+    * in-window count > N_window/(k+1) is guaranteed present. The
+    * exact-recount phase needs a second pass over data a stream has
+    * already released, so it stays batch: run q105's phase 2 over the
+    * persisted window slice when true counts matter. State per
+    * window is one ≤k-entry map — bounded regardless of how many
+    * distinct tokens the window saw. */
+  def heavyHittersStream(docs: DataFrame, textCol: String = "text",
+      window: String = "10 minutes", watermark: String = "30 minutes",
+      k: Int = 100): DataFrame = {
+    val sketch = udaf(new graft.operators.HeavyHitters.MisraGries(k),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .withWatermark("ts", watermark)
+      .select(col("ts"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"))
+      .agg(sketch(col("tok")).as("summary"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        explode(col("summary")).as(Seq("tok", "min_cnt")))
+  }
+
   /** Streaming NEAR-dup suppression — the ingest-time twin of the
     * batch dedup family: key = native `simhash60` over the doc's
     * 3-word shingles, so near-identical docs (identical shingle

@@ -431,6 +431,57 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "no loss, no duplication across restart")
   }
 
+  test("windowed streaming heavy hitters: exact when k covers distinct; bounded and dominant-preserving when not") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val df = in.toDF().toDF("ts", "text")
+    // k=100 >> distinct: the MG summary never evicts, counts are exact
+    val q = StreamingOps.heavyHittersStream(df, "text", "10 minutes", "30 minutes", k = 100)
+      .writeStream.format("memory").queryName("hh_win")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData(
+        (t(1), "the cat and the dog"),
+        (t(3), "the cat"),          // window [0,10): the=3 cat=2 and=1 dog=1
+        (t(12), "dog dog dog bird")) // window [10,20): dog=3 bird=1
+      q.processAllAvailable()
+      in.addData((t(120), "flush")) // advance watermark, close both windows
+      q.processAllAvailable()
+      val rows = spark.table("hh_win")
+        .selectExpr("unix_millis(win_start) div 60000 as start_min", "tok", "min_cnt")
+        .as[(Long, String, Long)].collect().toSet
+      assert(rows.contains((0L, "the", 3L)) && rows.contains((0L, "cat", 2L))
+        && rows.contains((0L, "and", 1L)) && rows.contains((0L, "dog", 1L)))
+      assert(rows.contains((10L, "dog", 3L)) && rows.contains((10L, "bird", 1L)))
+    } finally q.stop()
+
+    // k=2 under pressure across micro-batches: state stays <=k per
+    // window, counts never overestimate, and the dominant token (count
+    // > N/(k+1)) is guaranteed to survive the cross-batch state merges
+    val in2 = MemoryStream[(java.sql.Timestamp, String)]
+    val q2 = StreamingOps.heavyHittersStream(
+        in2.toDF().toDF("ts", "text"), "text", "10 minutes", "30 minutes", k = 2)
+      .writeStream.format("memory").queryName("hh_small")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in2.addData((t(1), "hot hot hot u1 u2"))
+      q2.processAllAvailable() // batch 1 partial
+      in2.addData((t(2), "hot hot hot u3 u4"))
+      q2.processAllAvailable() // batch 2 merges into window state
+      in2.addData((t(120), "flush"))
+      q2.processAllAvailable()
+      val rows = spark.table("hh_small")
+        .filter("unix_millis(win_start) = 0")
+        .select("tok", "min_cnt").as[(String, Long)].collect().toMap
+      assert(rows.size <= 2, s"summary exceeded k: $rows")
+      assert(rows.contains("hot"), s"dominant token lost: $rows")
+      assert(rows("hot") <= 6L, s"MG count overestimated: $rows") // true count 6
+    } finally q2.stop()
+  }
+
   test("merge monoid: mergeEvent is order-insensitive (A1 commutativity)") {
     val evs = Seq(Ev(1, "a", 5, 1.0), Ev(1, "b", 2, 2.0), Ev(1, "a", 9, 3.0))
     val folded = evs.foldLeft(StreamingOps.emptyState)(StreamingOps.mergeEvent)
