@@ -16,7 +16,8 @@ object PlanAudit {
     "q71_repeated_spans", "q88_skewed_enrich",
     "q89_bucketed_distinct_counts", "q100_incremental_dedup",
     "q101_shuffle_index", "q102_snapshot_diff",
-    "q103_partition_pruned_daily")
+    "q103_partition_pruned_daily", "q105_heavy_hitters",
+    "q107_temperature_mix")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>
