@@ -1,0 +1,144 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over `array<float>` embedding columns —
+  * the TRAIN step of an IVF index (q47 demonstrates the probe side
+  * over fixed cells; this learns the cells), and the general
+  * "centroid the corpus" primitive (coreset build, dataset
+  * cartography, dedup-cluster summarization).
+  *
+  * Per iteration, ONE distributed job:
+  *  - assignment is ROW-LOCAL: the k centroids travel as a plan
+  *    literal (k·d doubles — KBs for any practical k), each row
+  *    computes its squared distances via codegen'd HOFs and takes the
+  *    argmin; no join, no shuffle of vectors;
+  *  - the update is a groupBy(cell) running [[VectorMean]] — a
+  *    mergeable typed Aggregator whose buffer is one (Σ-vector, n)
+  *    pair, so the exchange carries at most k·(d+1) doubles per
+  *    partition (the map-side partial), never the vectors themselves;
+  *  - the same pass folds in Σ min-dist², so convergence is observed
+  *    for free (`Model.sseHistory`, non-increasing by Lloyd's
+  *    argument — each assignment uses the centroids that minimize the
+  *    previous assignment's SSE, each mean minimizes its cell's).
+  *
+  * Determinism: seeding is the k smallest `xxhash64(id)` rows (no
+  * RNG, stable across runs/partitionings); argmin ties break to the
+  * first centroid (`array_position` semantics); the mean's
+  * element-wise sums are doubles accumulated per partition then
+  * merged — floating-point sum order varies with partitioning like
+  * every distributed mean, so centroids are deterministic given a
+  * fixed partitioning (exact cross-run equality is spec'd; bit-parity
+  * across DIFFERENT partitionings is not promised, same contract as
+  * Spark's own avg).
+  *
+  * Empty cells keep their previous centroid (the standard Lloyd
+  * fallback; at k ≪ n with hash seeding this is rare).
+  *
+  * At 100 TB: the caller caches (or samples) the training frame —
+  * each iteration is one scan; the standard discipline is train on a
+  * sample (a few million vectors), then one final [[assign]] pass
+  * over the full corpus. Driver traffic is k·(d+1) doubles per
+  * iteration. */
+object KMeans {
+
+  /** (Σ element-wise, count) — the mergeable mean buffer. */
+  case class MeanBuf(sum: Array[Double], n: Long)
+
+  /** Element-wise mean of double-array vectors as a typed Aggregator:
+    * map-side partials hold one (Σ, n) per (cell, partition). */
+  final class VectorMean extends Aggregator[Seq[Double], MeanBuf, Seq[Double]] {
+    override def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, 0L)
+    override def reduce(b: MeanBuf, v: Seq[Double]): MeanBuf =
+      if (b.n == 0L) MeanBuf(v.toArray, 1L)
+      else {
+        val s = b.sum.clone()
+        var i = 0
+        while (i < s.length) { s(i) += v(i); i += 1 }
+        MeanBuf(s, b.n + 1L)
+      }
+    override def merge(x: MeanBuf, y: MeanBuf): MeanBuf =
+      if (x.n == 0L) y
+      else if (y.n == 0L) x
+      else {
+        val s = x.sum.clone()
+        var i = 0
+        while (i < s.length) { s(i) += y.sum(i); i += 1 }
+        MeanBuf(s, x.n + y.n)
+      }
+    override def finish(b: MeanBuf): Seq[Double] =
+      if (b.n == 0L) Seq.empty else b.sum.toSeq.map(_ / b.n)
+    override def bufferEncoder: Encoder[MeanBuf] = Encoders.product[MeanBuf]
+    override def outputEncoder: Encoder[Seq[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  }
+
+  /** Trained centroids plus the per-iteration Σ min-dist² trace. */
+  case class Model(centroids: Seq[Array[Double]], sseHistory: Seq[Double])
+
+  /** Squared distances of `vec` to each centroid in `cents`, as an
+    * array column ordered like `cents`. */
+  private def dist2Array(cents: Seq[Array[Double]], vec: Column): Column =
+    transform(array(cents.map(c => lit(c)): _*), c =>
+      aggregate(
+        zip_with(c, vec, (x, y) => {
+          val dlt = x - y.cast("double"); dlt * dlt
+        }),
+        lit(0.0), (acc, x) => acc + x))
+
+  /** `df` plus `cell` (0-based int; argmin ties break to the first
+    * centroid) and `dist2` (squared distance to that cell's centroid)
+    * — the final full-corpus pass, and the IVF cell-assignment step.
+    * The k·d distance transform appears in both derived columns of
+    * ONE projection, so whole-stage codegen's common-subexpression
+    * elimination evaluates it once per row. */
+  def assign(df: DataFrame, cents: Seq[Array[Double]], vecCol: String): DataFrame = {
+    val d2 = dist2Array(cents, col(vecCol))
+    df.withColumns(Map(
+      "dist2" -> array_min(d2),
+      "cell" -> (array_position(d2, array_min(d2)) - 1).cast("int")))
+  }
+
+  /** Lloyd's k-means. `df` is scanned once for seeding plus once per
+    * iteration — cache it (or train on a sample) when it isn't a
+    * cheap parquet scan. */
+  def train(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5): Model = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    // deterministic seeds: the k hash-smallest rows (uniform over the
+    // corpus, independent of partitioning/row order)
+    var cents: Seq[Array[Double]] = df
+      .select(col(vecCol).cast("array<double>").as("v"),
+        xxhash64(col(idCol)).as("h"))
+      .orderBy($"h".asc).limit(k)
+      .select($"v").as[Seq[Double]].collect().toSeq.map(_.toArray)
+    require(cents.nonEmpty, "cannot seed k-means from an empty frame")
+
+    val meanAgg = udaf(new VectorMean,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    val sse = Seq.newBuilder[Double]
+    for (_ <- 1 to iters) {
+      val d2 = dist2Array(cents, col(vecCol))
+      // one projection: codegen CSE evaluates the k·d transform once
+      val stats = df
+        .select(col(vecCol).cast("array<double>").as("v"),
+          array_min(d2).as("d2"),
+          (array_position(d2, array_min(d2)) - 1).cast("int").as("cell"))
+        .groupBy($"cell")
+        .agg(meanAgg($"v").as("mean"), sum($"d2").as("cell_sse"))
+        .collect() // k rows of (cell, d-vector, scalar) — bounded
+      sse += stats.map(_.getDouble(2)).sum
+      val means = stats.map(r =>
+        r.getInt(0) -> r.getSeq[Double](1).toArray).toMap
+      // empty cells (absent from the agg) keep their previous centroid
+      cents = cents.indices.map(i => means.getOrElse(i, cents(i)))
+    }
+    Model(cents, sse.result())
+  }
+}
