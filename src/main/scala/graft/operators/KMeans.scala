@@ -37,6 +37,12 @@ import org.apache.spark.sql.functions._
   * Empty cells keep their previous centroid (the standard Lloyd
   * fallback; at k ≪ n with hash seeding this is rare).
   *
+  * Degenerate vectors (NULL, wrong width vs the trained dim) are
+  * corrupt-DROPPED at the assignment seam in both [[train]] and
+  * [[assign]] — the q55/q58 discipline: a mismatched `zip_with`
+  * folds to a null distance, which would otherwise surface as a
+  * null-cell NPE in the update or a silently vanishing groupBy row.
+  *
   * At 100 TB: the caller caches (or samples) the training frame —
   * each iteration is one scan; the standard discipline is train on a
   * sample (a few million vectors), then one final [[assign]] pass
@@ -88,17 +94,28 @@ object KMeans {
         }),
         lit(0.0), (acc, x) => acc + x))
 
-  /** `df` plus `cell` (0-based int; argmin ties break to the first
-    * centroid) and `dist2` (squared distance to that cell's centroid)
-    * — the final full-corpus pass, and the IVF cell-assignment step.
-    * The k·d distance transform appears in both derived columns of
-    * ONE projection, so whole-stage codegen's common-subexpression
-    * elimination evaluates it once per row. */
+  /** Rows whose vector is usable against `dim`-wide centroids —
+    * the corrupt-DROP seam (q55/q58 discipline): NULL or wrong-width
+    * vectors can't be assigned a cell (`zip_with` against a
+    * mismatched width folds to a null distance), so they are cut
+    * HERE, visibly, instead of surfacing as a null-cell NPE in the
+    * update step or silently vanishing from a groupBy. */
+  private def usable(vecCol: String, dim: Int): Column =
+    col(vecCol).isNotNull && size(col(vecCol)) === dim
+
+  /** `df`'s usable rows (NULL/wrong-dim vectors corrupt-DROPPED, see
+    * [[usable]]) plus `cell` (0-based int; argmin ties break to the
+    * first centroid) and `dist2` (squared distance to that cell's
+    * centroid) — the final full-corpus pass, and the IVF
+    * cell-assignment step. The k·d distance transform appears in both
+    * derived columns of ONE projection, so whole-stage codegen's
+    * common-subexpression elimination evaluates it once per row. */
   def assign(df: DataFrame, cents: Seq[Array[Double]], vecCol: String): DataFrame = {
     val d2 = dist2Array(cents, col(vecCol))
-    df.withColumns(Map(
-      "dist2" -> array_min(d2),
-      "cell" -> (array_position(d2, array_min(d2)) - 1).cast("int")))
+    df.filter(usable(vecCol, cents.head.length))
+      .withColumns(Map(
+        "dist2" -> array_min(d2),
+        "cell" -> (array_position(d2, array_min(d2)) - 1).cast("int")))
   }
 
   /** Lloyd's k-means. `df` is scanned once for seeding plus once per
@@ -111,14 +128,25 @@ object KMeans {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // deterministic seeds: the k hash-smallest rows (uniform over the
-    // corpus, independent of partitioning/row order)
-    var cents: Seq[Array[Double]] = df
+    // deterministic seeds: the k hash-smallest NON-NULL rows (uniform
+    // over the corpus, independent of partitioning/row order). The
+    // trained dim is the MAJORITY width over 2k candidates — a
+    // corrupt wrong-width row that happens to hash low must not
+    // define the dim and drop the whole corpus; rows off the majority
+    // width are corrupt-dropped per iteration (see [[usable]]). Ties
+    // break deterministically (higher count, then narrower width). A
+    // seed set shorter than k (corrupt candidates filtered) stays
+    // usable — Lloyd's doesn't require exactly k non-empty cells.
+    val seedCands: Seq[Array[Double]] = df
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
       .select(col(vecCol).cast("array<double>").as("v"),
         xxhash64(col(idCol)).as("h"))
-      .orderBy($"h".asc).limit(k)
+      .orderBy($"h".asc).limit(2 * k)
       .select($"v").as[Seq[Double]].collect().toSeq.map(_.toArray)
-    require(cents.nonEmpty, "cannot seed k-means from an empty frame")
+    require(seedCands.nonEmpty, "cannot seed k-means from an empty frame")
+    val dim = seedCands.groupBy(_.length).toSeq
+      .maxBy { case (w, g) => (g.size, -w) }._1
+    var cents = seedCands.filter(_.length == dim).take(k)
 
     val meanAgg = udaf(new VectorMean,
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
@@ -127,6 +155,7 @@ object KMeans {
       val d2 = dist2Array(cents, col(vecCol))
       // one projection: codegen CSE evaluates the k·d transform once
       val stats = df
+        .filter(usable(vecCol, dim))
         .select(col(vecCol).cast("array<double>").as("v"),
           array_min(d2).as("d2"),
           (array_position(d2, array_min(d2)) - 1).cast("int").as("cell"))

@@ -87,6 +87,29 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     } finally df.unpersist()
   }
 
+  test("NULL/empty/wrong-dim vectors corrupt-drop at the seam; clean rows train unchanged") {
+    val s = spark
+    import s.implicits._
+    val clean = blobFrame(blobs(25))
+    val dirty = clean.unionByName(
+      Seq((9001L, -1, null.asInstanceOf[Seq[Float]]),
+        (9002L, -1, Seq.empty[Float]),
+        (9003L, -1, Seq.fill(dim + 3)(1.0f)))
+        .toDF("id", "blob", "embedding")
+        .selectExpr("id", "blob", "cast(embedding as array<float>) as embedding"))
+    val a = KMeans.train(clean.cache(), "id", "embedding", k = 4, iters = 3)
+    val b = KMeans.train(dirty.cache(), "id", "embedding", k = 4, iters = 3)
+    try {
+      // degenerate rows influence nothing: same seeds, same model
+      assert(a.centroids.map(_.toSeq) === b.centroids.map(_.toSeq))
+      assert(a.sseHistory === b.sseHistory)
+      // assign drops exactly the three degenerate rows
+      val assigned = KMeans.assign(dirty, b.centroids, "embedding")
+      assert(assigned.count() === 100L)
+      assert(assigned.filter($"id" >= 9000L).count() === 0L)
+    } finally { clean.unpersist(); dirty.unpersist() }
+  }
+
   test("VectorMean merge law: any split of the rows yields the batch mean") {
     val agg = new VectorMean
     val rnd = new scala.util.Random(11)
