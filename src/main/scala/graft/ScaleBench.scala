@@ -92,7 +92,8 @@ object ScaleBench {
     "q27_asof_join", "q30_sessionize", "q40_dedup_exact",
     "q41_dedup_jaccard", "q42_dedup_minhash_lsh", "q53_fingerprint",
     "q58_batched_inference", "q67_tfidf", "q71_repeated_spans",
-    "q95_boilerplate_fraction", "q100_incremental_dedup")
+    "q95_boilerplate_fraction", "q100_incremental_dedup",
+    "q105_heavy_hitters", "q107_temperature_mix")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime
