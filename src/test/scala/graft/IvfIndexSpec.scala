@@ -102,5 +102,17 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     assert(IvfIndex.probe(s, root, "vec_id", "embedding", queries.take(1), 1, 2)
       .count() === 2L)
     assert(m2.sseHistory.size === 2)
+
+    // 5) edge batches: empty query set is total and empty; nprobe > k
+    // clamps to every cell (full recall, never an index error)
+    assert(IvfIndex.probe(s, root, "vec_id", "embedding",
+      Seq.empty, nprobe = 2, topK = 3).count() === 0L)
+    val everything = IvfIndex.probe(s, root, "vec_id", "embedding",
+      queries.take(1), nprobe = 99, topK = 1)
+    assert(everything.count() === 1L)
+    // with all cells probed, rank 1 IS the exact global nearest
+    val (qid0, qv0) = queries.head
+    val globalNearest = all.minBy { case (id, v) => (l2d2(v, qv0), id) }._1
+    assert(everything.collect().head.getLong(1) === globalNearest)
   }
 }
