@@ -82,7 +82,7 @@ object AsOfJoin {
     val joined = leftAsOf(left, right, keys, leftTime, rightTime)
     val rPayload = right.columns.filterNot(keys.contains)
     val ok = col(rightTime).isNotNull && within(col(leftTime), col(rightTime))
-    joined.select(joined.columns.map { c =>
+    joined.select(joined.columns.toIndexedSeq.map { c =>
       if (rPayload.contains(c))
         when(ok, col(c)).otherwise(lit(null).cast(right.schema(c).dataType)).as(c)
       else col(c)

@@ -64,6 +64,7 @@ object HeavyHitters {
     override def zero: Summary = Summary(Map.empty)
 
     override def reduce(b: Summary, tok: String): Summary = {
+      if (tok == null) return b // null tokens carry no frequency signal
       val m = b.counts
       m.get(tok) match {
         case Some(c)            => Summary(m.updated(tok, c + 1L))

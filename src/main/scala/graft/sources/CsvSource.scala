@@ -58,7 +58,7 @@ object CsvSource {
           "columnNameOfCorruptRecord" -> LineSource.CorruptCol))
         .schema(parseSchema)
         .csv(path)
-        .select(struct(parseSchema.fieldNames.map(col): _*).as("r"))
+        .select(struct(parseSchema.fieldNames.toIndexedSeq.map(col): _*).as("r"))
       LineSource.keepAndCount(parsed, schema, requiredFields, materialize = true)
     } else {
       val parsed = spark.read.text(path)

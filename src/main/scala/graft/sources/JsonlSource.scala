@@ -55,6 +55,6 @@ object JsonlSource {
         // landing) is null — the alerting feed must read 0, not null
         coalesce(sum(when(col("__ok"), 0L).otherwise(1L)), lit(0L)).as("dropped"))
       .filter(col("__ok"))
-      .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(s"r.$f")): _*)
   }
 }

@@ -44,7 +44,7 @@ private[sources] object LineSource {
     val cached = parsed.cache()
     try {
       val ok = cached.filter(okPredicate(requiredFields))
-        .select(schema.fieldNames.map(f => col(s"r.$f")): _*)
+        .select(schema.fieldNames.toIndexedSeq.map(f => col(s"r.$f")): _*)
       val total = cached.count()
       // within this pass the cache holds FULL parsed rows, so the keep
       // classification is pruning-proof by construction; materialize

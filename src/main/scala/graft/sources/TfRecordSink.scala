@@ -127,7 +127,7 @@ object TfRecordSink {
         // single FS operation, so once any attempt has committed the
         // final name always holds a COMPLETE file (last committer wins)
         val attempt = Option(org.apache.spark.TaskContext.get())
-          .map(_.taskAttemptId).getOrElse(0L)
+          .map(_.taskAttemptId()).getOrElse(0L)
         val tmp = new Path(dir, f".part-$idx%05d.attempt-$attempt$ext.tmp")
         val raw: java.io.OutputStream = fs.create(tmp, true)
         val out = if (gzip) new java.util.zip.GZIPOutputStream(raw) else raw

@@ -60,6 +60,12 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(viaSpark(Seq("a", "b"), 0.002) === Map("a" -> 1L, "b" -> 1L))
   }
 
+  test("null tokens are skipped by the summary, not counted or crashed on") {
+    val mg = new MisraGries(4)
+    val s = Seq("a", null, "a", null, "b").foldLeft(mg.zero)(mg.reduce)
+    assert(s.counts === Map("a" -> 2L, "b" -> 1L))
+  }
+
   test("empty input yields an empty frame with the (tok, cnt) schema") {
     val s = spark
     import s.implicits._

@@ -110,6 +110,21 @@ class KMeansSpec extends AnyFunSuite with SparkSpec {
     } finally { clean.unpersist(); dirty.unpersist() }
   }
 
+  test("empty or all-degenerate frames fail seeding loudly, not with an opaque NPE") {
+    val s = spark
+    import s.implicits._
+    val empty = blobFrame(blobs(5)).limit(0)
+    val e1 = intercept[IllegalArgumentException](
+      KMeans.train(empty, "id", "embedding", k = 2, iters = 1))
+    assert(e1.getMessage.contains("empty frame"))
+    val allNull = Seq((1L, 0, null.asInstanceOf[Seq[Float]]))
+      .toDF("id", "blob", "embedding")
+      .selectExpr("id", "blob", "cast(embedding as array<float>) as embedding")
+    val e2 = intercept[IllegalArgumentException](
+      KMeans.train(allNull, "id", "embedding", k = 2, iters = 1))
+    assert(e2.getMessage.contains("empty frame"))
+  }
+
   test("VectorMean merge law: any split of the rows yields the batch mean") {
     val agg = new VectorMean
     val rnd = new scala.util.Random(11)
