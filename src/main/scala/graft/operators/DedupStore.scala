@@ -1,0 +1,142 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Day-partitioned persistence for [[IncrementalNearDedup]]'s band/set
+  * store — the operational wrapper that turns the operator into a
+  * day-over-day PIPELINE (the [[SnapshotStore]]-for-q90 pattern,
+  * applied to near-dup state): each ingest reads the committed store,
+  * suppresses the delta against it, and appends the SURVIVORS' bands
+  * and shingle sets as that day's partitions.
+  *
+  * Layout under `root`:
+  * {{{
+  *   bands/dt=2024-01-01/part-*.parquet   (id, band, bv)   per day
+  *   sets/dt=2024-01-01/part-*.parquet    (id, n, hset)    per day
+  *   _committed/2024-01-01                empty marker file per day
+  * }}}
+  *
+  * Why append-only partitions instead of SnapshotStore's
+  * full-rewrite versions: the dedup store GROWS monotonically (a
+  * day's survivors never change retroactively), so rewriting history
+  * every day would pay O(corpus) churn for an O(day) change. A day
+  * dir is immutable once committed; readers take the union of
+  * committed days, pruned at the file index.
+  *
+  * Commit protocol: both tables' `dt=DAY` partitions are written
+  * COMPLETELY (dynamic partition overwrite — a re-run replaces
+  * exactly that day's files), then the day's `_committed/DAY` marker
+  * publishes via tmp + atomic OVERWRITE rename. Readers load ONLY
+  * marker-committed days (the `dt IN (committed)` filter prunes
+  * uncommitted debris out of the scan at the file index), so a crash
+  * between the table writes and the marker leaves the day invisible
+  * — re-ingest it idempotently.
+  *
+  * Idempotent re-runs: [[ingest]] excludes the day being ingested
+  * from the store it reads, so re-running a committed day does NOT
+  * suppress the delta against its own previous output (ids match
+  * themselves — without the exclusion every re-run would suppress
+  * everything) and converges to the same survivors and the same
+  * store state.
+  *
+  * At 100 TB: each ingest pays the operator's candidate equi-joins
+  * against the full committed band store (slim: ~50 B/doc/band) —
+  * the store tables never rewrite, only append; old days' files are
+  * append-frozen, cache- and replication-friendly. Ids must be
+  * unique across all days (the operator's contract). */
+object DedupStore {
+
+  private val MarkerDir = "_committed"
+
+  private def fc(spark: SparkSession, root: String) =
+    FileContext.getFileContext(
+      new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Days whose marker committed, sorted. */
+  def committedDays(spark: SparkSession, root: String): Seq[String] = {
+    val f = fs(spark, root)
+    val d = new Path(root, MarkerDir)
+    if (!f.exists(d)) Nil
+    else f.listStatus(d).toSeq.map(_.getPath.getName)
+      .filterNot(_.startsWith(".")).sorted
+  }
+
+  /** Union of the committed days of one store table, empty-framed on
+    * day zero. `template` supplies the data schema (derived from the
+    * caller's delta via the operator's own builders, so id-column
+    * types follow the corpus instead of being hardcoded here). */
+  private def readCommitted(spark: SparkSession, root: String, table: String,
+      template: DataFrame, exceptDay: Option[String]): DataFrame = {
+    val days = committedDays(spark, root).filterNot(exceptDay.contains)
+    val schema = template.schema.add("dt", StringType)
+    // the table dir can be absent even with committed days: a day
+    // whose survivors were all suppressed wrote zero partitions
+    if (days.isEmpty || !fs(spark, root).exists(new Path(s"$root/$table")))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      PartitionedLayout.read(spark, s"$root/$table", schema)
+        .filter(col("dt").isin(days: _*)) // file-index prune: debris invisible
+  }
+
+  /** Suppress `delta` against the committed store, append the
+    * survivors' bands/sets as `day`'s partitions, commit the day
+    * marker. Returns the surviving delta rows.
+    *
+    * The survivors frame is cached for the two table writes and
+    * unpersisted before returning — the returned frame stays valid
+    * (it recomputes through the operator's checkpointed labels) and
+    * a daily ingest loop accumulates no executor storage. */
+  def ingest(delta: DataFrame, root: String, day: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      t: Double = 0.6,
+      maxBucket: Int = LshGuard.DefaultMaxBucket,
+      spillDir: Option[String] = None): DataFrame = {
+    require(day.nonEmpty && !day.contains("/") && !day.startsWith("."),
+      s"day must be a plain partition value, got '$day'")
+    val spark = delta.sparkSession
+    val emptyDelta = delta.limit(0)
+    val storeBands = readCommitted(spark, root, "bands",
+      IncrementalNearDedup.bandTable(emptyDelta, idCol, textCol),
+      exceptDay = Some(day))
+    val storeSets = readCommitted(spark, root, "sets",
+      IncrementalNearDedup.shingleSets(emptyDelta, idCol, textCol),
+      exceptDay = Some(day))
+
+    val surv = IncrementalNearDedup.survivors(
+      delta, storeBands.drop("dt"), storeSets.drop("dt"),
+      idCol, textCol, t, maxBucket, spillDir).cache()
+    try {
+      // clear the day's prior partitions first: dynamic overwrite
+      // only replaces partitions PRESENT in the incoming frame, so a
+      // backfill whose survivors shrink to zero would otherwise leave
+      // the stale old rows standing
+      val f0 = fs(spark, root)
+      f0.delete(new Path(s"$root/bands/dt=$day"), true)
+      f0.delete(new Path(s"$root/sets/dt=$day"), true)
+      PartitionedLayout.overwritePartitions(
+        IncrementalNearDedup.bandTable(surv, idCol, textCol)
+          .withColumn("dt", lit(day)),
+        s"$root/bands", Seq("dt"))
+      PartitionedLayout.overwritePartitions(
+        IncrementalNearDedup.shingleSets(surv, idCol, textCol)
+          .withColumn("dt", lit(day)),
+        s"$root/sets", Seq("dt"))
+      val f = fs(spark, root)
+      val marker = new Path(s"$root/$MarkerDir", day)
+      val tmp = new Path(s"$root/$MarkerDir", s".$day.tmp")
+      f.mkdirs(new Path(root, MarkerDir))
+      val out = f.create(tmp, true)
+      out.close()
+      fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
+        Options.Rename.OVERWRITE)
+    } finally surv.unpersist()
+    surv
+  }
+}
