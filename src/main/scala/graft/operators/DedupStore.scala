@@ -42,6 +42,13 @@ import org.apache.spark.sql.types.StringType
   * everything) and converges to the same survivors and the same
   * store state.
   *
+  * Single WRITER per day is assumed (one daily driver — the
+  * SnapshotStore discipline): two concurrent ingests of the SAME day
+  * race the delete+write+marker sequence and can interleave their
+  * files. Concurrent ingests of DIFFERENT days are safe (disjoint
+  * partitions, disjoint markers), as are readers at any time (they
+  * see only marker-committed days).
+  *
   * At 100 TB: each ingest pays the operator's candidate equi-joins
   * against the full committed band store (slim: ~50 B/doc/band) —
   * the store tables never rewrite, only append; old days' files are

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * protocol): a crash mid-build leaves cell debris but no marker, and
   * [[open]] on an uncommitted root fails loudly rather than probing a
   * torn index. Rebuilds overwrite the cells statically first, then
-  * flip the marker.
+  * flip the marker — which protects against CRASHES, not against
+  * concurrent READERS: a probe running during a rebuild can scan
+  * half-rewritten cells under the old marker. For zero-downtime
+  * rebuild, build into a fresh root and switch consumers (or wrap
+  * roots in a SnapshotStore-style pointer); this operator keeps the
+  * single-writer, offline-rebuild contract.
   *
   * Metric is L2 throughout — cells are trained by [[KMeans]] (L2
   * means), probed by L2 centroid distance, ranked by L2; for cosine
