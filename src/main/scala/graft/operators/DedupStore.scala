@@ -105,8 +105,12 @@ object DedupStore {
       t: Double = 0.6,
       maxBucket: Int = LshGuard.DefaultMaxBucket,
       spillDir: Option[String] = None): DataFrame = {
-    require(day.nonEmpty && !day.contains("/") && !day.startsWith("."),
-      s"day must be a plain partition value, got '$day'")
+    // restricted to chars that partition-dir encoding leaves verbatim:
+    // the stale-partition delete below addresses `dt=$day` literally,
+    // and an escaped value (e.g. a space → %20) would silently miss it
+    require(day.nonEmpty && day.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
+      s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
     val spark = delta.sparkSession
     val emptyDelta = delta.limit(0)
     val storeBands = readCommitted(spark, root, "bands",

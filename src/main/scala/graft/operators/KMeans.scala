@@ -111,6 +111,7 @@ object KMeans {
     * derived columns of ONE projection, so whole-stage codegen's
     * common-subexpression elimination evaluates it once per row. */
   def assign(df: DataFrame, cents: Seq[Array[Double]], vecCol: String): DataFrame = {
+    require(cents.nonEmpty, "cannot assign against zero centroids")
     val d2 = dist2Array(cents, col(vecCol))
     df.filter(usable(vecCol, cents.head.length))
       .withColumns(Map(

@@ -107,6 +107,15 @@ class DedupStoreSpec extends AnyFunSuite with SparkSpec {
       === Set(61L))
   }
 
+  test("day values that partition encoding would escape are rejected loudly") {
+    val root = Files.createTempDirectory("dstore-val").toString
+    for (bad <- Seq("", "a b", "a/b", ".hidden", "d=1")) {
+      val e = intercept[IllegalArgumentException](
+        DedupStore.ingest(day1, root, bad))
+      assert(e.getMessage.contains("day must be"), s"for '$bad'")
+    }
+  }
+
   test("day zero on a fresh root and an all-suppressed first day stay total") {
     val root = Files.createTempDirectory("dstore-zero").toString
     assert(DedupStore.committedDays(spark, root) === Nil)
