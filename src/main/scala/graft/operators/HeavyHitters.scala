@@ -116,4 +116,64 @@ object HeavyHitters {
       .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= t)
   }
+
+  /** Per-GROUP exact heavy hitters: for each value of `groupCol`,
+    * every token at relative frequency >= `theta` WITHIN that group,
+    * with exact counts — `(group, tok, cnt)` rows. Same two-phase
+    * plan as [[exactAbove]] with the summary keyed by group: phase 1
+    * is one grouped aggregation whose exchange carries <=k sketch
+    * entries per (partition, group); phase 2 recounts only the
+    * (group, candidate) pairs and thresholds each group against its
+    * OWN total (so a small language's hitters aren't drowned by a
+    * large one's volume — the per-corpus q105 cut would do exactly
+    * that).
+    *
+    * `groupCol` must be LOW-CARDINALITY by contract (languages,
+    * sources, shards — not doc ids): the driver holds one <=k-entry
+    * summary per group, the same boundedness class as the broadcast
+    * rate tables in q96/q107. NULL groups are excluded (a null group
+    * is not a group — coalesce upstream if "unknown" should count as
+    * one). `df` is evaluated twice (the [[exactAbove]] caller
+    * contract). */
+  def exactAbovePerGroup(df: DataFrame, groupCol: String, tokCol: String,
+      theta: Double): DataFrame = {
+    require(theta > 0.0 && theta <= 1.0, s"theta must be in (0,1], got $theta")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = math.max(1, math.ceil(1.0 / theta).toInt)
+    val toks = df.filter(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"), col(tokCol).as("tok"))
+
+    val sketchAgg = udaf(new MisraGries(k), Encoders.STRING)
+    val perGroup = toks.groupBy($"grp")
+      .agg(sketchAgg(col("tok")).as("sketch"), count(lit(1)).as("n"))
+      .collect() // |groups| rows, each a <=k-entry map — bounded metadata
+    if (perGroup.isEmpty)
+      return toks.select($"grp".as(groupCol), $"tok", lit(0L).as("cnt")).limit(0)
+
+    // group values are kept in their native type: the candidate frame
+    // is built Row-wise under the input's own group field schema
+    val grpField = toks.schema("grp")
+    val candRows = perGroup.flatMap(r =>
+      r.getMap[String, Long](1).keys.map(tok =>
+        org.apache.spark.sql.Row(r.get(0), tok))).toSeq
+    val cands = spark.createDataFrame(
+      spark.sparkContext.parallelize(candRows, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        grpField,
+        org.apache.spark.sql.types.StructField("tok",
+          org.apache.spark.sql.types.StringType))))
+
+    // per-group thresholds ride as a string-keyed map literal; the
+    // String.valueOf driver key and the cast("string") probe agree for
+    // the non-null primitive/string/date group types this is for
+    val tMap = typedLit(perGroup.map { r =>
+      String.valueOf(r.get(0)) ->
+        math.max(1L, math.ceil(theta * r.getLong(2)).toLong)
+    }.toMap)
+    toks.join(broadcast(cands), Seq("grp", "tok"))
+      .groupBy($"grp", $"tok").agg(count(lit(1)).as("cnt"))
+      .filter($"cnt" >= element_at(tMap, $"grp".cast("string")))
+      .select($"grp".as(groupCol), $"tok", $"cnt")
+  }
 }

@@ -536,7 +536,31 @@ object TextQueries {
       GROUP BY tok, n
       HAVING count(*) >= greatest(1, CAST(ceil(0.002 * n) AS BIGINT))"""))
 
+  /** Per-language heavy hitters: q105's sketch-route-verify with the
+    * Misra–Gries summary keyed by `lang`, each language thresholded
+    * against its OWN token total (1%) — the per-corpus cut would let
+    * a dominant language's volume drown a small one's hitters.
+    * Contrast q49 (top-10 by rank, full token shuffle): this is
+    * threshold-based, exact, and k-bounded on the wire. */
+  private val heavyHittersPerLang = Q(
+    "q108_heavy_hitters_per_lang",
+    (s, d) => {
+      import s.implicits._
+      val toks = T.documents(s, d)
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+      graft.operators.HeavyHitters.exactAbovePerGroup(toks, "lang", "tok", 0.01)
+    },
+    Some("""WITH w AS (
+        SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents WHERE lang IS NOT NULL),
+      tot AS (SELECT lang, count(*) AS n FROM w GROUP BY 1)
+      SELECT w.lang, tok, count(*) AS cnt
+      FROM w JOIN tot USING (lang)
+      GROUP BY w.lang, tok, n
+      HAVING count(*) >= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
-    bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters)
+    bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
+    heavyHittersPerLang)
 }

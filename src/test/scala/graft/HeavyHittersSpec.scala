@@ -74,6 +74,23 @@ class HeavyHittersSpec extends AnyFunSuite with SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("per-group variant: each group thresholds on its OWN total; null groups excluded") {
+    val s = spark
+    import s.implicits._
+    // group a: 100 tokens, "hot" 40× (40%), tail unique
+    // group b: 10 tokens, "warm" 3× (30%) — would miss a corpus-wide
+    //          threshold but must clear its own
+    val rows =
+      (Seq.fill(40)("hot") ++ (1 to 60).map(i => s"ua$i")).map(("a", _)) ++
+      (Seq.fill(3)("warm") ++ (1 to 7).map(i => s"ub$i")).map(("b", _)) ++
+      Seq((null.asInstanceOf[String], "hot"), (null.asInstanceOf[String], "hot"))
+    val df = s.createDataset(rows).toDF("grp", "tok").repartition(5)
+    val got = graft.operators.HeavyHitters
+      .exactAbovePerGroup(df, "grp", "tok", theta = 0.25)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set(("a", "hot", 40L), ("b", "warm", 3L)))
+  }
+
   test("MG superset guarantee survives arbitrary splits and merge orders") {
     // pure-JVM check of the law the distributed execution depends on:
     // for ANY partition of the stream into runs and ANY binary merge
