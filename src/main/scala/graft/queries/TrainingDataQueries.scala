@@ -271,6 +271,61 @@ object TrainingDataQueries {
       WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14) AS BIGINT)
             % 1000000 < r.keep_ppm"""))
 
+  /** Epoch weights — the UP-sampling half of temperature mixing that
+    * q96/q107 (pure downsamplers, keep_ppm capped at 1e6) cannot
+    * express: with the full-corpus budget τ=1 redistributed by the
+    * n^0.5 rule over LANGS (en dominates the fixture 218 vs 64), small
+    * langs get rates ABOVE one (fr ≈ 1.36 → every doc once, plus a
+    * deterministic 36%-Bernoulli second copy) while the dominant lang
+    * drops below one (en ≈ 0.70). `n_copies` = ⌊rate⌋ + md5-Bernoulli
+    * on the fraction is the per-doc repetition factor a packer
+    * consumes (mT5's sampling-with-replacement, materialized as an
+    * integer column); zero-copy docs leave the output. Same
+    * engine-parity arithmetic as q107 (integer ⌊√n⌋ weights, one
+    * identically-associated double expression, integer div/mod), same
+    * zero-corpus-shuffle shape (tiny agg → broadcast rates → row-local
+    * hash). E[Σ n_copies] = N. */
+  private val epochWeights = Q(
+    "q109_epoch_weights",
+    (s, d) => {
+      import s.implicits._
+      val counts = T.documents(s, d).groupBy($"lang")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("w", floor(sqrt($"n".cast("double"))))
+      val tot = counts.agg(sum($"n").as("n_total"), sum($"w").as("s_w"))
+      val rates = counts.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm",
+          floor(lit(1000000.0) * $"n_total" * $"w" / ($"n" * $"s_w")))
+        .select($"lang", expr("rate_ppm div 1000000").as("base"),
+          ($"rate_ppm" % 1000000).as("frac_ppm"))
+      val bucket =
+        conv(substring(md5($"doc_id".cast("string")), 1, 14), 16, 10)
+          .cast("long") % 1000000
+      T.documents(s, d).join(broadcast(rates), "lang")
+        .withColumn("n_copies",
+          $"base" + when(bucket < $"frac_ppm", 1L).otherwise(0L))
+        .filter($"n_copies" >= 1)
+        .select($"doc_id", $"lang", $"n_copies")
+    },
+    Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+      w AS (SELECT lang, n,
+              CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS w FROM c),
+      t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+              CAST(sum(w) AS BIGINT) AS s_w FROM w),
+      r AS (SELECT lang,
+              CAST(floor(1000000.0 * n_total * w / (n * s_w)) AS BIGINT)
+                AS rate_ppm
+            FROM w CROSS JOIN t),
+      r2 AS (SELECT lang, rate_ppm // 1000000 AS base,
+               rate_ppm % 1000000 AS frac_ppm FROM r)
+      SELECT * FROM (
+        SELECT d.doc_id, d.lang,
+          base + CASE WHEN CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 14)
+                             AS BIGINT) % 1000000 < frac_ppm
+                 THEN 1 ELSE 0 END AS n_copies
+        FROM documents d JOIN r2 USING (lang))
+      WHERE n_copies >= 1"""))
+
   def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
-    shuffleIndex, snapshotDiff, splitReport, temperatureMix)
+    shuffleIndex, snapshotDiff, splitReport, temperatureMix, epochWeights)
 }
