@@ -54,11 +54,11 @@ object ScaleBench {
     for ((table, keys) <- shifted) {
       val base =
         if (table == "events") {
-          // copy the raw int64 nanos column untouched (a round-trip
-          // through Tables.events' micros conversion truncated
-          // sub-microsecond nanos); with nanosAsLong the TIMESTAMP
-          // (NANOS) column reads as plain long and writes back as
-          // int64, which Tables.events handles identically
+          // copy the ts column in its source encoding untouched: with
+          // nanosAsLong a TIMESTAMP(NANOS) column reads as plain long
+          // and writes back as int64 (avoiding a lossy micros
+          // round-trip), while a TIMESTAMP(MICROS) column reads and
+          // writes natively — Tables.events handles either encoding
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(s"$src/events.parquet")
         } else spark.read.parquet(s"$src/$table.parquet")

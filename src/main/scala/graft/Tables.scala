@@ -25,14 +25,26 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is written as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. Read it as raw nanos (legacy conf) and
-    * convert to a session-TZ timestamp at microsecond precision — the
-    * same truncation DuckDB applies, so oracles agree. */
+  /** `events.ts` has shipped in two physical encodings across testdata
+    * generations: parquet TIMESTAMP(NANOS) (which Spark's vectorized
+    * reader rejects — read as raw nanos via the legacy conf and truncate
+    * to micros, the same truncation DuckDB applies) and naive
+    * TIMESTAMP(MICROS) (isAdjustedToUTC=false, which Spark decodes as
+    * TIMESTAMP_NTZ). Normalize BOTH to session-zone TimestampType:
+    * downstream queries call `unix_micros`/`window`, which reject NTZ,
+    * and the session zone is pinned to UTC everywhere (Verify/Bench/
+    * specs), so the NTZ→LTZ cast reproduces exactly the instant DuckDB's
+    * `epoch_us` assigns the same naive value. With `nanosAsLong` set, a
+    * NANOS column surfaces as LongType, MICROS-naive as TimestampNTZType. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   /** documents/embeddings arrive as ONE small parquet file (single
     * row group → a single scan task) but feed compute-heavy operators
