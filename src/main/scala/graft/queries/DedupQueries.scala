@@ -653,7 +653,67 @@ object DedupQueries {
       FROM delta WHERE fp NOT IN (SELECT fp FROM store)
       GROUP BY fp"""))
 
+  /** Quality-keyed survivor selection — q78 keeps the MIN-id doc per
+    * near-dup cluster; real curation keeps the BEST copy (the usual
+    * policy: the longest version survives, truncated mirrors drop).
+    * "Best" here is the whitespace-token count (q52's statistic) with
+    * min doc_id breaking exact-length ties — an INTEGER key on
+    * purpose: a float quality score computed independently by two
+    * engines can flip last-ulp ties and make a hash gate flaky, while
+    * token counts are bit-stable everywhere.
+    *
+    * Plan shape matches q78: clusters are tiny relative to the corpus
+    * (only docs with a near-dup), so winner selection runs on the
+    * clustered slice only — one broadcast inner join to fetch texts,
+    * a window over components bounded by cluster count — and the full
+    * corpus then streams through a single broadcast left-join. At
+    * 100 TB the corpus side is never shuffled and the per-component
+    * window never sees more rows than the dup population. */
+  private val keepLongest = Q(
+    "q110_dedup_keep_longest",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val clusters = graft.operators.ConnectedComponents
+        .label(jaccardPairs(s, d).select($"doc_a", $"doc_b")) // (id, component)
+      val docs = T.documents(s, d)
+      val winners = docs.join(broadcast(clusters), $"doc_id" === $"id")
+        .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy($"component").orderBy($"tok".desc, $"doc_id".asc)))
+        .filter($"rk" === 1)
+        .select($"component".as("wcomp"), $"id".as("wid"))
+      val members = clusters.join(broadcast(winners), $"component" === $"wcomp")
+        .select($"id", $"component", $"wid")
+      docs.join(broadcast(members), $"doc_id" === $"id", "left")
+        .filter($"component".isNull || $"doc_id" === $"wid")
+        .select($"doc_id",
+          coalesce($"component", $"doc_id").as("cluster_root"),
+          $"component".isNotNull.as("had_dups"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      ranked AS (SELECT c.id, c.component,
+          row_number() OVER (PARTITION BY c.component
+            ORDER BY len(string_split_regex(trim(d.text),'\\s+')) DESC, c.id ASC) AS rk
+        FROM comp c JOIN documents d ON d.doc_id = c.id),
+      winners AS (SELECT component, id AS wid FROM ranked WHERE rk = 1)
+      SELECT d.doc_id,
+             coalesce(c.component, d.doc_id) AS cluster_root,
+             c.component IS NOT NULL AS had_dups
+      FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id
+      LEFT JOIN winners w ON c.component = w.component
+      WHERE c.component IS NULL OR d.doc_id = w.wid"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
-    boilerplate, incrementalDedup)
+    boilerplate, incrementalDedup, keepLongest)
 }

@@ -326,6 +326,55 @@ object TrainingDataQueries {
         FROM documents d JOIN r2 USING (lang))
       WHERE n_copies >= 1"""))
 
+  /** Token-budget corpus selection: walk the corpus in q101's
+    * deterministic shuffle order and keep documents until a global
+    * token budget is exhausted — "give me B tokens of uniformly
+    * sampled corpus" with a reproducible answer, the standard way a
+    * training run takes a fixed-size slice of a much larger pool.
+    *
+    * The cut needs a GLOBAL running token sum in shuffle-key order,
+    * and a naive `sum over (order by key)` window plans a
+    * single-partition WindowExec — the q32 scale-killer. Same cure as
+    * q101: the md5 key is uniform by construction, so 1024
+    * hash-prefix buckets partition the order; each bucket computes
+    * its local running sum in parallel, and the per-bucket token
+    * totals (1024 rows, a broadcast) prefix-sum into bucket offsets.
+    * One hash exchange over the corpus, windows bounded by corpus/1024
+    * rows, bit-exact integer arithmetic at any scale. */
+  private val tokenBudgetPack = Q(
+    "q111_token_budget_pack",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val budget = 25000L
+      val nb = 1024
+      val keyed = T.documents(s, d)
+        .select($"doc_id", md5($"doc_id".cast("string")).as("shuffle_key"),
+          size(split(trim($"text"), "\\s+")).cast("long").as("tokens"))
+        .withColumn("bkt", expr(
+          s"width_bucket(CAST(conv(substring(shuffle_key, 1, 8), 16, 10) AS DOUBLE), " +
+            s"0.0, 4294967296.0, $nb)"))
+      val local = keyed.withColumn("lcum", sum($"tokens").over(
+        Window.partitionBy($"bkt").orderBy($"shuffle_key".asc, $"doc_id".asc)))
+      val offsets = keyed.groupBy($"bkt").agg(sum($"tokens").as("btok"))
+        .withColumn("off", coalesce(
+          sum($"btok").over(Window.orderBy($"bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      local.join(broadcast(offsets.select($"bkt", $"off")), "bkt")
+        .withColumn("cum_tokens", $"off" + $"lcum")
+        .filter($"cum_tokens" <= budget)
+        .select($"doc_id", $"tokens", $"cum_tokens")
+    },
+    Some("""WITH t AS (SELECT doc_id,
+        md5(CAST(doc_id AS VARCHAR)) AS k,
+        CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS tokens
+        FROM documents),
+      c AS (SELECT doc_id, tokens,
+        CAST(sum(tokens) OVER (ORDER BY k ASC, doc_id ASC) AS BIGINT)
+          AS cum_tokens FROM t)
+      SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 25000"""))
+
   def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
-    shuffleIndex, snapshotDiff, splitReport, temperatureMix, epochWeights)
+    shuffleIndex, snapshotDiff, splitReport, temperatureMix, epochWeights,
+    tokenBudgetPack)
 }
