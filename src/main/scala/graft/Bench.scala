@@ -102,55 +102,10 @@ object Bench {
     // reps full interleaved passes over the suite (see scaladoc)
     val passes: Vector[Seq[Double]] = Vector.fill(reps)(benchQs.map(runOnce))
 
-    // the artifact-deciding statistics are spec-pinned in BenchStats
-    import BenchStats.{median, trimmed}
-
     val samples = benchQs.indices.map(i =>
       benchQs(i).name -> passes.map(_(i)).filter(_ >= 0))
-    def field(stat: Seq[Double] => Double): String =
-      samples.map { case (n, xs) => "\"" + n + "\":" + stat(xs) }
-        .mkString("{", ",", "}")
-    val spread = samples.map { case (k, xs) =>
-      "\"" + k + "\":" + xs.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
 
-    // contention self-diagnosis: the cheapest query is a fixed-cost
-    // probe of the box — its samples have no data-dependent variance,
-    // so a >3x max/min spread there means an external load ran during
-    // the suite and even the trimmed totals deserve suspicion
-    val probe = samples.filter(_._2.nonEmpty)
-      .minByOption { case (_, xs) => trimmed(xs) }
-    val probeRatio = probe.map { case (_, xs) => BenchStats.maxMinRatio(xs) }
-    val contended = probe.exists { case (_, xs) => BenchStats.contended(xs) }
-
-    def total(stat: Seq[Double] => Double): Double =
-      samples.map(s => stat(s._2)).filter(_ >= 0).sum
-    // queries that produced no sample this suite (every attempt threw)
-    // are named explicitly instead of hiding behind a -1.0 value —
-    // round-7 lesson: five -1.0s with empty reps read as "silently
-    // shrunk coverage" until someone diffs the artifact by hand
-    val failed = samples.collect { case (n, xs) if xs.isEmpty => "\"" + n + "\"" }
-      .mkString("[", ",", "]")
-
-    // The diagnostic bulk (per-rep spread, min/median tables, probe)
-    // made the round-6/7 stdout line >5 KB and the driver's parser —
-    // which handled every ≤2.5 KB line through round 5 — stopped
-    // parsing it (BENCH_r06/r07 record parsed=null). The recorded
-    // contract is ONE COMPACT stdout JSON line; diagnostics now go to
-    // stderr and (best-effort) BENCH_DETAIL.json instead of widening it.
-    val detail = List(
-      // methodology stamp: "value" is a 20%-trimmed-median-of-reps
-      // total since r6 (r1-r5 artifacts recorded a median-of-3 total
-      // under the same key) — downstream tooling must compare rounds
-      // only within the same stat version
-      s""""stat":"trimmed_median_r6"""",
-      s""""median_total":${total(median)}""",
-      s""""min_queries":${field(xs => if (xs.isEmpty) -1.0 else xs.min)}""",
-      s""""median_queries":${field(median)}""",
-      probe.map { case (n, _) =>
-        f""""contention_probe":{"query":"$n","max_min_ratio":${probeRatio.get}%.2f}"""
-      }.getOrElse(""""contention_probe":null"""),
-      s""""reps":$spread""").mkString("{", ",", "}")
+    val detail = BenchReport.renderDetail(samples)
     System.err.println(s"[bench-detail] $detail")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
@@ -158,7 +113,71 @@ object Bench {
       System.err.println(s"[bench] detail file not written: ${e.getMessage}")
     }
 
-    println(s"""{"metric":"total","value":${total(trimmed)},"unit":"sec","queries":${field(trimmed)},"failed":$failed,"contended":$contended,"sf":"$sfDir"}""")
+    println(BenchReport.renderLine(samples, sfDir))
     spark.stop()
+  }
+}
+
+/** Renders the two bench output channels. Split from [[Bench]] so
+  * BenchReportSpec can pin the round-8 lesson WITHOUT running Spark:
+  * the diagnostic bulk (per-rep spread, min/median tables) had grown
+  * the stdout line past 5 KB and the driver's parser — fine with every
+  * ≤2.5 KB line through round 5 — recorded parsed=null for rounds 6-7.
+  * The stdout line is the RECORDED artifact; it must stay compact. The
+  * detail JSON carries everything else to stderr + BENCH_DETAIL.json. */
+object BenchReport {
+  import BenchStats.{median, trimmed}
+
+  private def field(samples: Seq[(String, Seq[Double])],
+      stat: Seq[Double] => Double): String =
+    samples.map { case (n, xs) => "\"" + n + "\":" + stat(xs) }
+      .mkString("{", ",", "}")
+
+  private def total(samples: Seq[(String, Seq[Double])],
+      stat: Seq[Double] => Double): Double =
+    samples.map(s => stat(s._2)).filter(_ >= 0).sum
+
+  /** The one-line stdout artifact the driver parses: trimmed per-query
+    * stats and total, an explicit `failed` list (round-7 lesson: five
+    * -1.0s with empty reps read as silently-shrunk coverage until
+    * someone diffs the artifact by hand), the contention flag — and
+    * deliberately NOTHING per-rep: size grows ~45 bytes per query, not
+    * per sample. */
+  def renderLine(samples: Seq[(String, Seq[Double])], sfDir: String): String = {
+    val failed = samples.collect { case (n, xs) if xs.isEmpty => "\"" + n + "\"" }
+      .mkString("[", ",", "]")
+    val contended = probeOf(samples).exists { case (_, xs) => BenchStats.contended(xs) }
+    s"""{"metric":"total","value":${total(samples, trimmed)},"unit":"sec",""" +
+      s""""queries":${field(samples, trimmed)},"failed":$failed,""" +
+      s""""contended":$contended,"sf":"$sfDir"}"""
+  }
+
+  /** Contention self-diagnosis probe: the cheapest query is a
+    * fixed-cost probe of the box — its samples have no data-dependent
+    * variance, so a >3x max/min spread there means an external load
+    * ran during the suite and even the trimmed totals deserve
+    * suspicion. */
+  private def probeOf(samples: Seq[(String, Seq[Double])]) =
+    samples.filter(_._2.nonEmpty).minByOption { case (_, xs) => trimmed(xs) }
+
+  /** The diagnostic channel: per-rep spread, min/median tables, the
+    * contention probe, and the methodology stamp ("value" is a
+    * 20%-trimmed-median-of-reps total since r6; r1-r5 recorded a
+    * median-of-3 total under the same key — compare rounds only within
+    * the same stat version). */
+  def renderDetail(samples: Seq[(String, Seq[Double])]): String = {
+    val spread = samples.map { case (k, xs) =>
+      "\"" + k + "\":" + xs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val probe = probeOf(samples)
+    List(
+      s""""stat":"trimmed_median_r6"""",
+      s""""median_total":${total(samples, median)}""",
+      s""""min_queries":${field(samples, xs => if (xs.isEmpty) -1.0 else xs.min)}""",
+      s""""median_queries":${field(samples, median)}""",
+      probe.map { case (n, xs) =>
+        f""""contention_probe":{"query":"$n","max_min_ratio":${BenchStats.maxMinRatio(xs)}%.2f}"""
+      }.getOrElse(""""contention_probe":null"""),
+      s""""reps":$spread""").mkString("{", ",", "}")
   }
 }

@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** [[BenchReport]] — the shape of the two bench output channels.
+  *
+  * The stdout line is the artifact the driver records; rounds 6-7
+  * taught that letting diagnostics ride on it (per-rep arrays grew it
+  * past 5 KB) breaks the driver's parser silently (parsed=null) while
+  * rc stays 0. These pins make that regression a test failure instead
+  * of a lost round of benchmark evidence.
+  */
+class BenchReportSpec extends AnyFunSuite {
+
+  private val names = (1 to 15).map(i => f"q$i%02d_some_longish_query_name")
+  // idle-box shape: tight spread, no outlier
+  private val full = names.map(n => n -> Seq(0.41, 0.39, 0.43, 0.40, 0.42))
+  // one contended pass: every query's rep 3 ran ~5x slow
+  private val oneBad = names.map(n => n -> Seq(0.41, 0.39, 2.2, 0.40, 0.42))
+
+  test("stdout line stays compact: no per-rep data, bounded per-query size") {
+    val line = BenchReport.renderLine(full, "/root/testdata/sf0.1")
+    assert(!line.contains("reps"), "per-rep arrays belong to the detail channel")
+    assert(!line.contains("median_queries"), "stat tables belong to the detail channel")
+    // ~45 B/query + fixed overhead, with headroom; the driver's
+    // observed tail window is 2000 chars and must hold the whole line
+    assert(line.length <= 60 * names.size + 200,
+      s"stdout line grew to ${line.length} chars — driver parser at risk")
+    assert(line.count(_ == '\n') === 0, "must be ONE line")
+  }
+
+  test("stdout line is well-formed JSON with the recorded keys") {
+    val line = BenchReport.renderLine(full, "/sf")
+    // structural sanity without a JSON lib: balanced braces, known keys
+    assert(line.startsWith("{") && line.endsWith("}"))
+    assert(line.count(_ == '{') === line.count(_ == '}'))
+    for (k <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"queries\":",
+        "\"failed\":", "\"contended\":", "\"sf\":"))
+      assert(line.contains(k), s"missing $k")
+  }
+
+  test("queries with no samples are named in failed, not hidden as -1.0") {
+    val withDead = full.take(3) ++ Seq(
+      "q97_dead_query" -> Seq.empty[Double],
+      "q98_dead_query" -> Seq.empty[Double])
+    val line = BenchReport.renderLine(withDead, "/sf")
+    assert(line.contains(""""failed":["q97_dead_query","q98_dead_query"]"""))
+    // the dead queries still appear in the stat map as -1.0 (schema
+    // stability for per-query tooling), but the failed list is the
+    // explicit signal
+    assert(line.contains(""""q97_dead_query":-1.0"""))
+  }
+
+  test("healthy suite reports failed:[] and contended:false") {
+    val line = BenchReport.renderLine(full, "/sf")
+    assert(line.contains(""""failed":[]"""))
+    assert(line.contains(""""contended":false"""))
+  }
+
+  test("contended box flips the flag via the cheapest-query probe") {
+    // cheapest query spread 0.1 -> 0.9 = 9x > 3x
+    val contended = full.take(3) ++ Seq("q99_probe" -> Seq(0.1, 0.1, 0.9))
+    assert(BenchReport.renderLine(contended, "/sf").contains(""""contended":true"""))
+  }
+
+  test("detail channel carries the rep spread and stat tables") {
+    val detail = BenchReport.renderDetail(oneBad)
+    for (k <- Seq("\"stat\":", "\"median_total\":", "\"min_queries\":",
+        "\"median_queries\":", "\"contention_probe\":", "\"reps\":"))
+      assert(detail.contains(k), s"missing $k")
+    assert(detail.contains("[0.41,0.39,2.2,0.4,0.42]"), "raw samples must survive")
+  }
+
+  test("trimmed stat on the line rejects the one contended pass — and flags it") {
+    val line = BenchReport.renderLine(oneBad, "/sf")
+    // per-query trimmed median of (0.41,0.39,2.2,0.40,0.42) drops 2.2
+    // -> median of (0.39,0.40,0.41,0.42) = 0.40 (lower-of-two); total
+    // = 15 * 0.40 — the 2.2s outlier never touches the headline value,
+    // while the probe's 5.6x max/min spread still trips the flag so
+    // the artifact says not to trust cross-round comparison
+    assert(line.contains(""""value":6.00"""), line)
+    assert(line.contains(""""contended":true"""))
+  }
+}
