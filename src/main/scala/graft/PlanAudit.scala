@@ -17,7 +17,8 @@ object PlanAudit {
     "q89_bucketed_distinct_counts", "q100_incremental_dedup",
     "q101_shuffle_index", "q102_snapshot_diff",
     "q103_partition_pruned_daily", "q105_heavy_hitters",
-    "q107_temperature_mix")
+    "q107_temperature_mix", "q110_dedup_keep_longest",
+    "q111_token_budget_pack")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>
