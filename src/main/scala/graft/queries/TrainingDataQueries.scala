@@ -374,7 +374,54 @@ object TrainingDataQueries {
           AS cum_tokens FROM t)
       SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 25000"""))
 
+  /** Per-benchmark contamination report — q82 flags contaminated
+    * corpus docs against ONE eval set; real pipelines decontaminate
+    * against dozens and must report WHICH benchmark leaked and how
+    * badly before deciding what to cut. Probe shingles carry a
+    * benchmark tag (three stand-in eval sets: docs 0-14, bench_id =
+    * doc_id % 3, same stand-in discipline as q82/q102); per benchmark:
+    * contaminated-doc count, total and worst per-doc shingle overlap.
+    *
+    * Plan: the tagged probe broadcasts (eval sets are megabytes), the
+    * corpus shingle stream pays one equi-join plus a two-level
+    * aggregate — (bench, doc) partial+final, then the ≤|benchmarks|
+    * rollup. A doc contaminated by several benchmarks counts toward
+    * each (attribution, not dedup — q82/the curation job handle the
+    * cut). Corpus is never shuffled before the match, same 100 TB
+    * shape as q82. */
+  private val decontamReport = Q(
+    "q112_decontam_report",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val sh = T.documents(s, d)
+        .filter(size(split(trim($"text"), "\\s+")) >= 3)
+        .select($"doc_id", explode(expr("word_shingles(text, 3)")).as("sh"))
+      val probe = sh.filter($"doc_id" < 15)
+        .select(($"doc_id" % 3).as("bench_id"), $"sh").distinct()
+      sh.filter($"doc_id" >= 15)
+        .join(broadcast(probe), "sh")
+        .groupBy($"bench_id", $"doc_id")
+        .agg(countDistinct($"sh").as("overlap"))
+        .groupBy($"bench_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"overlap").as("n_hits"),
+          max($"overlap").as("max_overlap"))
+    },
+    Some("""WITH words AS (SELECT doc_id, string_split_regex(trim(text),'\s+') ws FROM documents),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(ws)-2),
+               i -> array_to_string(ws[i:i+2],' ')))) AS sh
+             FROM words WHERE len(ws) >= 3),
+      probe AS (SELECT DISTINCT doc_id % 3 AS bench_id, sh FROM sh WHERE doc_id < 15),
+      hits AS (SELECT p.bench_id, s.doc_id, count(DISTINCT s.sh) AS overlap
+               FROM sh s JOIN probe p ON s.sh = p.sh
+               WHERE s.doc_id >= 15 GROUP BY p.bench_id, s.doc_id)
+      SELECT bench_id, count(*) AS n_docs,
+             CAST(sum(overlap) AS BIGINT) AS n_hits,
+             max(overlap) AS max_overlap
+      FROM hits GROUP BY bench_id"""))
+
   def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
     shuffleIndex, snapshotDiff, splitReport, temperatureMix, epochWeights,
-    tokenBudgetPack)
+    tokenBudgetPack, decontamReport)
 }
