@@ -93,7 +93,9 @@ object ScaleBench {
     "q41_dedup_jaccard", "q42_dedup_minhash_lsh", "q53_fingerprint",
     "q58_batched_inference", "q67_tfidf", "q71_repeated_spans",
     "q95_boilerplate_fraction", "q100_incremental_dedup",
-    "q105_heavy_hitters", "q107_temperature_mix")
+    "q105_heavy_hitters", "q107_temperature_mix",
+    "q110_dedup_keep_longest", "q111_token_budget_pack",
+    "q112_decontam_report")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime
