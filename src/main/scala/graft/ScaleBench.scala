@@ -95,7 +95,8 @@ object ScaleBench {
     "q95_boilerplate_fraction", "q100_incremental_dedup",
     "q105_heavy_hitters", "q107_temperature_mix",
     "q110_dedup_keep_longest", "q111_token_budget_pack",
-    "q112_decontam_report")
+    "q112_decontam_report", "q113_embedding_center_stats",
+    "q114_dataset_card")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime

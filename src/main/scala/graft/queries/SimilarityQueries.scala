@@ -272,5 +272,58 @@ object SimilarityQueries {
           abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))), 'max') AS max_abs_err
       FROM m WHERE mx > 0.0"""))
 
-  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize)
+  /** Embedding centering statistics — the standard ANN preprocessing
+    * pass (IVF cell balance and SRP bucket quality both improve on
+    * mean-centered vectors; a far-off-center corpus wastes hyperplane
+    * bits on the common offset): per-dimension corpus centroid, then
+    * per vector its Euclidean distance to the centroid and its cosine
+    * against the centroid direction — the two diagnostics that decide
+    * whether centering is worth a reindex.
+    *
+    * Plan: the centroid is a Dim-row aggregate (posexplode → per-dim
+    * avg, partial+final over 64 groups) reassembled into ONE array row
+    * and broadcast back through the capped 1-row cross join (the q32
+    * offsets shape); every per-vector term is then a row-local
+    * zip_with/aggregate HOF. The corpus is never shuffled — at 100 TB
+    * the only exchange carries 64·partitions partial sums. */
+  private val centerStats = Q(
+    "q113_embedding_center_stats",
+    (s, d) => {
+      import s.implicits._
+      val emb = T.embeddings(s, d)
+        .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
+      val mu = emb
+        .select(posexplode($"e").as(Seq("pos", "v")))
+        .groupBy($"pos").agg(avg($"v").as("m"))
+        .agg(array_sort(collect_list(struct($"pos", $"m"))).as("pm"))
+        .select(transform($"pm", x => x.getField("m")).as("mu")) // 1 row
+      emb.crossJoin(broadcast(mu))
+        .withColumn("c", zip_with($"e", $"mu", (x, m) => x - m))
+        .select($"vec_id",
+          sqrt(aggregate($"c", lit(0.0), (a, x) => a + x * x))
+            .as("dist_to_centroid"),
+          (aggregate(zip_with($"e", $"mu", (x, m) => x * m),
+            lit(0.0), (a, x) => a + x) /
+            (sqrt(aggregate($"e", lit(0.0), (a, x) => a + x * x)) *
+              sqrt(aggregate($"mu", lit(0.0), (a, x) => a + x * x))))
+            .as("cos_to_centroid"))
+    },
+    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      dims AS (SELECT unnest(generate_series(1,
+                 (SELECT max(len(embedding)) FROM e))) AS i),
+      m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mu
+            FROM e CROSS JOIN dims GROUP BY i),
+      st AS (SELECT e.vec_id,
+               sum((CAST(e.embedding[m.i] AS DOUBLE) - m.mu)
+                 * (CAST(e.embedding[m.i] AS DOUBLE) - m.mu)) AS ss,
+               sum(CAST(e.embedding[m.i] AS DOUBLE) * m.mu) AS em,
+               sum(CAST(e.embedding[m.i] AS DOUBLE)
+                 * CAST(e.embedding[m.i] AS DOUBLE)) AS ee,
+               sum(m.mu * m.mu) AS mm
+             FROM e CROSS JOIN m GROUP BY e.vec_id)
+      SELECT vec_id, sqrt(ss) AS dist_to_centroid,
+             em / (sqrt(ee) * sqrt(mm)) AS cos_to_centroid
+      FROM st"""))
+
+  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats)
 }
