@@ -89,6 +89,33 @@ object StreamingOps {
         explode(col("summary")).as(Seq("tok", "min_cnt")))
   }
 
+  /** Streaming dataset card — q114's ingest-time twin: per tumbling
+    * window and (source, lang) slice, the doc/token/byte counters a
+    * live ingest dashboard tracks. What it deliberately does NOT
+    * carry over from batch q114: corpus-wide exact-dup attribution —
+    * that requires unbounded per-digest state; the streaming
+    * substitute is IN-WINDOW duplicate counting (`approx_count_
+    * distinct` of the digest vs the row count), which bounds state to
+    * one HLL per open (window, slice) group and is evicted by the
+    * watermark. The full-history number stays batch q114's job.
+    * State: one row of five counters per open (window, source, lang)
+    * — slices are bounded vocabularies, so state is O(windows ×
+    * slices), never O(docs). */
+  def datasetCardStream(docs: DataFrame, textCol: String = "text",
+      window: String = "10 minutes", watermark: String = "30 minutes"): DataFrame =
+    docs
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("total_tokens"),
+        sum(length(col(textCol)).cast("long")).as("total_chars"),
+        (count(lit(1)) - approx_count_distinct(md5(col(textCol))))
+          .as("approx_dup_excess"))
+      .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
+        col("source"), col("lang"), col("n_docs"), col("total_tokens"),
+        col("total_chars"), col("approx_dup_excess"))
+
   /** Streaming NEAR-dup suppression — the ingest-time twin of the
     * batch dedup family: key = native `simhash60` over the doc's
     * 3-word shingles, so near-identical docs (identical shingle

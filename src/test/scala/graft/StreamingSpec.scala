@@ -431,6 +431,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), "no loss, no duplication across restart")
   }
 
+  test("streaming dataset card: per-(window, source, lang) counters with in-window dup excess") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(java.sql.Timestamp, String, String, String)]
+    val df = in.toDF().toDF("ts", "source", "lang", "text")
+    val q = StreamingOps.datasetCardStream(df, "text", "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("card")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData(
+        (t(1), "web", "en", "one two three"),   // 3 tokens, 13 chars
+        (t(2), "web", "en", "one two three"),   // exact dup of the above
+        (t(3), "web", "en", "four five"),       // 2 tokens
+        (t(4), "web", "de", "eins zwei"),       // other slice, same window
+        (t(12), "web", "en", "later doc"))      // next window
+      q.processAllAvailable()
+      in.addData((t(120), "web", "en", "flush"))
+      q.processAllAvailable()
+      val rows = spark.table("card")
+        .selectExpr("unix_millis(win_start) div 60000 as start_min",
+          "source", "lang", "n_docs", "total_tokens", "total_chars",
+          "approx_dup_excess")
+        .as[(Long, String, String, Long, Long, Long, Long)].collect()
+        .map(r => (r._1, r._2, r._3) -> ((r._4, r._5, r._6, r._7))).toMap
+      // window [0,10) en: 3 docs, 3+3+2 tokens, 13+13+9 chars, one dup
+      // pair → excess 1 (HLL is exact at these cardinalities)
+      assert(rows((0L, "web", "en")) === ((3L, 8L, 35L, 1L)))
+      assert(rows((0L, "web", "de")) === ((1L, 2L, 9L, 0L)))
+      assert(rows((10L, "web", "en")) === ((1L, 2L, 9L, 0L)))
+    } finally q.stop()
+  }
+
   test("windowed streaming heavy hitters: exact when k covers distinct; bounded and dominant-preserving when not") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
