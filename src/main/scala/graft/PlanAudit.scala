@@ -18,7 +18,8 @@ object PlanAudit {
     "q101_shuffle_index", "q102_snapshot_diff",
     "q103_partition_pruned_daily", "q105_heavy_hitters",
     "q107_temperature_mix", "q110_dedup_keep_longest",
-    "q111_token_budget_pack")
+    "q111_token_budget_pack", "q112_decontam_report",
+    "q113_embedding_center_stats", "q114_dataset_card")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>
