@@ -147,6 +147,34 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(offenders.isEmpty, "scale tripwire hit:\n" + offenders.mkString("\n"))
   }
 
+  test("q110: corpus reaches survivors through broadcast joins, winner rank pre-limits") {
+    val p = plan("q110_dedup_keep_longest")
+    assert(p.contains("BroadcastHashJoin LeftOuter"),
+      "the full corpus must stream through a broadcast left-join")
+    assert(!p.contains("SortMergeJoin"),
+      "a shuffle join here means the cluster table stopped broadcasting")
+    // rk = 1 over (component) should compile to partial+final
+    // WindowGroupLimit — the map side drops every non-winner row
+    // before the component shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "winner selection lost its group-limit pre-filter")
+  }
+
+  test("q111: every corpus-carrying exchange is keyed by the shuffle bucket") {
+    val p = plan("q111_token_budget_pack")
+    assert(p.contains("hashpartitioning(bkt"),
+      "the running-sum window must shuffle on the bucket key")
+    // mirror q32's pin: any Exchange whose output carries doc_id is
+    // either the bkt hash exchange or the documented single-file
+    // loader spread (RoundRobin — absent at real scale)
+    val exchanges = p.split("\\(\\d+\\) Exchange").drop(1)
+      .map(_.linesIterator.take(3).mkString(" "))
+    exchanges.filter(_.contains("doc_id")).foreach { e =>
+      assert(e.contains("hashpartitioning(bkt") || e.contains("RoundRobinPartitioning"),
+        s"full-row exchange not keyed by bucket in q111: $e")
+    }
+  }
+
   test("q88: the enrichment join is salted — shuffle key carries __salt") {
     val p = plan("q88_skewed_enrich")
     assert(p.contains("__salt"), "salted join key lost — hot keys re-concentrate")
