@@ -71,6 +71,12 @@ object Jobs {
         val report = CurationJob.run(spark, kv("input"), kv("benchmark"),
           kv("output"), stats = kv.get("stats").forall(_.toBoolean))
         println(report)
+      case "mixtureJob" => // extension: epoch assembly (MixtureJob)
+        val cfg = MixtureJob.Config(
+          sliceCol = kv.getOrElse("slice", "lang"),
+          tokenBudget = kv.get("tokenBudget").map(_.toLong).getOrElse(Long.MaxValue),
+          shards = kv.get("shards").map(_.toInt).getOrElse(8))
+        println(MixtureJob.run(spark, kv("input"), kv("output"), cfg))
       case other => sys.error(s"unknown job $other")
     }
     spark.stop()

@@ -111,4 +111,19 @@ object MixtureJob {
       .select("doc_id", "slice", "copy", "tokens", "cum_tokens",
         "sample_idx", "shard_id")
   }
+
+  /** `--job=mixtureJob` entry: reads a documents-shaped parquet dir,
+    * writes the epoch sample list partitioned by `shard_id` (each
+    * shard directory is one trainer reader's input), returns the
+    * scalar summary. The write re-keys by shard — acceptable: the
+    * sample list is (ids + counters), a sliver of corpus bytes. */
+  def run(spark: org.apache.spark.sql.SparkSession, input: String,
+      output: String, cfg: Config = Config()): String = {
+    val epoch = assemble(spark.read.parquet(input), cfg)
+    epoch.write.mode("overwrite").partitionBy("shard_id").parquet(output)
+    val back = spark.read.parquet(output)
+    val n = back.count()
+    val toks = if (n == 0) 0L else back.agg(max(col("cum_tokens"))).head.getLong(0)
+    s"""{"samples":$n,"epoch_tokens":$toks,"shards":${cfg.shards}}"""
+  }
 }

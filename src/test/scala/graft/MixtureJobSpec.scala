@@ -76,6 +76,25 @@ class MixtureJobSpec extends AnyFunSuite with SparkSpec {
     assert(ordered(kept.length) > budget, "first excluded sample must overflow")
   }
 
+  test("run(): shard-partitioned parquet layout + scalar summary (the --job=mixtureJob path)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-mixture").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/in")
+    val summary = MixtureJob.run(spark, s"$tmp/in", s"$tmp/out",
+      MixtureJob.Config(shards = 4))
+    val back = spark.read.parquet(s"$tmp/out")
+    val n = back.count()
+    assert(summary === s"""{"samples":$n,"epoch_tokens":${
+      back.agg(max($"cum_tokens")).head.getLong(0)},"shards":4}""")
+    // partitioned layout: a trainer reads exactly its shard directory
+    val shardDirs = new java.io.File(s"$tmp/out").listFiles()
+      .filter(_.getName.startsWith("shard_id=")).map(_.getName).sorted
+    assert(shardDirs.toSeq === Seq("shard_id=0", "shard_id=1", "shard_id=2", "shard_id=3"))
+    val viaDir = spark.read.parquet(s"$tmp/out/shard_id=1").count()
+    assert(viaDir === back.filter($"shard_id" === 1).count())
+  }
+
   test("deterministic: two assemblies are identical") {
     val s = spark
     import s.implicits._
