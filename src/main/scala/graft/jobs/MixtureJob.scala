@@ -123,7 +123,7 @@ object MixtureJob {
     epoch.write.mode("overwrite").partitionBy("shard_id").parquet(output)
     val back = spark.read.parquet(output)
     val n = back.count()
-    val toks = if (n == 0) 0L else back.agg(max(col("cum_tokens"))).head.getLong(0)
+    val toks = if (n == 0) 0L else back.agg(max(col("cum_tokens"))).head().getLong(0)
     s"""{"samples":$n,"epoch_tokens":$toks,"shards":${cfg.shards}}"""
   }
 }
