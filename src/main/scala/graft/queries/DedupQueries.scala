@@ -713,7 +713,41 @@ object DedupQueries {
       LEFT JOIN winners w ON c.component = w.component
       WHERE c.component IS NULL OR d.doc_id = w.wid"""))
 
+  /** Cluster-size distribution — the dedup run's diagnostic summary:
+    * how many near-dup clusters exist at each size. The shape of this
+    * histogram decides curation policy (a fat tail of large clusters
+    * means templated/boilerplate families that exact dedup and q95
+    * should own; mostly pairs means true near-dups that survivor
+    * selection handles) and it is the first artifact to inspect when
+    * a dedup pass removes more or less than expected.
+    *
+    * Plan: two k-bounded aggregates over the (tiny) cluster table —
+    * count per component, then count per size. The corpus itself is
+    * only touched by the shared [[jaccardPairs]] pipeline. */
+  private val clusterSizeDist = Q(
+    "q115_cluster_size_dist",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.ConnectedComponents
+        .label(jaccardPairs(s, d).select($"doc_a", $"doc_b"))
+        .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
+        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
+    },
+    Some(s"""WITH RECURSIVE $pairsCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+      comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      csizes AS (SELECT component, count(*) AS cluster_size
+                 FROM comp GROUP BY component)
+      SELECT cluster_size, count(*) AS n_clusters
+      FROM csizes GROUP BY cluster_size"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
-    boilerplate, incrementalDedup, keepLongest)
+    boilerplate, incrementalDedup, keepLongest, clusterSizeDist)
 }
