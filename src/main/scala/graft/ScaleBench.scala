@@ -96,7 +96,7 @@ object ScaleBench {
     "q105_heavy_hitters", "q107_temperature_mix",
     "q110_dedup_keep_longest", "q111_token_budget_pack",
     "q112_decontam_report", "q113_embedding_center_stats",
-    "q114_dataset_card")
+    "q114_dataset_card", "q116_containment_dedup")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime

@@ -747,7 +747,70 @@ object DedupQueries {
       SELECT cluster_size, count(*) AS n_clusters
       FROM csizes GROUP BY cluster_size"""))
 
+  /** Asymmetric CONTAINMENT dedup — |A∩B|/|A| ≥ t over 3-word
+    * shingles: A's content is (mostly) inside B even when B is far
+    * larger, the case symmetric Jaccard structurally misses (a doc
+    * quoted whole inside a 10× digest has J ≈ 0.1 at containment
+    * 1.0). The curation action differs too: the CONTAINED doc is the
+    * redundant one.
+    *
+    * One-sided PPJoin: only the contained side carries a prefix —
+    * C ≥ t means at most (1−t)·|A| of A's shingles miss B, so its
+    * ⌊(1−t)·|A|⌋+1 rarest must pigeonhole-hit B; the container side
+    * joins with FULL postings (any shingle of B can witness). The
+    * df ≥ 2 slice is recall-safe exactly as in [[jaccardPairs]] (a
+    * witness shingle is by definition shared). Length filter on the
+    * join: c ≤ min ⇒ nb ≥ t·na; the positional filter is vacuous
+    * here (pa ≤ plen already implies the remaining-suffix bound).
+    * Verification row-local over the per-doc hash arrays. Cost is the
+    * q71-style inverted-index join — keyed, never all-pairs; the
+    * oracle is the full O(n²)-style SQL, equality proving exact
+    * recall (modulo the 2⁻⁶⁴ xxhash64 collision bound). */
+  private val containmentDedup = Q(
+    "q116_containment_dedup",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      graft.GraftExtensions.ensureRegistered(s)
+      val t = 0.7
+      val hs = T.documents(s, d)
+        .filter(size(split(trim($"text"), "\\s+")) >= 3)
+        .select($"doc_id", expr("word_shingle_hashes(text, 3)").as("hset"))
+      val ex = hs.select($"doc_id", size($"hset").as("n"), explode($"hset").as("sh"))
+      val dfreq2 = ex.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" >= 2)
+      val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
+      val prefix = ex.join(dfreq2, "sh")
+        .withColumn("r2", row_number().over(w))
+        .withColumn("n2", count(lit(1)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("pos", $"n" - $"n2" + $"r2")
+        .filter($"pos" <= $"n" - ceil(lit(t) * $"n").cast("int") + 1)
+        .select($"doc_id".as("__ca"), $"sh", $"n".as("na"))
+      val postings = ex.join(dfreq2.select($"sh"), "sh")
+        .select($"doc_id".as("__cb"), $"sh", $"n".as("nb"))
+      val cand = prefix.join(postings, "sh")
+        .filter($"__ca" =!= $"__cb" && $"nb" >= lit(t) * $"na")
+        .select($"__ca", $"__cb").distinct()
+      cand
+        .join(hs.select($"doc_id".as("__ca"), $"hset".as("ha")), "__ca")
+        .join(hs.select($"doc_id".as("__cb"), $"hset".as("hb")), "__cb")
+        .select($"__ca".as("contained"), $"__cb".as("container"),
+          (size(array_intersect($"ha", $"hb")).cast("double") / size($"ha"))
+            .as("containment"))
+        .filter($"containment" >= t)
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id ca, b.doc_id cb, count(*) c
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2)
+      SELECT ca AS contained, cb AS container, c*1.0/sa.n AS containment
+      FROM common JOIN sizes sa ON ca = sa.doc_id
+      WHERE c*1.0/sa.n >= 0.7"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
-    boilerplate, incrementalDedup, keepLongest, clusterSizeDist)
+    boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
+    containmentDedup)
 }
