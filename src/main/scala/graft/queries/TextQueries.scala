@@ -559,8 +559,38 @@ object TextQueries {
       GROUP BY w.lang, tok, n
       HAVING count(*) >= greatest(1, CAST(ceil(0.01 * n) AS BIGINT))"""))
 
+  /** Per-source length profile — the drift monitor a corpus pipeline
+    * watches across ingests: when one source's token-length
+    * distribution shifts (a scraper change, a new boilerplate
+    * wrapper), the p50/p90 move long before aggregate totals do.
+    * Spark's exact `percentile` ≡ DuckDB's `quantile_cont` (the q63
+    * parity); per-group state is the source's value multiset — fine
+    * for per-source profiling where groups are few and, if a source
+    * ever grows past that, q65's approx sketch is the documented
+    * fallback. */
+  private val sliceLengthProfile = Q(
+    "q117_slice_length_profile",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(tok, 0.5)").as("p50_tokens"),
+          expr("percentile(tok, 0.9)").as("p90_tokens"),
+          avg($"tok").as("mean_tokens"))
+    },
+    Some("""WITH d AS (SELECT source,
+        CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS tok
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        quantile_cont(tok, 0.5) AS p50_tokens,
+        quantile_cont(tok, 0.9) AS p90_tokens,
+        avg(tok) AS mean_tokens
+      FROM d GROUP BY source"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
-    heavyHittersPerLang)
+    heavyHittersPerLang, sliceLengthProfile)
 }
