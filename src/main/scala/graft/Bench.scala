@@ -107,8 +107,13 @@ object Bench {
 
     val detail = BenchReport.renderDetail(samples)
     System.err.println(s"[bench-detail] $detail")
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"), detail + "\n")
+    // cwd-relative (overridable): a machine-specific absolute path would
+    // silently drop the diagnostic artifact on any other checkout/box
+    val detailPath = sys.env.get("SPARK_GRAFT_DETAIL_FILE")
+      .map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(
+        sys.props("user.dir"), "BENCH_DETAIL.json"))
+    try java.nio.file.Files.writeString(detailPath, detail + "\n")
     catch { case e: Exception =>
       System.err.println(s"[bench] detail file not written: ${e.getMessage}")
     }

@@ -1,9 +1,67 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Tamper-evidence (round 9, VERDICT r8 finding #2): round 7 silently
+  * lost 25 queries from the gate because a frame that fails ANALYSIS
+  * writes no parquet and the harness skipped it without recording an
+  * error — green artifact, shrunken coverage. The dump now also writes
+  *  - `registry.json`: the FULL query-name registry this binary runs —
+  *    any gate artifact can be diffed against it (entries == registry,
+  *    exactly), and
+  *  - `errors.json`: name → message for every query that threw, so an
+  *    analysis failure is a recorded red row, never an absence.
+  * `tools/check.py` enforces both (a missing name is a FAIL line and a
+  * nonzero exit); VerifyGateSpec pins the behavior with a deliberately
+  * broken query. */
 object Verify {
+
+  /** Run every query in `queries` over `sfDir`, writing one parquet
+    * dir per query plus `registry.json`/`errors.json` under `outDir`.
+    * Returns name → error message for the failures (empty when all
+    * queries dumped). Factored from `main` so the gate behavior is
+    * spec-testable with an arbitrary (including deliberately broken)
+    * registry. */
+  def run(spark: SparkSession,
+      queries: Map[String, (SparkSession, String) => DataFrame],
+      sfDir: String, outDir: String): Map[String, String] = {
+    new java.io.File(outDir).mkdirs()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    queries.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      catch { case e: Throwable =>
+        val msg = s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+        System.err.println(s"[verify] $name failed: $msg")
+        errors(name) = msg.take(500)
+      }
+      // queries cache intermediates for intra-query reuse; don't let
+      // 70+ queries' blocks accumulate in one session at larger SFs
+      finally spark.catalog.clearCache()
+    }
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      queries.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]"))
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
+        .mkString("{", ",", "}"))
+    errors.toMap
+  }
+
+  /** JSON string escape: backslash, quote, and ALL control chars (<0x20)
+    * — a tab or CR in builder-authored SQL would otherwise make the
+    * driver's json.load fail and silently zero the round's correctness. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,31 +76,9 @@ object Verify {
         Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
-      // queries cache intermediates for intra-query reuse; don't let
-      // 70+ queries' blocks accumulate in one session at larger SFs
-      finally spark.catalog.clearCache()
-    }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    run(spark, SparkEntry.queries, sfDir, outDir)
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -74,7 +74,10 @@ object MixtureJob {
       .cast("long") % 1000000
     val copies = docs
       .withColumn("__tok", size(split(trim(col("text")), "\\s+")).cast("long"))
-      .join(broadcast(rates), slice === col("__slice"))
+      // null-safe: groupBy put null-slice docs in their own rates row,
+      // and a null-rejecting === would silently drop them from the
+      // epoch — null is a real slice ("unknown"), weighted like any
+      .join(broadcast(rates), slice <=> col("__slice"))
       .withColumn("__n_copies",
         col("__base") + when(bucket < col("__frac_ppm"), 1L).otherwise(0L))
       .filter(col("__n_copies") >= 1L)

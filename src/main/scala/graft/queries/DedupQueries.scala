@@ -491,18 +491,24 @@ object DedupQueries {
   /** Survivor selection — the step that actually SHRINKS the corpus:
     * left-join docs against the near-dup clusters (q72) and keep only
     * cluster canonicals (min doc_id) and untouched singletons. The
-    * cluster table is tiny relative to the corpus (only docs with a
-    * near-dup), so the join broadcasts; the corpus side streams
-    * through untouched — the right shape when "docs" is 100 TB and
-    * "dups" is a few percent. */
+    * cluster table is usually tiny relative to the corpus (only docs
+    * with a near-dup), so the join broadcasts and the corpus side
+    * streams through untouched — the right shape when "docs" is
+    * 100 TB and "dups" is a few percent. "Usually" is ENFORCED, not
+    * assumed (round 9): [[graft.operators.BroadcastGuard]] counts the
+    * checkpoint-backed cluster table and falls back to a plain
+    * shuffled left join past `graft.maxBroadcastRows` — the raw-crawl
+    * regime (30%+ dup rate) where a forced broadcast OOMs the driver.
+    * Result-identical either way (SurvivorGuardSpec). */
   private val dedupPrune = Q(
     "q78_dedup_prune",
     (s, d) => {
       import s.implicits._
       val clusters = graft.operators.ConnectedComponents
         .label(jaccardPairs(s, d).select($"doc_a", $"doc_b"))
+      val bc = graft.operators.BroadcastGuard.sized(clusters, "q78 near-dup clusters")
       T.documents(s, d)
-        .join(broadcast(clusters), $"doc_id" === $"id", "left")
+        .join(bc(clusters), $"doc_id" === $"id", "left")
         .filter($"component".isNull || $"doc_id" === $"component")
         .select($"doc_id",
           coalesce($"component", $"doc_id").as("cluster_root"),
@@ -668,7 +674,14 @@ object DedupQueries {
     * a window over components bounded by cluster count — and the full
     * corpus then streams through a single broadcast left-join. At
     * 100 TB the corpus side is never shuffled and the per-component
-    * window never sees more rows than the dup population. */
+    * window never sees more rows than the dup population. The
+    * smallness assumption is guarded, not trusted (round 9): ONE
+    * count of the checkpoint-backed cluster table decides broadcast
+    * vs shuffled-join fallback for all three cluster-bounded frames
+    * (winners ≤ clusters, members = clusters rows) via
+    * [[graft.operators.BroadcastGuard.Sized]] — on a majority-dup
+    * corpus every hint drops and the same rows come back through
+    * shuffled joins (SurvivorGuardSpec). */
   private val keepLongest = Q(
     "q110_dedup_keep_longest",
     (s, d) => {
@@ -676,16 +689,17 @@ object DedupQueries {
       import org.apache.spark.sql.expressions.Window
       val clusters = graft.operators.ConnectedComponents
         .label(jaccardPairs(s, d).select($"doc_a", $"doc_b")) // (id, component)
+      val bc = graft.operators.BroadcastGuard.sized(clusters, "q110 near-dup clusters")
       val docs = T.documents(s, d)
-      val winners = docs.join(broadcast(clusters), $"doc_id" === $"id")
+      val winners = docs.join(bc(clusters), $"doc_id" === $"id")
         .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
         .withColumn("rk", row_number().over(
           Window.partitionBy($"component").orderBy($"tok".desc, $"doc_id".asc)))
         .filter($"rk" === 1)
         .select($"component".as("wcomp"), $"id".as("wid"))
-      val members = clusters.join(broadcast(winners), $"component" === $"wcomp")
+      val members = clusters.join(bc(winners), $"component" === $"wcomp")
         .select($"id", $"component", $"wid")
-      docs.join(broadcast(members), $"doc_id" === $"id", "left")
+      docs.join(bc(members), $"doc_id" === $"id", "left")
         .filter($"component".isNull || $"doc_id" === $"wid")
         .select($"doc_id",
           coalesce($"component", $"doc_id").as("cluster_root"),

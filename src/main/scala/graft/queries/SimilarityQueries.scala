@@ -290,7 +290,14 @@ object SimilarityQueries {
     "q113_embedding_center_stats",
     (s, d) => {
       import s.implicits._
+      // dim guard (round 9): a ragged (short) vector would zip_with
+      // null-pad against the centroid and NULL the stats while the SQL
+      // oracle's per-dim sum silently skips missing dims — divergent
+      // semantics on malformed input. Both sides now DROP off-dim rows
+      // (a no-op on conforming corpora; malformed vectors are a data
+      // bug to surface upstream, not to average over).
       val emb = T.embeddings(s, d)
+        .filter(size($"embedding") === Dim)
         .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
       val mu = emb
         .select(posexplode($"e").as(Seq("pos", "v")))
@@ -302,15 +309,17 @@ object SimilarityQueries {
         .select($"vec_id",
           sqrt(aggregate($"c", lit(0.0), (a, x) => a + x * x))
             .as("dist_to_centroid"),
+          // nullif: a zero-norm vector (or degenerate centroid) yields
+          // NULL cosine in both engines instead of a divide-by-zero
           (aggregate(zip_with($"e", $"mu", (x, m) => x * m),
             lit(0.0), (a, x) => a + x) /
-            (sqrt(aggregate($"e", lit(0.0), (a, x) => a + x * x)) *
-              sqrt(aggregate($"mu", lit(0.0), (a, x) => a + x * x))))
+            nullif(sqrt(aggregate($"e", lit(0.0), (a, x) => a + x * x)) *
+              sqrt(aggregate($"mu", lit(0.0), (a, x) => a + x * x)), lit(0.0)))
             .as("cos_to_centroid"))
     },
-    Some("""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      dims AS (SELECT unnest(generate_series(1,
-                 (SELECT max(len(embedding)) FROM e))) AS i),
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+               WHERE len(embedding) = $Dim),
+      dims AS (SELECT unnest(generate_series(1, $Dim)) AS i),
       m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mu
             FROM e CROSS JOIN dims GROUP BY i),
       st AS (SELECT e.vec_id,
@@ -322,7 +331,7 @@ object SimilarityQueries {
                sum(m.mu * m.mu) AS mm
              FROM e CROSS JOIN m GROUP BY e.vec_id)
       SELECT vec_id, sqrt(ss) AS dist_to_centroid,
-             em / (sqrt(ee) * sqrt(mm)) AS cos_to_centroid
+             em / nullif(sqrt(ee) * sqrt(mm), 0) AS cos_to_centroid
       FROM st"""))
 
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats)

@@ -564,20 +564,35 @@ object TextQueries {
     * distribution shifts (a scraper change, a new boilerplate
     * wrapper), the p50/p90 move long before aggregate totals do.
     * Spark's exact `percentile` ≡ DuckDB's `quantile_cont` (the q63
-    * parity); per-group state is the source's value multiset — fine
-    * for per-source profiling where groups are few and, if a source
-    * ever grows past that, q65's approx sketch is the documented
-    * fallback. */
+    * parity); per-group state is the source's distinct-value count
+    * map — fine for per-source profiling where groups are modest.
+    *
+    * The "if a source ever grows past that" foot-gun is now a SWITCH,
+    * not a doc note (round 9, VERDICT r8 #7): a cheap pre-pass
+    * (map-side-combined count per source — k rows on the wire) sizes
+    * the largest group, and past `graft.exactPercentileMaxGroup`
+    * (default 5M rows) the aggregate flips to `approx_percentile`
+    * (q65's bounded sketch, 10⁴ accuracy), cast to double so the
+    * schema never drifts between modes. Gate scale stays far under
+    * the default cap, so the oracle remains the exact quantile
+    * (Q117FallbackSpec pins both modes). */
   private val sliceLengthProfile = Q(
     "q117_slice_length_profile",
     (s, d) => {
       import s.implicits._
-      T.documents(s, d)
+      val toks = T.documents(s, d)
         .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
-        .groupBy($"source")
+      val cap = s.conf.getOption("graft.exactPercentileMaxGroup")
+        .map(_.toLong).getOrElse(5000000L)
+      val maxGroup = toks.groupBy($"source").agg(count(lit(1)).as("n"))
+        .agg(coalesce(max($"n"), lit(0L))).head.getLong(0)
+      def pct(f: Double): org.apache.spark.sql.Column =
+        if (maxGroup <= cap) expr(s"percentile(tok, $f)")
+        else expr(s"CAST(approx_percentile(tok, $f, 10000) AS DOUBLE)")
+      toks.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
-          expr("percentile(tok, 0.5)").as("p50_tokens"),
-          expr("percentile(tok, 0.9)").as("p90_tokens"),
+          pct(0.5).as("p50_tokens"),
+          pct(0.9).as("p90_tokens"),
           avg($"tok").as("mean_tokens"))
     },
     Some("""WITH d AS (SELECT source,

@@ -110,7 +110,11 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(size(split(trim(col(textCol)), "\\s+")).cast("long")).as("total_tokens"),
         sum(length(col(textCol)).cast("long")).as("total_chars"),
-        (count(lit(1)) - approx_count_distinct(md5(col(textCol))))
+        // floor at 0: the HLL (rsd ~5%) can OVERestimate distincts on a
+        // large dup-free window, and a negative dup counter on a
+        // dashboard reads as data corruption rather than sketch noise
+        greatest(lit(0L),
+          count(lit(1)) - approx_count_distinct(md5(col(textCol))))
           .as("approx_dup_excess"))
       .select(col("w.start").as("win_start"), col("w.end").as("win_end"),
         col("source"), col("lang"), col("n_docs"), col("total_tokens"),

@@ -78,7 +78,13 @@ class BenchReportSpec extends AnyFunSuite {
     // = 15 * 0.40 — the 2.2s outlier never touches the headline value,
     // while the probe's 5.6x max/min spread still trips the flag so
     // the artifact says not to trust cross-round comparison
-    assert(line.contains(""""value":6.00"""), line)
+    // parse the value instead of substring-matching JVM double
+    // formatting (a 15-term 0.4 sum renders 6.000000000000001 — an
+    // order-of-summation change must not flip this test)
+    val v = """"value":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble)
+      .getOrElse(fail(s"no value field in $line"))
+    assert(math.abs(v - 6.0) < 1e-9, line)
     assert(line.contains(""""contended":true"""))
   }
 }

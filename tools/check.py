@@ -95,19 +95,49 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     oracles = json.load(open(f"{out}/oracle_sql.json"))
+    # Tamper-evidence (round 9): iterate the FULL registry Verify ran,
+    # not just the oracle map — a query whose plan fails analysis dumps
+    # no parquet, and iterating outputs (or oracles, if one were ever
+    # registered without SQL) would silently shrink the gate (the
+    # round-7 incident: 25 queries vanished green). Every registry name
+    # must produce exactly one line here; errors.json turns an absence
+    # into an explicit ERR row, and the final assert makes any
+    # registry/artifact mismatch a nonzero exit.
+    try:
+        registry = json.load(open(f"{out}/registry.json"))
+        errors = json.load(open(f"{out}/errors.json"))
+    except FileNotFoundError:  # pre-round-9 dump
+        registry, errors = sorted(oracles), {}
     import glob
-    for name in sorted(oracles):
+    n_lines = n_fail = 0
+    for name in sorted(registry):
         if names and name not in names:
             continue
+        n_lines += 1
+        if name in errors:
+            print(f"{name}: ERR {errors[name]}"); n_fail += 1; continue
         files = glob.glob(f"{out}/{name}/*.parquet")
         if not files:
-            print(f"{name}: FAIL no spark output"); continue
+            print(f"{name}: FAIL no spark output"); n_fail += 1; continue
+        if name not in oracles:
+            print(f"{name}: OK rows-only (no oracle SQL)"); continue
         spark_df = pd.concat([pd.read_parquet(f) for f in files])
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
         except Exception as e:
-            print(f"{name}: FAIL oracle error: {e}"); continue
-        print(f"{name}: {compare(name, spark_df, duck_df)}")
+            print(f"{name}: FAIL oracle error: {e}"); n_fail += 1; continue
+        verdict = compare(name, spark_df, duck_df)
+        if not verdict.startswith("OK"):
+            n_fail += 1
+        print(f"{name}: {verdict}")
+    expected = len(registry) if not names else len(set(registry) & set(names))
+    if n_lines != expected:
+        print(f"GATE FAIL: {n_lines} entries vs {expected} registry queries")
+        sys.exit(2)
+    if n_fail:
+        print(f"GATE FAIL: {n_fail}/{n_lines} queries failed")
+        sys.exit(1)
+    print(f"GATE OK: {n_lines}/{expected} queries green")
 
 
 if __name__ == "__main__":
