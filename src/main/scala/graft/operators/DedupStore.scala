@@ -105,12 +105,7 @@ object DedupStore {
       t: Double = 0.6,
       maxBucket: Int = LshGuard.DefaultMaxBucket,
       spillDir: Option[String] = None): DataFrame = {
-    // restricted to chars that partition-dir encoding leaves verbatim:
-    // the stale-partition delete below addresses `dt=$day` literally,
-    // and an escaped value (e.g. a space → %20) would silently miss it
-    require(day.nonEmpty && day.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
-      s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
+    requireDay(day)
     val spark = delta.sparkSession
     val emptyDelta = delta.limit(0)
     val storeBands = readCommitted(spark, root, "bands",
@@ -123,31 +118,98 @@ object DedupStore {
     val surv = IncrementalNearDedup.survivors(
       delta, storeBands.drop("dt"), storeSets.drop("dt"),
       idCol, textCol, t, maxBucket, spillDir).cache()
-    try {
-      // clear the day's prior partitions first: dynamic overwrite
-      // only replaces partitions PRESENT in the incoming frame, so a
-      // backfill whose survivors shrink to zero would otherwise leave
-      // the stale old rows standing
-      val f0 = fs(spark, root)
-      f0.delete(new Path(s"$root/bands/dt=$day"), true)
-      f0.delete(new Path(s"$root/sets/dt=$day"), true)
-      PartitionedLayout.overwritePartitions(
-        IncrementalNearDedup.bandTable(surv, idCol, textCol)
-          .withColumn("dt", lit(day)),
-        s"$root/bands", Seq("dt"))
-      PartitionedLayout.overwritePartitions(
-        IncrementalNearDedup.shingleSets(surv, idCol, textCol)
-          .withColumn("dt", lit(day)),
-        s"$root/sets", Seq("dt"))
-      val f = fs(spark, root)
-      val marker = new Path(s"$root/$MarkerDir", day)
-      val tmp = new Path(s"$root/$MarkerDir", s".$day.tmp")
-      f.mkdirs(new Path(root, MarkerDir))
-      val out = f.create(tmp, true)
-      out.close()
-      fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
-        Options.Rename.OVERWRITE)
-    } finally surv.unpersist()
+    try commitDay(spark, root, day, Seq(
+      "bands" -> IncrementalNearDedup.bandTable(surv, idCol, textCol),
+      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
+    finally surv.unpersist()
     surv
+  }
+
+  /** Day-over-day ASYMMETRIC-containment ingest (round 9 — the
+    * incremental twin of q116, as [[ingest]] is of the symmetric
+    * Jaccard family): suppress delta docs whose shingle content is
+    * ≥ `t` contained in an archived doc or a surviving delta sibling
+    * ([[IncrementalContainment.suppressedDeltaIds]] policy — archive
+    * wins, min-id canonical on mutual containment), then append the
+    * SURVIVORS' shingle sets as `day`'s partitions under the same
+    * marker-committed, idempotent-re-run protocol as [[ingest]]
+    * (re-running a committed day excludes its own prior output from
+    * the store it reads, so it converges to identical survivors).
+    *
+    * A containment store persists ONLY the `sets` table (the prefix
+    * and postings sides are row-local derivations of `hset` — no
+    * second copy of the shingles on disk); use a SEPARATE `root` from
+    * a Jaccard [[ingest]] store — the day markers are store-wide, and
+    * interleaving two suppression disciplines under one marker
+    * namespace would let either's half-written day look committed to
+    * the other. */
+  def ingestContained(delta: DataFrame, root: String, day: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      t: Double = IncrementalContainment.DefaultT): DataFrame = {
+    requireDay(day)
+    val spark = delta.sparkSession
+    val emptyDelta = delta.limit(0)
+    val storeSets = readCommitted(spark, root, "sets",
+      IncrementalNearDedup.shingleSets(emptyDelta, idCol, textCol),
+      exceptDay = Some(day)).drop("dt")
+    val pairs = IncrementalContainment
+      .containedPairs(delta, storeSets, idCol, textCol, t)
+    val dropped = IncrementalContainment.suppressedDeltaIds(pairs,
+      storeSets.select(col("id")), delta.select(col(idCol).as("id")))
+    val surv = delta.join(dropped.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_anti").cache()
+    try commitDay(spark, root, day, Seq(
+      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
+    finally surv.unpersist()
+    surv
+  }
+
+  /** Committed containment-pair REPORT for a delta against a store
+    * root, without mutating anything — the read-side twin of
+    * [[ingestContained]] for pipelines that flag instead of drop
+    * (e.g. "new doc swallowed an archived one" audits). */
+  def containmentReport(delta: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      t: Double = IncrementalContainment.DefaultT): DataFrame = {
+    val spark = delta.sparkSession
+    val storeSets = readCommitted(spark, root, "sets",
+      IncrementalNearDedup.shingleSets(delta.limit(0), idCol, textCol),
+      exceptDay = None).drop("dt")
+    IncrementalContainment.containedPairs(delta, storeSets, idCol, textCol, t)
+  }
+
+  // restricted to chars that partition-dir encoding leaves verbatim:
+  // the stale-partition delete below addresses `dt=$day` literally,
+  // and an escaped value (e.g. a space → %20) would silently miss it
+  private def requireDay(day: String): Unit =
+    require(day.nonEmpty && day.forall(c =>
+        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
+      s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
+
+  /** Write each table's `dt=day` partition completely, then publish
+    * the day marker via tmp + atomic OVERWRITE rename (see the object
+    * scaladoc's commit protocol). */
+  private def commitDay(spark: SparkSession, root: String, day: String,
+      tables: Seq[(String, DataFrame)]): Unit = {
+    // clear the day's prior partitions first: dynamic overwrite
+    // only replaces partitions PRESENT in the incoming frame, so a
+    // backfill whose survivors shrink to zero would otherwise leave
+    // the stale old rows standing
+    val f0 = fs(spark, root)
+    tables.foreach { case (name, _) =>
+      f0.delete(new Path(s"$root/$name/dt=$day"), true)
+    }
+    tables.foreach { case (name, df) =>
+      PartitionedLayout.overwritePartitions(
+        df.withColumn("dt", lit(day)), s"$root/$name", Seq("dt"))
+    }
+    val f = fs(spark, root)
+    val marker = new Path(s"$root/$MarkerDir", day)
+    val tmp = new Path(s"$root/$MarkerDir", s".$day.tmp")
+    f.mkdirs(new Path(root, MarkerDir))
+    val out = f.create(tmp, true)
+    out.close()
+    fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
+      Options.Rename.OVERWRITE)
   }
 }

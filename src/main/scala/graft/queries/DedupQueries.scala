@@ -725,7 +725,8 @@ object DedupQueries {
       FROM documents d
       LEFT JOIN comp c ON d.doc_id = c.id
       LEFT JOIN winners w ON c.component = w.component
-      WHERE c.component IS NULL OR d.doc_id = w.wid"""))
+      WHERE c.component IS NULL OR d.doc_id = w.wid"""),
+    bench = true)
 
   /** Cluster-size distribution — the dedup run's diagnostic summary:
     * how many near-dup clusters exist at each size. The shape of this
@@ -821,10 +822,48 @@ object DedupQueries {
                  GROUP BY 1, 2)
       SELECT ca AS contained, cb AS container, c*1.0/sa.n AS containment
       FROM common JOIN sizes sa ON ca = sa.doc_id
-      WHERE c*1.0/sa.n >= 0.7"""))
+      WHERE c*1.0/sa.n >= 0.7"""),
+    bench = true)
+
+  /** Incremental containment dedup — q116's day-over-day form, the
+    * asymmetric cell of the incremental quadrant (q100 owns exact,
+    * [[graft.operators.IncrementalNearDedup]] symmetric Jaccard): a
+    * new ingest quoting an archived doc whole must be caught against
+    * the persisted store, not by re-running batch q116 over all
+    * history. Same even/odd standing-in-for-store/delta split as
+    * q100; the operator ([[graft.operators.IncrementalContainment]])
+    * emits every containment pair TOUCHING the delta, both
+    * orientations — new-doc-redundant AND archived-doc-swallowed —
+    * and the oracle is the full O(n²)-style SQL over the union
+    * restricted to delta-touching pairs, so equality proves the
+    * one-sided hash-order prefix probe is exact-recall (modulo the
+    * 2⁻⁶⁴ xxhash64 bound, as q116). Store-internal pairs are
+    * excluded: prior ingests already reported them.
+    * IncrementalContainmentSpec fuzzes the same equivalence on random
+    * corpora and proves store idempotency via
+    * [[graft.operators.DedupStore.ingestContained]]. */
+  private val incrementalContainment = Q(
+    "q118_incremental_containment",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      graft.operators.IncrementalContainment.containedPairs(
+        docs.filter($"doc_id" % 2 === 1),
+        graft.operators.IncrementalNearDedup
+          .shingleSets(docs.filter($"doc_id" % 2 === 0)))
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id ca, b.doc_id cb, count(*) c
+                 FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+                 GROUP BY 1, 2)
+      SELECT ca AS contained, cb AS container, c*1.0/sa.n AS containment
+      FROM common JOIN sizes sa ON ca = sa.doc_id
+      WHERE c*1.0/sa.n >= 0.7 AND (ca % 2 = 1 OR cb % 2 = 1)"""))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
-    containmentDedup)
+    containmentDedup, incrementalContainment)
 }

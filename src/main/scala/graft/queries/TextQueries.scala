@@ -534,7 +534,8 @@ object TextQueries {
       tot AS (SELECT count(*) AS n FROM w)
       SELECT tok, count(*) AS cnt FROM w CROSS JOIN tot
       GROUP BY tok, n
-      HAVING count(*) >= greatest(1, CAST(ceil(0.002 * n) AS BIGINT))"""))
+      HAVING count(*) >= greatest(1, CAST(ceil(0.002 * n) AS BIGINT))"""),
+    bench = true)
 
   /** Per-language heavy hitters: q105's sketch-route-verify with the
     * Misra–Gries summary keyed by `lang`, each language thresholded

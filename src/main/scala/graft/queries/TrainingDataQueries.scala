@@ -372,7 +372,8 @@ object TrainingDataQueries {
       c AS (SELECT doc_id, tokens,
         CAST(sum(tokens) OVER (ORDER BY k ASC, doc_id ASC) AS BIGINT)
           AS cum_tokens FROM t)
-      SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 25000"""))
+      SELECT doc_id, tokens, cum_tokens FROM c WHERE cum_tokens <= 25000"""),
+    bench = true)
 
   /** Per-benchmark contamination report — q82 flags contaminated
     * corpus docs against ONE eval set; real pipelines decontaminate
