@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * ingest quoting an archived doc whole — symmetric Jaccard misses it
   * structurally (a doc quoted inside a 10× host has J ≈ 0.1 at
   * containment 1.0), and a daily pipeline must catch it without
-  * re-running the batch join over all history.
+  * re-running the batch join over all history. (No analogue in the
+  * reference — its only dup handling is an assertion,
+  * `transforms/AppProfiles.java:50-56`; containment dedup is standard
+  * large-corpus curation practice, generalized here from q116.)
   *
   * Definition: A is contained in B when |A∩B|/|A| ≥ t over distinct
   * 3-word shingle hashes (q116's statistic exactly).

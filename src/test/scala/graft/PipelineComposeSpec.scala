@@ -16,14 +16,15 @@ import graft.sources.TfRecordSource
   * curated export is exactly what epoch assembly consumes.
   *
   * Corpus: the sf0.01 `documents` table (the gate corpus — real
-  * text distribution, lang/source slices). The same composed path at
-  * the ~sf1 50k-doc replica is the recorded smoke in SCALING.md
-  * (runtime budget keeps it out of CI).
+  * text distribution, lang/source slices). `GRAFT_PIPE_SFDIR`
+  * overrides it so the IDENTICAL assertions run at the ~sf1 50k-doc
+  * replica (the recorded smoke in SCALING.md — runtime budget keeps
+  * that scale out of default CI).
   */
 class PipelineComposeSpec extends AnyFunSuite with SparkSpec {
 
-  private val sfDir =
-    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.01"
+  private val sfDir = sys.env.getOrElse("GRAFT_PIPE_SFDIR",
+    sys.env.getOrElse("GRAFT_TESTDATA_DIR", "/root/testdata") + "/sf0.01")
 
   test("curate → TFRecord → re-attach → mixture → shards, counts agree") {
     val s = spark
@@ -42,9 +43,10 @@ class PipelineComposeSpec extends AnyFunSuite with SparkSpec {
     Seq(probeText).toDF("text").write.mode("overwrite").parquet(benchDir)
 
     // 1. curation: parquet in, TFRecord shards + manifest out
+    val nDocs = s.read.parquet(s"$sfDir/documents.parquet").count()
     val report = CurationJob.run(s, s"$sfDir/documents.parquet", benchDir,
       curatedDir, CurationJob.Config(targetShardBytes = 64 * 1024))
-    assert(report.input === 500)
+    assert(report.input === nDocs)
     assert(report.curated > 0 && report.curated < report.input,
       s"curation must cut something and keep something: $report")
     assert(report.recordsWritten === report.curated)

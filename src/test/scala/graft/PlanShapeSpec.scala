@@ -71,6 +71,16 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q118: incremental containment candidates are keyed equi-joins, never pair scans") {
+    // both candidate generators (all-prefix ⋈ delta-postings and
+    // delta-prefix ⋈ store-postings) key on the shingle hash; the
+    // verification joins key on candidate ids — a refactor that
+    // reintroduces a pair-shaped scan over store × delta fails here
+    val p = plan("q118_incremental_containment")
+    assert(!p.contains("CartesianProduct"), "q118 plans a cartesian pair scan")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "q118 plans a nested-loop pair scan")
+  }
+
   test("q100: the store probe is Bloom-routed — might_contain rides the delta Filter") {
     // a revert to the plain left-anti (whole delta into the join)
     // loses the might_contain route; the definite-miss branch and the
