@@ -1,0 +1,121 @@
+package graft.jobs
+
+import graft.operators.{DedupStore, IncrementalContainment, LshGuard}
+import graft.sources.TfRecordSink
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DAILY curation — the incremental twin of [[CurationJob]], and the
+  * composition the three persisted dedup stores exist for: a crawl's
+  * day-N delta is curated against ALL HISTORY without re-reading the
+  * historical corpus, only its slim store tables. Per ingested day:
+  *
+  *   1. QUALITY floor — [[CurationJob.qualityPredicate]], shared with
+  *      the batch and streaming paths so the three cannot drift.
+  *      Stateless, so it runs first and shrinks every store probe.
+  *   2. EXACT vs history — [[DedupStore.ingestExact]]: Bloom-routed
+  *      digest-store probe + min-id intra-delta collapse. First of
+  *      the dedup stages for the same reason as in batch: no bucket
+  *      pathology, and it absorbs the byte-identical families the
+  *      near-dup guard's recall contract hands off.
+  *   3. NEAR-DUP vs history — [[DedupStore.ingest]]: banded MinHash
+  *      candidates against the committed band store (hot buckets
+  *      capped by [[LshGuard]]), exact-Jaccard verify, transitive
+  *      suppression.
+  *   4. CONTAINMENT vs history — [[DedupStore.ingestContained]]: the
+  *      one-sided prefix probe; catches the new-doc-quotes-archived-
+  *      doc case Jaccard structurally misses.
+  *   5. EXPORT — the day's curated docs as byte-packed gzip TFRecord
+  *      shards under `out/dt=<day>/` plus a per-day scalar manifest,
+  *      so a trainer consumes day directories exactly as it consumes
+  *      [[CurationJob]]'s batch output.
+  *
+  * Store-append discipline: each stage's store commits THAT stage's
+  * survivors (its own ingest semantics). A doc cut at stage k+1 was
+  * a stage-k survivor, so its key stays in stage k's store — e.g. a
+  * near-dup-cut doc's digest remains committed, and a future
+  * byte-copy of it dies at the cheap EXACT probe instead of paying
+  * the near-dup join again (the spec's day-3 case). The suppression
+  * OUTCOME is the same either way; committing at each stage just
+  * routes repeat offenders to the cheapest stage that can kill them.
+  * Each store root has its own day markers; a crash mid-day leaves
+  * later stages uncommitted and the whole day re-runs idempotently
+  * (every ingest excludes its own day from the store it reads —
+  * [[DedupStore]]'s protocol).
+  *
+  * 100 TB notes: the day's delta streams through four keyed probes
+  * whose store sides are slim tables (32-hex digests, 8 bands/doc,
+  * shingle-hash sets) — history's TEXT is never re-read. The
+  * intermediate day frames are cached (day-sized, not
+  * history-sized); pass `cfg.nearDedupSpillDir` to keep the near
+  * stage's set tables off executor storage for big days.
+  */
+object IncrementalCurationJob {
+
+  /** Per-day stage counts; -1 = not measured (`stats = false`). */
+  case class Report(day: String, input: Long, afterQuality: Long,
+      afterExact: Long, afterNear: Long, curated: Long,
+      shards: Int, recordsWritten: Long)
+
+  /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
+    * ride along) against the stores under `root`, exporting curated
+    * TFRecord shards to `root/out/dt=<day>/`. Returns the per-day
+    * report (also written as the day's `_manifest.json`). */
+  def ingestDay(delta: DataFrame, root: String, day: String,
+      cfg: CurationJob.Config = CurationJob.Config(),
+      containT: Double = IncrementalContainment.DefaultT,
+      stats: Boolean = true): Report = {
+    val spark = delta.sparkSession
+    import spark.implicits._
+    graft.GraftExtensions.ensureRegistered(spark)
+
+    val afterQuality = delta.filter(CurationJob.qualityPredicate(cfg))
+    // each ingest evaluates its delta several times (band/set/digest
+    // builders + survivor joins) — cache the day-sized frames so a
+    // stage's lineage never replays the previous stages' store probes
+    val afterExact = DedupStore.ingestExact(
+      afterQuality, s"$root/exact", day).cache()
+    val afterNear = DedupStore.ingest(afterExact, s"$root/near", day,
+      t = cfg.jaccardT, maxBucket = LshGuard.maxBucket(spark),
+      spillDir = cfg.nearDedupSpillDir).cache()
+    val curated = DedupStore.ingestContained(afterNear, s"$root/contain",
+      day, t = containT).cache()
+    try {
+      val outDir = s"$root/out/dt=$day"
+      // re-runs may pack FEWER shards than a prior attempt; clear the
+      // day dir so stale higher-numbered parts can't survive the
+      // overwrite (the same rule as DedupStore.commitDay's delete)
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      val records = curated
+        .select(to_json(struct(col("doc_id"), col("text"))).as("j"))
+        .select(encode(col("j"), "UTF-8").as("b")).as[Array[Byte]]
+      val (shards, written) =
+        TfRecordSink.writeBalanced(records, outDir, cfg.targetShardBytes)
+
+      def n(df: DataFrame): Long = if (stats) df.count() else -1L
+      val report = Report(day, n(delta), n(afterQuality), n(afterExact),
+        n(afterNear), written, shards, written)
+      val manifest =
+        s"""{"day":"$day","input":${report.input},"after_quality":${report.afterQuality},
+           |"after_exact":${report.afterExact},"after_near":${report.afterNear},
+           |"curated":${report.curated},"shards":${report.shards},
+           |"records_written":${report.recordsWritten}}"""
+          .stripMargin.replace("\n", "")
+      // same tmp + atomic OVERWRITE-rename protocol as every other
+      // commit marker in the engine
+      val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+      val tmp = new org.apache.hadoop.fs.Path(outDir, "._manifest.json.tmp")
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val out = fs.create(tmp, true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(path),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      report
+    } finally {
+      curated.unpersist(); afterNear.unpersist(); afterExact.unpersist()
+    }
+  }
+}

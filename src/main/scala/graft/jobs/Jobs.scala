@@ -71,6 +71,11 @@ object Jobs {
         val report = CurationJob.run(spark, kv("input"), kv("benchmark"),
           kv("output"), stats = kv.get("stats").forall(_.toBoolean))
         println(report)
+      case "incrementalCurationJob" => // extension: daily curation vs stores
+        val report = IncrementalCurationJob.ingestDay(
+          spark.read.parquet(kv("input")), kv("root"), kv("day"),
+          stats = kv.get("stats").forall(_.toBoolean))
+        println(report)
       case "mixtureJob" => // extension: epoch assembly (MixtureJob)
         val cfg = MixtureJob.Config(
           sliceCol = kv.getOrElse("slice", "lang"),

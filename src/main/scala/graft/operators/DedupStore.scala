@@ -164,6 +164,35 @@ object DedupStore {
     surv
   }
 
+  /** Day-over-day EXACT dedup ingest (round 9) — q100's store probe
+    * with persistence: suppress delta docs whose `md5(text)` digest
+    * is already committed (the [[BloomAntiJoin]] route — definite
+    * misses never shuffle, the store regime where fingerprints are
+    * billions of rows) or duplicated within the delta (min-`idCol`
+    * canonical, q40's rule), then append the survivors' digests as
+    * `day`'s partition under the same marker/idempotency protocol as
+    * [[ingest]]. The digest table is the slimmest store of the three
+    * suppression disciplines: 32 hex chars per surviving doc. */
+  def ingestExact(delta: DataFrame, root: String, day: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    requireDay(day)
+    val spark = delta.sparkSession
+    val fp = "__graft_fp"
+    val store = readCommitted(spark, root, "digests",
+      delta.limit(0).select(md5(col(textCol)).as("fp")),
+      exceptDay = Some(day)).drop("dt").withColumnRenamed("fp", fp)
+    val cols = delta.columns.toSeq
+    val surv = BloomAntiJoin(delta.withColumn(fp, md5(col(textCol))), store, fp)
+      .groupBy(col(fp))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("__r"))
+      .select(cols.map(c => col(s"__r.$c")): _*)
+      .cache()
+    try commitDay(spark, root, day, Seq(
+      "digests" -> surv.select(md5(col(textCol)).as("fp"))))
+    finally surv.unpersist()
+    surv
+  }
+
   /** Committed containment-pair REPORT for a delta against a store
     * root, without mutating anything — the read-side twin of
     * [[ingestContained]] for pipelines that flag instead of drop

@@ -1,0 +1,108 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.jobs.IncrementalCurationJob
+import graft.sources.TfRecordSource
+
+/** [[IncrementalCurationJob]] — daily curation against the three
+  * persisted dedup stores. Each day-2 row is planted to be cut by
+  * exactly one stage (quality, exact-vs-store, near-vs-store,
+  * containment-vs-store), so the per-stage counts prove WHICH store
+  * suppressed WHAT across days; the exports round-trip through the
+  * real TFRecord reader; re-runs are idempotent.
+  */
+class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(ids: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.toSeq.toDF("doc_id", "text")
+  }
+
+  private def ids(df: DataFrame): Set[Long] = {
+    val s = spark
+    import s.implicits._
+    df.select($"doc_id").as[Long].collect().toSet
+  }
+
+  private def readDay(root: String, day: String): Set[Long] = {
+    val s = spark
+    import s.implicits._
+    TfRecordSource.read(s, s"$root/out/dt=$day/part-*")
+      .select(from_json(decode($"value", "UTF-8"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, text STRING")).as("r"))
+      .select($"r.doc_id").as[Long].collect().toSet
+  }
+
+  // 30 words → 28 shingles: long enough that a 10-word quote is
+  // containment-1.0 but Jaccard ~0.3 (below the 0.6 near threshold)
+  private val archived = ("the quick brown fox jumps over the lazy dog near " +
+    "the riverbank while autumn leaves drift slowly past the old stone " +
+    "bridge where children often play games")
+  private val other =
+    "completely different content about distributed query engines and shuffle plans today"
+
+  test("day 2 is curated against day 1's stores, stage by stage") {
+    val root = Files.createTempDirectory("icur").toString
+    val r1 = IncrementalCurationJob.ingestDay(
+      docs(1L -> archived, 2L -> other), root, "2024-01-01")
+    assert(r1.curated === 2 && r1.recordsWritten === 2)
+    assert(readDay(root, "2024-01-01") === Set(1L, 2L))
+
+    val day2 = docs(
+      10L -> archived,                                   // exact copy of stored 1
+      11L -> other.replace("today", "tonight"),          // near-dup of stored 2
+      12L -> archived.split(" ").take(10).mkString(" "), // quote of 1: containment 1.0, J ~0.3
+      13L -> "tiny",                                     // quality cut
+      14L -> "a brand new unique document about gardening tulips and rich soil beds")
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02")
+    assert(r2.input === 5)
+    assert(r2.afterQuality === 4, "13 cut by the quality floor")
+    assert(r2.afterExact === 3, "10 cut by the exact digest store")
+    assert(r2.afterNear === 2, "11 cut by the near-dup band store")
+    assert(r2.curated === 1, "12 cut by the containment store")
+    assert(readDay(root, "2024-01-02") === Set(14L))
+  }
+
+  test("intra-day cuts and cross-day chains compose") {
+    val root = Files.createTempDirectory("icur2").toString
+    IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
+    // 20/21 are intra-day exact twins (min id 20 survives), and both
+    // are near-dups of stored 1 → the survivor still dies at NEAR
+    val near = archived.replace("autumn", "spring")
+    val r2 = IncrementalCurationJob.ingestDay(
+      docs(21L -> near, 20L -> near, 22L -> other), root, "d2")
+    assert(r2.afterExact === 2, "21 collapsed into 20 within the day")
+    assert(r2.afterNear === 1, "20 then suppressed by stored 1")
+    assert(readDay(root, "d2") === Set(22L))
+    // day 3: an exact copy of the day-2-CUT doc 20 is suppressed at
+    // the EXACT stage — 20 was an exact-stage survivor, so its digest
+    // is committed even though the near stage cut it later (the
+    // store-append discipline: repeat offenders die at the cheapest
+    // stage that can kill them)
+    val r3 = IncrementalCurationJob.ingestDay(docs(30L -> near), root, "d3")
+    assert(r3.afterExact === 0, "30's digest is already in the exact store")
+    assert(r3.curated === 0 && r3.shards === 0)
+  }
+
+  test("re-running a committed day converges to identical output") {
+    val root = Files.createTempDirectory("icur3").toString
+    IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
+    val day2 = docs(10L -> archived, 14L ->
+      "a brand new unique document about gardening tulips and rich soil beds")
+    val a = IncrementalCurationJob.ingestDay(day2, root, "d2")
+    val b = IncrementalCurationJob.ingestDay(day2, root, "d2")
+    assert(a === b)
+    assert(readDay(root, "d2") === Set(14L))
+    // manifest on disk reflects the (re-)run
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/dt=d2", "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"curated\":1"), manifest)
+  }
+}
