@@ -77,6 +77,35 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("connected components: local fast path and distributed loop agree") {
+    // the round-9 fast path (driver union-find under
+    // graft.cc.maxLocalEdges) must be label-identical to the Pregel
+    // loop on the same graphs — force each path explicitly
+    val spark2 = spark
+    import spark2.implicits._
+    val rnd = new scala.util.Random(7)
+    def run(edges: Seq[(Long, Long)], cap: String): Map[Long, Long] = {
+      spark2.conf.set("graft.cc.maxLocalEdges", cap)
+      try operators.ConnectedComponents.label(edges.toDF("a", "b"))
+        .as[(Long, Long)].collect().toMap
+      finally spark2.conf.unset("graft.cc.maxLocalEdges")
+    }
+    for (trial <- 1 to 3) {
+      val edges = Seq.fill(40 + trial * 20)(
+        (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+        .filter { case (a, b) => a != b }
+      val local = run(edges, cap = "1000000")
+      val dist = run(edges, cap = "0") // 0 edges allowed → loop path
+      assert(local === dist, s"trial $trial: paths disagree")
+    }
+    // non-long ids always take the distributed path (no fast-path
+    // collect semantics to get wrong on other key types)
+    val strEdges = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+    val got = operators.ConnectedComponents.label(strEdges.toDF("s", "t"))
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+  }
+
   test("session_window: touching windows merge, strictly-greater gap splits") {
     val spark2 = spark
     import spark2.implicits._
