@@ -19,7 +19,8 @@ object PlanAudit {
     "q103_partition_pruned_daily", "q105_heavy_hitters",
     "q107_temperature_mix", "q110_dedup_keep_longest",
     "q111_token_budget_pack", "q112_decontam_report",
-    "q113_embedding_center_stats", "q114_dataset_card")
+    "q113_embedding_center_stats", "q114_dataset_card",
+    "q116_containment_dedup", "q118_incremental_containment")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>
