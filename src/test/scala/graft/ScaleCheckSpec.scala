@@ -95,7 +95,13 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     // with data, e.g. all rows clamping into one width_bucket end
     // bucket wouldn't change the ratio either, but a data-dependent
     // candidate blowup in a future edit would).
-    "q32_distribution_ranks" -> 10.0)
+    "q32_distribution_ranks" -> 10.0,
+    // round 9: the containment family — one-sided prefix postings
+    // join (batch q116; q118 adds the store orientation split). Cost
+    // tracks Σ df·|prefix|, keyed on the shingle hash; measured
+    // sf0.001 → ×10 on the round-9 code.
+    "q116_containment_dedup" -> 8.0,
+    "q118_incremental_containment" -> 7.1)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
