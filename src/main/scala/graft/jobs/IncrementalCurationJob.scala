@@ -57,6 +57,33 @@ object IncrementalCurationJob {
       afterExact: Long, afterNear: Long, curated: Long,
       shards: Int, recordsWritten: Long)
 
+  /** STREAMING ingest against the same stores — each micro-batch runs
+    * [[ingestDay]] with the batch id as its store "day"
+    * (`batch-<id>`), which buys exactly-once curation for free: a
+    * replayed batch (failure recovery re-delivers the same data under
+    * the same id) re-runs an already-committed day, and the store
+    * protocol's self-exclusion makes that converge to the identical
+    * survivors and identical day partitions instead of
+    * double-suppressing or double-appending. Contrast
+    * [[CurationJob.curateStream]]: that path is stateless-per-window
+    * (fingerprint keys inside a watermark horizon, no disk); this one
+    * is the full store-backed suppression — exact digests, LSH bands,
+    * containment sets — with history unbounded by any watermark.
+    * Micro-batches are sequential (one writer per store root —
+    * Structured Streaming's foreachBatch guarantee), so the
+    * single-writer-per-day store contract holds by construction. */
+  def runStream(docs: DataFrame, root: String, checkpointDir: String,
+      cfg: CurationJob.Config = CurationJob.Config(),
+      containT: Double = IncrementalContainment.DefaultT): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        ingestDay(batch.toDF(), root, f"batch-$id%06d", cfg, containT,
+          stats = false): Unit
+      }
+      .start()
+
   /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
     * ride along) against the stores under `root`, exporting curated
     * TFRecord shards to `root/out/dt=<day>/`. Returns the per-day

@@ -860,7 +860,8 @@ object DedupQueries {
                  GROUP BY 1, 2)
       SELECT ca AS contained, cb AS container, c*1.0/sa.n AS containment
       FROM common JOIN sizes sa ON ca = sa.doc_id
-      WHERE c*1.0/sa.n >= 0.7 AND (ca % 2 = 1 OR cb % 2 = 1)"""))
+      WHERE c*1.0/sa.n >= 0.7 AND (ca % 2 = 1 OR cb % 2 = 1)"""),
+    bench = true)
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,

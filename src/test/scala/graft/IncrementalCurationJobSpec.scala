@@ -91,6 +91,34 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(r3.curated === 0 && r3.shards === 0)
   }
 
+  test("runStream: micro-batches curate against the stores; batch id is the day") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("icur-stream").toString
+    val ckpt = Files.createTempDirectory("icur-ckpt").toString
+    val in = MemoryStream[(Long, String)]
+    val q = graft.jobs.IncrementalCurationJob.runStream(
+      in.toDF().toDF("doc_id", "text"), root, ckpt)
+    try {
+      in.addData((1L, archived), (2L, other))
+      q.processAllAvailable() // batch 0: both new → both survive
+      in.addData(
+        (10L, archived),                                   // exact copy of streamed 1
+        (11L, archived.replace("autumn", "spring")),       // near-dup of 1
+        (12L, archived.split(" ").take(10).mkString(" ")), // contained in 1
+        (14L, "a brand new unique document about gardening tulips and rich soil beds"))
+      q.processAllAvailable() // batch 1: only 14 survives the stores
+      assert(readDay(root, "batch-000000") === Set(1L, 2L))
+      assert(readDay(root, "batch-000001") === Set(14L))
+      // every micro-batch committed its day markers in all three stores
+      for (store <- Seq("exact", "near", "contain"))
+        assert(graft.operators.DedupStore.committedDays(s, s"$root/$store")
+          === Seq("batch-000000", "batch-000001"), store)
+    } finally q.stop()
+  }
+
   test("re-running a committed day converges to identical output") {
     val root = Files.createTempDirectory("icur3").toString
     IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
