@@ -863,8 +863,86 @@ object DedupQueries {
       WHERE c*1.0/sa.n >= 0.7 AND (ca % 2 = 1 OR cb % 2 = 1)"""),
     bench = true)
 
+  /** Span-CUT application — q71 measures which token positions are
+    * covered by cross-doc verbatim k=20-token spans; this query
+    * actually CUTS them, emitting each doc's cleaned text with the
+    * covered positions removed plus the removal accounting — the
+    * "cut long verbatim repeats" step itself (the public
+    * exact-substring-dedup recipe applies cuts, it doesn't just score
+    * them). Whole-doc suppression (q78/q110) is the wrong tool when
+    * only a license header or navigation chrome repeats; this keeps
+    * the unique remainder.
+    *
+    * Shape: identical inverted-index machinery to q71 (k-gram keys,
+    * cross-doc df ≥ 2, per-doc covered-position explode) — one added
+    * row-local reassembly: surviving (pos, token) pairs collect per
+    * doc, `array_sort` orders them (struct sort on the leading int
+    * field), `concat_ws` re-joins. The collect_list is per-DOC state
+    * (bounded by doc length — the same bound the q117 percentile
+    * switch guards at group level is inherent here: a doc's own
+    * tokens already fit in one row's text field). Docs too short to
+    * carry a k-gram, or with every span unique, pass through
+    * verbatim; a doc covered END-TO-END collapses to the empty
+    * string (removed == n_tokens — the q40-style exact dup caught at
+    * span granularity). */
+  private val spanCut = Q(
+    "q119_span_cut",
+    (s, d) => {
+      import s.implicits._
+      val k = 20
+      val toks = T.documents(s, d)
+        .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      val pos = toks
+        .select($"doc_id", posexplode($"ws"))
+        .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("tok"))
+      val grams = toks.filter(size($"ws") >= k)
+        .select($"doc_id",
+          posexplode(transform(sequence(lit(1), size($"ws") - (k - 1)),
+            i => concat_ws(" ", slice($"ws", i, lit(k))))))
+        .select($"doc_id", ($"pos" + 1).as("p"), $"col".as("g"))
+        .cache() // df-count branch AND coverage join (q71's measured trade)
+      val shared = grams.select($"g", $"doc_id").distinct()
+        .groupBy($"g").agg(count(lit(1)).as("ndocs"))
+        .filter($"ndocs" >= 2)
+        .select($"g")
+      val covered = grams.join(shared, "g")
+        .select($"doc_id", explode(sequence($"p", $"p" + (k - 1))).as("p"))
+        .distinct()
+      val kept = pos.join(covered, Seq("doc_id", "p"), "left_anti")
+      val cleaned = kept.groupBy($"doc_id")
+        .agg(count(lit(1)).as("kept_tokens"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(struct($"p", $"tok"))),
+            x => x.getField("tok"))).as("cleaned_text"))
+      toks.select($"doc_id", size($"ws").cast("long").as("n_tokens"))
+        .join(cleaned, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_tokens",
+          ($"n_tokens" - coalesce($"kept_tokens", lit(0L))).as("removed_tokens"),
+          coalesce($"cleaned_text", lit("")).as("cleaned_text"))
+    },
+    Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') ws
+        FROM documents),
+      pos AS (SELECT doc_id, unnest(generate_series(1, len(ws))) p FROM t),
+      tok AS (SELECT doc_id, p, ws[p] tok FROM pos JOIN t USING (doc_id)),
+      gpos AS (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 19)) p
+               FROM t WHERE len(ws) >= 20),
+      gr AS (SELECT doc_id, p, array_to_string(ws[p:p+19], ' ') g FROM gpos),
+      shared AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) nd
+                                FROM gr GROUP BY g) WHERE nd >= 2),
+      cov AS (SELECT DISTINCT doc_id, unnest(generate_series(p, p + 19)) p
+              FROM gr JOIN shared USING (g)),
+      kept AS (SELECT tok.doc_id, tok.p, tok.tok FROM tok
+               ANTI JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p),
+      cl AS (SELECT doc_id, count(*) kept_tokens,
+               string_agg(tok, ' ' ORDER BY p) cleaned_text
+             FROM kept GROUP BY doc_id)
+      SELECT t.doc_id, len(t.ws)::BIGINT n_tokens,
+        len(t.ws)::BIGINT - coalesce(cl.kept_tokens, 0) AS removed_tokens,
+        coalesce(cl.cleaned_text, '') AS cleaned_text
+      FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
-    containmentDedup, incrementalContainment)
+    containmentDedup, incrementalContainment, spanCut)
 }
