@@ -151,4 +151,22 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
         "= 2x the recorded 2.6 on 3x data) — a super-linear candidate " +
         "stage crept in; fix the plan, don't bump the bound")
   }
+
+  /** Round 9: the containment family gets the same second-decade pin
+    * as q41 — the one-sided prefix join's cost (Σ df·|prefix|) is
+    * linear only while the prefix stays rarity-bounded; a regression
+    * that widens it (lost length filter, degenerate prefix slice)
+    * compounds decade over decade. Recorded ×10→×30 measurement on
+    * the round-9 code: 3.0× on 3× data (linear); red line 2×. */
+  test("x30 second decade: q116 containment shuffle records grow linearly from x10 to x30") {
+    assume(new java.io.File(base).isDirectory)
+    val r10 = shuffleRecordsOf("q116_containment_dedup", big)
+    val r30 = shuffleRecordsOf("q116_containment_dedup", big30)
+    val ratio = r30.toDouble / math.max(r10, 1L)
+    info(f"q116: x10 $r10%d -> x30 $r30%d shuffle records, ratio $ratio%.2f on 3x data")
+    assert(ratio <= 6.0,
+      f"q116 second-decade shuffle growth $r10%d -> $r30%d (x$ratio%.2f > 6.0 " +
+        "= 2x the recorded 3.0 on 3x data) — a super-linear candidate " +
+        "stage crept in; fix the plan, don't bump the bound")
+  }
 }
