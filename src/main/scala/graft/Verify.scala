@@ -41,11 +41,16 @@ object Verify {
       // 70+ queries' blocks accumulate in one session at larger SFs
       finally spark.catalog.clearCache()
     }
-    Files.writeString(Paths.get(s"$outDir/registry.json"),
-      queries.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]"))
+    // errors BEFORE registry: registry.json is the artifact's commit
+    // marker (check.py hard-fails on registry-present/errors-absent),
+    // so a crash between the two writes can only produce a dump that
+    // reads as pre-tamper-evident, never one that silently drops the
+    // error channel while looking complete
     Files.writeString(Paths.get(s"$outDir/errors.json"),
       errors.map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }
         .mkString("{", ",", "}"))
+    Files.writeString(Paths.get(s"$outDir/registry.json"),
+      queries.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]"))
     errors.toMap
   }
 

@@ -97,16 +97,18 @@ object IncrementalCurationJob {
     graft.GraftExtensions.ensureRegistered(spark)
 
     val afterQuality = delta.filter(CurationJob.qualityPredicate(cfg))
-    // each ingest evaluates its delta several times (band/set/digest
-    // builders + survivor joins) — cache the day-sized frames so a
-    // stage's lineage never replays the previous stages' store probes
+    // retainCache: each ingest materializes its survivors for its own
+    // commit — retaining that cache hands the MATERIALIZED frame to
+    // the next stage, which would otherwise replay the whole prior
+    // stage (store scans included) on first touch; this job owns the
+    // unpersists in the finally below
     val afterExact = DedupStore.ingestExact(
-      afterQuality, s"$root/exact", day).cache()
+      afterQuality, s"$root/exact", day, retainCache = true)
     val afterNear = DedupStore.ingest(afterExact, s"$root/near", day,
       t = cfg.jaccardT, maxBucket = LshGuard.maxBucket(spark),
-      spillDir = cfg.nearDedupSpillDir).cache()
+      spillDir = cfg.nearDedupSpillDir, retainCache = true)
     val curated = DedupStore.ingestContained(afterNear, s"$root/contain",
-      day, t = containT).cache()
+      day, t = containT, retainCache = true)
     try {
       val outDir = s"$root/out/dt=$day"
       // re-runs may pack FEWER shards than a prior attempt; clear the
@@ -121,8 +123,14 @@ object IncrementalCurationJob {
         TfRecordSink.writeBalanced(records, outDir, cfg.targetShardBytes)
 
       def n(df: DataFrame): Long = if (stats) df.count() else -1L
+      // curated is COUNTED (cheap — the frame is cached), never
+      // aliased to the sink's written count: curated == recordsWritten
+      // is the seam check that catches a sink-side record drop, and
+      // an aliased value can never fail it
       val report = Report(day, n(delta), n(afterQuality), n(afterExact),
-        n(afterNear), written, shards, written)
+        n(afterNear), if (stats) curated.count() else written, shards, written)
+      if (stats) require(report.curated == written,
+        s"sink dropped records: curated ${report.curated} != written $written")
       val manifest =
         s"""{"day":"$day","input":${report.input},"after_quality":${report.afterQuality},
            |"after_exact":${report.afterExact},"after_near":${report.afterNear},

@@ -57,7 +57,13 @@ object ConnectedComponents {
   def label(pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
     val spark = pairs.sparkSession
     val Seq(a, b) = pairs.columns.toSeq.take(2).map(col)
-    val p = pairs.select(a.as("src"), b.as("dst")).cache()
+    // null-keyed edges carry no joinable endpoint: the distributed
+    // loop's equi-joins would silently ignore them (while leaking a
+    // (null, null) label row), and the fast path's getLong would NPE
+    // — drop them up front so BOTH paths see the same graph and a
+    // null never reaches either labeling
+    val p = pairs.select(a.as("src"), b.as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull).cache()
     val longIds = p.schema.fields.forall(_.dataType == LongType)
     val n = p.count() // materializes the cache; both paths reread it
     val result =

@@ -96,15 +96,22 @@ object DedupStore {
     * survivors' bands/sets as `day`'s partitions, commit the day
     * marker. Returns the surviving delta rows.
     *
-    * The survivors frame is cached for the two table writes and
-    * unpersisted before returning — the returned frame stays valid
-    * (it recomputes through the operator's checkpointed labels) and
-    * a daily ingest loop accumulates no executor storage. */
+    * The survivors frame is cached for the two table writes and —
+    * unless `retainCache` — unpersisted before returning: the
+    * returned frame stays valid (it recomputes through the
+    * operator's checkpointed labels) and a daily ingest loop
+    * accumulates no executor storage. `retainCache = true` hands the
+    * STILL-CACHED frame to a caller that will consume it further
+    * (e.g. [[graft.jobs.IncrementalCurationJob]] feeds it to the
+    * next suppression stage — without retention that consumer would
+    * replay the whole stage including the store scans); the caller
+    * then owns the unpersist. */
   def ingest(delta: DataFrame, root: String, day: String,
       idCol: String = "doc_id", textCol: String = "text",
       t: Double = 0.6,
       maxBucket: Int = LshGuard.DefaultMaxBucket,
-      spillDir: Option[String] = None): DataFrame = {
+      spillDir: Option[String] = None,
+      retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
     val emptyDelta = delta.limit(0)
@@ -121,7 +128,7 @@ object DedupStore {
     try commitDay(spark, root, day, Seq(
       "bands" -> IncrementalNearDedup.bandTable(surv, idCol, textCol),
       "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
-    finally surv.unpersist()
+    finally if (!retainCache) surv.unpersist()
     surv
   }
 
@@ -145,23 +152,31 @@ object DedupStore {
     * the other. */
   def ingestContained(delta: DataFrame, root: String, day: String,
       idCol: String = "doc_id", textCol: String = "text",
-      t: Double = IncrementalContainment.DefaultT): DataFrame = {
+      t: Double = IncrementalContainment.DefaultT,
+      retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
     val emptyDelta = delta.limit(0)
     val storeSets = readCommitted(spark, root, "sets",
       IncrementalNearDedup.shingleSets(emptyDelta, idCol, textCol),
       exceptDay = Some(day)).drop("dt")
-    val pairs = IncrementalContainment
-      .containedPairs(delta, storeSets, idCol, textCol, t)
-    val dropped = IncrementalContainment.suppressedDeltaIds(pairs,
-      storeSets.select(col("id")), delta.select(col(idCol).as("id")))
-    val surv = delta.join(dropped.withColumnRenamed("id", idCol),
-      Seq(idCol), "left_anti").cache()
-    try commitDay(spark, root, day, Seq(
-      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
-    finally surv.unpersist()
-    surv
+    // the delta's shingle sets feed four joins (both candidate
+    // orientations + both verification fetches) — cache the
+    // delta-sized table so word_shingle_hashes runs once, and own
+    // the unpersist here (fromSets is caller-persistence-agnostic)
+    val dSets = IncrementalNearDedup
+      .shingleSets(delta, idCol, textCol).cache()
+    try {
+      val pairs = IncrementalContainment.fromSets(dSets, storeSets, t)
+      val dropped = IncrementalContainment.suppressedDeltaIds(pairs,
+        storeSets.select(col("id")), delta.select(col(idCol).as("id")))
+      val surv = delta.join(dropped.withColumnRenamed("id", idCol),
+        Seq(idCol), "left_anti").cache()
+      try commitDay(spark, root, day, Seq(
+        "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
+      finally if (!retainCache) surv.unpersist()
+      surv
+    } finally dSets.unpersist()
   }
 
   /** Day-over-day EXACT dedup ingest (round 9) — q100's store probe
@@ -174,7 +189,8 @@ object DedupStore {
     * [[ingest]]. The digest table is the slimmest store of the three
     * suppression disciplines: 32 hex chars per surviving doc. */
   def ingestExact(delta: DataFrame, root: String, day: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
     val fp = "__graft_fp"
@@ -189,7 +205,7 @@ object DedupStore {
       .cache()
     try commitDay(spark, root, day, Seq(
       "digests" -> surv.select(md5(col(textCol)).as("fp"))))
-    finally surv.unpersist()
+    finally if (!retainCache) surv.unpersist()
     surv
   }
 

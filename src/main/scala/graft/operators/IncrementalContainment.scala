@@ -87,8 +87,23 @@ object IncrementalContainment {
   def containedPairs(delta: DataFrame, storeSets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
       t: Double = DefaultT): DataFrame = {
+    // cache: the delta's shingle sets feed four joins below; without
+    // it word_shingle_hashes replays per consumer. The engine's query
+    // convention (q71/q119 precedent): intra-query caches are released
+    // by the harness's clearCache between queries. Callers running a
+    // LOOP should build the sets themselves and call [[fromSets]]
+    // with caller-owned persistence (DedupStore.ingestContained does).
+    fromSets(
+      IncrementalNearDedup.shingleSets(delta, idCol, textCol).cache(),
+      storeSets, t)
+  }
+
+  /** [[containedPairs]] over pre-built `(id, n, hset)` delta sets —
+    * persistence of `dSets` (read by four joins) is the CALLER's
+    * concern. */
+  private[graft] def fromSets(dSets: DataFrame, storeSets: DataFrame,
+      t: Double = DefaultT): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0,1], got $t")
-    val dSets = IncrementalNearDedup.shingleSets(delta, idCol, textCol)
     val sSets = storeSets.select(col("id"), col("n"), col("hset"))
     val allSets = dSets.unionByName(sSets)
 

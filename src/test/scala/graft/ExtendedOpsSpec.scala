@@ -104,6 +104,19 @@ class ExtendedOpsSpec extends AnyFunSuite with SparkSpec {
     val got = operators.ConnectedComponents.label(strEdges.toDF("s", "t"))
       .as[(String, String)].collect().toMap
     assert(got === Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x"))
+    // null-keyed edges are dropped identically on both paths — no
+    // NPE on the fast path, no leaked (null, null) label row on the
+    // distributed one
+    val withNulls = Seq((Some(1L), Some(2L)), (None, Some(3L)), (Some(4L), None))
+      .toDF("a", "b")
+    for (cap <- Seq("1000000", "0")) {
+      spark2.conf.set("graft.cc.maxLocalEdges", cap)
+      try {
+        val m = operators.ConnectedComponents.label(withNulls)
+          .as[(Long, Long)].collect().toMap
+        assert(m === Map(1L -> 1L, 2L -> 1L), s"cap=$cap: $m")
+      } finally spark2.conf.unset("graft.cc.maxLocalEdges")
+    }
   }
 
   test("session_window: touching windows merge, strictly-greater gap splits") {

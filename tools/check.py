@@ -103,10 +103,19 @@ def main():
     # must produce exactly one line here; errors.json turns an absence
     # into an explicit ERR row, and the final assert makes any
     # registry/artifact mismatch a nonzero exit.
-    try:
+    # registry.json is the tamper-evidence commit marker (Verify writes
+    # errors.json FIRST): fall back to oracle-only iteration ONLY when
+    # the registry itself is absent (a genuinely pre-round-9 dump);
+    # registry present but errors.json missing is a TORN artifact and
+    # must fail loudly, not quietly downgrade the gate.
+    import os
+    if os.path.exists(f"{out}/registry.json"):
         registry = json.load(open(f"{out}/registry.json"))
+        if not os.path.exists(f"{out}/errors.json"):
+            print("GATE FAIL: registry.json present but errors.json missing — torn artifact")
+            sys.exit(2)
         errors = json.load(open(f"{out}/errors.json"))
-    except FileNotFoundError:  # pre-round-9 dump
+    else:  # pre-round-9 dump
         registry, errors = sorted(oracles), {}
     import glob
     n_lines = n_fail = 0
@@ -130,10 +139,15 @@ def main():
         if not verdict.startswith("OK"):
             n_fail += 1
         print(f"{name}: {verdict}")
-    expected = len(registry) if not names else len(set(registry) & set(names))
-    if n_lines != expected:
-        print(f"GATE FAIL: {n_lines} entries vs {expected} registry queries")
+    # an oracle for a query the registry doesn't know means the dump
+    # and oracle_sql.json came from different binaries — a mixed/torn
+    # artifact (the reverse direction, registry-without-oracle, is the
+    # legitimate rows-only case handled per-name above)
+    stray = sorted(set(oracles) - set(registry))
+    if stray:
+        print(f"GATE FAIL: oracles for unregistered queries {stray[:5]} — mixed artifact")
         sys.exit(2)
+    expected = len(registry) if not names else len(set(registry) & set(names))
     if n_fail:
         print(f"GATE FAIL: {n_fail}/{n_lines} queries failed")
         sys.exit(1)
