@@ -68,7 +68,14 @@ object Verify {
   } + "\""
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args(2+): optional query-name subset — DEV iteration only (run
+    // one new query without paying the full registry). The driver
+    // always calls with exactly (sfDir, outDir), so the gate artifact
+    // keeps the full registry; a subset run writes a subset
+    // registry.json, which check.py sizes its expectation from.
+    val sfDir = args(0)
+    val outDir = args(1)
+    val subset = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -81,8 +88,15 @@ object Verify {
         Files.createTempDirectory("graft-wh").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    run(spark, SparkEntry.queries, sfDir, outDir)
-    val json = SparkEntry.oracleSql
+    val queries =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (k, _) => subset(k) }
+    require(subset.isEmpty || queries.size == subset.size,
+      s"unknown query names: ${subset -- queries.keySet}")
+    run(spark, queries, sfDir, outDir)
+    // subset the oracle map too — check.py treats an oracle for an
+    // unregistered query as a torn/mixed artifact (correctly)
+    val json = SparkEntry.oracleSql.filter { case (k, _) => queries.contains(k) }
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -941,8 +941,49 @@ object DedupQueries {
         coalesce(cl.cleaned_text, '') AS cleaned_text
       FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id"""))
 
+  /** Shingle novelty vs a reference slice: the fraction of each doc's
+    * distinct 3-shingles ABSENT from a designated reference
+    * sub-corpus (source = 'src0' here; a real run points it at the
+    * previous crawl or a trusted base corpus) — the "new information"
+    * score that prioritizes fresh data over re-crawls and prices a
+    * candidate source's marginal value before ingesting it. Related
+    * to but distinct from q95 (boilerplate = HIGH-df shingles within
+    * the corpus itself) and q82 (membership against a tiny broadcast
+    * eval set): the reference here is corpus-scale, so membership is
+    * a SHUFFLE equi-join on the shingle key, never a broadcast.
+    * Scale shape: reference postings are distinct-deduped (bounded by
+    * the reference's shingle vocabulary), every shuffle keys on a
+    * shingle, cost Σ|sset| + Σdf — the q67/q95 inverted-index
+    * discipline; a left join + null-count gives absence without an
+    * anti-join's second pass over the probe side. */
+  private val shingleNovelty = Q(
+    "q123_shingle_novelty",
+    (s, d) => {
+      import s.implicits._
+      val docsSrc = T.documents(s, d).select($"doc_id", $"source")
+      val exploded = withShingles(s, d).join(docsSrc, "doc_id")
+        .select($"doc_id", $"source", explode($"sset").as("shingle"))
+      val refShingles = exploded.filter($"source" === "src0")
+        .select($"shingle").distinct()
+        .withColumn("in_ref", lit(true))
+      exploded.join(refShingles, Seq("shingle"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+    },
+    Some(s"""$shingleCte,
+      e AS (SELECT sh.doc_id, d.source, unnest(sset) AS shingle
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+      r AS (SELECT DISTINCT shingle, TRUE AS in_ref FROM e WHERE source = 'src0')
+      SELECT e.doc_id, count(*) AS n_shingles,
+        CAST(count(*) FILTER (in_ref IS NULL) AS BIGINT) AS n_novel,
+        CAST(count(*) FILTER (in_ref IS NULL) AS DOUBLE) / count(*) AS novelty
+      FROM e LEFT JOIN r ON e.shingle = r.shingle
+      GROUP BY e.doc_id"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
-    containmentDedup, incrementalContainment, spanCut)
+    containmentDedup, incrementalContainment, spanCut, shingleNovelty)
 }

@@ -51,27 +51,41 @@ object TextQueries {
         ELSE '??' END AS pred_lang
       FROM sc"""))
 
+  /** q51's feature+score frame, shared verbatim with q124's cut-curve
+    * report so the two can never drift (the curateStream discipline:
+    * one predicate, one code path). */
+  private def qualityScored(s: org.apache.spark.sql.SparkSession, d: String) = {
+    import s.implicits._
+    T.documents(s, d)
+      .withColumn("ws", split(trim($"text"), "\\s+"))
+      .withColumn("n_words", size($"ws").cast("long"))
+      .withColumn("avg_word_len",
+        aggregate(transform($"ws", w => length(w).cast("double")),
+          lit(0.0), (a, x) => a + x) / $"n_words")
+      .withColumn("stop_ratio",
+        size(filter($"ws", w => w.isInCollection(stop("en")))).cast("double") / $"n_words")
+      // nullif: a zero-length text would hit ANSI DIVIDE_BY_ZERO the
+      // moment anything actually evaluates quality (q51's own gate
+      // dump projects it; a bare count() prunes it — which is why the
+      // degenerate sweep only caught this via q124's aggregate).
+      // Empty text → NULL ratio → NULL quality, the drop-at-the-seam
+      // policy every filter downstream applies.
+      .withColumn("punct_ratio",
+        size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
+          nullif(length($"text"), lit(0)))
+      .withColumn("quality",
+        lit(1.0) / (lit(1.0) +
+          exp(-(lit(0.02) * $"n_words" + lit(5.0) * $"stop_ratio"
+            - lit(10.0) * $"punct_ratio" - lit(1.0)))))
+  }
+
   /** Quality scoring: length / word / stopword / punctuation features
     * + a logistic composite — the classic pre-training text filter. */
   private val quality = Q(
     "q51_text_quality",
     (s, d) => {
       import s.implicits._
-      T.documents(s, d)
-        .withColumn("ws", split(trim($"text"), "\\s+"))
-        .withColumn("n_words", size($"ws").cast("long"))
-        .withColumn("avg_word_len",
-          aggregate(transform($"ws", w => length(w).cast("double")),
-            lit(0.0), (a, x) => a + x) / $"n_words")
-        .withColumn("stop_ratio",
-          size(filter($"ws", w => w.isInCollection(stop("en")))).cast("double") / $"n_words")
-        .withColumn("punct_ratio",
-          size(regexp_extract_all($"text", lit("[^a-zA-Z0-9\\s]"), lit(0))).cast("double") /
-            length($"text"))
-        .withColumn("quality",
-          lit(1.0) / (lit(1.0) +
-            exp(-(lit(0.02) * $"n_words" + lit(5.0) * $"stop_ratio"
-              - lit(10.0) * $"punct_ratio" - lit(1.0)))))
+      qualityScored(s, d)
         .select($"doc_id", $"n_words", $"avg_word_len", $"stop_ratio",
           $"punct_ratio", $"quality")
     },
@@ -82,7 +96,7 @@ object TextQueries {
         CAST(len(list_filter(ws, x -> list_contains(${sqlList(stop("en"))}, x))) AS DOUBLE)
           / len(ws) AS stop_ratio,
         CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
-          / length(text) AS punct_ratio
+          / nullif(length(text), 0) AS punct_ratio
         FROM w)
       SELECT doc_id, n_words, avg_word_len, stop_ratio, punct_ratio,
         1.0 / (1.0 + exp(-(0.02*n_words + 5.0*stop_ratio - 10.0*punct_ratio - 1.0))) AS quality
@@ -586,7 +600,7 @@ object TextQueries {
       val cap = s.conf.getOption("graft.exactPercentileMaxGroup")
         .map(_.toLong).getOrElse(5000000L)
       val maxGroup = toks.groupBy($"source").agg(count(lit(1)).as("n"))
-        .agg(coalesce(max($"n"), lit(0L))).head.getLong(0)
+        .agg(coalesce(max($"n"), lit(0L))).head().getLong(0)
       def pct(f: Double): org.apache.spark.sql.Column =
         if (maxGroup <= cap) expr(s"percentile(tok, $f)")
         else expr(s"CAST(approx_percentile(tok, $f, 10000) AS DOUBLE)")
@@ -605,8 +619,184 @@ object TextQueries {
         avg(tok) AS mean_tokens
       FROM d GROUP BY source"""))
 
+  /** Gopher-style rule battery (published hard thresholds, Rae et al.
+    * 2021 appendix A — public paper): word-count bounds, mean word
+    * length band, alphabetic-word fraction, symbol-to-word ratio
+    * (# / ellipsis), bullet-start and ellipsis-end line fractions,
+    * plus the conjunction. Complements q51 (a soft logistic
+    * composite) and q76 (intra-doc shingle repetition): these are the
+    * explicit per-rule columns a curation report shows per document.
+    * Row-local expression work inside whole-stage codegen — no
+    * shuffle, linear at any scale; the line features split on \n
+    * (this corpus is single-line, so they exercise the degenerate
+    * 1-line case — the rules still evaluate, the fractions are 0). */
+  private val gopherRules = Q(
+    "q120_gopher_rules",
+    (s, d) => {
+      import s.implicits._
+      T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .withColumn("lines", split($"text", "\n"))
+        .withColumn("n_words", size($"ws").cast("long"))
+        .withColumn("mean_word_len",
+          aggregate(transform($"ws", w => length(w).cast("double")),
+            lit(0.0), (a, x) => a + x) / $"n_words")
+        .withColumn("alpha_word_frac",
+          size(filter($"ws", w => w.rlike("[A-Za-z]"))).cast("double") / $"n_words")
+        .withColumn("symbol_ratio",
+          size(regexp_extract_all($"text", lit("#|\\.\\.\\.|…"), lit(0)))
+            .cast("double") / $"n_words")
+        .withColumn("bullet_line_frac",
+          size(filter($"lines", l => l.rlike("^\\s*[-*•]"))).cast("double") /
+            size($"lines"))
+        .withColumn("ellipsis_line_frac",
+          size(filter($"lines", l => l.rlike("(\\.\\.\\.|…)\\s*$"))).cast("double") /
+            size($"lines"))
+        .withColumn("passes_gopher",
+          $"n_words".between(50L, 100000L) &&
+            $"mean_word_len".between(3.0, 10.0) &&
+            $"alpha_word_frac" >= 0.8 && $"symbol_ratio" <= 0.1 &&
+            $"bullet_line_frac" <= 0.9 && $"ellipsis_line_frac" <= 0.3)
+        .select($"doc_id", $"n_words", $"mean_word_len", $"alpha_word_frac",
+          $"symbol_ratio", $"bullet_line_frac", $"ellipsis_line_frac",
+          $"passes_gopher")
+    },
+    Some("""WITH w AS (SELECT doc_id, text,
+        string_split_regex(trim(text),'\s+') AS ws,
+        string_split(text, chr(10)) AS ls
+        FROM documents),
+      f AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE))) / len(ws) AS mean_word_len,
+        CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+          / len(ws) AS alpha_word_frac,
+        CAST(len(regexp_extract_all(text, '#|\.\.\.|…')) AS DOUBLE)
+          / len(ws) AS symbol_ratio,
+        CAST(len(list_filter(ls, x -> regexp_matches(x, '^\s*[-*•]'))) AS DOUBLE)
+          / len(ls) AS bullet_line_frac,
+        CAST(len(list_filter(ls, x -> regexp_matches(x, '(\.\.\.|…)\s*$'))) AS DOUBLE)
+          / len(ls) AS ellipsis_line_frac
+        FROM w)
+      SELECT doc_id, n_words, mean_word_len, alpha_word_frac, symbol_ratio,
+        bullet_line_frac, ellipsis_line_frac,
+        (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3.0 AND 10.0)
+          AND alpha_word_frac >= 0.8 AND symbol_ratio <= 0.1
+          AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+          AS passes_gopher
+      FROM f"""))
+
+  /** Header-boilerplate (template) detection: docs sharing an
+    * identical leading 5-word prefix within one source form a
+    * template family — scraper headers, license banners, mirrored
+    * article leads (47 docs at gate SF share such a prefix). Per doc:
+    * the prefix, its family size, the template flag. Scale shape: one
+    * map-side-combined count keyed by (source, prefix) — one record
+    * per distinct template reaches the wire — then an equi-join back
+    * on the same key. A corpus-dominating banner makes that join key
+    * hot, which is exactly q88's salted-join regime (SkewedJoin);
+    * not wired here because gate families are ≤3 docs and AQE's
+    * skew-join split handles the first decade of growth. */
+  private val templatePrefix = Q(
+    "q121_template_prefix",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+        .withColumn("ws", split(trim($"text"), "\\s+"))
+        .filter(size($"ws") >= 5)
+        .select($"doc_id", $"source",
+          concat_ws(" ", slice($"ws", 1, 5)).as("prefix5"))
+      val fam = docs.groupBy($"source", $"prefix5")
+        .agg(count(lit(1)).as("family_size"))
+      docs.join(fam, Seq("source", "prefix5"))
+        .select($"doc_id", $"source", $"prefix5", $"family_size",
+          ($"family_size" >= 2L).as("is_template"))
+    },
+    Some("""WITH p AS (SELECT doc_id, source,
+        array_to_string(string_split_regex(trim(text),'\s+')[1:5],' ') AS prefix5
+        FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 5),
+      f AS (SELECT source, prefix5, count(*) AS family_size FROM p GROUP BY 1,2)
+      SELECT doc_id, p.source, p.prefix5, family_size,
+        family_size >= 2 AS is_template
+      FROM p JOIN f USING (source, prefix5)"""))
+
+  /** Stratified exact-k deterministic sample: exactly 20 docs per
+    * language, chosen by md5(doc_id) order — the eval-set carve that
+    * needs a FIXED size per stratum (q73/q96's ppm-rate sampling
+    * gives an expected fraction, not an exact count). Deterministic
+    * and stable under corpus growth ONLY in the sense that re-running
+    * the same snapshot reproduces it; additions can displace members
+    * (an exact-k quota cannot be append-stable — that trade is the
+    * point vs q106's hash-split). Scale: the rank ≤ k filter compiles
+    * to WindowGroupLimit — every map task pre-drops to its local
+    * top-k, so the exchange carries ≤ k·partitions rows per language,
+    * never the stratum. */
+  private val stratifiedTopK = Q(
+    "q122_stratified_topk",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      T.documents(s, d)
+        .withColumn("skey", md5($"doc_id".cast("string")))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"lang").orderBy($"skey")).cast("long"))
+        .filter($"rn" <= 20)
+        .select($"doc_id", $"lang", $"rn")
+    },
+    Some("""SELECT doc_id, lang, rn FROM (
+        SELECT doc_id, lang, row_number() OVER (
+          PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn
+        FROM documents) WHERE rn <= 20"""))
+
+  /** Quality-threshold cut curve: q51's logistic score (the SHARED
+    * `qualityScored` frame — one code path, the two reports cannot
+    * drift) bucketed into deciles, with per-bucket doc and token mass
+    * plus the cumulative mass removed if the corpus were cut at each
+    * bucket's upper edge — the table a curation run reads to price a
+    * threshold before committing to it. Scale shape: value-derived
+    * `width_bucket` keys (the q32 discipline — no rank, no global
+    * sort of the corpus), ONE map-side-combined aggregate down to
+    * ≤ 10 rows, and the running sums are a window over that
+    * aggregated output — the q31-style post-aggregate global window
+    * PlanShapeSpec's `bounded` walk permits. DuckDB side: the window
+    * SUM yields HUGEINT — CAST to BIGINT (the q111 lesson). */
+  private val qualityCutCurve = Q(
+    "q124_quality_cut_curve",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      qualityScored(s, d)
+        .withColumn("bucket", expr("width_bucket(quality, 0D, 1D, 10)"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
+        .withColumn("cum_docs_cut", sum($"n_docs").over(w))
+        .withColumn("cum_tokens_cut", sum($"n_tokens").over(w))
+        .select($"bucket", $"n_docs", $"n_tokens",
+          $"cum_docs_cut", $"cum_tokens_cut")
+    },
+    Some(s"""WITH w AS (SELECT doc_id, text, string_split_regex(trim(text),'\\s+') ws FROM documents),
+      f AS (SELECT doc_id,
+        CAST(len(ws) AS BIGINT) AS n_words,
+        CAST(len(list_filter(ws, x -> list_contains(${sqlList(stop("en"))}, x))) AS DOUBLE)
+          / len(ws) AS stop_ratio,
+        CAST(len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS DOUBLE)
+          / nullif(length(text), 0) AS punct_ratio
+        FROM w),
+      q AS (SELECT n_words,
+        1.0 / (1.0 + exp(-(0.02*n_words + 5.0*stop_ratio - 10.0*punct_ratio - 1.0))) AS quality
+        FROM f),
+      b AS (SELECT CAST(floor(quality*10) AS BIGINT) + 1 AS bucket,
+        count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+        FROM q GROUP BY 1)
+      SELECT bucket, n_docs, n_tokens,
+        CAST(sum(n_docs) OVER (ORDER BY bucket) AS BIGINT) AS cum_docs_cut,
+        CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens_cut
+      FROM b"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
-    heavyHittersPerLang, sliceLengthProfile)
+    heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
+    stratifiedTopK, qualityCutCurve)
 }

@@ -48,6 +48,25 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(plan("q22_topk_per_group")).size >= 2)
   }
 
+  test("q122: stratified exact-k pre-limits before the stratum shuffle") {
+    // rank<=k over md5 order must compile to the partial+final
+    // WindowGroupLimit pair — map tasks drop to local top-k, so the
+    // exchange carries <= k * partitions rows per language, never the
+    // stratum (the scaladoc's scale claim, pinned)
+    assert("WindowGroupLimit".r.findAllIn(plan("q122_stratified_topk")).size >= 2)
+  }
+
+  test("q124: cut-curve windows run over the aggregate, corpus shuffles once") {
+    val p = plan("q124_quality_cut_curve")
+    // ONE hash exchange: the bucket aggregate's partial->final pair
+    // (the loader's round-robin spread and the window's
+    // SinglePartition over <= 10 aggregated rows are both fine — the
+    // trap is the corpus hashing more than once or sorting globally)
+    assert("hashpartitioning".r.findAllIn(p).size <= 1,
+      p.linesIterator.take(25).mkString("\n"))
+    assert(p.contains("HashAggregate"), "bucket rollup must map-side combine")
+  }
+
   test("q27: as-of join shuffles the unioned input exactly once") {
     val p = plan("q27_asof_join")
     assert(p.contains("Union"))

@@ -82,7 +82,11 @@ def main():
     out = args[1] if len(args) > 1 else "/tmp/verify_out"
     names = args[2:]
     if "--no-verify" not in sys.argv:
-        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}'],
+        # forward any name subset to Verify so a dev iteration on one
+        # new query doesn't pay the full registry (driver runs are
+        # always nameless → full registry, tamper-evidence intact)
+        extra = ("" if not names else " " + " ".join(names))
+        r = subprocess.run(["sbt", "-batch", f'runMain graft.Verify {sf} {out}{extra}'],
                            cwd="/root/repo", capture_output=True, text=True)
         tail = "\n".join((r.stdout + r.stderr).splitlines()[-25:])
         if r.returncode != 0:
