@@ -966,7 +966,13 @@ object DedupQueries {
       val refShingles = exploded.filter($"source" === "src0")
         .select($"shingle").distinct()
         .withColumn("in_ref", lit(true))
-      exploded.join(refShingles, Seq("shingle"), "left")
+      // shuffle_hash, pinned: the reference slice is CORPUS-scale
+      // (unlike q82's megabyte eval probe), so the stats-driven
+      // broadcast AQE picks at gate SF is exactly the plan that OOMs
+      // at 100 TB — and the regime flip it causes across scales
+      // surfaced as a false ×96 in ScaleCheckSpec's record-growth
+      // pin. One hash exchange per side, no sort, linear growth.
+      exploded.join(refShingles.hint("shuffle_hash"), Seq("shingle"), "left")
         .groupBy($"doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))

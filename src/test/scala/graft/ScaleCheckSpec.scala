@@ -101,7 +101,22 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     // tracks Σ df·|prefix|, keyed on the shingle hash; measured
     // sf0.001 → ×10 on the round-9 code.
     "q116_containment_dedup" -> 8.0,
-    "q118_incremental_containment" -> 7.1)
+    "q118_incremental_containment" -> 7.1,
+    // round 9 continuation: the report queries that shuffle on a
+    // derived text key — q121 on (source, 5-word prefix) for the
+    // template count + join-back, q123 on the shingle for the
+    // reference-postings membership join. Both must track corpus
+    // growth linearly; a blowup here would mean the join stopped
+    // keying on the derived term (measured sf0.001 → ×10 below).
+    // The q123 pin already earned its keep: the first measurement
+    // read ×96 — not quadratic work but a broadcast→SMJ regime flip
+    // across scales (AQE broadcasts the gate-SF reference postings;
+    // the replica crosses the threshold and the full probe side
+    // starts shuffling). The query now pins shuffle_hash — the only
+    // plan that survives a corpus-scale reference — and measures
+    // ×10.1 on ×10 data.
+    "q121_template_prefix" -> 3.3,
+    "q123_shingle_novelty" -> 10.1)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
