@@ -988,8 +988,51 @@ object DedupQueries {
       FROM e LEFT JOIN r ON e.shingle = r.shingle
       GROUP BY e.doc_id"""))
 
+  /** Cross-source near-dup attribution matrix: near-dup PAIRS (the
+    * shared [[jaccardPairs]] pipeline — same candidates, same
+    * threshold as q41) attributed to the (source, source) pair that
+    * produced them, unordered (least/greatest collapse), with pair
+    * counts and mean similarity. This is the "who mirrors whom"
+    * diagnostic a crawl operator reads before q78/q110 ever run: a
+    * hot off-diagonal cell means two feeds syndicate the same
+    * articles (fix the ingest), a hot diagonal cell means one source
+    * re-serves its own content (fix the crawler). Scale shape: the
+    * pair table is bounded by the true near-dup population; the
+    * source attach is two doc_id-keyed equi-joins left stats-driven
+    * (pairs broadcast when tiny, SMJ when a high-dup corpus grows
+    * them — deliberately NOT a forced broadcast, the q110 lesson);
+    * the final rollup is k² sources at most, map-side combined. */
+  private val dupSourceMatrix = Q(
+    "q125_dup_source_matrix",
+    (s, d) => {
+      import s.implicits._
+      val src = T.documents(s, d).select($"doc_id", $"source")
+      jaccardPairs(s, d)
+        .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
+        .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
+        .groupBy(least($"sa", $"sb").as("source_x"),
+          greatest($"sa", $"sb").as("source_y"))
+        .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
+                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+      p AS (SELECT da, db, c*1.0/(sa.n + sb.n - c) AS j
+            FROM common JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id
+            WHERE c*1.0/(sa.n + sb.n - c) >= 0.6)
+      SELECT least(x.source, y.source) AS source_x,
+             greatest(x.source, y.source) AS source_y,
+             count(*) AS n_pairs, avg(j) AS mean_jaccard
+      FROM p JOIN documents x ON p.da = x.doc_id
+             JOIN documents y ON p.db = y.doc_id
+      GROUP BY 1, 2"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
-    containmentDedup, incrementalContainment, spanCut, shingleNovelty)
+    containmentDedup, incrementalContainment, spanCut, shingleNovelty,
+    dupSourceMatrix)
 }

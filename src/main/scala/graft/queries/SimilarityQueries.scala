@@ -334,5 +334,46 @@ object SimilarityQueries {
              em / nullif(sqrt(ee) * sqrt(mm), 0) AS cos_to_centroid
       FROM st"""))
 
-  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats)
+  /** ANN recall report: per query vector, recall@5 of the LSH (q46)
+    * and IVF (q47) candidate generators against the exact brute-force
+    * answer (q45) — THE acceptance metric for an approximate index
+    * (is nprobe/bit-budget enough for this corpus?), computed from
+    * the three already-gated queries so the report can never disagree
+    * with what the registry actually serves. Both approximations are
+    * deterministic, so recall is a fact of the corpus, not an
+    * estimate — and the oracle recomputes it from the three oracle
+    * SQLs composed as subqueries (engines agree on each part, so
+    * equality here proves the composition too). Scale shape: the
+    * three top-k frames are |Q|·5 rows; everything after them is
+    * (q_vec, vec_id)-keyed joins and a per-query aggregate on tiny
+    * frames — the heavy lifting is the underlying queries' own
+    * guarded plans. */
+  private val annRecall = Q(
+    "q126_ann_recall",
+    (s, d) => {
+      import s.implicits._
+      val ex = bruteForceTopK.fn(s, d).select($"q_vec", $"vec_id")
+      def recallOf(approx: org.apache.spark.sql.DataFrame, name: String) = {
+        val a = approx.select($"q_vec", $"vec_id").withColumn("hit", lit(1L))
+        ex.join(a, Seq("q_vec", "vec_id"), "left")
+          .groupBy($"q_vec")
+          .agg((sum(coalesce($"hit", lit(0L))).cast("double") /
+            count(lit(1))).as(name))
+      }
+      recallOf(lshTopK.fn(s, d), "recall_lsh")
+        .join(recallOf(ivfTopK.fn(s, d), "recall_ivf"), Seq("q_vec"))
+    },
+    Some(s"""WITH ex0 AS (SELECT q_vec, vec_id FROM (${bruteForceTopK.oracle.get})),
+      l0 AS (SELECT q_vec, vec_id FROM (${lshTopK.oracle.get})),
+      i0 AS (SELECT q_vec, vec_id FROM (${ivfTopK.oracle.get})),
+      rl AS (SELECT e.q_vec, CAST(count(l.vec_id) AS DOUBLE)/count(*) AS recall_lsh
+             FROM ex0 e LEFT JOIN l0 l ON e.q_vec = l.q_vec AND e.vec_id = l.vec_id
+             GROUP BY e.q_vec),
+      ri AS (SELECT e.q_vec, CAST(count(i.vec_id) AS DOUBLE)/count(*) AS recall_ivf
+             FROM ex0 e LEFT JOIN i0 i ON e.q_vec = i.q_vec AND e.vec_id = i.vec_id
+             GROUP BY e.q_vec)
+      SELECT rl.q_vec, recall_lsh, recall_ivf FROM rl JOIN ri USING (q_vec)"""))
+
+  def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
+    annRecall)
 }
