@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingleHashes, WordShingles}
+import graft.functions.{DeflateRatio, MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -44,7 +44,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => WordCounts(args.head)),
     (FunctionIdentifier("srp_sig"),
       new ExpressionInfo(classOf[SrpSig].getName, "srp_sig"),
-      (args: Seq[Expression]) => SrpSig(args(0), args(1), args(2), args(3))))
+      (args: Seq[Expression]) => SrpSig(args(0), args(1), args(2), args(3))),
+    (FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => DeflateRatio(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

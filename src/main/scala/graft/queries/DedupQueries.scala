@@ -1030,9 +1030,60 @@ object DedupQueries {
              JOIN documents y ON p.db = y.doc_id
       GROUP BY 1, 2"""))
 
+  /** Train/test split LEAKAGE matrix: near-dup pairs (the shared
+    * [[jaccardPairs]] pipeline, q41's threshold) attributed to the
+    * split pair q106's deterministic md5 rule assigns their docs —
+    * the eval-hygiene measurement behind q106's leakage note: a test
+    * doc with a train near-twin inflates benchmark numbers exactly
+    * like q82-style contamination, but from WITHIN the corpus, where
+    * no external probe list can catch it. Cells with
+    * `is_leak = true` (cross-split) are the damage; the within-split
+    * diagonal is the denominator context. Same scale shape as q125:
+    * pair table bounded by the dup population, two stats-driven
+    * doc_id joins, ≤9-cell rollup. The fix the numbers motivate is
+    * also q106's note: key the split hash on a provenance GROUP, not
+    * the doc, so near-copies can't straddle. */
+  private val splitLeakage = Q(
+    "q127_split_leakage",
+    (s, d) => {
+      import s.implicits._
+      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      val splits = T.documents(s, d).select($"doc_id",
+        when(h <= "c", "train").when(h <= "e", "val").otherwise("test")
+          .as("split"))
+      jaccardPairs(s, d)
+        .join(splits.select($"doc_id".as("doc_a"), $"split".as("pa")), "doc_a")
+        .join(splits.select($"doc_id".as("doc_b"), $"split".as("pb")), "doc_b")
+        .groupBy(least($"pa", $"pb").as("split_x"),
+          greatest($"pa", $"pb").as("split_y"))
+        .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
+        .withColumn("is_leak", $"split_x" =!= $"split_y")
+    },
+    Some(s"""$shingleCte,
+      sizes AS (SELECT doc_id, len(sset) n FROM sh),
+      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
+      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
+                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
+      p AS (SELECT da, db, c*1.0/(sa.n + sb.n - c) AS j
+            FROM common JOIN sizes sa ON da = sa.doc_id
+                        JOIN sizes sb ON db = sb.doc_id
+            WHERE c*1.0/(sa.n + sb.n - c) >= 0.6),
+      sp AS (SELECT doc_id,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents)
+      SELECT least(x.split, y.split) AS split_x,
+             greatest(x.split, y.split) AS split_y,
+             count(*) AS n_pairs, avg(j) AS mean_jaccard,
+             least(x.split, y.split) <> greatest(x.split, y.split) AS is_leak
+      FROM p JOIN sp x ON p.da = x.doc_id
+             JOIN sp y ON p.db = y.doc_id
+      GROUP BY 1, 2"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
     containmentDedup, incrementalContainment, spanCut, shingleNovelty,
-    dupSourceMatrix)
+    dupSourceMatrix, splitLeakage)
 }

@@ -794,9 +794,37 @@ object TextQueries {
         CAST(sum(n_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens_cut
       FROM b"""))
 
+  /** Compression-ratio quality signal: zlib DEFLATE bytes over raw
+    * UTF-8 bytes per document, via the native
+    * [[graft.functions.DeflateRatio]] expression — the entropy-style
+    * filter public corpus pipelines run beside word heuristics
+    * (template spam compresses ≪ prose; pasted binary junk ≈ 1).
+    * LZ77's 32 KiB window sees sub-word and long-range structure
+    * q76's shingle distinctness can't. Row-local, thread-local
+    * native state, linear at any scale.
+    *
+    * The registry's only ROWS-ONLY entry: no SQL engine exposes zlib
+    * byte counts, so there is no DuckDB oracle to equal — the
+    * behavioral contract (codegen ≡ interpreted, determinism, exact
+    * byte accounting vs java.util.zip standalone, entropy ordering,
+    * flag thresholds) is DeflateRatioSpec's job instead. */
+  private val compressionRatio = Q(
+    "q128_compression_ratio",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      T.documents(s, d)
+        .withColumn("dr", expr("deflate_ratio(text)"))
+        .select($"doc_id", $"dr.raw_bytes".as("raw_bytes"),
+          $"dr.deflated_bytes".as("deflated_bytes"), $"dr.ratio".as("ratio"),
+          ($"dr.ratio" < 0.3).as("is_low_entropy"),
+          ($"dr.ratio" > 0.95).as("is_high_entropy"))
+    },
+    None)
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
     heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
-    stratifiedTopK, qualityCutCurve)
+    stratifiedTopK, qualityCutCurve, compressionRatio)
 }
