@@ -223,6 +223,45 @@ object DedupStore {
     IncrementalContainment.containedPairs(delta, storeSets, idCol, textCol, t)
   }
 
+  /** Per-doc shingle NOVELTY of a delta against the committed store,
+    * read-side only (nothing mutates) — q123's "new information"
+    * score with the reference slice = the ENTIRE archived corpus:
+    * for each delta doc (≥ 3 words — the sets builder's floor,
+    * shorter docs have no shingles to score), the fraction of its
+    * distinct shingle hashes absent from every committed day's sets.
+    * The daily pricing signal: a feed whose novelty decays toward 0
+    * is re-crawling what the archive already holds.
+    *
+    * Day-zero store → novelty 1.0 for every delta doc. The
+    * membership join is `shuffle_hash` on the shingle hash (q123's
+    * pinned regime — archive-scale postings can never broadcast, and
+    * letting stats pick broadcast at small SF is exactly the
+    * cross-scale regime flip ScaleCheckSpec caught there). Postings
+    * are distinct-deduped per call from the `sets` table rather than
+    * persisted separately (no second disk copy of the shingles —
+    * the [[ingestContained]] rationale; a deployment scoring MANY
+    * deltas per store version could maintain an incremental postings
+    * table instead, trading ~2× store size for skipping the
+    * distinct). */
+  def noveltyReport(delta: DataFrame, root: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = delta.sparkSession
+    val storeSets = readCommitted(spark, root, "sets",
+      IncrementalNearDedup.shingleSets(delta.limit(0), idCol, textCol),
+      exceptDay = None).drop("dt")
+    val ref = storeSets.select(explode(col("hset")).as("sh")).distinct()
+      .withColumn("__in_ref", lit(true))
+    IncrementalNearDedup.shingleSets(delta, idCol, textCol)
+      .select(col("id"), explode(col("hset")).as("sh"))
+      .join(ref.hint("shuffle_hash"), Seq("sh"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__in_ref").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles"))
+      .withColumnRenamed("id", idCol)
+  }
+
   // restricted to chars that partition-dir encoding leaves verbatim:
   // the stale-partition delete below addresses `dt=$day` literally,
   // and an escaped value (e.g. a space → %20) would silently miss it

@@ -123,4 +123,48 @@ class DedupStoreSpec extends AnyFunSuite with SparkSpec {
     assert(ids(DedupStore.ingest(docs(1L -> baseA, 2L -> baseA), root, "d1"))
       === Set(1L))
   }
+
+  test("noveltyReport scores a delta against ALL committed shingles; day zero is 1.0") {
+    val root = Files.createTempDirectory("dstore-nov").toString
+
+    // day zero: every scorable delta doc is fully novel; a 2-word doc
+    // has no shingles and must be absent, not 0/0
+    val fresh = docs(41L -> baseA, 42L -> "just two")
+    val z = DedupStore.noveltyReport(fresh, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(z.keySet === Set(41L) && z(41L)._3 === 1.0)
+
+    DedupStore.ingest(day1, root, "2024-01-01") // survivors: 1=baseA, 2=baseC
+    DedupStore.ingest(day2, root, "2024-01-02") // survivor: 12=baseB
+
+    val mixed = baseA.split(" ").take(5).mkString(" ") +
+      " quill rumba sable tango umber"
+    val delta = docs(31L -> baseA, 33L -> ("wholly fresh words never stored " +
+      "anywhere in any committed day at all"), 34L -> mixed)
+    val got = DedupStore.noveltyReport(delta, root).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+
+    // independent driver-side reference over RAW string shingles:
+    // membership of hashed shingles == membership of raw shingles
+    // (the hash is a function of the shingle)
+    def sh(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+")
+      (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val store = sh(baseA) ++ sh(baseC) ++ sh(baseB)
+    for ((id, text) <- Seq(31L -> baseA, 33L -> ("wholly fresh words never " +
+        "stored anywhere in any committed day at all"), 34L -> mixed)) {
+      val s = sh(text)
+      val novel = (s -- store).size.toLong
+      assert(got(id) === ((s.size.toLong, novel, novel.toDouble / s.size)),
+        s"doc $id")
+    }
+    assert(got(31L)._3 === 0.0) // archived verbatim → nothing new
+    assert(got(33L)._3 === 1.0) // fully fresh
+    assert(got(34L)._3 > 0.0 && got(34L)._3 < 1.0) // the mixed case
+  }
 }
