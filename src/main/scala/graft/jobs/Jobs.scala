@@ -76,6 +76,9 @@ object Jobs {
           spark.read.parquet(kv("input")), kv("root"), kv("day"),
           stats = kv.get("stats").forall(_.toBoolean))
         println(report)
+      case "curationReportJob" => // extension: data-quality dashboard
+        val counts = CurationReportJob.run(spark, kv("input"), kv("output"))
+        println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "mixtureJob" => // extension: epoch assembly (MixtureJob)
         val cfg = MixtureJob.Config(
           sliceCol = kv.getOrElse("slice", "lang"),
