@@ -986,7 +986,8 @@ object DedupQueries {
         CAST(count(*) FILTER (in_ref IS NULL) AS BIGINT) AS n_novel,
         CAST(count(*) FILTER (in_ref IS NULL) AS DOUBLE) / count(*) AS novelty
       FROM e LEFT JOIN r ON e.shingle = r.shingle
-      GROUP BY e.doc_id"""))
+      GROUP BY e.doc_id"""),
+    bench = true)
 
   /** Cross-source near-dup attribution matrix: near-dup PAIRS (the
     * shared [[jaccardPairs]] pipeline — same candidates, same
@@ -1028,7 +1029,8 @@ object DedupQueries {
              count(*) AS n_pairs, avg(j) AS mean_jaccard
       FROM p JOIN documents x ON p.da = x.doc_id
              JOIN documents y ON p.db = y.doc_id
-      GROUP BY 1, 2"""))
+      GROUP BY 1, 2"""),
+    bench = true)
 
   /** Train/test split LEAKAGE matrix: near-dup pairs (the shared
     * [[jaccardPairs]] pipeline, q41's threshold) attributed to the
