@@ -94,6 +94,14 @@ object Verify {
     require(subset.isEmpty || queries.size == subset.size,
       s"unknown query names: ${subset -- queries.keySet}")
     run(spark, queries, sfDir, outDir)
+    // a subset dump overwrites the dir's registry.json with the
+    // subset — mark it so a later `check.py --no-verify` over the
+    // same dir can't silently validate 1/128 queries as a full gate
+    // (full runs clear the marker, restoring gate eligibility)
+    val subsetMarker = Paths.get(s"$outDir/_SUBSET")
+    if (subset.isEmpty) Files.deleteIfExists(subsetMarker)
+    else Files.writeString(subsetMarker,
+      subset.toSeq.sorted.mkString("\n"))
     // subset the oracle map too — check.py treats an oracle for an
     // unregistered query as a torn/mixed artifact (correctly)
     val json = SparkEntry.oracleSql.filter { case (k, _) => queries.contains(k) }

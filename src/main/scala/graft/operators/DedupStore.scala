@@ -242,13 +242,21 @@ object DedupStore {
     * the [[ingestContained]] rationale; a deployment scoring MANY
     * deltas per store version could maintain an incremental postings
     * table instead, trading ~2× store size for skipping the
-    * distinct). */
+    * distinct).
+    *
+    * Pass `exceptDay = Some(day)` when the delta's own day may
+    * ALREADY be committed — an end-of-day dashboard over today's
+    * ingest, or a crash-retry re-running the scoring step after the
+    * marker landed. Without it the delta self-matches against its
+    * own stored shingles and the whole feed scores ~0 novelty (the
+    * same self-match hazard [[ingest]]'s day exclusion guards). */
   def noveltyReport(delta: DataFrame, root: String,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      exceptDay: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
     val storeSets = readCommitted(spark, root, "sets",
       IncrementalNearDedup.shingleSets(delta.limit(0), idCol, textCol),
-      exceptDay = None).drop("dt")
+      exceptDay = exceptDay).drop("dt")
     val ref = storeSets.select(explode(col("hset")).as("sh")).distinct()
       .withColumn("__in_ref", lit(true))
     IncrementalNearDedup.shingleSets(delta, idCol, textCol)

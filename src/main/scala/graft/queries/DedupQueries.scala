@@ -186,15 +186,8 @@ object DedupQueries {
   private val jaccardDedup = Q(
     "q41_dedup_jaccard",
     (s, d) => jaccardPairs(s, d),
-    Some(s"""$shingleCte,
-      sizes AS (SELECT doc_id, len(sset) n FROM sh),
-      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
-      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
-                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
-      SELECT da AS doc_a, db AS doc_b,
-             c*1.0/(sa.n + sb.n - c) AS jaccard
-      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""),
+    Some(s"""WITH $pairsCtes
+      SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jpairs"""),
     bench = true)
 
   /** MinHash + LSH near-dup: k=24 signature via the native
@@ -426,16 +419,25 @@ object DedupQueries {
           CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)))
           / (ea.nrm * eb.nrm) >= 0.4"""))
 
-  /** q41's pairs oracle, re-emitted as a CTE body for q72 (DuckDB's
-    * WITH RECURSIVE needs every CTE in one list). */
-  private val pairsCtes = s"""${shingleCte.stripPrefix("WITH ")},
+  /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
+    * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
+    * q125/q127 (DuckDB's WITH RECURSIVE needs every CTE in one list,
+    * and keeping ONE copy of the candidate/verify SQL + threshold
+    * means the oracles cannot drift from [[jaccardPairs]]).
+    * `jpairs` carries the similarity; `pairs` is the id-only view.
+    * (lazy: q41's Q val precedes this declaration — a strict val
+    * would interpolate null into its oracle string.) */
+  private lazy val pairsCtes = s"""${shingleCte.stripPrefix("WITH ")},
       sizes AS (SELECT doc_id, len(sset) n FROM sh),
       ex AS (SELECT doc_id, unnest(sset) s FROM sh),
       common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
                  JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-      pairs AS (SELECT da AS doc_a, db AS doc_b
-                FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-                WHERE c*1.0/(sa.n + sb.n - c) >= 0.6)"""
+      jpairs AS (SELECT * FROM (
+          SELECT da, db, c*1.0/(sa.n + sb.n - c) AS j
+          FROM common JOIN sizes sa ON da = sa.doc_id
+                      JOIN sizes sb ON db = sb.doc_id)
+        WHERE j >= 0.6),
+      pairs AS (SELECT da AS doc_a, db AS doc_b FROM jpairs)"""
 
   /** Near-dup CLUSTERS: connected components over the Jaccard≥0.6 pair
     * graph (pairs alone under-merge — A~B, B~C may hold while A~C
@@ -478,15 +480,8 @@ object DedupQueries {
   private val jaccardPrefix = Q(
     "q77_jaccard_prefix_filter",
     (s, d) => jaccardPairs(s, d),
-    Some(s"""$shingleCte,
-      sizes AS (SELECT doc_id, len(sset) n FROM sh),
-      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
-      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
-                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2)
-      SELECT da AS doc_a, db AS doc_b,
-             c*1.0/(sa.n + sb.n - c) AS jaccard
-      FROM common JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
-      WHERE c*1.0/(sa.n + sb.n - c) >= 0.6"""))
+    Some(s"""WITH $pairsCtes
+      SELECT da AS doc_a, db AS doc_b, j AS jaccard FROM jpairs"""))
 
   /** Survivor selection — the step that actually SHRINKS the corpus:
     * left-join docs against the near-dup clusters (q72) and keep only
@@ -1015,20 +1010,12 @@ object DedupQueries {
           greatest($"sa", $"sb").as("source_y"))
         .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
     },
-    Some(s"""$shingleCte,
-      sizes AS (SELECT doc_id, len(sset) n FROM sh),
-      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
-      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
-                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-      p AS (SELECT da, db, c*1.0/(sa.n + sb.n - c) AS j
-            FROM common JOIN sizes sa ON da = sa.doc_id
-                        JOIN sizes sb ON db = sb.doc_id
-            WHERE c*1.0/(sa.n + sb.n - c) >= 0.6)
+    Some(s"""WITH $pairsCtes
       SELECT least(x.source, y.source) AS source_x,
              greatest(x.source, y.source) AS source_y,
              count(*) AS n_pairs, avg(j) AS mean_jaccard
-      FROM p JOIN documents x ON p.da = x.doc_id
-             JOIN documents y ON p.db = y.doc_id
+      FROM jpairs p JOIN documents x ON p.da = x.doc_id
+                    JOIN documents y ON p.db = y.doc_id
       GROUP BY 1, 2"""),
     bench = true)
 
@@ -1049,10 +1036,9 @@ object DedupQueries {
     "q127_split_leakage",
     (s, d) => {
       import s.implicits._
-      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      // assignment single-sourced in SplitRule (q106 shares it)
       val splits = T.documents(s, d).select($"doc_id",
-        when(h <= "c", "train").when(h <= "e", "val").otherwise("test")
-          .as("split"))
+        SplitRule.assign($"doc_id").as("split"))
       jaccardPairs(s, d)
         .join(splits.select($"doc_id".as("doc_a"), $"split".as("pa")), "doc_a")
         .join(splits.select($"doc_id".as("doc_b"), $"split".as("pb")), "doc_b")
@@ -1061,26 +1047,15 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
         .withColumn("is_leak", $"split_x" =!= $"split_y")
     },
-    Some(s"""$shingleCte,
-      sizes AS (SELECT doc_id, len(sset) n FROM sh),
-      ex AS (SELECT doc_id, unnest(sset) s FROM sh),
-      common AS (SELECT a.doc_id da, b.doc_id db, count(*) c FROM ex a
-                 JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1,2),
-      p AS (SELECT da, db, c*1.0/(sa.n + sb.n - c) AS j
-            FROM common JOIN sizes sa ON da = sa.doc_id
-                        JOIN sizes sb ON db = sb.doc_id
-            WHERE c*1.0/(sa.n + sb.n - c) >= 0.6),
-      sp AS (SELECT doc_id,
-        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
-             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
-             ELSE 'test' END AS split
-        FROM documents)
+    Some(s"""WITH $pairsCtes,
+      sp AS (SELECT doc_id, ${SplitRule.sqlCase("doc_id")} AS split
+             FROM documents)
       SELECT least(x.split, y.split) AS split_x,
              greatest(x.split, y.split) AS split_y,
              count(*) AS n_pairs, avg(j) AS mean_jaccard,
              least(x.split, y.split) <> greatest(x.split, y.split) AS is_leak
-      FROM p JOIN sp x ON p.da = x.doc_id
-             JOIN sp y ON p.db = y.doc_id
+      FROM jpairs p JOIN sp x ON p.da = x.doc_id
+                    JOIN sp y ON p.db = y.doc_id
       GROUP BY 1, 2"""))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,

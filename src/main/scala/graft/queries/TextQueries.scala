@@ -766,8 +766,16 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy($"bucket")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // NULL quality (empty text via the nullif seam) → sentinel
+      // bucket 0, BELOW every real bucket in BOTH engines — the q32
+      // discipline (WindowQueries' sentinel note): Spark's window
+      // default is NULLS FIRST but DuckDB's is NULLS LAST, so a raw
+      // NULL bucket would put the running sums on divergent row
+      // orders. Bucket 0 also reads correctly: unscoreable docs are
+      // cut before any threshold.
       qualityScored(s, d)
-        .withColumn("bucket", expr("width_bucket(quality, 0D, 1D, 10)"))
+        .withColumn("bucket",
+          coalesce(expr("width_bucket(quality, 0D, 1D, 10)"), lit(0L)))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_docs"), sum($"n_words").as("n_tokens"))
         .withColumn("cum_docs_cut", sum($"n_docs").over(w))
@@ -786,7 +794,7 @@ object TextQueries {
       q AS (SELECT n_words,
         1.0 / (1.0 + exp(-(0.02*n_words + 5.0*stop_ratio - 10.0*punct_ratio - 1.0))) AS quality
         FROM f),
-      b AS (SELECT CAST(floor(quality*10) AS BIGINT) + 1 AS bucket,
+      b AS (SELECT coalesce(CAST(floor(quality*10) AS BIGINT) + 1, 0) AS bucket,
         count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
         FROM q GROUP BY 1)
       SELECT bucket, n_docs, n_tokens,

@@ -202,22 +202,19 @@ object TrainingDataQueries {
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val h = substring(md5($"doc_id".cast("string")), 1, 1)
+      // assignment single-sourced in SplitRule (q127 leakage shares it)
       val assigned = T.documents(s, d).select(
         $"lang",
-        when(h <= "c", "train").when(h <= "e", "val").otherwise("test")
-          .as("split"),
+        SplitRule.assign($"doc_id").as("split"),
         size(split(trim($"text"), "\\s+")).cast("long").as("n_tok"))
       assigned.groupBy($"lang", $"split")
         .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
         .withColumn("frac_docs", $"n_docs".cast("double") /
           sum($"n_docs").over(Window.partitionBy($"lang")))
     },
-    Some("""WITH a AS (SELECT lang,
-        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'c' THEN 'train'
-             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'e' THEN 'val'
-             ELSE 'test' END AS split,
-        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+    Some(s"""WITH a AS (SELECT lang,
+        ${SplitRule.sqlCase("doc_id")} AS split,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok
         FROM documents),
       g AS (SELECT lang, split, count(*) AS n_docs,
               CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM a GROUP BY 1, 2)

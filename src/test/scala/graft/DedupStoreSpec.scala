@@ -166,5 +166,20 @@ class DedupStoreSpec extends AnyFunSuite with SparkSpec {
     assert(got(31L)._3 === 0.0) // archived verbatim → nothing new
     assert(got(33L)._3 === 1.0) // fully fresh
     assert(got(34L)._3 > 0.0 && got(34L)._3 < 1.0) // the mixed case
+
+    // self-match guard: once the delta's own day commits, scoring it
+    // WITHOUT exceptDay self-matches (doc 33's shingles are now
+    // stored → novelty 0); excluding the day restores the honest
+    // "what was new when it arrived" answer
+    DedupStore.ingest(delta, root, "2024-01-03")
+    val selfMatched = DedupStore.noveltyReport(delta, root).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("novelty")).toMap
+    assert(selfMatched(33L) === 0.0)
+    val excluded = DedupStore.noveltyReport(delta, root,
+        exceptDay = Some("2024-01-03")).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_novel"),
+          r.getAs[Double]("novelty"))).toMap
+    assert(excluded === got)
   }
 }

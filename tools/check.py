@@ -113,6 +113,13 @@ def main():
     # registry present but errors.json missing is a TORN artifact and
     # must fail loudly, not quietly downgrade the gate.
     import os
+    # a subset dev dump (Verify with name args) rewrote registry.json
+    # to the subset; iterating it WITHOUT an explicit name filter
+    # would print "GATE OK: 1/1" over a 128-query engine — refuse.
+    if os.path.exists(f"{out}/_SUBSET") and not names:
+        print("GATE FAIL: subset artifact (see _SUBSET) — re-run full "
+              "Verify or pass the query names explicitly")
+        sys.exit(2)
     if os.path.exists(f"{out}/registry.json"):
         registry = json.load(open(f"{out}/registry.json"))
         if not os.path.exists(f"{out}/errors.json"):
