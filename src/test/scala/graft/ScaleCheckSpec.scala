@@ -116,7 +116,13 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     // plan that survives a corpus-scale reference — and measures
     // ×10.1 on ×10 data.
     "q121_template_prefix" -> 3.3,
-    "q123_shingle_novelty" -> 10.1)
+    "q123_shingle_novelty" -> 10.1,
+    // attribution/leakage reports: jaccardPairs' shuffles plus two
+    // doc_id-keyed attach joins and a k²-cell rollup — growth
+    // tracks the pair family's exactly (q41 is 8.0 at the same
+    // decade; measured sf0.001 → ×10 on the round-9 code)
+    "q125_dup_source_matrix" -> 7.9,
+    "q127_split_leakage" -> 7.9)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
