@@ -830,9 +830,89 @@ object TextQueries {
     },
     None)
 
+  /** Zipf head-mass profile: token mass by count MAGNITUDE — for
+    * each decimal-digit bucket of a token's corpus frequency (1–9,
+    * 10–99, …), the number of distinct types, their token mass, and
+    * the cumulative mass walking from the most frequent bucket down.
+    * The vocabulary-design report (how much of the corpus does the
+    * head cover? how heavy is the singleton tail?) that q49's top-10
+    * and q105's threshold hitters both skip past. Scale shape: ONE
+    * vocabulary-bounded count aggregate (the q49 shuffle), then
+    * magnitude bucketing — the bucket key is the DIGIT COUNT of the
+    * frequency, integer-exact in both engines, where
+    * `floor(log10(c))` would ride a float edge (log10(1000) can
+    * evaluate below 3.0) — and ≤ ~12-row post-aggregate windows for
+    * the cumulative/total. No global rank anywhere: a top-N coverage
+    * curve needs q32's two-level machinery, the magnitude profile
+    * answers the same design question with none of it. */
+  private val zipfProfile = Q(
+    "q129_zipf_profile",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.documents(s, d)
+        .select(explode(split(trim($"text"), "\\s+")).as("tok"))
+        .groupBy($"tok").agg(count(lit(1)).as("c"))
+      val byMag = counts
+        .withColumn("digits", length($"c".cast("string")).cast("long"))
+        .groupBy($"digits")
+        .agg(count(lit(1)).as("n_types"), sum($"c").as("mass"))
+      val down = Window.orderBy($"digits".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.orderBy($"digits".desc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      byMag
+        .withColumn("cum_mass", sum($"mass").over(down))
+        .withColumn("frac_mass",
+          $"mass".cast("double") / sum($"mass").over(all))
+        .select($"digits", $"n_types", $"mass", $"cum_mass", $"frac_mass")
+    },
+    Some("""WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents),
+      c AS (SELECT tok, count(*) AS c FROM w GROUP BY tok),
+      m AS (SELECT CAST(length(CAST(c AS VARCHAR)) AS BIGINT) AS digits,
+              count(*) AS n_types, CAST(sum(c) AS BIGINT) AS mass
+            FROM c GROUP BY 1)
+      SELECT digits, n_types, mass,
+        CAST(sum(mass) OVER (ORDER BY digits DESC) AS BIGINT) AS cum_mass,
+        CAST(mass AS DOUBLE) / sum(mass) OVER () AS frac_mass
+      FROM m"""))
+
+  /** Language-ID confusion matrix: q50's predictions (the SAME
+    * registered fn — the report cannot drift from the classifier it
+    * evaluates, q126's discipline) rolled up to (true, predicted)
+    * cells with counts and the within-true-language fraction — the
+    * acceptance report for the wordlist classifier (which language
+    * pairs bleed into each other, how often the '??' fallback
+    * fires). The labeled corpus is the eval set; at 100 TB the same
+    * rollup runs over a labeled holdout slice. One ≤k²-cell
+    * aggregate plus a ≤k-row window — nothing corpus-sized past
+    * q50's own row-local scoring. */
+  private val langIdConfusion = Q(
+    "q130_langid_confusion",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      langId.fn(s, d)
+        .groupBy($"true_lang", $"pred_lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("frac_of_true", $"n_docs".cast("double") /
+          sum($"n_docs").over(Window.partitionBy($"true_lang")))
+        .withColumn("is_hit", $"true_lang" === $"pred_lang")
+    },
+    Some(s"""WITH p AS (SELECT true_lang, pred_lang FROM (${langId.oracle.get})),
+      g AS (SELECT true_lang, pred_lang, count(*) AS n_docs
+            FROM p GROUP BY 1, 2)
+      SELECT true_lang, pred_lang, n_docs,
+        CAST(n_docs AS DOUBLE) /
+          sum(n_docs) OVER (PARTITION BY true_lang) AS frac_of_true,
+        true_lang = pred_lang AS is_hit
+      FROM g"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
     heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
-    stratifiedTopK, qualityCutCurve, compressionRatio)
+    stratifiedTopK, qualityCutCurve, compressionRatio, zipfProfile,
+    langIdConfusion)
 }
