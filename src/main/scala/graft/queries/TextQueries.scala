@@ -315,6 +315,11 @@ object TextQueries {
         SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) AS BIGINT) AS rank
         FROM g) WHERE rank <= 10"""))
 
+  /** The PII patterns, single-sourced for q70's scrub and q132's
+    * incidence report (Spark and DuckDB both read these literals). */
+  private val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
+  private val NumRe = "[0-9]{3,}"
+
   /** PII scrubbing: email-shaped tokens then long digit runs replaced
     * with typed placeholders (email pass FIRST — emails contain digit
     * runs), plus a redaction count for audit. Row-local regex work,
@@ -323,8 +328,8 @@ object TextQueries {
     "q70_pii_scrub",
     (s, d) => {
       import s.implicits._
-      val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"
-      val numRe = "[0-9]{3,}"
+      val emailRe = EmailRe
+      val numRe = NumRe
       val scrubbed = regexp_replace(
         regexp_replace($"text", emailRe, "<EMAIL>"), numRe, "<NUM>")
       T.documents(s, d).select(
@@ -334,12 +339,12 @@ object TextQueries {
           size(regexp_extract_all(regexp_replace($"text", emailRe, "<EMAIL>"),
             lit(numRe), lit(0)))).cast("long").as("n_redactions"))
     },
-    Some("""SELECT doc_id,
-      md5(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
-          '[0-9]{3,}', '<NUM>', 'g')) AS scrubbed_hash,
-      CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+'))
-        + len(regexp_extract_all(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+', '<EMAIL>', 'g'),
-            '[0-9]{3,}')) AS BIGINT) AS n_redactions
+    Some(s"""SELECT doc_id,
+      md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+          '$NumRe', '<NUM>', 'g')) AS scrubbed_hash,
+      CAST(len(regexp_extract_all(text, '$EmailRe'))
+        + len(regexp_extract_all(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'),
+            '$NumRe')) AS BIGINT) AS n_redactions
       FROM documents"""))
 
   /** Intra-document repetition filter (the Gopher-rules shape): share
@@ -909,10 +914,52 @@ object TextQueries {
         true_lang = pred_lang AS is_hit
       FROM g"""))
 
+  /** PII incidence report: per source, typed match counts (emails /
+    * long digit runs — the SAME single-sourced patterns q70 scrubs
+    * with, so incidence and scrub cannot disagree), affected-doc
+    * counts, and redactions per 1k docs — the compliance evidence an
+    * ingest review reads per feed before q70's scrub ever runs.
+    * Row-local regex counting + one map-side-combined per-source
+    * aggregate; nothing corpus-sized shuffles. The email pass is
+    * counted on raw text, the digit pass on email-scrubbed text
+    * (q70's ordering — an address's digits must not double-count). */
+  private val piiIncidence = Q(
+    "q132_pii_incidence",
+    (s, d) => {
+      import s.implicits._
+      val scored = T.documents(s, d).select(
+        $"source",
+        size(regexp_extract_all($"text", lit(EmailRe), lit(0)))
+          .cast("long").as("n_emails"),
+        size(regexp_extract_all(regexp_replace($"text", EmailRe, "<EMAIL>"),
+          lit(NumRe), lit(0))).cast("long").as("n_nums"))
+      scored.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_emails").as("n_emails"),
+          sum($"n_nums").as("n_nums"),
+          sum(when($"n_emails" + $"n_nums" > 0, 1L).otherwise(0L))
+            .as("docs_with_pii"))
+        .withColumn("redactions_per_1k_docs",
+          ($"n_emails" + $"n_nums").cast("double") * 1000 / $"n_docs")
+    },
+    Some(s"""WITH f AS (SELECT source,
+        CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(
+          regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$NumRe')) AS BIGINT) AS n_nums
+        FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        CAST(sum(n_nums) AS BIGINT) AS n_nums,
+        CAST(sum(CASE WHEN n_emails + n_nums > 0 THEN 1 ELSE 0 END) AS BIGINT)
+          AS docs_with_pii,
+        CAST(sum(n_emails) + sum(n_nums) AS DOUBLE) * 1000 / count(*)
+          AS redactions_per_1k_docs
+      FROM f GROUP BY source"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
     heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
     stratifiedTopK, qualityCutCurve, compressionRatio, zipfProfile,
-    langIdConfusion)
+    langIdConfusion, piiIncidence)
 }

@@ -456,7 +456,72 @@ object TrainingDataQueries {
         CAST(sum(CASE WHEN dup_n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
       FROM d GROUP BY source, lang"""))
 
+  /** Packing-efficiency report: q81's per-shard concatenate-and-cut
+    * assignment (the SAME registered fn — report and packer share
+    * one code path) rolled up per shard: bins opened, token mass,
+    * fill factor against the 4096 budget, and the count of docs
+    * STRADDLING a bin boundary (each straddle is a document cut in
+    * half at training time — the number a packing policy is judged
+    * on; too many says the budget is small relative to doc length).
+    * One per-shard aggregate over q81's output; nothing beyond q81's
+    * own per-shard window touches the corpus. */
+  private val packEfficiency = Q(
+    "q131_pack_efficiency",
+    (s, d) => {
+      import s.implicits._
+      sequencePack.fn(s, d)
+        .withColumn("end_bin", floor(($"start_off" + $"n_tok" - 1) / 4096)
+          .cast("long"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_tok").as("total_tokens"),
+          (max($"end_bin") + 1).as("n_bins"),
+          sum(when($"end_bin" =!= $"bin", 1L).otherwise(0L))
+            .as("n_straddlers"))
+        .withColumn("fill_factor",
+          $"total_tokens".cast("double") / ($"n_bins" * 4096))
+    },
+    Some(s"""WITH p AS (SELECT lang, n_tok, start_off, bin,
+        CAST(floor((start_off + n_tok - 1) / 4096) AS BIGINT) AS end_bin
+        FROM (${sequencePack.oracle.get}))
+      SELECT lang, count(*) AS n_docs,
+        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        max(end_bin) + 1 AS n_bins,
+        CAST(sum(CASE WHEN end_bin <> bin THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_straddlers,
+        CAST(sum(n_tok) AS DOUBLE) / ((max(end_bin) + 1) * 4096) AS fill_factor
+      FROM p GROUP BY lang"""))
+
+  /** Chunk-granularity exact dedup: q80's fixed-window chunks (the
+    * SAME registered fn) grouped by content hash, keeping every hash
+    * appearing more than once — the RAG-index hygiene pass (a
+    * repeated license paragraph embedded in hundreds of docs becomes
+    * hundreds of identical retrieval chunks poisoning nearest-
+    * neighbor lists) and the sub-document complement of q40
+    * (whole-doc) and q119 (span cut). One digest-keyed aggregate —
+    * the q40 discipline at chunk grain; the shuffle key is the md5,
+    * never the chunk text. */
+  private val chunkDedup = Q(
+    "q133_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      chunking.fn(s, d)
+        .groupBy($"chunk_hash")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct($"doc_id").as("n_docs"),
+          min($"chunk_len").as("chunk_len"),
+          min($"doc_id").as("first_doc"))
+        .filter($"n_copies" >= 2)
+    },
+    Some(s"""WITH c AS (${chunking.oracle.get})
+      SELECT chunk_hash, count(*) AS n_copies,
+        count(DISTINCT doc_id) AS n_docs,
+        CAST(min(chunk_len) AS BIGINT) AS chunk_len,
+        min(doc_id) AS first_doc
+      FROM c GROUP BY chunk_hash HAVING count(*) >= 2"""))
+
   def qs: Seq[Q] = Seq(chunking, sequencePack, decontaminate,
     shuffleIndex, snapshotDiff, splitReport, temperatureMix, epochWeights,
-    tokenBudgetPack, decontamReport, datasetCard)
+    tokenBudgetPack, decontamReport, datasetCard, packEfficiency,
+    chunkDedup)
 }
