@@ -52,10 +52,18 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalCurationJob {
 
-  /** Per-day stage counts; -1 = not measured (`stats = false`). */
+  /** Per-day stage counts; -1 = not measured (`stats = false`).
+    * `noveltyMean` (round 9) is the mean [[DedupStore.noveltyReport]]
+    * score of the day's quality-passing docs against all PRIOR days'
+    * near-store shingle sets (`exceptDay` keeps committed re-runs
+    * honest) — the day's feed-pricing headline: a feed trending
+    * toward 0 is re-crawling the archive even when the dedup stages
+    * still pass most of it (novelty measures shingle overlap below
+    * every suppression threshold). -1 = not measured or no scorable
+    * (≥3-word) docs. */
   case class Report(day: String, input: Long, afterQuality: Long,
       afterExact: Long, afterNear: Long, curated: Long,
-      shards: Int, recordsWritten: Long)
+      shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0)
 
   /** STREAMING ingest against the same stores — each micro-batch runs
     * [[ingestDay]] with the batch id as its store "day"
@@ -123,19 +131,28 @@ object IncrementalCurationJob {
         TfRecordSink.writeBalanced(records, outDir, cfg.targetShardBytes)
 
       def n(df: DataFrame): Long = if (stats) df.count() else -1L
+      // novelty of the day's candidates vs PRIOR history (exceptDay:
+      // this day's own ingest just committed, and a re-run of a
+      // committed day must not self-match to 0)
+      val noveltyMean = if (!stats) -1.0 else
+        DedupStore.noveltyReport(afterQuality, s"$root/near",
+            exceptDay = Some(day))
+          .agg(coalesce(avg(col("novelty")), lit(-1.0))).head().getDouble(0)
       // curated is COUNTED (cheap — the frame is cached), never
       // aliased to the sink's written count: curated == recordsWritten
       // is the seam check that catches a sink-side record drop, and
       // an aliased value can never fail it
       val report = Report(day, n(delta), n(afterQuality), n(afterExact),
-        n(afterNear), if (stats) curated.count() else written, shards, written)
+        n(afterNear), if (stats) curated.count() else written, shards, written,
+        noveltyMean)
       if (stats) require(report.curated == written,
         s"sink dropped records: curated ${report.curated} != written $written")
       val manifest =
         s"""{"day":"$day","input":${report.input},"after_quality":${report.afterQuality},
            |"after_exact":${report.afterExact},"after_near":${report.afterNear},
            |"curated":${report.curated},"shards":${report.shards},
-           |"records_written":${report.recordsWritten}}"""
+           |"records_written":${report.recordsWritten},
+           |"novelty_mean":${report.noveltyMean}}"""
           .stripMargin.replace("\n", "")
       // same tmp + atomic OVERWRITE-rename protocol as every other
       // commit marker in the engine

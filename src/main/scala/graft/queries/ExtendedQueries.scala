@@ -413,7 +413,53 @@ object ExtendedQueries {
       FROM events
       WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-20'"""))
 
+  /** Daily ingest-anomaly report: per-day event volume scored
+    * against its own TRAILING 7-day window (mean/stddev EXCLUDE the
+    * current day — a spike must not normalize itself), |z| > 3
+    * flagged — the feed-health monitor that pages before a
+    * half-broken scraper poisons a week of corpus. One
+    * map-side-combined day aggregate, then windows over the ≤ #days
+    * aggregated rows (the q31-style post-aggregate global window);
+    * nothing event-sized passes the first exchange. Warm-up days
+    * (fewer than 3 trailing points) emit NULL z — not-yet-scorable
+    * is distinct from normal. */
+  private val ingestAnomaly = Q(
+    "q134_ingest_anomaly",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val daily = T.events(s, d)
+        .groupBy(date_trunc("day", $"ts").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val trail = Window.orderBy($"day").rowsBetween(-7, -1)
+      daily
+        .withColumn("trail_n", count($"n_events").over(trail))
+        .withColumn("trail_mean", avg($"n_events").over(trail))
+        .withColumn("trail_std", stddev_samp($"n_events").over(trail))
+        .withColumn("z", when($"trail_n" >= 3,
+          ($"n_events" - $"trail_mean") / nullif($"trail_std", lit(0.0))))
+        .select(unix_micros($"day").as("day_us"), $"n_events",
+          $"trail_n", $"trail_mean", $"z",
+          (abs($"z") > 3).as("is_anomalous"))
+    },
+    Some("""WITH daily AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+        FROM events GROUP BY 1),
+      t AS (SELECT day, n_events,
+        count(n_events) OVER w AS trail_n,
+        avg(n_events) OVER w AS trail_mean,
+        stddev_samp(n_events) OVER w AS trail_std
+        FROM daily
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT epoch_us(day) AS day_us, n_events, trail_n, trail_mean,
+        CASE WHEN trail_n >= 3
+             THEN (n_events - trail_mean) / nullif(trail_std, 0) END AS z,
+        abs(CASE WHEN trail_n >= 3
+             THEN (n_events - trail_mean) / nullif(trail_std, 0) END) > 3
+          AS is_anomalous
+      FROM t"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
-    retention, skewedEnrich, incrementalMerge, sketchStore)
+    retention, skewedEnrich, incrementalMerge, sketchStore, ingestAnomaly)
 }

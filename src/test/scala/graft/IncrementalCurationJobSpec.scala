@@ -54,6 +54,7 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
       docs(1L -> archived, 2L -> other), root, "2024-01-01")
     assert(r1.curated === 2 && r1.recordsWritten === 2)
     assert(readDay(root, "2024-01-01") === Set(1L, 2L))
+    assert(r1.noveltyMean === 1.0, "day 1 vs an empty archive is all-new")
 
     val day2 = docs(
       10L -> archived,                                   // exact copy of stored 1
@@ -68,6 +69,13 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(r2.afterNear === 2, "11 cut by the near-dup band store")
     assert(r2.curated === 1, "12 cut by the containment store")
     assert(readDay(root, "2024-01-02") === Set(14L))
+    // day 2 mixes archived re-serves (10: novelty 0) with fresh docs
+    // (14: novelty 1) — the feed-pricing mean sits strictly between,
+    // and re-running the committed day must not self-match it to 0
+    assert(r2.noveltyMean > 0.0 && r2.noveltyMean < 1.0, r2.noveltyMean)
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02")
+    assert(math.abs(r2again.noveltyMean - r2.noveltyMean) < 1e-12,
+      "re-run of a committed day self-matched its novelty")
   }
 
   test("intra-day cuts and cross-day chains compose") {
