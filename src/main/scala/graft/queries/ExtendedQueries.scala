@@ -459,7 +459,55 @@ object ExtendedQueries {
           AS is_anomalous
       FROM t"""))
 
+  /** Per-user behavioral entropy: Shannon entropy (nats) of each
+    * user's event-type distribution, plus the dominant type — the
+    * statistical complement of the reference's RULE-based suspicious
+    * -ID classification (J1, `SuspiciousIDs.java`): a scripted bot
+    * hammers one event type (entropy → 0) while organic users mix
+    * types; flagging joins thresholds the score instead of
+    * hand-tuning count cutoffs. Scale shape: one (user, type)
+    * aggregate — the key space is users × ~4 types — then a row-local
+    * entropy fold over ≤4-element collected pairs; no window, no
+    * second corpus pass. ln is natural log in both engines; the
+    * 0·ln 0 limit is handled by construction (a type a user never
+    * fires is absent from the group, not a zero row). */
+  private val userEntropy = Q(
+    "q135_user_entropy",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = T.events(s, d)
+        .groupBy($"user_id", $"event_type")
+        .agg(count(lit(1)).as("c"))
+        // per-user total via a window over the COUNTS frame (≤4 rows
+        // per user, same hash key the final agg reuses)
+        .withColumn("tot", sum($"c").over(Window.partitionBy($"user_id")))
+      counts.groupBy($"user_id")
+        .agg(max($"tot").as("n_events"),
+          count(lit(1)).as("n_types"),
+          // deterministic dominant type: zero-padded count then type
+          // name lexicographically — identical tie-break both engines
+          max_by($"event_type",
+            concat(lpad($"c".cast("string"), 20, "0"), $"event_type"))
+            .as("dominant_type"),
+          (-sum(($"c" / $"tot") * log($"c" / $"tot"))).as("entropy"))
+        .withColumn("is_low_entropy", $"entropy" < 0.5)
+    },
+    Some("""WITH c AS (SELECT user_id, event_type, count(*) AS c
+               FROM events GROUP BY 1, 2),
+      t AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS tot FROM c)
+      SELECT user_id, CAST(max(tot) AS BIGINT) AS n_events,
+        count(*) AS n_types,
+        arg_max(event_type, lpad(CAST(c AS VARCHAR), 20, '0') || event_type)
+          AS dominant_type,
+        -sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot))
+          AS entropy,
+        -sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)) < 0.5
+          AS is_low_entropy
+      FROM t GROUP BY user_id"""))
+
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,
-    retention, skewedEnrich, incrementalMerge, sketchStore, ingestAnomaly)
+    retention, skewedEnrich, incrementalMerge, sketchStore, ingestAnomaly,
+    userEntropy)
 }

@@ -67,6 +67,18 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate"), "bucket rollup must map-side combine")
   }
 
+  test("q123: reference-postings membership join pins the shuffle regime") {
+    // the ScaleCheck x96 lesson: AQE happily broadcasts the gate-SF
+    // reference postings, flipping to SMJ one decade up — the
+    // shuffle_hash hint must hold so the plan at gate SF IS the plan
+    // at archive scale
+    val p = plan("q123_shingle_novelty")
+    assert(p.contains("ShuffledHashJoin"),
+      "reference join must stay shuffle_hash at every scale")
+    assert(!p.contains("BroadcastHashJoin LeftOuter"),
+      "a broadcast reference join is the cross-scale regime flip")
+  }
+
   test("q27: as-of join shuffles the unioned input exactly once") {
     val p = plan("q27_asof_join")
     assert(p.contains("Union"))
