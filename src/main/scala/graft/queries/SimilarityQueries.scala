@@ -374,6 +374,73 @@ object SimilarityQueries {
              GROUP BY e.q_vec)
       SELECT rl.q_vec, recall_lsh, recall_ivf FROM rl JOIN ri USING (q_vec)"""))
 
+  /** Quantized-serving recall: top-5 cosine search run on q48's int8
+    * RECONSTRUCTION (q = ⌊x·s + 0.5⌋ at s = 127/max|x|, then q/s —
+    * the exact rule q48 gates, applied rather than reported) scored
+    * for recall@5 against q45's float-exact answer — the acceptance
+    * test for serving the index at 4 bytes → 1 byte per dimension:
+    * recall ≈ 1 says the int8 copy can serve, the per-query rows say
+    * WHICH queries degrade (boundary queries with near-tied
+    * neighbors flip first). Same plan shape as q45 (chunk-guarded
+    * broadcast query set, row-local arithmetic, per-query top-k
+    * window); the reconstruction is array<double>, so the dot
+    * product is the HOF fold ([[Vectors.dotHof]] — the native VecDot
+    * is float-typed), acceptable here because the whole query is a
+    * diagnostic, not a serving path. Zero-norm vectors drop exactly
+    * as q48 drops them (mx > 0). */
+  private val quantizedRecall = Q(
+    "q136_quantized_recall",
+    (s, d) => {
+      import s.implicits._
+      val exact = bruteForceTopK.fn(s, d).select($"q_vec", $"vec_id")
+      val recon = T.embeddings(s, d)
+        .withColumn("mx", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .filter($"mx" > 0.0)
+        .select($"vec_id", expr(
+          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))")
+          .as("e"))
+        .withColumn("nrm", sqrt(Vectors.dotHof($"e", $"e")))
+      val qset = recon.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_vec"), $"e".as("qe"), $"nrm".as("qn"))
+      val scored = broadcastChunks(qset, $"q_vec", "int8 recall query set")
+        .map(q => recon.crossJoin(q)
+          .filter($"vec_id" =!= $"q_vec")
+          .select($"q_vec", $"vec_id",
+            (Vectors.dotHof($"qe", $"e") / ($"qn" * $"nrm")).as("cosine")))
+        .reduce(_ union _)
+      val approx = scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+        .select($"q_vec", $"vec_id").withColumn("hit", lit(1L))
+      exact.join(approx, Seq("q_vec", "vec_id"), "left")
+        .groupBy($"q_vec")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
+          .as("recall_int8"))
+    },
+    Some(s"""WITH ex0 AS (SELECT q_vec, vec_id FROM (${bruteForceTopK.oracle.get})),
+      m AS (SELECT vec_id, embedding,
+        list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') mx
+        FROM embeddings),
+      r AS (SELECT vec_id, list_transform(embedding,
+          x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx)) AS e
+        FROM m WHERE mx > 0.0),
+      n AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM r),
+      q AS (SELECT vec_id q_vec, e qe, nrm qn FROM n WHERE vec_id % 50 = 0),
+      sc AS (SELECT q.q_vec, n.vec_id,
+        list_sum(list_transform(range($Dim), i -> q.qe[i+1] * n.e[i+1]))
+          / (q.qn * n.nrm) AS cosine
+        FROM n CROSS JOIN q WHERE n.vec_id <> q.q_vec),
+      ap AS (SELECT q_vec, vec_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank FROM sc)
+        WHERE rank <= 5)
+      SELECT e.q_vec, CAST(count(a.vec_id) AS DOUBLE) / count(*) AS recall_int8
+      FROM ex0 e LEFT JOIN ap a ON e.q_vec = a.q_vec AND e.vec_id = a.vec_id
+      GROUP BY e.q_vec"""))
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
-    annRecall)
+    annRecall, quantizedRecall)
 }
