@@ -93,15 +93,18 @@ object Verify {
       else SparkEntry.queries.filter { case (k, _) => subset(k) }
     require(subset.isEmpty || queries.size == subset.size,
       s"unknown query names: ${subset -- queries.keySet}")
-    run(spark, queries, sfDir, outDir)
-    // a subset dump overwrites the dir's registry.json with the
-    // subset — mark it so a later `check.py --no-verify` over the
-    // same dir can't silently validate 1/128 queries as a full gate
-    // (full runs clear the marker, restoring gate eligibility)
+    // a subset dump overwrites some of the dir's parquet with
+    // new-binary output — mark the dir BEFORE running, so a subset
+    // run that dies mid-flight (OOM is routine) can't leave a
+    // marker-less mixed artifact a later `check.py --no-verify`
+    // would iterate as a full gate; full runs clear the marker only
+    // AFTER completing, restoring gate eligibility
+    new java.io.File(outDir).mkdirs()
     val subsetMarker = Paths.get(s"$outDir/_SUBSET")
+    if (subset.nonEmpty)
+      Files.writeString(subsetMarker, subset.toSeq.sorted.mkString("\n"))
+    run(spark, queries, sfDir, outDir)
     if (subset.isEmpty) Files.deleteIfExists(subsetMarker)
-    else Files.writeString(subsetMarker,
-      subset.toSeq.sorted.mkString("\n"))
     // subset the oracle map too — check.py treats an oracle for an
     // unregistered query as a torn/mixed artifact (correctly)
     val json = SparkEntry.oracleSql.filter { case (k, _) => queries.contains(k) }

@@ -418,19 +418,34 @@ object ExtendedQueries {
     * current day — a spike must not normalize itself), |z| > 3
     * flagged — the feed-health monitor that pages before a
     * half-broken scraper poisons a week of corpus. One
-    * map-side-combined day aggregate, then windows over the ≤ #days
-    * aggregated rows (the q31-style post-aggregate global window);
-    * nothing event-sized passes the first exchange. Warm-up days
-    * (fewer than 3 trailing points) emit NULL z — not-yet-scorable
-    * is distinct from normal. */
+    * map-side-combined day aggregate, DENSIFIED against the min→max
+    * calendar (q83's gap-fill pattern) so the trailing window is 7
+    * CALENDAR days, not 7 days-that-had-events — and so a total
+    * outage day exists as an n_events = 0 row the z-score can flag,
+    * instead of being invisible to the monitor it most needs to
+    * page. Then windows over the ≤ #days aggregated rows (the
+    * q31-style post-aggregate global window); nothing event-sized
+    * passes the first exchange. Warm-up days (fewer than 3 trailing
+    * points) emit NULL z — not-yet-scorable is distinct from
+    * normal. */
   private val ingestAnomaly = Q(
     "q134_ingest_anomaly",
     (s, d) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val daily = T.events(s, d)
+      val counts = T.events(s, d)
         .groupBy(date_trunc("day", $"ts").as("day"))
-        .agg(count(lit(1)).as("n_events"))
+        .agg(count(lit(1)).as("n"))
+      val cal = counts.agg(min($"day").as("d0"), max($"day").as("d1"))
+        .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      // identity day-rollup after the calendar join: days are unique,
+      // so max == the value — but it re-roots the trailing windows on
+      // an Aggregate over <= #days rows, which is what PlanShapeSpec's
+      // bounded-global-window walk (correctly) demands proof of; the
+      // join output alone reads as unbounded to the tripwire
+      val daily = cal.join(counts, Seq("day"), "left")
+        .groupBy($"day")
+        .agg(max(coalesce($"n", lit(0L))).as("n_events"))
       val trail = Window.orderBy($"day").rowsBetween(-7, -1)
       daily
         .withColumn("trail_n", count($"n_events").over(trail))
@@ -442,9 +457,14 @@ object ExtendedQueries {
           $"trail_n", $"trail_mean", $"z",
           (abs($"z") > 3).as("is_anomalous"))
     },
-    Some("""WITH daily AS (
-        SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+    Some("""WITH counts AS (
+        SELECT date_trunc('day', ts) AS day, count(*) AS n
         FROM events GROUP BY 1),
+      bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM counts),
+      cal AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+              FROM bounds),
+      daily AS (SELECT cal.day, CAST(coalesce(n, 0) AS BIGINT) AS n_events
+                FROM cal LEFT JOIN counts ON cal.day = counts.day),
       t AS (SELECT day, n_events,
         count(n_events) OVER w AS trail_n,
         avg(n_events) OVER w AS trail_mean,
@@ -466,45 +486,48 @@ object ExtendedQueries {
     * hammers one event type (entropy → 0) while organic users mix
     * types; flagging joins thresholds the score instead of
     * hand-tuning count cutoffs. Scale shape: one (user, type)
-    * aggregate — the key space is users × ~4 types — then a row-local
-    * entropy fold over ≤4-element collected pairs; no window, no
-    * second corpus pass. ln is natural log in both engines; the
-    * 0·ln 0 limit is handled by construction (a type a user never
-    * fires is absent from the group, not a zero row). */
+    * aggregate — the key space is users × ~4 types — then ONE
+    * per-user aggregate: the algebraic identity
+    * H = ln(n) − (Σ c·ln c)/n removes any need for per-row
+    * probabilities, so no window and no second pass over the counts
+    * frame (the round-9 review's simplification — the p·ln p
+    * formulation forced a per-user window just to get n onto each
+    * row). ln is natural log in both engines; the 0·ln 0 limit is
+    * handled by construction (a type a user never fires is absent
+    * from the group, not a zero row). */
   private val userEntropy = Q(
     "q135_user_entropy",
     (s, d) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val counts = T.events(s, d)
+      T.events(s, d)
         .groupBy($"user_id", $"event_type")
         .agg(count(lit(1)).as("c"))
-        // per-user total via a window over the COUNTS frame (≤4 rows
-        // per user, same hash key the final agg reuses)
-        .withColumn("tot", sum($"c").over(Window.partitionBy($"user_id")))
-      counts.groupBy($"user_id")
-        .agg(max($"tot").as("n_events"),
+        .groupBy($"user_id")
+        .agg(sum($"c").as("n_events"),
           count(lit(1)).as("n_types"),
           // deterministic dominant type: zero-padded count then type
           // name lexicographically — identical tie-break both engines
           max_by($"event_type",
             concat(lpad($"c".cast("string"), 20, "0"), $"event_type"))
             .as("dominant_type"),
-          (-sum(($"c" / $"tot") * log($"c" / $"tot"))).as("entropy"))
+          sum($"c" * log($"c")).as("__clc"))
+        .withColumn("entropy",
+          log($"n_events") - $"__clc" / $"n_events")
         .withColumn("is_low_entropy", $"entropy" < 0.5)
+        .drop("__clc")
     },
     Some("""WITH c AS (SELECT user_id, event_type, count(*) AS c
                FROM events GROUP BY 1, 2),
-      t AS (SELECT *, sum(c) OVER (PARTITION BY user_id) AS tot FROM c)
-      SELECT user_id, CAST(max(tot) AS BIGINT) AS n_events,
-        count(*) AS n_types,
-        arg_max(event_type, lpad(CAST(c AS VARCHAR), 20, '0') || event_type)
-          AS dominant_type,
-        -sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot))
-          AS entropy,
-        -sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)) < 0.5
-          AS is_low_entropy
-      FROM t GROUP BY user_id"""))
+      g AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+              count(*) AS n_types,
+              arg_max(event_type, lpad(CAST(c AS VARCHAR), 20, '0') || event_type)
+                AS dominant_type,
+              sum(c * ln(c)) AS clc
+            FROM c GROUP BY user_id)
+      SELECT user_id, n_events, n_types, dominant_type,
+        ln(n_events) - clc / n_events AS entropy,
+        ln(n_events) - clc / n_events < 0.5 AS is_low_entropy
+      FROM g"""))
 
   def qs: Seq[Q] = Seq(fullOuterMerge, statsBattery, groupingSets,
     stratifiedSample, decimalAgg, gapFill, histogram, sketchTopK, funnel,

@@ -387,12 +387,24 @@ object SimilarityQueries {
     * product is the HOF fold ([[Vectors.dotHof]] — the native VecDot
     * is float-typed), acceptable here because the whole query is a
     * diagnostic, not a serving path. Zero-norm vectors drop exactly
-    * as q48 drops them (mx > 0). */
+    * as q48 drops them (mx > 0) — and the SAME scope is applied to
+    * the float-exact baseline (semi-joins on the quantizable ids,
+    * both roles): q45 itself keeps zero vectors, whose NaN cosines
+    * rank FIRST under Spark's desc ordering, so an asymmetric scope
+    * would deflate recall with a non-quantization artifact and emit
+    * bogus recall-0 rows for unquantizable queries. A no-op on
+    * conforming corpora; exact on degenerate ones. */
   private val quantizedRecall = Q(
     "q136_quantized_recall",
     (s, d) => {
       import s.implicits._
+      val quantizable = T.embeddings(s, d)
+        .withColumn("mx", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .filter($"mx" > 0.0).select($"vec_id")
       val exact = bruteForceTopK.fn(s, d).select($"q_vec", $"vec_id")
+        .join(quantizable, Seq("vec_id"), "left_semi")
+        .join(quantizable.select($"vec_id".as("q_vec")), Seq("q_vec"), "left_semi")
       val recon = T.embeddings(s, d)
         .withColumn("mx", expr(
           "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
@@ -419,10 +431,13 @@ object SimilarityQueries {
         .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
           .as("recall_int8"))
     },
-    Some(s"""WITH ex0 AS (SELECT q_vec, vec_id FROM (${bruteForceTopK.oracle.get})),
+    Some(s"""WITH ex1 AS (SELECT q_vec, vec_id FROM (${bruteForceTopK.oracle.get})),
       m AS (SELECT vec_id, embedding,
         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') mx
         FROM embeddings),
+      ex0 AS (SELECT q_vec, vec_id FROM ex1
+              WHERE vec_id IN (SELECT vec_id FROM m WHERE mx > 0.0)
+                AND q_vec IN (SELECT vec_id FROM m WHERE mx > 0.0)),
       r AS (SELECT vec_id, list_transform(embedding,
           x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx)) AS e
         FROM m WHERE mx > 0.0),

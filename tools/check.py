@@ -128,6 +128,14 @@ def main():
         errors = json.load(open(f"{out}/errors.json"))
     else:  # pre-round-9 dump
         registry, errors = sorted(oracles), {}
+    # a requested name absent from the registry would be silently
+    # skipped by the loop below — with a subset registry that can
+    # make the gate check ZERO queries and still exit 0 ("GATE OK:
+    # 0/0"); fail loudly instead
+    unknown = sorted(set(names) - set(registry))
+    if unknown:
+        print(f"GATE FAIL: requested names not in this artifact's registry: {unknown}")
+        sys.exit(2)
     import glob
     n_lines = n_fail = 0
     for name in sorted(registry):
