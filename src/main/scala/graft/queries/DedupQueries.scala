@@ -1058,9 +1058,42 @@ object DedupQueries {
                     JOIN sp y ON p.db = y.doc_id
       GROUP BY 1, 2"""))
 
+  /** Directional containment source matrix: q116's containment pairs
+    * (the SAME registered fn — q126's composition discipline)
+    * attributed to (contained_source, container_source) ORDERED
+    * cells — the asymmetric complement of q125's mirror matrix: a
+    * hot A→B cell with a cold B→A cell says feed B WRAPS feed A's
+    * content (aggregators, quote farms, boilerplate hosts), telling
+    * the ingest which side to keep before any survivor policy runs.
+    * Same scale shape as q125: pair table bounded by the containment
+    * population, two stats-driven doc_id attach joins, ≤k²-cell
+    * map-side-combined rollup. */
+  private val containSourceMatrix = Q(
+    "q137_contain_source_matrix",
+    (s, d) => {
+      import s.implicits._
+      val src = T.documents(s, d).select($"doc_id", $"source")
+      containmentDedup.fn(s, d)
+        .join(src.select($"doc_id".as("contained"),
+          $"source".as("contained_source")), "contained")
+        .join(src.select($"doc_id".as("container"),
+          $"source".as("container_source")), "container")
+        .groupBy($"contained_source", $"container_source")
+        .agg(count(lit(1)).as("n_pairs"),
+          avg($"containment").as("mean_containment"))
+    },
+    Some(s"""WITH p AS (
+        SELECT contained, container, containment
+        FROM (${containmentDedup.oracle.get}))
+      SELECT x.source AS contained_source, y.source AS container_source,
+        count(*) AS n_pairs, avg(containment) AS mean_containment
+      FROM p JOIN documents x ON p.contained = x.doc_id
+             JOIN documents y ON p.container = y.doc_id
+      GROUP BY 1, 2"""))
+
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
     containmentDedup, incrementalContainment, spanCut, shingleNovelty,
-    dupSourceMatrix, splitLeakage)
+    dupSourceMatrix, splitLeakage, containSourceMatrix)
 }
