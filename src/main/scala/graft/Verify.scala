@@ -104,12 +104,17 @@ object Verify {
     if (subset.nonEmpty)
       Files.writeString(subsetMarker, subset.toSeq.sorted.mkString("\n"))
     run(spark, queries, sfDir, outDir)
-    if (subset.isEmpty) Files.deleteIfExists(subsetMarker)
     // subset the oracle map too — check.py treats an oracle for an
     // unregistered query as a torn/mixed artifact (correctly)
     val json = SparkEntry.oracleSql.filter { case (k, _) => queries.contains(k) }
       .map { case (k, v) => s"${jsonStr(k)}: ${jsonStr(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // marker removal is the artifact's LAST commit step: deleting it
+    // before oracle_sql.json lands would open a crash window where a
+    // full registry.json sits beside a stale subset oracle map and a
+    // later --no-verify pass silently downgrades 136 queries to
+    // rows-only "OK" lines
+    if (subset.isEmpty) Files.deleteIfExists(subsetMarker)
     spark.stop()
   }
 }

@@ -386,58 +386,69 @@ object SimilarityQueries {
     * window); the reconstruction is array<double>, so the dot
     * product is the HOF fold ([[Vectors.dotHof]] — the native VecDot
     * is float-typed), acceptable here because the whole query is a
-    * diagnostic, not a serving path. Zero-norm vectors drop exactly
-    * as q48 drops them (mx > 0) — and the SAME scope is applied to
-    * the float-exact baseline (semi-joins on the quantizable ids,
-    * both roles): q45 itself keeps zero vectors, whose NaN cosines
-    * rank FIRST under Spark's desc ordering, so an asymmetric scope
-    * would deflate recall with a non-quantization artifact and emit
-    * bogus recall-0 rows for unquantizable queries. A no-op on
-    * conforming corpora; exact on degenerate ones. */
+    * diagnostic, not a serving path. Both sides run over the SAME
+    * quantizable scope (mx > 0, ONE `base` frame — q48's drop rule):
+    * the baseline is RE-RANKED within that scope, not q45's answer
+    * post-filtered — a post-filter would silently turn the metric
+    * into recall@(5−k) whenever k zero-norm vectors top q45's NaN
+    * ranks, because ranks 6+ of the quantizable sub-corpus were
+    * never materialized to take their place. A no-op on conforming
+    * corpora (scope == corpus); a true recall@5 on degenerate
+    * ones. */
   private val quantizedRecall = Q(
     "q136_quantized_recall",
     (s, d) => {
       import s.implicits._
-      val quantizable = T.embeddings(s, d)
-        .withColumn("mx", expr(
-          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
-        .filter($"mx" > 0.0).select($"vec_id")
-      val exact = bruteForceTopK.fn(s, d).select($"q_vec", $"vec_id")
-        .join(quantizable, Seq("vec_id"), "left_semi")
-        .join(quantizable.select($"vec_id".as("q_vec")), Seq("q_vec"), "left_semi")
-      val recon = T.embeddings(s, d)
+      val base = T.embeddings(s, d)
         .withColumn("mx", expr(
           "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
         .filter($"mx" > 0.0)
-        .select($"vec_id", expr(
-          "transform(embedding, x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))")
-          .as("e"))
-        .withColumn("nrm", sqrt(Vectors.dotHof($"e", $"e")))
-      val qset = recon.filter($"vec_id" % 50 === 0)
-        .select($"vec_id".as("q_vec"), $"e".as("qe"), $"nrm".as("qn"))
-      val scored = broadcastChunks(qset, $"q_vec", "int8 recall query set")
-        .map(q => recon.crossJoin(q)
-          .filter($"vec_id" =!= $"q_vec")
-          .select($"q_vec", $"vec_id",
-            (Vectors.dotHof($"qe", $"e") / ($"qn" * $"nrm")).as("cosine")))
-        .reduce(_ union _)
-      val approx = scored
-        .withColumn("rank", row_number().over(
-          Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
-        .filter($"rank" <= 5)
-        .select($"q_vec", $"vec_id").withColumn("hit", lit(1L))
+      def top5(vecs: org.apache.spark.sql.DataFrame, what: String) = {
+        val qset = vecs.filter($"vec_id" % 50 === 0)
+          .select($"vec_id".as("q_vec"), $"e".as("qe"), $"nrm".as("qn"))
+        broadcastChunks(qset, $"q_vec", what)
+          .map(q => vecs.crossJoin(q)
+            .filter($"vec_id" =!= $"q_vec")
+            .select($"q_vec", $"vec_id",
+              (Vectors.dotHof($"qe", $"e") / ($"qn" * $"nrm")).as("cosine")))
+          .reduce(_ union _)
+          .withColumn("rank", row_number().over(
+            Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
+          .filter($"rank" <= 5)
+          .select($"q_vec", $"vec_id")
+      }
+      val exact = top5(base.select($"vec_id",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("e"))
+        .withColumn("nrm", sqrt(Vectors.dotHof($"e", $"e"))),
+        "int8-recall float query set")
+      val approx = top5(base.select($"vec_id", expr(
+        "transform(embedding, x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))")
+        .as("e"))
+        .withColumn("nrm", sqrt(Vectors.dotHof($"e", $"e"))),
+        "int8-recall recon query set")
+        .withColumn("hit", lit(1L))
       exact.join(approx, Seq("q_vec", "vec_id"), "left")
         .groupBy($"q_vec")
         .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
           .as("recall_int8"))
     },
-    Some(s"""WITH ex1 AS (SELECT q_vec, vec_id FROM (${bruteForceTopK.oracle.get})),
-      m AS (SELECT vec_id, embedding,
+    Some(s"""WITH m AS (SELECT vec_id, embedding,
         list_aggregate(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))), 'max') mx
         FROM embeddings),
-      ex0 AS (SELECT q_vec, vec_id FROM ex1
-              WHERE vec_id IN (SELECT vec_id FROM m WHERE mx > 0.0)
-                AND q_vec IN (SELECT vec_id FROM m WHERE mx > 0.0)),
+      nf AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM m WHERE mx > 0.0),
+      nf2 AS (SELECT vec_id, e,
+        sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM nf),
+      qf AS (SELECT vec_id q_vec, e qe, nrm qn FROM nf2 WHERE vec_id % 50 = 0),
+      scf AS (SELECT q.q_vec, n.vec_id,
+        list_sum(list_transform(range($Dim), i -> q.qe[i+1] * n.e[i+1]))
+          / (q.qn * n.nrm) AS cosine
+        FROM nf2 n CROSS JOIN qf q WHERE n.vec_id <> q.q_vec),
+      ex0 AS (SELECT q_vec, vec_id FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY q_vec ORDER BY cosine DESC, vec_id ASC) rank FROM scf)
+        WHERE rank <= 5),
       r AS (SELECT vec_id, list_transform(embedding,
           x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx)) AS e
         FROM m WHERE mx > 0.0),
