@@ -33,8 +33,19 @@ import org.apache.spark.sql.functions._
 object CurationReportJob {
 
   def run(spark: SparkSession, inputDir: String, outDir: String): Map[String, Long] = {
+    import graft.queries.{DedupQueries => DQ, SplitRule}
     def q(name: String): DataFrame =
       graft.QueryRegistry.byName(name).fn(spark, inputDir)
+
+    // The near-dup PAIR table is the dominant cost of three reports
+    // (cluster_sizes / dup_source_matrix / split_leakage all consume
+    // it). Build the shared jaccardPairs pipeline ONCE, materialize
+    // it (the pair table is bounded by the true dup population —
+    // small; the pipeline behind it is shingle-join-sized — big), and
+    // feed all three rollups from the cache: the shingle pipeline
+    // runs 1×, not 3×. The rollup fns are the registry queries' own
+    // (`DQ.clusterSizesFrom` etc.), so job and gate cannot drift.
+    val pairs = DQ.jaccardPairs(spark, inputDir).cache()
 
     val gopherPass = {
       val src = graft.Tables.documents(spark, inputDir)
@@ -56,21 +67,26 @@ object CurationReportJob {
         sum(col("raw_bytes")).as("raw_bytes"),
         sum(col("deflated_bytes")).as("deflated_bytes"))
 
+    val docMeta = graft.Tables.documents(spark, inputDir)
     val reports: Seq[(String, DataFrame)] = Seq(
-      "cluster_sizes" -> q("q115_cluster_size_dist"),
+      "cluster_sizes" -> DQ.clusterSizesFrom(pairs),
       "length_drift" -> q("q117_slice_length_profile"),
       "quality_cut_curve" -> q("q124_quality_cut_curve"),
-      "dup_source_matrix" -> q("q125_dup_source_matrix"),
-      "split_leakage" -> q("q127_split_leakage"),
+      "dup_source_matrix" -> DQ.dupSourceMatrixFrom(pairs,
+        docMeta.select(col("doc_id"), col("source"))),
+      "split_leakage" -> DQ.splitLeakageFrom(pairs,
+        docMeta.select(col("doc_id"),
+          SplitRule.assign(col("doc_id")).as("split"))),
       "gopher_pass" -> gopherPass,
       "compression_hist" -> compressionHist)
 
-    reports.map { case (name, df) =>
+    try reports.map { case (name, df) =>
       val out = df.cache()
       try {
         out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         name -> out.count()
       } finally out.unpersist()
     }.toMap
+    finally pairs.unpersist()
   }
 }

@@ -59,8 +59,13 @@ object IncrementalCurationJob {
     * honest) — the day's feed-pricing headline: a feed trending
     * toward 0 is re-crawling the archive even when the dedup stages
     * still pass most of it (novelty measures shingle overlap below
-    * every suppression threshold). -1 = not measured or no scorable
-    * (≥3-word) docs. */
+    * every suppression threshold). OPT-IN (`novelty = true`): unlike
+    * the per-day stage counts, the report's distinct-postings pass
+    * scales with TOTAL archive size, so it must never ride silently
+    * on every daily ingest — price it like the archive scan it is
+    * (or maintain the incremental distinct-postings table
+    * noveltyReport's scaladoc describes). -1 = not measured or no
+    * scorable (≥3-word) docs. */
   case class Report(day: String, input: Long, afterQuality: Long,
       afterExact: Long, afterNear: Long, curated: Long,
       shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0)
@@ -99,7 +104,7 @@ object IncrementalCurationJob {
   def ingestDay(delta: DataFrame, root: String, day: String,
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
-      stats: Boolean = true): Report = {
+      stats: Boolean = true, novelty: Boolean = false): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
@@ -133,8 +138,9 @@ object IncrementalCurationJob {
       def n(df: DataFrame): Long = if (stats) df.count() else -1L
       // novelty of the day's candidates vs PRIOR history (exceptDay:
       // this day's own ingest just committed, and a re-run of a
-      // committed day must not self-match to 0)
-      val noveltyMean = if (!stats) -1.0 else
+      // committed day must not self-match to 0). Opt-in: this is the
+      // one stat whose cost grows with the ARCHIVE, not the day.
+      val noveltyMean = if (!stats || !novelty) -1.0 else
         DedupStore.noveltyReport(afterQuality, s"$root/near",
             exceptDay = Some(day))
           .agg(coalesce(avg(col("novelty")), lit(-1.0))).head().getDouble(0)

@@ -734,15 +734,20 @@ object DedupQueries {
     * Plan: two k-bounded aggregates over the (tiny) cluster table —
     * count per component, then count per size. The corpus itself is
     * only touched by the shared [[jaccardPairs]] pipeline. */
+  /** q115's rollup as a function of an ALREADY-BUILT pair table —
+    * [[graft.jobs.CurationReportJob]] computes [[jaccardPairs]] once,
+    * caches it, and feeds the three pair-consuming reports (q115/
+    * q125/q127) from that one frame instead of re-running the
+    * dominant shingle-join pipeline per report. */
+  private[graft] def clusterSizesFrom(pairs: DataFrame): DataFrame =
+    graft.operators.ConnectedComponents
+      .label(pairs.select(col("doc_a"), col("doc_b")))
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+
   private val clusterSizeDist = Q(
     "q115_cluster_size_dist",
-    (s, d) => {
-      import s.implicits._
-      graft.operators.ConnectedComponents
-        .label(jaccardPairs(s, d).select($"doc_a", $"doc_b"))
-        .groupBy($"component").agg(count(lit(1)).as("cluster_size"))
-        .groupBy($"cluster_size").agg(count(lit(1)).as("n_clusters"))
-    },
+    (s, d) => clusterSizesFrom(jaccardPairs(s, d)),
     Some(s"""WITH RECURSIVE $pairsCtes,
       edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
@@ -998,17 +1003,22 @@ object DedupQueries {
     * (pairs broadcast when tiny, SMJ when a high-dup corpus grows
     * them — deliberately NOT a forced broadcast, the q110 lesson);
     * the final rollup is k² sources at most, map-side combined. */
+  /** q125's rollup from an already-built pair table (see
+    * [[clusterSizesFrom]]); `src` is `documents(doc_id, source)`. */
+  private[graft] def dupSourceMatrixFrom(pairs: DataFrame, src: DataFrame): DataFrame =
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_x"),
+        greatest(col("sa"), col("sb")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("mean_jaccard"))
+
   private val dupSourceMatrix = Q(
     "q125_dup_source_matrix",
     (s, d) => {
       import s.implicits._
-      val src = T.documents(s, d).select($"doc_id", $"source")
-      jaccardPairs(s, d)
-        .join(src.select($"doc_id".as("doc_a"), $"source".as("sa")), "doc_a")
-        .join(src.select($"doc_id".as("doc_b"), $"source".as("sb")), "doc_b")
-        .groupBy(least($"sa", $"sb").as("source_x"),
-          greatest($"sa", $"sb").as("source_y"))
-        .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
+      dupSourceMatrixFrom(jaccardPairs(s, d),
+        T.documents(s, d).select($"doc_id", $"source"))
     },
     Some(s"""WITH $pairsCtes
       SELECT least(x.source, y.source) AS source_x,
@@ -1032,20 +1042,25 @@ object DedupQueries {
     * doc_id joins, ≤9-cell rollup. The fix the numbers motivate is
     * also q106's note: key the split hash on a provenance GROUP, not
     * the doc, so near-copies can't straddle. */
+  /** q127's rollup from an already-built pair table (see
+    * [[clusterSizesFrom]]); `splits` is `(doc_id, split)`. */
+  private[graft] def splitLeakageFrom(pairs: DataFrame, splits: DataFrame): DataFrame =
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("pa")), "doc_a")
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("pb")), "doc_b")
+      .groupBy(least(col("pa"), col("pb")).as("split_x"),
+        greatest(col("pa"), col("pb")).as("split_y"))
+      .agg(count(lit(1)).as("n_pairs"), avg(col("jaccard")).as("mean_jaccard"))
+      .withColumn("is_leak", col("split_x") =!= col("split_y"))
+
   private val splitLeakage = Q(
     "q127_split_leakage",
     (s, d) => {
       import s.implicits._
       // assignment single-sourced in SplitRule (q106 shares it)
-      val splits = T.documents(s, d).select($"doc_id",
-        SplitRule.assign($"doc_id").as("split"))
-      jaccardPairs(s, d)
-        .join(splits.select($"doc_id".as("doc_a"), $"split".as("pa")), "doc_a")
-        .join(splits.select($"doc_id".as("doc_b"), $"split".as("pb")), "doc_b")
-        .groupBy(least($"pa", $"pb").as("split_x"),
-          greatest($"pa", $"pb").as("split_y"))
-        .agg(count(lit(1)).as("n_pairs"), avg($"jaccard").as("mean_jaccard"))
-        .withColumn("is_leak", $"split_x" =!= $"split_y")
+      splitLeakageFrom(jaccardPairs(s, d),
+        T.documents(s, d).select($"doc_id",
+          SplitRule.assign($"doc_id").as("split")))
     },
     Some(s"""WITH $pairsCtes,
       sp AS (SELECT doc_id, ${SplitRule.sqlCase("doc_id")} AS split

@@ -427,7 +427,13 @@ object ExtendedQueries {
     * q31-style post-aggregate global window); nothing event-sized
     * passes the first exchange. Warm-up days (fewer than 3 trailing
     * points) emit NULL z — not-yet-scorable is distinct from
-    * normal. */
+    * normal — but is_anomalous is explicitly FALSE there (a monitor
+    * must answer flag/no-flag, never NULL). Zero-variance trailing
+    * windows (7 identical days — a constant-zero outage then
+    * recovery is the canonical page-worthy case) leave z NULL (the
+    * score is undefined) yet flag is_anomalous whenever the day
+    * deviates from the constant at all: ANY change after a flat week
+    * is infinite sigmas. */
   private val ingestAnomaly = Q(
     "q134_ingest_anomaly",
     (s, d) => {
@@ -455,7 +461,10 @@ object ExtendedQueries {
           ($"n_events" - $"trail_mean") / nullif($"trail_std", lit(0.0))))
         .select(unix_micros($"day").as("day_us"), $"n_events",
           $"trail_n", $"trail_mean", $"z",
-          (abs($"z") > 3).as("is_anomalous"))
+          when($"trail_n" < 3, lit(false))
+            .when($"trail_std" === 0.0, $"n_events" =!= $"trail_mean")
+            .otherwise(abs($"z") > 3)
+            .as("is_anomalous"))
     },
     Some("""WITH counts AS (
         SELECT date_trunc('day', ts) AS day, count(*) AS n
@@ -474,8 +483,9 @@ object ExtendedQueries {
       SELECT epoch_us(day) AS day_us, n_events, trail_n, trail_mean,
         CASE WHEN trail_n >= 3
              THEN (n_events - trail_mean) / nullif(trail_std, 0) END AS z,
-        abs(CASE WHEN trail_n >= 3
-             THEN (n_events - trail_mean) / nullif(trail_std, 0) END) > 3
+        CASE WHEN trail_n < 3 THEN false
+             WHEN trail_std = 0 THEN n_events <> trail_mean
+             ELSE abs((n_events - trail_mean) / trail_std) > 3 END
           AS is_anomalous
       FROM t"""))
 

@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * hex char of `md5(doc_id)`, '0'..'c' → train (13/16 ≈ 81%),
   * 'd','e' → val (2/16), 'f' → test (1/16). Retuning the fractions
   * here retunes every consumer in both engines at once. */
-private[queries] object SplitRule {
+private[graft] object SplitRule {
 
   def assign(id: Column): Column = {
     val h = substring(md5(id.cast("string")), 1, 1)

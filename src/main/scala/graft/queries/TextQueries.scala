@@ -958,42 +958,38 @@ object TextQueries {
 
   /** Template-prefix STRIPPING — the application of q121's detection,
     * as q119's span cut is to q71's span detection: docs in a
-    * template family (≥2 docs of one source sharing a 5-word lead)
-    * lose that lead, singletons pass untouched — header/banner
-    * removal that keeps the unique remainder where whole-doc
-    * suppression would throw it away. Same shape as q121 (one
-    * map-side-combined family count + an equi-join back) plus a
+    * template family lose their shared 5-word lead, singletons pass
+    * untouched — header/banner removal that keeps the unique
+    * remainder where whole-doc suppression would throw it away.
+    * COMPOSED from q121 (the registered `templatePrefix.fn` /
+    * `.oracle`, q125/q131/q133's discipline): detection and stripping
+    * share one family definition, so a change to the prefix rule can
+    * never desynchronize them. Join back to `documents` by doc_id
+    * (q121's output already carries the ≥5-word filter), then a
     * row-local slice; the cleaned text ships with removal accounting
     * so downstream token budgets stay honest. */
   private val templateStrip = Q(
     "q138_template_strip",
     (s, d) => {
       import s.implicits._
-      val docs = T.documents(s, d)
+      val det = templatePrefix.fn(s, d).select($"doc_id", $"is_template")
+      T.documents(s, d)
+        .join(det, Seq("doc_id"))
         .withColumn("ws", split(trim($"text"), "\\s+"))
-        .filter(size($"ws") >= 5)
-        .withColumn("prefix5", concat_ws(" ", slice($"ws", 1, 5)))
-      val fam = docs.groupBy($"source", $"prefix5")
-        .agg(count(lit(1)).as("family_size"))
-      docs.join(fam, Seq("source", "prefix5"))
-        .withColumn("is_template", $"family_size" >= 2L)
         .select($"doc_id", $"is_template",
           when($"is_template",
             concat_ws(" ", slice($"ws", lit(6), size($"ws") - 5)))
             .otherwise(trim($"text")).as("cleaned_text"),
           when($"is_template", 5L).otherwise(0L).as("removed_words"))
     },
-    Some("""WITH p AS (SELECT doc_id, source, text,
-        string_split_regex(trim(text),'\s+') AS ws,
-        array_to_string(string_split_regex(trim(text),'\s+')[1:5],' ') AS prefix5
-        FROM documents WHERE len(string_split_regex(trim(text),'\s+')) >= 5),
-      f AS (SELECT source, prefix5, count(*) AS family_size FROM p GROUP BY 1,2)
-      SELECT doc_id, family_size >= 2 AS is_template,
-        CASE WHEN family_size >= 2 THEN array_to_string(ws[6:], ' ')
-             ELSE trim(text) END AS cleaned_text,
-        CAST(CASE WHEN family_size >= 2 THEN 5 ELSE 0 END AS BIGINT)
+    templatePrefix.oracle.map(det => s"""WITH det AS ($det)
+      SELECT d.doc_id, det.is_template,
+        CASE WHEN det.is_template
+             THEN array_to_string(string_split_regex(trim(d.text),'\\s+')[6:], ' ')
+             ELSE trim(d.text) END AS cleaned_text,
+        CAST(CASE WHEN det.is_template THEN 5 ELSE 0 END AS BIGINT)
           AS removed_words
-      FROM p JOIN f USING (source, prefix5)"""))
+      FROM documents d JOIN det ON d.doc_id = det.doc_id"""))
 
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,

@@ -51,7 +51,8 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
   test("day 2 is curated against day 1's stores, stage by stage") {
     val root = Files.createTempDirectory("icur").toString
     val r1 = IncrementalCurationJob.ingestDay(
-      docs(1L -> archived, 2L -> other), root, "2024-01-01")
+      docs(1L -> archived, 2L -> other), root, "2024-01-01",
+      novelty = true)
     assert(r1.curated === 2 && r1.recordsWritten === 2)
     assert(readDay(root, "2024-01-01") === Set(1L, 2L))
     assert(r1.noveltyMean === 1.0, "day 1 vs an empty archive is all-new")
@@ -62,7 +63,8 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
       12L -> archived.split(" ").take(10).mkString(" "), // quote of 1: containment 1.0, J ~0.3
       13L -> "tiny",                                     // quality cut
       14L -> "a brand new unique document about gardening tulips and rich soil beds")
-    val r2 = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02")
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02",
+      novelty = true)
     assert(r2.input === 5)
     assert(r2.afterQuality === 4, "13 cut by the quality floor")
     assert(r2.afterExact === 3, "10 cut by the exact digest store")
@@ -73,7 +75,8 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     // (14: novelty 1) — the feed-pricing mean sits strictly between,
     // and re-running the committed day must not self-match it to 0
     assert(r2.noveltyMean > 0.0 && r2.noveltyMean < 1.0, r2.noveltyMean)
-    val r2again = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02")
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "2024-01-02",
+      novelty = true)
     assert(math.abs(r2again.noveltyMean - r2.noveltyMean) < 1e-12,
       "re-run of a committed day self-matched its novelty")
   }
@@ -88,6 +91,8 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
       docs(21L -> near, 20L -> near, 22L -> other), root, "d2")
     assert(r2.afterExact === 2, "21 collapsed into 20 within the day")
     assert(r2.afterNear === 1, "20 then suppressed by stored 1")
+    assert(r2.noveltyMean === -1.0,
+      "novelty is opt-in: the archive-scale pass must not ride on a default ingest")
     assert(readDay(root, "d2") === Set(22L))
     // day 3: an exact copy of the day-2-CUT doc 20 is suppressed at
     // the EXACT stage — 20 was an exact-stage survivor, so its digest
