@@ -102,8 +102,45 @@ object Bench {
     // reps full interleaved passes over the suite (see scaladoc)
     val passes: Vector[Seq[Double]] = Vector.fill(reps)(benchQs.map(runOnce))
 
+    // Store-build/probe SPLIT rows (round 10): the three store-backed
+    // queries' one-off store build hid inside their first timed rep
+    // (r9: q118 rep 1 = 18.0 s vs 2.5 s steady), so trimmed stats
+    // masked it and probe-side regressions had no clean series. Each
+    // rep times the setup (store-side frame built + materialized into
+    // cache) and the probe (the recurring per-ingest work, running
+    // against the cached store) separately. The rows land in the
+    // queries map as qNNN_setup / qNNN_probe but are EXCLUDED from
+    // the headline total (BenchReport) — the combined rows above keep
+    // the cross-round series comparable.
+    val splits = if (only.isEmpty) graft.queries.DedupQueries.benchSplits else Nil
+    def runSplit(setup: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        probe: (SparkSession, String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+      spark.catalog.clearCache()
+      try {
+        val st = setup(spark, sfDir).cache()
+        val t0 = System.nanoTime()
+        st.write.format("noop").mode("overwrite").save() // materializes the cache
+        val tSetup = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        probe(spark, sfDir, st).write.format("noop").mode("overwrite").save()
+        val tProbe = (System.nanoTime() - t1) / 1e9
+        st.unpersist()
+        (tSetup, tProbe)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] split failed: ${e.getMessage}")
+        (-1.0, -1.0)
+      }
+    }
+    splits.foreach { case (_, su, pr) => runSplit(su, pr) } // warm-up
+    val splitPasses: Vector[Seq[(Double, Double)]] =
+      Vector.fill(reps)(splits.map { case (_, su, pr) => runSplit(su, pr) })
+    val splitSamples = splits.zipWithIndex.flatMap { case ((n, _, _), i) =>
+      Seq(s"${n}_setup" -> splitPasses.map(_(i)._1).filter(_ >= 0),
+        s"${n}_probe" -> splitPasses.map(_(i)._2).filter(_ >= 0))
+    }
+
     val samples = benchQs.indices.map(i =>
-      benchQs(i).name -> passes.map(_(i)).filter(_ >= 0))
+      benchQs(i).name -> passes.map(_(i)).filter(_ >= 0)) ++ splitSamples
 
     val detail = BenchReport.renderDetail(samples)
     System.err.println(s"[bench-detail] $detail")
@@ -138,9 +175,16 @@ object BenchReport {
     samples.map { case (n, xs) => "\"" + n + "\":" + stat(xs) }
       .mkString("{", ",", "}")
 
+  /** Auxiliary diagnostic rows (the round-10 store-build/probe
+    * splits): they ride in the queries map for per-row tracking but
+    * must not inflate the headline total — their work is already
+    * counted by the combined rows. */
+  private def isAux(name: String): Boolean =
+    name.endsWith("_setup") || name.endsWith("_probe")
+
   private def total(samples: Seq[(String, Seq[Double])],
       stat: Seq[Double] => Double): Double =
-    samples.map(s => stat(s._2)).filter(_ >= 0).sum
+    samples.filterNot(s => isAux(s._1)).map(s => stat(s._2)).filter(_ >= 0).sum
 
   /** The one-line stdout artifact the driver parses: trimmed per-query
     * stats and total, an explicit `failed` list (round-7 lesson: five
@@ -163,7 +207,8 @@ object BenchReport {
     * ran during the suite and even the trimmed totals deserve
     * suspicion. */
   private def probeOf(samples: Seq[(String, Seq[Double])]) =
-    samples.filter(_._2.nonEmpty).minByOption { case (_, xs) => trimmed(xs) }
+    samples.filterNot(s => isAux(s._1))
+      .filter(_._2.nonEmpty).minByOption { case (_, xs) => trimmed(xs) }
 
   /** The diagnostic channel: per-rep spread, min/median tables, the
     * contention probe, and the methodology stamp ("value" is a

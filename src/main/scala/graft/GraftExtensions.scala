@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{DeflateRatio, MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingleHashes, WordShingles}
+import graft.functions.{ByteGridHash, DeflateRatio, MinHashSig, RollingFingerprint, SimHash60, SrpSig, VecDot, WordCounts, WordShingleHashes, WordShingles}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -47,7 +47,10 @@ object GraftExtensions {
       (args: Seq[Expression]) => SrpSig(args(0), args(1), args(2), args(3))),
     (FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
-      (args: Seq[Expression]) => DeflateRatio(args.head)))
+      (args: Seq[Expression]) => DeflateRatio(args.head)),
+    (FunctionIdentifier("byte_grid_dhash"),
+      new ExpressionInfo(classOf[ByteGridHash].getName, "byte_grid_dhash"),
+      (args: Seq[Expression]) => ByteGridHash(args.head)))
 
   /** Idempotent per-session registration. */
   def ensureRegistered(spark: SparkSession): Unit = {

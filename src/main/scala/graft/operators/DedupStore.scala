@@ -58,6 +58,15 @@ object DedupStore {
 
   private val MarkerDir = "_committed"
 
+  /** Reserved prefix for COMPACTION markers (see [[compact]]): a
+    * `merged-*` marker is committed like a day marker but its CONTENT
+    * lists the day names it replaces, so one atomic marker rename
+    * simultaneously commits the merged partition and un-commits the
+    * replaced days — at no instant does a reader see fewer (or
+    * doubled) rows. Normal ingests must not use the prefix
+    * ([[requireDay]] rejects it). */
+  private val MergedPrefix = "merged-"
+
   private def fc(spark: SparkSession, root: String) =
     FileContext.getFileContext(
       new Path(root).toUri, spark.sparkContext.hadoopConfiguration)
@@ -65,13 +74,34 @@ object DedupStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Days whose marker committed, sorted. */
-  def committedDays(spark: SparkSession, root: String): Seq[String] = {
-    val f = fs(spark, root)
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = f.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** (all marker names, the subset replaced by committed compactions). */
+  private def markerState(f: org.apache.hadoop.fs.FileSystem,
+      root: String): (Seq[String], Set[String]) = {
     val d = new Path(root, MarkerDir)
-    if (!f.exists(d)) Nil
-    else f.listStatus(d).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted
+    if (!f.exists(d)) (Nil, Set.empty)
+    else {
+      val names = f.listStatus(d).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+      val replaced = names.filter(_.startsWith(MergedPrefix))
+        .flatMap(m => readMarker(f, new Path(d, m))).toSet
+      (names, replaced)
+    }
+  }
+
+  /** Days whose marker committed, sorted — EXCLUDING days a committed
+    * `merged-*` compaction marker has replaced (their rows live in the
+    * merged partition; the originals are garbage awaiting [[compact]]'s
+    * sweep and must not double-count). */
+  def committedDays(spark: SparkSession, root: String): Seq[String] = {
+    val (names, replaced) = markerState(fs(spark, root), root)
+    names.filterNot(replaced).sorted
   }
 
   /** Union of the committed days of one store table, empty-framed on
@@ -273,10 +303,127 @@ object DedupStore {
   // restricted to chars that partition-dir encoding leaves verbatim:
   // the stale-partition delete below addresses `dt=$day` literally,
   // and an escaped value (e.g. a space → %20) would silently miss it
-  private def requireDay(day: String): Unit =
+  private def requireDay(day: String): Unit = {
     require(day.nonEmpty && day.forall(c =>
         c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
       s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
+    require(!day.startsWith(MergedPrefix),
+      s"'$MergedPrefix' is reserved for compaction markers, got '$day'")
+  }
+
+  case class CompactionReport(mergedDay: Option[String], daysMerged: Int,
+      filesBefore: Int, filesAfter: Int)
+
+  private def partFiles(f: org.apache.hadoop.fs.FileSystem, dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filterNot(_.getPath.getName.startsWith("_"))
+      .filterNot(_.getPath.getName.startsWith("."))
+
+  /** Total data files across every table's committed day partitions —
+    * the number [[compact]] bounds (the spec's assertion target). */
+  def committedFileCount(spark: SparkSession, root: String): Int = {
+    val f = fs(spark, root)
+    val days = committedDays(spark, root)
+    storeTables(f, root).map { t =>
+      days.map(dd => partFiles(f, new Path(s"$root/$t/dt=$dd")).size).sum
+    }.sum
+  }
+
+  private def storeTables(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[String] = {
+    val r = new Path(root)
+    if (!f.exists(r)) Nil
+    else f.listStatus(r).toSeq.filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n == MarkerDir || n.startsWith(".") || n.startsWith("_"))
+  }
+
+  /** COMPACTION + retention: merge all committed days OLDER than the
+    * most recent `keepDays` into one consolidated partition per
+    * table. Daily cadence accumulates small files linearly (365
+    * partitions/year × shards × tables); this folds the old tail into
+    * ~⌈bytes/target⌉ files while the `keepDays` retention window
+    * stays day-partitioned — recent days are the ones a backfill or
+    * crash-retry re-ingests, and [[ingest]]'s idempotency (exclude
+    * own day from the store read) needs the day to still EXIST as a
+    * day. Re-ingesting a day that was already compacted is therefore
+    * out of contract (its rows can no longer be excluded and the
+    * re-run would self-suppress); size `keepDays` to cover the
+    * longest replay horizon.
+    *
+    * Crash safety — at every instant the committed view holds exactly
+    * one copy of every row:
+    *  1. merged partitions are written under a `dt=merged-*` name
+    *     that is NOT yet committed — debris, invisible to readers
+    *     (the standard marker protocol);
+    *  2. ONE atomic marker rename publishes the merged day; the
+    *     marker's CONTENT lists the replaced days, and
+    *     [[committedDays]] excludes replaced days — so the same
+    *     rename that commits the copy un-commits the originals.
+    *     A crash before it changes nothing; a crash after it leaves
+    *     the originals as invisible garbage;
+    *  3. the garbage sweep (old markers + partitions) runs last and
+    *     also at the START of every compact call, so a crash between
+    *     2 and 3 is healed by the next run.
+    * Re-running after any crash converges: the merged-day name is a
+    * deterministic digest of the replaced-day list. */
+  def compact(spark: SparkSession, root: String, keepDays: Int = 7,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    require(keepDays >= 0, "keepDays must be >= 0")
+    val f = fs(spark, root)
+    sweepReplaced(f, root) // heal a prior crash between commit and sweep
+    val before = committedFileCount(spark, root)
+    val all = committedDays(spark, root)
+    val mergeDays = all.dropRight(keepDays)
+    if (mergeDays.size < 2)
+      return CompactionReport(None, 0, before, before)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(mergeDays.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val mergedDay = s"$MergedPrefix${mergeDays.size}d-$digest"
+    val tables = storeTables(f, root)
+    tables.foreach { t =>
+      val dayDirs = mergeDays.map(dd => new Path(s"$root/$t/dt=$dd"))
+        .filter(dd => partFiles(f, dd).nonEmpty)
+      val outDir = new Path(s"$root/$t/dt=$mergedDay")
+      f.delete(outDir, true) // debris from a crashed prior attempt
+      if (dayDirs.nonEmpty) {
+        val bytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
+        val target = math.max(1L,
+          math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+        spark.read.parquet(dayDirs.map(_.toString): _*)
+          .coalesce(target)
+          .write.parquet(outDir.toString)
+      }
+    }
+    // the atomic swap: marker content = replaced days
+    val marker = new Path(s"$root/$MarkerDir", mergedDay)
+    val tmp = new Path(s"$root/$MarkerDir", s".$mergedDay.tmp")
+    f.mkdirs(new Path(root, MarkerDir))
+    val out = f.create(tmp, true)
+    try out.write((mergeDays.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
+      Options.Rename.OVERWRITE)
+    sweepReplaced(f, root)
+    CompactionReport(Some(mergedDay), mergeDays.size, before,
+      committedFileCount(spark, root))
+  }
+
+  /** Delete markers + partitions of days replaced by a COMMITTED
+    * compaction marker — pure garbage collection: readers already
+    * ignore them. Idempotent, safe at any time. */
+  private def sweepReplaced(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val (names, replaced) = markerState(f, root)
+    if (replaced.isEmpty) return
+    val present = names.toSet
+    val tables = storeTables(f, root)
+    replaced.intersect(present).foreach { dd =>
+      tables.foreach(t => f.delete(new Path(s"$root/$t/dt=$dd"), true))
+      f.delete(new Path(s"$root/$MarkerDir", dd), false)
+    }
+  }
 
   /** Write each table's `dt=day` partition completely, then publish
     * the day marker via tmp + atomic OVERWRITE rename (see the object

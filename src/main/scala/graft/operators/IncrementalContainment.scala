@@ -65,6 +65,38 @@ object IncrementalContainment {
   /** Default containment threshold — q116's. */
   val DefaultT = 0.7
 
+  /** Default hot-shingle df cap for the candidate join —
+    * [[LshGuard]]'s occupancy discipline applied to the containment
+    * join key: one shingle shared by k docs (the boilerplate regime —
+    * a cookie banner's 3-gram in 30% of a crawl) emits
+    * O(k·prefix-fraction × k) candidate pairs through the
+    * prefix ⋈ postings join; capping the key's df bounds that at
+    * cap²-ish while the gate corpus never comes close (measured max
+    * 3-shingle df: 25 at sf0.1, ~250 at the ×10 replica — 4×+
+    * headroom).
+    *
+    * RECALL CONTRACT (deliberate, LshGuard's): a true containment
+    * pair is lost only when EVERY witness the pigeonhole guarantees —
+    * every prefix shingle of the contained doc that the container
+    * shares — has df > cap, i.e. the overlap that makes the pair a
+    * pair is itself ≥cap-frequency boilerplate. Those are q95's
+    * families (detect and strip the template; per-pair output of a
+    * k-wide family is useless), not containment's. Override per
+    * session with `graft.contain.maxShingleDf`.
+    *
+    * Design revision note: this object's scaladoc argues AGAINST a
+    * per-ingest corpus-wide df pass (rarity ordering is a cost
+    * heuristic not worth O(store) shuffle). The guard is a different
+    * trade: without it a single hot key makes the join output
+    * QUADRATIC — and its occupancy aggregate keys on `sh`, the
+    * join's own shuffle key, so it rides the partitioning the join
+    * already pays for. */
+  val DefaultMaxShingleDf = 1024
+
+  def maxShingleDf(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("graft.contain.maxShingleDf").map(_.toInt)
+      .getOrElse(DefaultMaxShingleDf)
+
   /** `(__ca, na, sh)`: each doc's fixed witness prefix — the
     * ⌊(1−t)·n⌋+1 smallest shingle hashes. */
   private def prefixRows(sets: DataFrame, t: Double): DataFrame =
@@ -77,6 +109,32 @@ object IncrementalContainment {
   private def postingRows(sets: DataFrame): DataFrame =
     sets.select(col("id").as("__cb"), col("n").as("nb"),
       explode(col("hset")).as("sh"))
+
+  /** The candidate join, hot-shingle-guarded (see
+    * [[DefaultMaxShingleDf]]): shingles with df > cap across
+    * store ∪ delta are dropped from the PREFIX side — the equi-join
+    * then emits no pair on that key, bounding the output, while the
+    * postings side shuffles its (linear) hot rows into a join that
+    * matches nothing. Exposed private[graft] so the skew-stress spec
+    * can count candidates with and without the guard. */
+  private[graft] def candidates(dSets: DataFrame, sSets: DataFrame,
+      allSets: DataFrame, t: Double, maxShingleDf: Int): DataFrame = {
+    require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0,1], got $t")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val hot = postingRows(allSets).groupBy(col("sh"))
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxShingleDf)
+      .select(col("sh"))
+    def cool(rows: DataFrame): DataFrame = rows.join(hot, Seq("sh"), "left_anti")
+    // contained=anything, container=delta — covers delta-in-delta and
+    // store-in-delta; contained=delta, container=store covers the rest
+    val candToDelta = cool(prefixRows(allSets, t)).join(postingRows(dSets), "sh")
+    val candToStore = cool(prefixRows(dSets, t)).join(postingRows(sSets), "sh")
+    candToDelta.unionByName(candToStore)
+      // c ≤ min(na, nb) ⇒ containment ≥ t needs nb ≥ t·na
+      .filter(col("__ca") =!= col("__cb") && col("nb") >= lit(t) * col("na"))
+      .select(col("__ca"), col("__cb")).distinct()
+  }
 
   /** All containment pairs (contained, container, containment ≥ `t`)
     * over `delta` docs and a persisted store, EXCLUDING store↔store
@@ -102,20 +160,11 @@ object IncrementalContainment {
     * persistence of `dSets` (read by four joins) is the CALLER's
     * concern. */
   private[graft] def fromSets(dSets: DataFrame, storeSets: DataFrame,
-      t: Double = DefaultT): DataFrame = {
-    require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0,1], got $t")
+      t: Double = DefaultT,
+      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
     val sSets = storeSets.select(col("id"), col("n"), col("hset"))
     val allSets = dSets.unionByName(sSets)
-
-    // contained=anything, container=delta — covers delta-in-delta and
-    // store-in-delta; contained=delta, container=store covers the rest
-    val candToDelta = prefixRows(allSets, t).join(postingRows(dSets), "sh")
-    val candToStore = prefixRows(dSets, t).join(postingRows(sSets), "sh")
-    val cand = candToDelta.unionByName(candToStore)
-      // c ≤ min(na, nb) ⇒ containment ≥ t needs nb ≥ t·na
-      .filter(col("__ca") =!= col("__cb") && col("nb") >= lit(t) * col("na"))
-      .select(col("__ca"), col("__cb")).distinct()
-
+    val cand = candidates(dSets, sSets, allSets, t, maxShingleDf)
     cand
       .join(allSets.select(col("id").as("__ca"), col("n").as("na"),
         col("hset").as("ha")), "__ca")

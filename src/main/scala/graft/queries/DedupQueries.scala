@@ -337,49 +337,72 @@ object DedupQueries {
   private val CosTables = 8
   private val CosBits = 6
   private val CosDim = 64
-  private lazy val cosWDuck =
-    (0 until CosTables * CosBits)
-      .map(h => graft.functions.SrpSigImpl.planeWeights("cos", h, CosDim)
-        .map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]"))
-      .mkString("[", ",", "]")
 
-  /** Embedding-cosine near-dup pairs (cos ≥ 0.4): hyperplane-LSH
-    * candidate generation (8 tables × 6-bit SRP buckets, equi-join
-    * per (table, bucket)) + exact-cosine verification of every
-    * candidate. The oracle replicates the identical deterministic
-    * bucketing, so results are bit-exact across engines.
+  /** The PLANTED embedding view q44 runs over: every vec_id ≡ 0
+    * (mod 50) gains a near-duplicate twin (id → −(id+1) — the
+    * NEGATIVE mirror, which no corpus id and no ×N replica's shifted
+    * id space (+k·10⁹, make_bigsf/ScaleBench) can ever collide with;
+    * first element +0.15 — float arithmetic identical across
+    * engines: float(double(x) + 0.15) is the correctly-rounded sum
+    * in both).
+    * The raw synthetic table has NO near-dup cosine structure
+    * (measured max pair cosine 0.51 at sf0.01), so without planting,
+    * a recall gate is vacuous — this view gives the corpus genuine
+    * near-dup pairs with a wide margin: planted cosines ≥ 0.9887,
+    * the highest chance pair ≤ 0.60 (both measured at sf0.01 AND
+    * sf0.1). Exposed for DedupPairsSpec so the spec's brute-force
+    * baseline sees the identical view. */
+  private[graft] def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = T.embeddings(s, d).select($"vec_id", $"embedding")
+    val twins = base.filter(pmod($"vec_id", lit(50)) === 0)
+      .select((-$"vec_id" - 1).as("vec_id"),
+        concat(array(($"embedding".getItem(0) + lit(0.15)).cast("float")),
+          slice($"embedding", 2, CosDim - 1)).as("embedding"))
+    base.unionByName(twins)
+  }
+
+  /** DuckDB form of [[plantedEmbeddings]]. */
+  private val plantedEmbSql: String =
+    """planted AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT -vec_id - 1,
+        list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.15 AS FLOAT), embedding[2:])
+      FROM embeddings WHERE vec_id % 50 = 0)"""
+
+  /** Embedding-cosine near-dup pairs (cos ≥ 0.9) over the
+    * [[plantedEmbeddings]] view: hyperplane-LSH candidate generation
+    * (8 tables × 6-bit SRP buckets, equi-join per (table, bucket)) +
+    * exact-cosine verification of every candidate.
     *
-    * Why the oracle is the bucketed computation and not all-pairs:
-    * unlike q43's pigeonhole bound, SRP-LSH has no exact-recall
-    * guarantee, and this synthetic table has NO planted near-dup
-    * structure — measured at sf0.01 the maximum pair cosine is 0.51,
-    * so every qualifying pair is a chance pair hugging the 0.4
-    * threshold, where per-plane collision probability is only
-    * 1 − arccos(0.4)/π ≈ 0.63. Measured on this data: this config
-    * scans 12.4% of the brute-force pair volume for 21/59 recall at
-    * the 0.4 noise floor (100% recall provably requires ≥ brute-force
-    * work here — at b=3,L=12 the candidate volume is already 79% of
-    * all pairs for 95% recall). On a real near-dup corpus the same
-    * config gives 1−(1−0.856⁶)⁸ ≈ 98% recall at cos 0.9 and ≈ 99.8%
-    * at 0.95, with bucket-bounded shuffles — the 100 TB shape.
-    * DedupPairsSpec pins precision = 1 (every emitted pair matches
-    * the exact brute-force cosine) and the measured recall floor; the
-    * exact quadratic baseline remains available as
-    * [[SimilarityQueries]]'s q45 brute-force scorer.
+    * THE ORACLE IS EXACT ALL-PAIRS at the threshold — the recall
+    * contract itself, not a re-statement of the bucketing (the
+    * round-9 known-gap, closed by planting): equality proves the LSH
+    * finds EVERY true ≥ 0.9 pair on this data and emits nothing
+    * false. SRP-LSH has no pigeonhole bound, but collision is fully
+    * deterministic (md5 planes), and at the planted margin
+    * (cos ≥ 0.9887 → per-plane agreement 1 − arccos(0.9887)/π ≈
+    * 0.952, per-table 0.952⁶ ≈ 0.74, miss-all-8 ≈ 0.26⁸ ≈ 2·10⁻⁵)
+    * every planted pair collides — verified bit-exact at sf0.01 and
+    * sf0.1. At the old 0.4 noise floor this config measured 21/59
+    * recall scanning 12.4% of pair volume (100% recall at a noise
+    * threshold provably requires ≥ brute-force work); the exact
+    * quadratic baseline remains [[SimilarityQueries]]'s q45.
     *
-    * [[graft.operators.LshGuard]] is not wired here because the
-    * oracle IS the bucketed computation (pruning would change
-    * results), and an embedding corpus has no analogue of verbatim
-    * boilerplate families — identical vectors come from identical
-    * inputs, which exact dedup upstream removes. A caller bucketing
-    * raw crawl embeddings can still apply `LshGuard.pruneSelf` to
-    * `tb` (renaming (t, bucket) to the guard's (band, bv) key). */
+    * [[graft.operators.LshGuard]] is not wired here because pruning
+    * would change the gated result, and an embedding corpus has no
+    * analogue of verbatim boilerplate families — identical vectors
+    * come from identical inputs, which exact dedup upstream removes.
+    * A caller bucketing raw crawl embeddings can still apply
+    * `LshGuard.pruneSelf` to `tb` (renaming (t, bucket) to the
+    * guard's (band, bv) key). */
   private val cosineNearDup = Q(
     "q44_dedup_cosine",
     (s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val e = T.embeddings(s, d)
+      val e = plantedEmbeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
         .cache() // read by the bucket explode and both verify sides
       // native srp_sig: one JIT loop for all 48 plane dots per row
@@ -396,28 +419,20 @@ object DedupQueries {
         .select($"vec_a", $"vec_b",
           Vectors.cosineWithNorms($"ea.embedding", $"eb.embedding", $"ea.nrm", $"eb.nrm")
             .as("cosine"))
-        .filter($"cosine" >= 0.4)
+        .filter($"cosine" >= 0.9)
     },
-    Some(s"""WITH w AS (SELECT $cosWDuck m),
+    Some(s"""WITH $plantedEmbSql,
       n AS (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM embeddings),
-      tb AS (SELECT vec_id, t,
-          CAST(list_sum(list_transform(range($CosBits), p ->
-            CASE WHEN list_sum(list_transform(range($CosDim), d2 ->
-                   CAST(n.embedding[d2+1] AS DOUBLE) * m[t*$CosBits+p+1][d2+1])) > 0
-            THEN 1::BIGINT << (${CosBits - 1} - p) ELSE 0::BIGINT END)) AS BIGINT) bucket
-        FROM n CROSS JOIN w CROSS JOIN (SELECT unnest(range($CosTables)) t)),
-      cand AS (SELECT DISTINCT a.vec_id va, b.vec_id vb FROM tb a
-               JOIN tb b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
-      SELECT va AS vec_a, vb AS vec_b,
+        FROM planted)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         list_sum(list_transform(range($CosDim), i ->
-          CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)))
-          / (ea.nrm * eb.nrm) AS cosine
-      FROM cand JOIN n ea ON va = ea.vec_id JOIN n eb ON vb = eb.vec_id
+          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) AS cosine
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
       WHERE list_sum(list_transform(range($CosDim), i ->
-          CAST(ea.embedding[i+1] AS DOUBLE) * CAST(eb.embedding[i+1] AS DOUBLE)))
-          / (ea.nrm * eb.nrm) >= 0.4"""))
+          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.9"""))
 
   /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
     * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
@@ -780,7 +795,16 @@ object DedupQueries {
     * Verification row-local over the per-doc hash arrays. Cost is the
     * q71-style inverted-index join — keyed, never all-pairs; the
     * oracle is the full O(n²)-style SQL, equality proving exact
-    * recall (modulo the 2⁻⁶⁴ xxhash64 collision bound). */
+    * recall (modulo the 2⁻⁶⁴ xxhash64 collision bound).
+    *
+    * Skew guard (round 10): prefix rows whose shingle df exceeds
+    * [[graft.operators.IncrementalContainment.maxShingleDf]] are
+    * dropped — one boilerplate 3-gram in 30% of a crawl otherwise
+    * turns the prefix ⋈ postings join quadratic on that key. Never
+    * fires at gate SF (max df 25 at sf0.1 vs the 1024 default, so
+    * the oracle equality stands); the recall contract is
+    * [[graft.operators.IncrementalContainment.DefaultMaxShingleDf]]'s,
+    * spec'd under a planted hot key in ContainSkewSpec. */
   private val containmentDedup = Q(
     "q116_containment_dedup",
     (s, d) => {
@@ -794,12 +818,14 @@ object DedupQueries {
       val ex = hs.select($"doc_id", size($"hset").as("n"), explode($"hset").as("sh"))
       val dfreq2 = ex.groupBy($"sh").agg(count(lit(1)).as("df")).filter($"df" >= 2)
       val w = Window.partitionBy($"doc_id").orderBy($"df".asc, $"sh".asc)
+      val maxDf = graft.operators.IncrementalContainment.maxShingleDf(s)
       val prefix = ex.join(dfreq2, "sh")
         .withColumn("r2", row_number().over(w))
         .withColumn("n2", count(lit(1)).over(
           w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
         .withColumn("pos", $"n" - $"n2" + $"r2")
-        .filter($"pos" <= $"n" - ceil(lit(t) * $"n").cast("int") + 1)
+        .filter($"pos" <= $"n" - ceil(lit(t) * $"n").cast("int") + 1
+          && $"df" <= maxDf) // hot-shingle skew guard, see scaladoc
         .select($"doc_id".as("__ca"), $"sh", $"n".as("na"))
       val postings = ex.join(dfreq2.select($"sh"), "sh")
         .select($"doc_id".as("__cb"), $"sh", $"n".as("nb"))
@@ -1105,6 +1131,57 @@ object DedupQueries {
       FROM p JOIN documents x ON p.contained = x.doc_id
              JOIN documents y ON p.container = y.doc_id
       GROUP BY 1, 2"""))
+
+  /** Store-build/probe bench SPLITS (round-10): the three store-backed
+    * bench queries pay a one-off store-side build whose cost hid
+    * inside their first timed rep (BENCH_DETAIL r9: q118 18.0 s rep 1
+    * vs 2.5 s steady, q123 9.9 s, q125 4.5 s) — trimmed stats drop
+    * the outlier, so a PROBE-side regression was invisible round over
+    * round. Each entry is (name, setup, probe): `setup` builds the
+    * store-side frame (the amortized-once cost at daily cadence);
+    * `probe` consumes the CACHED setup through the same operator path
+    * the gated query runs, so the probe row prices exactly the
+    * recurring per-ingest work. [[graft.Bench]] times them as
+    * `qNNN_setup` / `qNNN_probe` rows (excluded from the headline
+    * total — the combined rows keep the cross-round series). */
+  private[graft] def benchSplits: Seq[(String,
+      (SparkSession, String) => DataFrame,
+      (SparkSession, String, DataFrame) => DataFrame)] = Seq(
+    ("q118",
+      (s, d) => {
+        import s.implicits._
+        graft.operators.IncrementalNearDedup.shingleSets(
+          T.documents(s, d).filter($"doc_id" % 2 === 0))
+      },
+      (s, d, store) => {
+        import s.implicits._
+        graft.operators.IncrementalContainment.containedPairs(
+          T.documents(s, d).filter($"doc_id" % 2 === 1), store)
+      }),
+    ("q123",
+      (s, d) => {
+        import s.implicits._
+        withShingles(s, d)
+          .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+          .filter($"source" === "src0")
+          .select(explode($"sset").as("shingle")).distinct()
+          .withColumn("in_ref", lit(true))
+      },
+      (s, d, ref) => {
+        import s.implicits._
+        val exploded = withShingles(s, d)
+          .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+          .select($"doc_id", $"source", explode($"sset").as("shingle"))
+        exploded.join(ref.hint("shuffle_hash"), Seq("shingle"), "left")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))
+          .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+      }),
+    ("q125",
+      (s, d) => jaccardPairs(s, d),
+      (s, d, pairs) => dupSourceMatrixFrom(pairs,
+        T.documents(s, d).select(col("doc_id"), col("source")))))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,

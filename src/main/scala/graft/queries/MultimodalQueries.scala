@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Multimodal plumbing: opaque `binary` payload columns + typed
@@ -15,6 +16,61 @@ import org.apache.spark.sql.functions._
   * features from character codes (corpus is ASCII).
   */
 object MultimodalQueries {
+
+  /** Deterministic synthetic MODALITY tag for a doc — the corpus has
+    * no modality column, so one is derived from doc_id (stable across
+    * engines and runs; 70% text / 20% image / 10% audio, a plausible
+    * multimodal-corpus mix). Single-sourced here (SplitRule's
+    * discipline): q114's card dimension, q141's mix report, and any
+    * spec all read THIS rule, in both engines. */
+  def modality(id: Column): Column =
+    when(pmod(id, lit(10)) < 7, "text")
+      .when(pmod(id, lit(10)) < 9, "image")
+      .otherwise("audio")
+
+  /** DuckDB form of [[modality]] (doc_id is non-negative, so `%`
+    * agrees with Spark's pmod). */
+  def modalitySqlCase(idExpr: String): String =
+    s"""CASE WHEN $idExpr % 10 < 7 THEN 'text'
+             WHEN $idExpr % 10 < 9 THEN 'image' ELSE 'audio' END"""
+
+  /** The corpus's opaque payload column: `documents.text` bytes (the
+    * container has no codecs, so payloads are synthesized — the
+    * UTF-8 byte stream — which keeps every byte-level operator
+    * oracle-checkable from character codes). Real deployments load a
+    * parquet `binary` column here; everything downstream (grid hash,
+    * banding, TFRecord packing) is bytes-only and does not change. */
+  private[graft] def payloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    T.documents(s, d).select($"doc_id", $"text".cast("binary").as("payload"))
+  }
+
+  /** Band layout for [[phashPairs]]: the 63-bit grid signature splits
+    * into 7 disjoint 9-bit bands. Pigeonhole: hamming ≤ 6 over 63
+    * bits forces ≥ 1 of the 7 bands identical, so banding + verify
+    * is EXACTLY all-pairs-hamming≤6 (q43's recall argument) while
+    * the join is an equi-join on (band, value) — no pair scan. */
+  private[graft] val PhashBands = 7
+  private[graft] val PhashBandBits = 9
+  private[graft] val PhashMaxHamming = 6
+
+  /** Banded near-dup pairs from a `(doc_id, sig)` frame — factored
+    * out so q140 and the planted-twin spec run the identical
+    * pipeline. */
+  private[graft] def phashPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until PhashBands).map(b =>
+          shiftright(col("sig"), b * PhashBandBits)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.sig ^ b.sig)").cast("long").as("hamming"))
+      .filter(col("hamming") <= PhashMaxHamming)
+      .distinct() // one pair can share several bands
+  }
 
   /** The stand-in decoder: per payload → (n_bytes, unsigned byte sum,
     * mean byte). Batched like a real codec would be (amortizes model/
@@ -88,5 +144,126 @@ object MultimodalQueries {
           f -> ascii(substr(text, CAST(1 + f * greatest(length(text) // 8, 1) AS INTEGER), 1)))) AS frames
       FROM documents"""))
 
-  def qs: Seq[Q] = Seq(byteFeatures, frameSample)
+  /** Signature frame from a `(doc_id, payload)` frame: filters to
+    * ≥ 64-byte payloads (below that, grid cells go empty and the
+    * gradient is noise) and computes the native
+    * [[graft.functions.ByteGridHash]]. Row-local, no shuffle. */
+  private[graft] def sigFrom(pl: DataFrame): DataFrame =
+    pl.filter(length(col("payload")) >= 64)
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        expr("byte_grid_dhash(payload)").as("sig"))
+
+  /** DuckDB mirror of [[sigFrom]] over `table(doc_id, text)` —
+    * parameterized so q139 (raw corpus) and q140 (planted view) run
+    * ONE signature definition in both engines. */
+  private def sigSqlOver(table: String): String =
+    s"""d AS (SELECT doc_id, text, length(text) AS len
+        FROM $table WHERE length(text) >= 64),
+      c AS (SELECT doc_id, len, list_transform(range(64), i ->
+              list_sum(list_transform(range((i*len)//64, ((i+1)*len)//64),
+                p -> ascii(substr(text, CAST(p+1 AS INTEGER), 1))))) AS sums
+            FROM d),
+      sig AS (SELECT doc_id, CAST(len AS BIGINT) AS n_bytes,
+        CAST(list_sum(list_transform(range(63), i ->
+          CASE WHEN sums[CAST(i+1 AS INTEGER)] * (((i+2)*len)//64 - ((i+1)*len)//64)
+                  > sums[CAST(i+2 AS INTEGER)] * (((i+1)*len)//64 - (i*len)//64)
+               THEN 1::BIGINT << CAST(i AS INTEGER) ELSE 0::BIGINT END))
+          AS BIGINT) AS sig
+      FROM c)"""
+
+  /** Per-payload perceptual-hash signature over the corpus; the
+    * oracle recomputes the identical integer cross-multiplied
+    * gradient bits from character codes. */
+  private val phashSig = Q(
+    "q139_mm_phash_sig",
+    (s, d) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      sigFrom(payloads(s, d))
+    },
+    Some(s"""WITH ${sigSqlOver("documents")}
+      SELECT doc_id, n_bytes, sig FROM sig"""))
+
+  /** Perceptual-hash near-dup over payload BYTES — the multimodal
+    * twin of q42/q43: [[phashPairs]]' 7×9-bit banded equi-join,
+    * hamming ≤ 6 verify. Pigeonhole makes banding exact at this
+    * threshold, so the ORACLE IS THE ALL-PAIRS HAMMING SCAN — the
+    * recall contract itself, not a re-statement of the banding
+    * (fine for DuckDB at gate SF; the Spark side never plans a pair
+    * scan — PlanShapeSpec's tripwire covers it like every dedup
+    * query).
+    *
+    * Runs over a PLANTED view: the corpus's near-dups are word-level
+    * edits whose byte insertions re-bin every downstream grid cell
+    * (measured min hamming 13 — correctly invisible to a
+    * position-sensitive gradient hash), so the raw corpus would gate
+    * 0 = 0, proving nothing. Every doc_id ≡ 0 (mod 50) gains a
+    * byte-twin (id → −(id+1), the negative mirror — collision-free
+    * against any ×N replica's +k·10⁹ id shift; 3 bytes overwritten
+    * in place — SAME length, the post-exact-dedup payload-edit case
+    * this detector exists for); the gate then proves the banded pipeline finds
+    * every planted twin AND nothing else, against exact all-pairs.
+    * Codec-independent: this is the near-dup detector that works on
+    * payloads the engine cannot decode. */
+  private val phashNearDup = Q(
+    "q140_mm_phash_neardup",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val docs = T.documents(s, d).select($"doc_id", $"text")
+      val twins = docs
+        .filter(pmod($"doc_id", lit(50)) === 0 && length($"text") >= 64)
+        .select((-$"doc_id" - 1).as("doc_id"),
+          concat(substring($"text", 1, 9), lit("zzz"),
+            expr("substring(text, 13)")).as("text"))
+      val planted = docs.unionByName(twins)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+      phashPairs(sigFrom(planted))
+    },
+    Some(s"""WITH planted AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT -doc_id - 1, substr(text, 1, 9) || 'zzz' || substr(text, 13)
+        FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 64),
+      ${sigSqlOver("planted")}
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.sig, b.sig)) <= 6"""))
+
+  /** Modality mix report: per [[modality]], doc and payload-byte
+    * mass plus each modality's share of total corpus bytes — the
+    * one-look answer to "what is this corpus made of" that a
+    * multimodal training mix is planned from. One map-side-combined
+    * aggregate to ≤3 rows; the share window runs over the aggregate
+    * (the q31-style post-aggregate global window). */
+  private val modalityMix = Q(
+    "q141_mm_modality_mix",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      payloads(s, d)
+        .select(modality($"doc_id").as("modality"),
+          length($"payload").cast("long").as("pb"))
+        .groupBy($"modality")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"pb").as("total_payload_bytes"),
+          avg($"pb").as("mean_payload_bytes"))
+        .withColumn("frac_bytes", $"total_payload_bytes".cast("double") /
+          sum($"total_payload_bytes").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    },
+    Some(s"""WITH p AS (SELECT ${modalitySqlCase("doc_id")} AS modality,
+        CAST(strlen(text) AS BIGINT) AS pb FROM documents),
+      g AS (SELECT modality, count(*) AS n_docs,
+              CAST(sum(pb) AS BIGINT) AS total_payload_bytes,
+              CAST(sum(pb) AS DOUBLE) / count(*) AS mean_payload_bytes
+            FROM p GROUP BY modality)
+      SELECT modality, n_docs, total_payload_bytes, mean_payload_bytes,
+        CAST(total_payload_bytes AS DOUBLE) /
+          sum(total_payload_bytes) OVER () AS frac_bytes
+      FROM g"""))
+
+  def qs: Seq[Q] = Seq(byteFeatures, frameSample, phashSig, phashNearDup,
+    modalityMix)
 }

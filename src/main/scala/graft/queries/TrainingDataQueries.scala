@@ -419,19 +419,23 @@ object TrainingDataQueries {
              max(overlap) AS max_overlap
       FROM hits GROUP BY bench_id"""))
 
-  /** Dataset card — the per-(source, lang) summary table every
-    * released training corpus ships with: document and token counts,
-    * byte mass, and how much of each slice is exact-duplicated
-    * (corpus-WIDE digest counts, so a doc mirrored across sources
-    * flags in both). All-integer statistics on purpose (bit-stable
-    * across engines).
+  /** Dataset card — the per-(source, lang, modality) summary table
+    * every released training corpus ships with: document and token
+    * counts, byte mass (chars AND payload bytes — the two diverge on
+    * non-ASCII text and on real binary payloads), and how much of
+    * each slice is exact-duplicated (corpus-WIDE digest counts, so a
+    * doc mirrored across sources flags in both). The modality
+    * dimension is [[MultimodalQueries.modality]]'s single-sourced
+    * rule — a released multimodal corpus is priced per modality
+    * first. All-integer statistics on purpose (bit-stable across
+    * engines).
     *
     * Plan: one window over the text digest (count per md5 partition —
     * the same single shuffle q40 pays, here keyed for counting rather
-    * than survivor selection), then the (source, lang) rollup whose
-    * partial aggregation collapses everything map-side to the handful
-    * of slice rows. Two exchanges total at any scale; nothing is
-    * collected or broadcast. */
+    * than survivor selection), then the (source, lang, modality)
+    * rollup whose partial aggregation collapses everything map-side
+    * to the handful of slice rows. Two exchanges total at any scale;
+    * nothing is collected or broadcast. */
   private val datasetCard = Q(
     "q114_dataset_card",
     (s, d) => {
@@ -440,21 +444,26 @@ object TrainingDataQueries {
       T.documents(s, d)
         .withColumn("tok", size(split(trim($"text"), "\\s+")).cast("long"))
         .withColumn("dup_n", count(lit(1)).over(Window.partitionBy(md5($"text"))))
-        .groupBy($"source", $"lang")
+        .groupBy($"source", $"lang",
+          MultimodalQueries.modality($"doc_id").as("modality"))
         .agg(count(lit(1)).as("n_docs"),
           sum($"tok").as("total_tokens"),
           sum($"n_chars").as("total_chars"),
+          sum(octet_length($"text").cast("long")).as("total_payload_bytes"),
           sum(when($"dup_n" >= 2, 1L).otherwise(0L)).as("n_exact_dup"))
     },
-    Some("""WITH d AS (SELECT source, lang, n_chars,
-        CAST(len(string_split_regex(trim(text),'\s+')) AS BIGINT) AS tok,
+    Some(s"""WITH d AS (SELECT source, lang, n_chars,
+        ${MultimodalQueries.modalitySqlCase("doc_id")} AS modality,
+        CAST(strlen(text) AS BIGINT) AS pb,
+        CAST(len(string_split_regex(trim(text),'\\s+')) AS BIGINT) AS tok,
         count(*) OVER (PARTITION BY md5(text)) AS dup_n
         FROM documents)
-      SELECT source, lang, count(*) AS n_docs,
+      SELECT source, lang, modality, count(*) AS n_docs,
         CAST(sum(tok) AS BIGINT) AS total_tokens,
         CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        CAST(sum(pb) AS BIGINT) AS total_payload_bytes,
         CAST(sum(CASE WHEN dup_n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_exact_dup
-      FROM d GROUP BY source, lang"""))
+      FROM d GROUP BY source, lang, modality"""))
 
   /** Packing-efficiency report: q81's per-shard concatenate-and-cut
     * assignment (the SAME registered fn — report and packer share

@@ -57,9 +57,27 @@ class BenchReportSpec extends AnyFunSuite {
     assert(line.contains(""""contended":false"""))
   }
 
+  test("setup/probe split rows ride in the map but never the headline total") {
+    val withSplits = full ++ Seq(
+      "q118_setup" -> Seq(15.0, 15.1, 15.2, 15.0, 15.1),
+      "q118_probe" -> Seq(2.5, 2.5, 2.5, 2.5, 2.5))
+    val line = BenchReport.renderLine(withSplits, "/sf")
+    assert(line.contains(""""q118_setup":"""), "split rows must be recorded")
+    assert(line.contains(""""q118_probe":"""))
+    val v = """"value":([-0-9.eE]+)""".r.findFirstMatchIn(line)
+      .map(_.group(1).toDouble).getOrElse(fail(s"no value in $line"))
+    // total = 15 x 0.40-ish; the 15 s setup row must not be in it
+    assert(v < 10.0, s"aux rows leaked into the headline total: $v")
+    // nor may a split row become the contention probe (its series
+    // would break cross-round probe comparability)
+    val contendedSplit = full ++ Seq("q118_probe" -> Seq(0.01, 0.01, 0.09))
+    assert(BenchReport.renderLine(contendedSplit, "/sf")
+      .contains(""""contended":false"""))
+  }
+
   test("contended box flips the flag via the cheapest-query probe") {
     // cheapest query spread 0.1 -> 0.9 = 9x > 3x
-    val contended = full.take(3) ++ Seq("q99_probe" -> Seq(0.1, 0.1, 0.9))
+    val contended = full.take(3) ++ Seq("q99_cheapest" -> Seq(0.1, 0.1, 0.9))
     assert(BenchReport.renderLine(contended, "/sf").contains(""""contended":true"""))
   }
 

@@ -88,9 +88,11 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
     assert(got(5L)._2 == 0L, s"short doc hosts no k-gram: ${got(5L)}")
   }
 
-  test("q44: every LSH pair carries the exact cosine; recall floored vs brute force") {
+  test("q44: LSH over the planted view = exact brute force — full recall, exact cosines") {
     import spark.implicits._
-    val e = Tables.embeddings(spark, sf)
+    // brute-force baseline over the SAME planted view (the shared
+    // private[graft] helper — spec and query cannot see different data)
+    val e = graft.queries.DedupQueries.plantedEmbeddings(spark, sf)
       .select($"vec_id", $"embedding",
         graft.functions.Vectors.norm($"embedding").as("nrm"))
     val brute = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
@@ -98,18 +100,23 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
         graft.functions.Vectors
           .cosineWithNorms($"a.embedding", $"b.embedding", $"a.nrm", $"b.nrm")
           .as("cosine"))
-      .filter($"cosine" >= 0.4)
+      .filter($"cosine" >= 0.9)
       .as[(Long, Long, Double)].collect()
       .map { case (a, b, c) => (a, b) -> c }.toMap
     val lsh = run("q44_dedup_cosine").as[(Long, Long, Double)].collect()
-    assert(lsh.nonEmpty, "LSH should surface pairs on the fixture")
+    assert(brute.nonEmpty, "planting must create >=0.9 pairs on the fixture")
+    assert(lsh.length === brute.size,
+      s"LSH recall broke: ${lsh.length} pairs vs ${brute.size} true pairs")
     lsh.foreach { case (a, b, c) =>
       val exact = brute.get((a, b))
-      assert(exact.isDefined, s"($a,$b) not a true >=0.4 pair — precision broken")
+      assert(exact.isDefined, s"($a,$b) not a true >=0.9 pair — precision broken")
       assert(math.abs(exact.get - c) < 1e-12, s"($a,$b) cosine drifted from exact")
     }
-    val recall = lsh.length.toDouble / brute.size
-    assert(recall >= 0.2,
-      f"recall $recall%.3f below the measured floor for b=6,L=8 at the 0.4 noise floor")
+    // every planted twin pair is found (twin −(id+1), original id):
+    // the margin (cos >= 0.9887) makes an 8-table miss a ~2e-5
+    // event, and the md5 planes make the outcome deterministic — pin it
+    val planted = brute.keySet.filter { case (a, b) => a < 0 && b == -a - 1 }
+    assert(planted.nonEmpty && planted.subsetOf(
+      lsh.map { case (a, b, _) => (a, b) }.toSet))
   }
 }

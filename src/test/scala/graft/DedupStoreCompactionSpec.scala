@@ -1,0 +1,142 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupStore
+
+/** [[DedupStore.compact]] — daily cadence accumulates one partition
+  * per day per table; compaction must bound the file count WITHOUT
+  * changing a single probe result, and its crash windows must never
+  * un-commit a day:
+  *  - pre-marker crash → merged partitions are uncommitted debris,
+  *    readers see the original days (the standard marker rule);
+  *  - post-marker / pre-sweep crash → the marker's replaced-day list
+  *    excludes the originals, so a still-present old marker cannot
+  *    double-count; the next compact() heals the garbage.
+  */
+class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
+
+  private def docs(ids: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.toSeq.toDF("doc_id", "text")
+  }
+
+  private def ids(df: DataFrame): Set[Long] = {
+    val s = spark
+    import s.implicits._
+    df.select($"doc_id").as[Long].collect().toSet
+  }
+
+  // per-day DISJOINT vocabularies: no accidental cross-day near-dups
+  // (a shared base word-run at J >= 0.6 would silently empty later
+  // days' survivor sets and blind the probe assertions)
+  private def text(d: Int): String =
+    (1 to 10).map(w => s"w${d}x$w").mkString(" ")
+  private def text2(d: Int): String =
+    (1 to 10).map(w => s"v${d}y$w").mkString(" ")
+
+  private def simulateDays(root: String, n: Int): Unit =
+    (1 to n).foreach { d =>
+      DedupStore.ingest(
+        docs((d * 100L) -> text(d), (d * 100L + 1) -> text2(d)),
+        root, f"2024-01-$d%02d")
+    }
+
+  test("compaction bounds files, preserves probes, and survives its crash windows") {
+    val rootC = Files.createTempDirectory("dsc-c").toString // compacted
+    val rootU = Files.createTempDirectory("dsc-u").toString // control
+    val n = 10
+    simulateDays(rootC, n)
+    simulateDays(rootU, n)
+
+    val before = DedupStore.committedFileCount(spark, rootC)
+    assert(before >= n, s"10 simulated days must leave >= $n files, got $before")
+
+    val r = DedupStore.compact(spark, rootC, keepDays = 2)
+    assert(r.mergedDay.isDefined && r.daysMerged === n - 2)
+    // the 8-day tail folds to ⌈bytes/target⌉ = 1 file per table (tiny
+    // data << target); the 2 retained days keep their own files —
+    // total well under half the before count
+    assert(r.filesAfter < r.filesBefore / 2, s"file count not bounded: $r")
+    val hfs = new org.apache.hadoop.fs.Path(rootC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (t <- Seq("bands", "sets")) {
+      val merged = new org.apache.hadoop.fs.Path(s"$rootC/$t/dt=${r.mergedDay.get}")
+      val files = hfs.listStatus(merged).map(_.getPath.getName)
+        .filterNot(f0 => f0.startsWith("_") || f0.startsWith("."))
+      assert(files.length === 1, s"$t merged tail must be ONE file, got ${files.toSeq}")
+    }
+    assert(DedupStore.committedDays(spark, rootC).size === 3,
+      "merged day + 2 retained days")
+
+    // PROBE EQUIVALENCE: a new day ingested against the compacted
+    // store suppresses exactly what the uncompacted control does —
+    // one twin against the MERGED partition (day 3), one near-dup
+    // (last word changed: 7/8 shared shingles, J = 7/9 >= 0.6)
+    // against a RETAINED day (day 9) — both read paths exercised
+    val day11 = docs(
+      9990L -> text(3),
+      9991L -> text(9).replace("w9x10", "zz"),
+      9992L -> "entirely fresh content about compaction never archived anywhere")
+    val sC = ids(DedupStore.ingest(day11, rootC, "2024-02-01"))
+    val sU = ids(DedupStore.ingest(day11, rootU, "2024-02-01"))
+    assert(sC === sU, s"compaction changed probe results: $sC vs $sU")
+    assert(sC === Set(9992L))
+
+    // novelty read-side also unchanged
+    val nC = DedupStore.noveltyReport(day11, rootC, exceptDay = Some("2024-02-01"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(3)).toMap
+    val nU = DedupStore.noveltyReport(day11, rootU, exceptDay = Some("2024-02-01"))
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(3)).toMap
+    assert(nC === nU, "compaction changed novelty scores")
+
+    // CRASH WINDOW post-marker/pre-sweep: resurrect an old day's
+    // marker (as if the sweep died) — the committed view must still
+    // exclude it (the merged marker's content replaces it), so rows
+    // cannot double-count
+    val f = new org.apache.hadoop.fs.Path(rootC)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ghost = new org.apache.hadoop.fs.Path(s"$rootC/_committed/2024-01-03")
+    f.create(ghost, true).close()
+    assert(!DedupStore.committedDays(spark, rootC).contains("2024-01-03"),
+      "a replaced day's stale marker must stay excluded")
+    // and the next compact() sweeps it
+    DedupStore.compact(spark, rootC, keepDays = 2)
+    assert(!f.exists(ghost), "sweep must clear replaced-day garbage")
+
+    // CRASH WINDOW pre-marker: debris partitions under an uncommitted
+    // merged name are invisible
+    val debris = new org.apache.hadoop.fs.Path(s"$rootC/sets/dt=merged-99d-deadbeef0000")
+    f.mkdirs(debris)
+    val daysBefore = DedupStore.committedDays(spark, rootC)
+    assert(DedupStore.committedDays(spark, rootC) === daysBefore)
+    val sC2 = ids(DedupStore.noveltyReport(day11, rootC,
+      exceptDay = Some("2024-02-01")).withColumnRenamed("doc_id", "doc_id"))
+    assert(sC2 === nC.keySet, "uncommitted merged debris leaked into a read")
+  }
+
+  test("compact is idempotent and a second call with nothing to merge is a no-op") {
+    val root = Files.createTempDirectory("dsc-i").toString
+    simulateDays(root, 5)
+    val r1 = DedupStore.compact(spark, root, keepDays = 1)
+    assert(r1.daysMerged === 4)
+    val daysAfter = DedupStore.committedDays(spark, root)
+    val r2 = DedupStore.compact(spark, root, keepDays = 1)
+    // merged day + 1 retained = 2 committed days; dropRight(1) leaves
+    // just the merged day → nothing to merge
+    assert(r2.mergedDay.isEmpty && r2.daysMerged === 0)
+    assert(DedupStore.committedDays(spark, root) === daysAfter)
+  }
+
+  test("normal ingests cannot use the reserved merged- day prefix") {
+    val root = Files.createTempDirectory("dsc-r").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.ingest(docs(1L -> text(1)), root, "merged-evil")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
+}
