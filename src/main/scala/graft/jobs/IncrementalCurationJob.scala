@@ -60,12 +60,14 @@ object IncrementalCurationJob {
     * toward 0 is re-crawling the archive even when the dedup stages
     * still pass most of it (novelty measures shingle overlap below
     * every suppression threshold). OPT-IN (`novelty = true`): unlike
-    * the per-day stage counts, the report's distinct-postings pass
-    * scales with TOTAL archive size, so it must never ride silently
-    * on every daily ingest — price it like the archive scan it is
-    * (or maintain the incremental distinct-postings table
-    * noveltyReport's scaladoc describes). -1 = not measured or no
-    * scorable (≥3-word) docs. */
+    * the per-day stage counts, the report's membership join scales
+    * with TOTAL archive size, so it must never ride silently on
+    * every daily ingest — price it like the archive scan it is. The
+    * round-10 per-day `postings` table removes the report's set
+    * explode and corpus-wide DISTINCT (the worst of the cost), but
+    * the anti-join's archive-postings scan remains inherently
+    * archive-sized. -1 = not measured or no scorable (≥3-word)
+    * docs. */
   case class Report(day: String, input: Long, afterQuality: Long,
       afterExact: Long, afterNear: Long, curated: Long,
       shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0)
@@ -96,6 +98,20 @@ object IncrementalCurationJob {
           stats = false): Unit
       }
       .start()
+
+  /** Store MAINTENANCE — run periodically (weekly cron, or after
+    * every Nth ingest): [[DedupStore.compact]] over the job's three
+    * store roots, folding each store's old day-partitions into one
+    * consolidated partition while `keepDays` recent days stay
+    * day-partitioned (the idempotent-re-run window — a compacted day
+    * must not be re-ingested, DedupStore's contract). Probe results
+    * are unchanged by construction (DedupStoreCompactionSpec).
+    * Returns store name → report. */
+  def compactStores(spark: SparkSession, root: String,
+      keepDays: Int = 7): Map[String, DedupStore.CompactionReport] =
+    Seq("exact", "near", "contain").map { s0 =>
+      s0 -> DedupStore.compact(spark, s"$root/$s0", keepDays)
+    }.toMap
 
   /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
     * ride along) against the stores under `root`, exporting curated

@@ -155,9 +155,15 @@ object DedupStore {
     val surv = IncrementalNearDedup.survivors(
       delta, storeBands.drop("dt"), storeSets.drop("dt"),
       idCol, textCol, t, maxBucket, spillDir).cache()
+    // `postings` (round 10): the day's DISTINCT shingle hashes as
+    // their own slim one-column table — [[noveltyReport]]'s fast
+    // path. ~8 bytes per distinct shingle per day; membership only
+    // (duplicates ACROSS days are fine — the report anti-joins).
     try commitDay(spark, root, day, Seq(
       "bands" -> IncrementalNearDedup.bandTable(surv, idCol, textCol),
-      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
+      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol),
+      "postings" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)
+        .select(explode(col("hset")).as("sh")).distinct()))
     finally if (!retainCache) surv.unpersist()
     surv
   }
@@ -263,16 +269,24 @@ object DedupStore {
     * is re-crawling what the archive already holds.
     *
     * Day-zero store → novelty 1.0 for every delta doc. The
-    * membership join is `shuffle_hash` on the shingle hash (q123's
-    * pinned regime — archive-scale postings can never broadcast, and
-    * letting stats pick broadcast at small SF is exactly the
-    * cross-scale regime flip ScaleCheckSpec caught there). Postings
-    * are distinct-deduped per call from the `sets` table rather than
-    * persisted separately (no second disk copy of the shingles —
-    * the [[ingestContained]] rationale; a deployment scoring MANY
-    * deltas per store version could maintain an incremental postings
-    * table instead, trading ~2× store size for skipping the
-    * distinct).
+    * membership test is a `shuffle_hash` LEFT-ANTI join on the
+    * shingle hash (q123's pinned regime — archive-scale postings can
+    * never broadcast, and letting stats pick broadcast at small SF is
+    * exactly the cross-scale regime flip ScaleCheckSpec caught
+    * there). Anti-join semantics tolerate DUPLICATE reference keys,
+    * which buys two things:
+    *  - the FAST PATH (round 10): [[ingest]] commits each day's
+    *    distinct shingles as the slim one-column `postings` table, so
+    *    this report reads that instead of exploding every `hset`
+    *    array — no set explode, no corpus-wide DISTINCT pass, the
+    *    exact maintenance the previous scaladoc priced at ~2× store
+    *    size (it measures ~8 B/shingle/day — far less, the sets
+    *    table keeps the arrays anyway). Used only when EVERY
+    *    committed day has its postings partition (or had zero
+    *    survivors); stores written before the feature fall back
+    *    transparently;
+    *  - the legacy fallback skips its old distinct() too (dup keys
+    *    are harmless on the anti side).
     *
     * Pass `exceptDay = Some(day)` when the delta's own day may
     * ALREADY be committed — an end-of-day dashboard over today's
@@ -284,17 +298,31 @@ object DedupStore {
       idCol: String = "doc_id", textCol: String = "text",
       exceptDay: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
-    val storeSets = readCommitted(spark, root, "sets",
-      IncrementalNearDedup.shingleSets(delta.limit(0), idCol, textCol),
-      exceptDay = exceptDay).drop("dt")
-    val ref = storeSets.select(explode(col("hset")).as("sh")).distinct()
-      .withColumn("__in_ref", lit(true))
-    IncrementalNearDedup.shingleSets(delta, idCol, textCol)
-      .select(col("id"), explode(col("hset")).as("sh"))
-      .join(ref.hint("shuffle_hash"), Seq("sh"), "left")
-      .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("__in_ref").isNull, 1L).otherwise(0L)).as("n_novel"))
+    val f = fs(spark, root)
+    val days = committedDays(spark, root).filterNot(exceptDay.contains)
+    val postingsComplete = days.forall { dd =>
+      f.exists(new Path(s"$root/postings/dt=$dd")) ||
+        !f.exists(new Path(s"$root/sets/dt=$dd"))
+    }
+    val emptySets = IncrementalNearDedup.shingleSets(
+      delta.limit(0), idCol, textCol)
+    val ref =
+      if (postingsComplete)
+        readCommitted(spark, root, "postings",
+          emptySets.select(explode(col("hset")).as("sh")),
+          exceptDay = exceptDay).drop("dt")
+      else
+        readCommitted(spark, root, "sets", emptySets,
+          exceptDay = exceptDay).drop("dt")
+          .select(explode(col("hset")).as("sh"))
+    val dSets = IncrementalNearDedup.shingleSets(delta, idCol, textCol)
+    val novel = dSets.select(col("id"), explode(col("hset")).as("sh"))
+      .join(ref.hint("shuffle_hash"), Seq("sh"), "left_anti")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_novel"))
+    dSets.select(col("id"), size(col("hset")).cast("long").as("n_shingles"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty",
         col("n_novel").cast("double") / col("n_shingles"))
       .withColumnRenamed("id", idCol)

@@ -132,6 +132,34 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(DedupStore.committedDays(spark, root) === daysAfter)
   }
 
+  test("IncrementalCurationJob.compactStores maintains all three store roots") {
+    val root = Files.createTempDirectory("dsc-job").toString
+    // letter-only per-day vocab: the job's quality floor demands
+    // alpha ratio >= 0.5, which the digit-heavy w1x1 words fail
+    def jobText(d: Int): String =
+      (1 to 20).map(w => s"q${('a' + d).toChar}${('a' + w).toChar}zz").mkString(" ")
+    (1 to 6).foreach { d =>
+      graft.jobs.IncrementalCurationJob.ingestDay(
+        docs((d * 100L) -> jobText(d)), root, f"2024-04-$d%02d",
+        stats = false)
+    }
+    val reports = graft.jobs.IncrementalCurationJob
+      .compactStores(spark, root, keepDays = 2)
+    assert(reports.keySet === Set("exact", "near", "contain"))
+    // every root folded its 4-day tail (exact always has digests;
+    // near/contain may have fewer populated days but same day count)
+    reports.foreach { case (name, r) =>
+      assert(r.daysMerged === 4, s"$name: $r")
+      assert(DedupStore.committedDays(spark, s"$root/$name").size === 3, name)
+    }
+    // the maintained store still curates: a re-serve of a COMPACTED
+    // day's doc dies at the exact stage
+    val r = graft.jobs.IncrementalCurationJob.ingestDay(
+      docs(999L -> (1 to 20).map(w => s"q${('a' + 2).toChar}${('a' + w).toChar}zz")
+        .mkString(" ")), root, "2024-05-01")
+    assert(r.afterExact === 0, "compacted digest store lost a day")
+  }
+
   test("normal ingests cannot use the reserved merged- day prefix") {
     val root = Files.createTempDirectory("dsc-r").toString
     val e = intercept[IllegalArgumentException] {
