@@ -14,9 +14,12 @@ import org.apache.spark.sql.types.StringType
   *
   * Layout under `root`:
   * {{{
-  *   bands/dt=2024-01-01/part-*.parquet   (id, band, bv)   per day
-  *   sets/dt=2024-01-01/part-*.parquet    (id, n, hset)    per day
-  *   _committed/2024-01-01                empty marker file per day
+  *   bands/dt=2024-01-01/part-*.parquet     (id, band, bv)   per day
+  *   sets/dt=2024-01-01/part-*.parquet      (id, n, hset)    per day
+  *   postings/dt=2024-01-01/part-*.parquet  (sh)             per day (r10)
+  *   digests/dt=.../                        (fp)         [[ingestExact]]
+  *   sigs/dt=.../                           (doc_id, sig) [[ingestPhash]]
+  *   _committed/2024-01-01                  marker file per day
   * }}}
   *
   * Why append-only partitions instead of SnapshotStore's
@@ -243,6 +246,64 @@ object DedupStore {
       "digests" -> surv.select(md5(col(textCol)).as("fp"))))
     finally if (!retainCache) surv.unpersist()
     surv
+  }
+
+  /** Day-over-day MULTIMODAL near-dedup ingest (round 10) — the
+    * payload-bytes cell of the incremental dedup matrix: suppress
+    * delta rows whose [[graft.functions.ByteGridHash]] byte-grid
+    * signature sits within hamming ≤ `maxHamming` of a committed
+    * payload's signature (an archived near-twin — e.g. the same
+    * image re-crawled with a few bytes of metadata rewritten in
+    * place) or of a SMALLER-id delta payload (intra-day canonical,
+    * q40's min-id rule; each row is judged by its own partner's
+    * existence regardless of that partner's fate — the
+    * [[IncrementalContainment.suppressedDeltaIds]] chain stance),
+    * then append the survivors' `(id, sig)` rows as `day`'s
+    * partition under the same marker/idempotency protocol as
+    * [[ingest]]. The store is the slimmest of all four suppression
+    * disciplines: 16 bytes per payload, no payload bytes retained.
+    *
+    * Candidates come from [[graft.queries.MultimodalQueries]]'
+    * 7×9-bit banded equi-join (pigeonhole-exact at the default
+    * hamming ≤ 6 — same recall argument as q140), delta bands
+    * against store ∪ delta bands — never a pair scan. Payloads under
+    * 64 bytes carry no signature: they pass through unsuppressed and
+    * commit nothing (the grid gradient is noise there; exact dedup
+    * owns tiny payloads via [[ingestExact]] upstream). */
+  def ingestPhash(delta: DataFrame, root: String, day: String,
+      idCol: String = "doc_id", payloadCol: String = "payload",
+      maxHamming: Int = graft.queries.MultimodalQueries.PhashMaxHamming,
+      retainCache: Boolean = false): DataFrame = {
+    import graft.queries.MultimodalQueries.sigBands
+    requireDay(day)
+    val spark = delta.sparkSession
+    graft.GraftExtensions.ensureRegistered(spark)
+    require(maxHamming <= graft.queries.MultimodalQueries.PhashMaxHamming,
+      s"banding is pigeonhole-exact only to hamming ${
+        graft.queries.MultimodalQueries.PhashMaxHamming}, got $maxHamming")
+    def sigsOf(df: DataFrame): DataFrame = df
+      .filter(length(col(payloadCol)) >= 64)
+      .select(col(idCol).as("doc_id"),
+        expr(s"byte_grid_dhash(`$payloadCol`)").as("sig"))
+    val storeSigs = readCommitted(spark, root, "sigs",
+      sigsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
+    val dSigs = sigsOf(delta).cache()
+    try {
+      val dBands = sigBands(dSigs)
+      val allBands = sigBands(dSigs).withColumn("__store", lit(false))
+        .unionByName(sigBands(storeSigs).withColumn("__store", lit(true)))
+      val suppressed = dBands.as("a").join(allBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && (col("b.__store") || col("b.doc_id") < col("a.doc_id")))
+        .filter(expr("bit_count(a.sig ^ b.sig)") <= maxHamming)
+        .select(col("a.doc_id").as("id")).distinct()
+      val surv = delta.join(
+        suppressed.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .cache()
+      try commitDay(spark, root, day, Seq("sigs" -> sigsOf(surv)))
+      finally if (!retainCache) surv.unpersist()
+      surv
+    } finally dSigs.unpersist()
   }
 
   /** Committed containment-pair REPORT for a delta against a store

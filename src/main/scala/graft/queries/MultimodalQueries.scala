@@ -54,15 +54,21 @@ object MultimodalQueries {
   private[graft] val PhashBandBits = 9
   private[graft] val PhashMaxHamming = 6
 
-  /** Banded near-dup pairs from a `(doc_id, sig)` frame — factored
-    * out so q140 and the planted-twin spec run the identical
-    * pipeline. */
-  private[graft] def phashPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigs.select(col("doc_id"), col("sig"),
+  /** `(doc_id, sig, band, bv)`: the signature's 7 band values — the
+    * banded-join key table shared by [[phashPairs]] (batch) and
+    * [[graft.operators.DedupStore.ingestPhash]] (incremental). */
+  private[graft] def sigBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until PhashBands).map(b =>
           shiftright(col("sig"), b * PhashBandBits)
             .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+
+  /** Banded near-dup pairs from a `(doc_id, sig)` frame — factored
+    * out so q140 and the planted-twin spec run the identical
+    * pipeline. */
+  private[graft] def phashPairs(sigs: DataFrame): DataFrame = {
+    val bands = sigBands(sigs)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
@@ -205,31 +211,81 @@ object MultimodalQueries {
     * every planted twin AND nothing else, against exact all-pairs.
     * Codec-independent: this is the near-dup detector that works on
     * payloads the engine cannot decode. */
-  private val phashNearDup = Q(
-    "q140_mm_phash_neardup",
-    (s, d) => {
-      import s.implicits._
-      graft.GraftExtensions.ensureRegistered(s)
-      val docs = T.documents(s, d).select($"doc_id", $"text")
-      val twins = docs
-        .filter(pmod($"doc_id", lit(50)) === 0 && length($"text") >= 64)
-        .select((-$"doc_id" - 1).as("doc_id"),
-          concat(substring($"text", 1, 9), lit("zzz"),
-            expr("substring(text, 13)")).as("text"))
-      val planted = docs.unionByName(twins)
-        .select($"doc_id", $"text".cast("binary").as("payload"))
-      phashPairs(sigFrom(planted))
-    },
-    Some(s"""WITH planted AS (
+  /** The planted byte-twin payload view shared by q140 and q142:
+    * corpus payloads plus a 3-byte in-place-edited twin (negative
+    * mirror id) for every doc_id ≡ 0 (mod 50). */
+  private def plantedPayloads(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = T.documents(s, d).select($"doc_id", $"text")
+    val twins = docs
+      .filter(pmod($"doc_id", lit(50)) === 0 && length($"text") >= 64)
+      .select((-$"doc_id" - 1).as("doc_id"),
+        concat(substring($"text", 1, 9), lit("zzz"),
+          expr("substring(text, 13)")).as("text"))
+    docs.unionByName(twins)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+  }
+
+  private val plantedSql: String = """planted AS (
         SELECT doc_id, text FROM documents
         UNION ALL
         SELECT -doc_id - 1, substr(text, 1, 9) || 'zzz' || substr(text, 13)
-        FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 64),
+        FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 64)"""
+
+  private val phashNearDup = Q(
+    "q140_mm_phash_neardup",
+    (s, d) => {
+      graft.GraftExtensions.ensureRegistered(s)
+      phashPairs(sigFrom(plantedPayloads(s, d)))
+    },
+    Some(s"""WITH $plantedSql,
       ${sigSqlOver("planted")}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.sig, b.sig)) <= 6"""))
+
+  /** Incremental multimodal near-dedup RULE, oracle-gated — the
+    * [[graft.operators.DedupStore.ingestPhash]] suppression decision
+    * on the q118 pattern (even docs stand in for the committed
+    * store, odd + twin docs for the delta, no disk): a delta payload
+    * is suppressed iff some STORE payload, or some SMALLER-id delta
+    * payload, sits within hamming ≤ 6 of its byte-grid signature.
+    * Spark runs the banded equi-join (7×9-bit, pigeonhole-exact at
+    * this radius); the oracle is the all-pairs rule verbatim —
+    * equality proves the banded incremental decision loses nothing.
+    * Over the q140 planted view so the gate is non-vacuous: every
+    * twin (delta, negative id) has its store original within radius.
+    * Output: every sig-bearing delta doc with its verdict. */
+  private val phashIncremental = Q(
+    "q142_mm_phash_incremental",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val sigs = sigFrom(plantedPayloads(s, d)).select($"doc_id", $"sig")
+      val isDelta = $"doc_id" < 0 || pmod($"doc_id", lit(2)) === 1
+      val delta = sigs.filter(isDelta)
+      val bandsAll = sigBands(sigs).withColumn("__store", !isDelta)
+      val suppressed = sigBands(delta).as("a").join(bandsAll.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && col("a.doc_id") =!= col("b.doc_id")
+            && (col("b.__store") || col("b.doc_id") < col("a.doc_id")))
+        .filter(expr("bit_count(a.sig ^ b.sig)") <= PhashMaxHamming)
+        .select(col("a.doc_id")).distinct()
+        .withColumn("__sup", lit(true))
+      delta.join(suppressed, Seq("doc_id"), "left")
+        .select($"doc_id", coalesce($"__sup", lit(false)).as("is_suppressed"))
+    },
+    Some(s"""WITH $plantedSql,
+      ${sigSqlOver("planted")},
+      del AS (SELECT doc_id, sig FROM sig WHERE doc_id < 0 OR doc_id % 2 = 1),
+      sup AS (SELECT DISTINCT a.doc_id
+              FROM del a JOIN sig b ON a.doc_id <> b.doc_id
+                AND (NOT (b.doc_id < 0 OR b.doc_id % 2 = 1)
+                     OR b.doc_id < a.doc_id)
+                AND bit_count(xor(a.sig, b.sig)) <= 6)
+      SELECT del.doc_id, sup.doc_id IS NOT NULL AS is_suppressed
+      FROM del LEFT JOIN sup ON del.doc_id = sup.doc_id"""))
 
   /** Modality mix report: per [[modality]], doc and payload-byte
     * mass plus each modality's share of total corpus bytes — the
@@ -265,5 +321,5 @@ object MultimodalQueries {
       FROM g"""))
 
   def qs: Seq[Q] = Seq(byteFeatures, frameSample, phashSig, phashNearDup,
-    modalityMix)
+    modalityMix, phashIncremental)
 }

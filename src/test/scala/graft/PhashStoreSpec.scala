@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ByteGridHashImpl
+import graft.operators.DedupStore
+
+/** [[DedupStore.ingestPhash]] — day-over-day multimodal near-dedup:
+  * an archived payload's byte-twin arriving on a later day dies
+  * against the 16-byte/payload signature store; intra-day twins
+  * collapse to the min id; tiny (<64 B) payloads pass through
+  * unsuppressed; committed-day re-runs are idempotent (the store
+  * protocol's self-exclusion); compaction folds the sigs table like
+  * any other store table without changing suppression. */
+class PhashStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private val rnd = new scala.util.Random(47)
+  private def blob(): Array[Byte] = Array.fill(4096)(rnd.nextInt().toByte)
+  private def twin(b: Array[Byte]): Array[Byte] = {
+    val t = b.clone()
+    t(500) = (t(500) ^ 0x31).toByte
+    t(501) = (t(501) ^ 0x52).toByte
+    t
+  }
+
+  private def payloads(rows: (Long, Array[Byte])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "payload")
+  }
+
+  private def ids(df: DataFrame): Set[Long] = {
+    val s = spark
+    import s.implicits._
+    df.select($"doc_id").as[Long].collect().toSet
+  }
+
+  test("cross-day byte-twins suppressed, intra-day min-id wins, tiny payloads pass") {
+    val a = blob(); val b = blob(); val c = blob()
+    // sanity: twins sit inside the banding's exact-recall radius
+    assert(ByteGridHashImpl.hamming(
+      ByteGridHashImpl.compute(a), ByteGridHashImpl.compute(twin(a))) <= 6)
+
+    val root = Files.createTempDirectory("phs").toString
+    val d1 = ids(DedupStore.ingestPhash(
+      payloads(1L -> a, 2L -> b), root, "2024-06-01"))
+    assert(d1 === Set(1L, 2L))
+
+    val day2 = payloads(
+      10L -> twin(a),          // near-twin of archived 1 → suppressed
+      11L -> c,                // fresh → survives
+      13L -> twin(c),          // intra-day twin of 11... ids: 11 < 13 → 13 suppressed
+      14L -> Array.fill(10)(7.toByte)) // tiny: no signature, passes
+    val d2 = ids(DedupStore.ingestPhash(day2, root, "2024-06-02"))
+    assert(d2 === Set(11L, 14L), s"got $d2")
+
+    // idempotent re-run of the committed day: identical survivors
+    val d2again = ids(DedupStore.ingestPhash(day2, root, "2024-06-02"))
+    assert(d2again === d2, "re-run self-suppressed against its own sigs")
+
+    // day 3: twin of the day-2 SURVIVOR 11 dies; twin of the day-2
+    // SUPPRESSED 13 also dies (13's canonical 11 is committed, and
+    // twin(c) is within radius of c's signature)
+    val d3 = ids(DedupStore.ingestPhash(
+      payloads(20L -> twin(c), 21L -> blob()), root, "2024-06-03"))
+    assert(d3 === Set(21L))
+
+    // compaction folds the sigs table; suppression unchanged
+    val r = DedupStore.compact(spark, root, keepDays = 1)
+    assert(r.mergedDay.isDefined)
+    val d4 = ids(DedupStore.ingestPhash(
+      payloads(30L -> twin(b), 31L -> blob()), root, "2024-06-04"))
+    assert(d4 === Set(31L), "compacted sig store lost archived signatures")
+  }
+
+  test("banding radius is enforced: a looser threshold than pigeonhole-exact is rejected") {
+    val root = Files.createTempDirectory("phs-r").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.ingestPhash(payloads(1L -> blob()), root, "2024-06-01",
+        maxHamming = 12)
+    }
+    assert(e.getMessage.contains("pigeonhole"))
+  }
+}
