@@ -18,7 +18,7 @@ import org.apache.spark.sql.types.StringType
   *   sets/dt=2024-01-01/part-*.parquet      (id, n, hset)    per day
   *   postings/dt=2024-01-01/part-*.parquet  (sh)             per day (r10)
   *   digests/dt=.../                        (fp)         [[ingestExact]]
-  *   sigs/dt=.../                           (doc_id, sig) [[ingestPhash]]
+  *   sigs/dt=.../                   (doc_id, n_bytes, sig) [[ingestPhash]]
   *   _committed/2024-01-01                  marker file per day
   * }}}
   *
@@ -258,10 +258,14 @@ object DedupStore {
     * q40's min-id rule; each row is judged by its own partner's
     * existence regardless of that partner's fate — the
     * [[IncrementalContainment.suppressedDeltaIds]] chain stance),
-    * then append the survivors' `(id, sig)` rows as `day`'s
-    * partition under the same marker/idempotency protocol as
+    * then append the survivors' `(id, n_bytes, sig)` rows as
+    * `day`'s partition under the same marker/idempotency protocol as
     * [[ingest]]. The store is the slimmest of all four suppression
-    * disciplines: 16 bytes per payload, no payload bytes retained.
+    * disciplines: 24 bytes per payload, no payload bytes retained.
+    * Matching is SAME-LENGTH by construction (the length is fused
+    * into the band key — [[graft.queries.MultimodalQueries.sigBands]]
+    * explains why that is both the operator's semantics and its
+    * scale story), and hot buckets are capped by [[LshGuard]].
     *
     * Candidates come from [[graft.queries.MultimodalQueries]]'
     * 7×9-bit banded equi-join (pigeonhole-exact at the default
@@ -284,14 +288,21 @@ object DedupStore {
     def sigsOf(df: DataFrame): DataFrame = df
       .filter(length(col(payloadCol)) >= 64)
       .select(col(idCol).as("doc_id"),
+        length(col(payloadCol)).cast("long").as("n_bytes"),
         expr(s"byte_grid_dhash(`$payloadCol`)").as("sig"))
     val storeSigs = readCommitted(spark, root, "sigs",
       sigsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
     val dSigs = sigsOf(delta).cache()
     try {
-      val dBands = sigBands(dSigs)
-      val allBands = sigBands(dSigs).withColumn("__store", lit(false))
+      // hot-bucket guard on the COMBINED occupancy (delta ∪ store) —
+      // LshGuard's non-self-join guidance; the (band value ⊕ length)
+      // fused key makes hot buckets cap-wide same-length families,
+      // exact dedup's territory
+      val rawAll = sigBands(dSigs).withColumn("__store", lit(false))
         .unionByName(sigBands(storeSigs).withColumn("__store", lit(true)))
+      val hot = LshGuard.hotBuckets(rawAll, LshGuard.maxBucket(spark))
+      val dBands = LshGuard.prune(sigBands(dSigs), hot)
+      val allBands = LshGuard.prune(rawAll, hot)
       val suppressed = dBands.as("a").join(allBands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
             && (col("b.__store") || col("b.doc_id") < col("a.doc_id")))

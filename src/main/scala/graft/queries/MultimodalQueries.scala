@@ -46,29 +46,46 @@ object MultimodalQueries {
   }
 
   /** Band layout for [[phashPairs]]: the 63-bit grid signature splits
-    * into 7 disjoint 9-bit bands. Pigeonhole: hamming ≤ 6 over 63
-    * bits forces ≥ 1 of the 7 bands identical, so banding + verify
-    * is EXACTLY all-pairs-hamming≤6 (q43's recall argument) while
-    * the join is an equi-join on (band, value) — no pair scan. */
+    * into 7 disjoint 9-bit bands, and the band VALUE is fused with
+    * the payload's exact byte length. Pigeonhole: hamming ≤ 6 over
+    * 63 bits forces ≥ 1 of the 7 bands identical, so banding +
+    * verify is EXACTLY all-pairs-hamming≤6-same-length (q43's recall
+    * argument). Same-length is the OPERATOR's semantics, not a
+    * shortcut: a length change re-bins every grid cell, so the dHash
+    * only ever detects same-size in-place edits (the post-exact-
+    * dedup case — metadata rewritten inside an image, a frame
+    * patched in a video) — and fusing the length into the join key
+    * is also what makes the banding scale: 9-bit band values alone
+    * have a 512-value space, whose chance collisions grow n²/512
+    * per band (measured ×47 shuffle records on ×10 data before the
+    * fusion; ~linear after). [[graft.operators.LshGuard]] caps the
+    * residual pathology (a cap-wide SAME-length near-identical
+    * family — q40/exact-dedup territory, the standard contract). */
   private[graft] val PhashBands = 7
   private[graft] val PhashBandBits = 9
   private[graft] val PhashMaxHamming = 6
 
-  /** `(doc_id, sig, band, bv)`: the signature's 7 band values — the
-    * banded-join key table shared by [[phashPairs]] (batch) and
-    * [[graft.operators.DedupStore.ingestPhash]] (incremental). */
+  /** `(doc_id, sig, band, bv)` with `bv` = (9-bit band value ⊕ byte
+    * length) fused into one long — the banded-join key table shared
+    * by [[phashPairs]] (batch) and
+    * [[graft.operators.DedupStore.ingestPhash]] (incremental).
+    * Input needs `(doc_id, n_bytes, sig)` — [[sigFrom]]'s shape. */
   private[graft] def sigBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until PhashBands).map(b =>
-          shiftright(col("sig"), b * PhashBandBits)
-            .bitwiseAND(lit((1L << PhashBandBits) - 1))): _*)))
+          shiftleft(shiftright(col("sig"), b * PhashBandBits)
+            .bitwiseAND(lit((1L << PhashBandBits) - 1)), 40)
+            .bitwiseOR(col("n_bytes"))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
 
-  /** Banded near-dup pairs from a `(doc_id, sig)` frame — factored
-    * out so q140 and the planted-twin spec run the identical
-    * pipeline. */
-  private[graft] def phashPairs(sigs: DataFrame): DataFrame = {
-    val bands = sigBands(sigs)
+  /** Banded near-dup pairs from a `(doc_id, n_bytes, sig)` frame —
+    * factored out so q140 and the planted-twin spec run the
+    * identical pipeline. Hot (band, bv) buckets beyond `maxBucket`
+    * are skipped as candidate generators (LshGuard's contract; never
+    * fires on gate data — widest measured bucket is single digits). */
+  private[graft] def phashPairs(sigs: DataFrame,
+      maxBucket: Int = graft.operators.LshGuard.DefaultMaxBucket): DataFrame = {
+    val bands = graft.operators.LshGuard.pruneSelf(sigBands(sigs), maxBucket)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
           && col("a.doc_id") < col("b.doc_id"))
@@ -192,9 +209,11 @@ object MultimodalQueries {
 
   /** Perceptual-hash near-dup over payload BYTES — the multimodal
     * twin of q42/q43: [[phashPairs]]' 7×9-bit banded equi-join,
-    * hamming ≤ 6 verify. Pigeonhole makes banding exact at this
-    * threshold, so the ORACLE IS THE ALL-PAIRS HAMMING SCAN — the
-    * recall contract itself, not a re-statement of the banding
+    * hamming ≤ 6 verify over SAME-LENGTH payloads (the operator's
+    * semantics — see [[sigBands]]). Pigeonhole makes banding exact
+    * at this threshold, so the ORACLE IS THE ALL-PAIRS
+    * SAME-LENGTH HAMMING SCAN — the recall contract itself, not a
+    * re-statement of the banding
     * (fine for DuckDB at gate SF; the Spark side never plans a pair
     * scan — PlanShapeSpec's tripwire covers it like every dedup
     * query).
@@ -242,8 +261,10 @@ object MultimodalQueries {
       ${sigSqlOver("planted")}
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.sig, b.sig)) <= 6"""))
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND a.n_bytes = b.n_bytes
+      WHERE bit_count(xor(a.sig, b.sig)) <= 6"""),
+    bench = true)
 
   /** Incremental multimodal near-dedup RULE, oracle-gated — the
     * [[graft.operators.DedupStore.ingestPhash]] suppression decision
@@ -262,7 +283,7 @@ object MultimodalQueries {
     (s, d) => {
       import s.implicits._
       graft.GraftExtensions.ensureRegistered(s)
-      val sigs = sigFrom(plantedPayloads(s, d)).select($"doc_id", $"sig")
+      val sigs = sigFrom(plantedPayloads(s, d))
       val isDelta = $"doc_id" < 0 || pmod($"doc_id", lit(2)) === 1
       val delta = sigs.filter(isDelta)
       val bandsAll = sigBands(sigs).withColumn("__store", !isDelta)
@@ -278,14 +299,17 @@ object MultimodalQueries {
     },
     Some(s"""WITH $plantedSql,
       ${sigSqlOver("planted")},
-      del AS (SELECT doc_id, sig FROM sig WHERE doc_id < 0 OR doc_id % 2 = 1),
+      del AS (SELECT doc_id, n_bytes, sig FROM sig
+              WHERE doc_id < 0 OR doc_id % 2 = 1),
       sup AS (SELECT DISTINCT a.doc_id
               FROM del a JOIN sig b ON a.doc_id <> b.doc_id
+                AND a.n_bytes = b.n_bytes
                 AND (NOT (b.doc_id < 0 OR b.doc_id % 2 = 1)
                      OR b.doc_id < a.doc_id)
                 AND bit_count(xor(a.sig, b.sig)) <= 6)
       SELECT del.doc_id, sup.doc_id IS NOT NULL AS is_suppressed
-      FROM del LEFT JOIN sup ON del.doc_id = sup.doc_id"""))
+      FROM del LEFT JOIN sup ON del.doc_id = sup.doc_id"""),
+    bench = true)
 
   /** Modality mix report: per [[modality]], doc and payload-byte
     * mass plus each modality's share of total corpus bytes — the

@@ -101,7 +101,8 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSpec {
     graft.GraftExtensions.ensureRegistered(spark)
     val sigs = Seq((1L, base), (2L, twin), (3L, other))
       .toDF("doc_id", "payload")
-      .select($"doc_id", expr("byte_grid_dhash(payload)").as("sig"))
+      .select($"doc_id", length($"payload").cast("long").as("n_bytes"),
+        expr("byte_grid_dhash(payload)").as("sig"))
     val pairs = MultimodalQueries.phashPairs(sigs)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)),

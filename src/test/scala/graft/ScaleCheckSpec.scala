@@ -122,7 +122,16 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     // tracks the pair family's exactly (q41 is 8.0 at the same
     // decade; measured sf0.001 → ×10 on the round-9 code)
     "q125_dup_source_matrix" -> 7.9,
-    "q127_split_leakage" -> 7.9)
+    "q127_split_leakage" -> 7.9,
+    // round 10: the multimodal phash family. The pin's origin story
+    // IS its value: the first q140 measurement read ×47 — 9-bit band
+    // values alone (512-value space) made chance collisions grow
+    // n²/512 per band. Fusing the payload byte length into the band
+    // key (the operator's same-length semantics anyway) dropped it
+    // to ×8.8; a revert to length-free banding fails here long
+    // before it fails in production.
+    "q140_mm_phash_neardup" -> 8.8,
+    "q142_mm_phash_incremental" -> 8.1)
 
   /** Red line: 2× the recording, floored at 12 (= ×10 data growth
     * plus 20% allowance) so the spread-shuffle artifacts above don't
