@@ -20,7 +20,8 @@ object PlanAudit {
     "q107_temperature_mix", "q110_dedup_keep_longest",
     "q111_token_budget_pack", "q112_decontam_report",
     "q113_embedding_center_stats", "q114_dataset_card",
-    "q116_containment_dedup", "q118_incremental_containment")
+    "q116_containment_dedup", "q118_incremental_containment",
+    "q140_mm_phash_neardup", "q142_mm_phash_incremental")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>
