@@ -206,7 +206,8 @@ object DedupStore {
     val dSets = IncrementalNearDedup
       .shingleSets(delta, idCol, textCol).cache()
     try {
-      val pairs = IncrementalContainment.fromSets(dSets, storeSets, t)
+      val pairs = IncrementalContainment.fromSets(dSets, storeSets, t,
+        IncrementalContainment.maxShingleDf(spark))
       val dropped = IncrementalContainment.suppressedDeltaIds(pairs,
         storeSets.select(col("id")), delta.select(col(idCol).as("id")))
       val surv = delta.join(dropped.withColumnRenamed("id", idCol),
@@ -372,10 +373,19 @@ object DedupStore {
     val spark = delta.sparkSession
     val f = fs(spark, root)
     val days = committedDays(spark, root).filterNot(exceptDay.contains)
-    val postingsComplete = days.forall { dd =>
-      f.exists(new Path(s"$root/postings/dt=$dd")) ||
-        !f.exists(new Path(s"$root/sets/dt=$dd"))
+    // completeness via TWO directory listings, not 2·|days| driver
+    // round-trips (a year-old store on object storage would pay ~730
+    // sequential exists() RPCs before any Spark work)
+    def dtNames(table: String): Set[String] = {
+      val dir = new Path(s"$root/$table")
+      if (!f.exists(dir)) Set.empty
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
     }
+    val postingDays = dtNames("postings")
+    val setDays = dtNames("sets")
+    val postingsComplete = days.forall(dd =>
+      postingDays.contains(dd) || !setDays.contains(dd))
     val emptySets = IncrementalNearDedup.shingleSets(
       delta.limit(0), idCol, textCol)
     val ref =
@@ -474,8 +484,17 @@ object DedupStore {
     sweepReplaced(f, root) // heal a prior crash between commit and sweep
     val before = committedFileCount(spark, root)
     val all = committedDays(spark, root)
-    val mergeDays = all.dropRight(keepDays)
-    if (mergeDays.size < 2)
+    // retention counts REAL days only: merged-* pseudo-days sort after
+    // date-named days ('m' > digits), so counting them inside the
+    // keepDays tail would shrink the protected window by one real day
+    // per compaction — eventually folding the CURRENT day, whose
+    // crash-retry re-ingest could then no longer exclude its own rows
+    // and would self-suppress to zero. Prior merged partitions are
+    // instead ALWAYS re-merge inputs (they are old by construction),
+    // which also stops merged markers accumulating run over run.
+    val (alreadyMerged, realDays) = all.partition(_.startsWith(MergedPrefix))
+    val mergeDays = alreadyMerged ++ realDays.dropRight(keepDays)
+    if (mergeDays.size < 2 || realDays.dropRight(keepDays).isEmpty)
       return CompactionReport(None, 0, before, before)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(mergeDays.mkString(",").getBytes("UTF-8"))
@@ -487,7 +506,20 @@ object DedupStore {
         .filter(dd => partFiles(f, dd).nonEmpty)
       val outDir = new Path(s"$root/$t/dt=$mergedDay")
       f.delete(outDir, true) // debris from a crashed prior attempt
-      if (dayDirs.nonEmpty) {
+      // the `postings` table is an OPTIONAL acceleration whose reader
+      // (noveltyReport) decides per day whether it is trustworthy:
+      // postings present, or sets absent (no survivors). Merging a
+      // MIX of postings-complete and pre-feature days would produce
+      // a merged postings partition that EXISTS but silently lacks
+      // the pre-feature days' shingles — the reader's check would
+      // then trust it and mis-score re-served content as novel. Skip
+      // the merged postings partition in that case (sets merged +
+      // postings absent → the reader falls back, correctly).
+      val skipIncompletePostings = t == "postings" && !mergeDays.forall { dd =>
+        partFiles(f, new Path(s"$root/postings/dt=$dd")).nonEmpty ||
+          partFiles(f, new Path(s"$root/sets/dt=$dd")).isEmpty
+      }
+      if (dayDirs.nonEmpty && !skipIncompletePostings) {
         val bytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
         val target = math.max(1L,
           math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt

@@ -153,7 +153,7 @@ object IncrementalContainment {
     // with caller-owned persistence (DedupStore.ingestContained does).
     fromSets(
       IncrementalNearDedup.shingleSets(delta, idCol, textCol).cache(),
-      storeSets, t)
+      storeSets, t, maxShingleDf(delta.sparkSession))
   }
 
   /** [[containedPairs]] over pre-built `(id, n, hset)` delta sets —

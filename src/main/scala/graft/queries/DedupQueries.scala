@@ -982,28 +982,43 @@ object DedupQueries {
     * shingle, cost Σ|sset| + Σdf — the q67/q95 inverted-index
     * discipline; a left join + null-count gives absence without an
     * anti-join's second pass over the probe side. */
+  /** q123's reference side: the DISTINCT shingles of the src0 slice —
+    * the one-off store-build cost the bench's q123_setup row prices. */
+  private def q123Ref(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    withShingles(s, d)
+      .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .filter($"source" === "src0")
+      .select(explode($"sset").as("shingle")).distinct()
+      .withColumn("in_ref", lit(true))
+  }
+
+  /** q123's scoring pass against an already-built reference — ONE code
+    * path for the gated query and the bench's q123_probe row (the
+    * q118/q125 split discipline: a probe that copy-pastes the
+    * pipeline would silently measure dead code after a refactor).
+    *
+    * shuffle_hash, pinned: the reference slice is CORPUS-scale
+    * (unlike q82's megabyte eval probe), so the stats-driven
+    * broadcast AQE picks at gate SF is exactly the plan that OOMs
+    * at 100 TB — and the regime flip it causes across scales
+    * surfaced as a false ×96 in ScaleCheckSpec's record-growth
+    * pin. One hash exchange per side, no sort, linear growth. */
+  private def q123Score(s: SparkSession, d: String, ref: DataFrame): DataFrame = {
+    import s.implicits._
+    withShingles(s, d)
+      .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
+      .select($"doc_id", $"source", explode($"sset").as("shingle"))
+      .join(ref.hint("shuffle_hash"), Seq("shingle"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
+  }
+
   private val shingleNovelty = Q(
     "q123_shingle_novelty",
-    (s, d) => {
-      import s.implicits._
-      val docsSrc = T.documents(s, d).select($"doc_id", $"source")
-      val exploded = withShingles(s, d).join(docsSrc, "doc_id")
-        .select($"doc_id", $"source", explode($"sset").as("shingle"))
-      val refShingles = exploded.filter($"source" === "src0")
-        .select($"shingle").distinct()
-        .withColumn("in_ref", lit(true))
-      // shuffle_hash, pinned: the reference slice is CORPUS-scale
-      // (unlike q82's megabyte eval probe), so the stats-driven
-      // broadcast AQE picks at gate SF is exactly the plan that OOMs
-      // at 100 TB — and the regime flip it causes across scales
-      // surfaced as a false ×96 in ScaleCheckSpec's record-growth
-      // pin. One hash exchange per side, no sort, linear growth.
-      exploded.join(refShingles.hint("shuffle_hash"), Seq("shingle"), "left")
-        .groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_shingles"),
-          sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))
-        .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
-    },
+    (s, d) => q123Score(s, d, q123Ref(s, d)),
     Some(s"""$shingleCte,
       e AS (SELECT sh.doc_id, d.source, unnest(sset) AS shingle
             FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
@@ -1159,25 +1174,8 @@ object DedupQueries {
           T.documents(s, d).filter($"doc_id" % 2 === 1), store)
       }),
     ("q123",
-      (s, d) => {
-        import s.implicits._
-        withShingles(s, d)
-          .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
-          .filter($"source" === "src0")
-          .select(explode($"sset").as("shingle")).distinct()
-          .withColumn("in_ref", lit(true))
-      },
-      (s, d, ref) => {
-        import s.implicits._
-        val exploded = withShingles(s, d)
-          .join(T.documents(s, d).select($"doc_id", $"source"), "doc_id")
-          .select($"doc_id", $"source", explode($"sset").as("shingle"))
-        exploded.join(ref.hint("shuffle_hash"), Seq("shingle"), "left")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_shingles"),
-            sum(when($"in_ref".isNull, 1L).otherwise(0L)).as("n_novel"))
-          .withColumn("novelty", $"n_novel".cast("double") / $"n_shingles")
-      }),
+      (s, d) => q123Ref(s, d),
+      (s, d, ref) => q123Score(s, d, ref)),
     ("q125",
       (s, d) => jaccardPairs(s, d),
       (s, d, pairs) => dupSourceMatrixFrom(pairs,

@@ -100,7 +100,9 @@ object PayloadRecords {
     try {
       val (shards, written) =
         TfRecordSink.writeBalanced(pack(in), dir, targetShardBytes)
-      val agg = in.groupBy(col("modality"))
+      // null modality normalizes to "" here exactly as pack() writes
+      // it to the wire — the manifest must account for what landed
+      val agg = in.groupBy(coalesce(col("modality"), lit("")).as("modality"))
         .agg(count(lit(1)).as("n"), sum(length(col("payload"))).as("pb"))
         .collect() // ≤ one row per modality — a handful
       val records = agg.map(_.getLong(1)).sum
@@ -128,9 +130,35 @@ object PayloadRecords {
     df
   }
 
+  /** JSON string escaping for the manifest's data-driven modality
+    * keys — modality is arbitrary user data; a quote/backslash/control
+    * char must not produce an invalid or mis-keyed manifest. */
+  private[sources] def jsonEscape(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
+  private[sources] def jsonUnescape(s: String): String = {
+    val out = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) s.charAt(i + 1) match {
+        case 'u' if i + 5 < s.length =>
+          out.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar)
+          i += 6
+        case e => out.append(e); i += 2
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   private def writeManifest(spark: SparkSession, dir: String, m: Manifest): Unit = {
     val byMod = m.byModality.toSeq.sortBy(_._1)
-      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      .map { case (k, v) => s""""${jsonEscape(k)}":$v""" }.mkString("{", ",", "}")
     val json = s"""{"records":${m.records},"shards":${m.shards},""" +
       s""""payload_bytes":${m.payloadBytes},"by_modality":$byMod}"""
     // tmp + atomic OVERWRITE-rename, the engine's marker protocol
@@ -163,10 +191,11 @@ object PayloadRecords {
       require(m.isDefined, s"manifest missing $k: $json")
       m.get.group(1).toLong
     }
-    val byMod = s""""([^"]*)":(\\d+)""".r.findAllMatchIn(
+    // keys may contain escaped quotes/backslashes — match escape-aware
+    val byMod = s""""((?:[^"\\\\]|\\\\.)*)":(\\d+)""".r.findAllMatchIn(
         json.substring(json.indexOf("\"by_modality\"")))
       .filterNot(_.group(1) == "by_modality")
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
+      .map(m => jsonUnescape(m.group(1)) -> m.group(2).toLong).toMap
     Manifest(longOf("records"), longOf("shards").toInt,
       longOf("payload_bytes"), byMod)
   }

@@ -119,6 +119,59 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(sC2 === nC.keySet, "uncommitted merged debris leaked into a read")
   }
 
+  test("retention counts REAL days only; repeated compactions re-merge the merged tail") {
+    // the review-caught hazard: merged-* names sort after date names,
+    // so counting them in the keepDays tail would shrink the protected
+    // window by one real day per compaction — eventually folding the
+    // CURRENT day, whose re-ingest would then self-suppress
+    val root = Files.createTempDirectory("dsc-ret").toString
+    simulateDays(root, 4)
+    val r1 = DedupStore.compact(spark, root, keepDays = 2)
+    assert(r1.daysMerged === 2, s"$r1") // days 1-2; 3-4 retained
+    (5 to 6).foreach { d =>
+      DedupStore.ingest(docs((d * 100L) -> text(d)), root, f"2024-01-$d%02d")
+    }
+    val r2 = DedupStore.compact(spark, root, keepDays = 2)
+    // merge set = prior merged partition + real days 3-4; days 5-6
+    // (the two most recent REAL days) stay day-partitioned
+    assert(r2.daysMerged === 3, s"$r2")
+    val days = DedupStore.committedDays(spark, root)
+    assert(days.count(_.startsWith("merged-")) === 1,
+      s"merged markers must not accumulate: $days")
+    assert(days.filterNot(_.startsWith("merged-")) ===
+      Seq("2024-01-05", "2024-01-06"),
+      s"recent real days must stay inside the retention window: $days")
+    // and the re-merged history still suppresses
+    val probe = docs(9000L -> text(1), 9001L -> text(42))
+    assert(ids(DedupStore.ingest(probe, root, "2024-02-01")) === Set(9001L))
+  }
+
+  test("compacting a store with pre-postings-feature days never fabricates a complete postings table") {
+    // the review-caught hazard: merging a MIX of postings-complete and
+    // pre-feature days yields a postings/dt=merged-* dir that EXISTS
+    // but lacks the pre-feature days' shingles — noveltyReport's
+    // completeness check would trust it and mis-score re-served
+    // archived content as novel
+    val root = Files.createTempDirectory("dsc-post").toString
+    simulateDays(root, 4)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // days 1-2 predate the postings feature
+    for (d <- 1 to 2)
+      f.delete(new org.apache.hadoop.fs.Path(f"$root/postings/dt=2024-01-$d%02d"), true)
+    val r = DedupStore.compact(spark, root, keepDays = 1)
+    assert(r.daysMerged === 3)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(
+      s"$root/postings/dt=${r.mergedDay.get}")),
+      "an incomplete merged postings partition must not be written")
+    // the reader falls back to the sets archive: a re-serve of a
+    // PRE-FEATURE day's doc still scores novelty 0
+    val nov = DedupStore.noveltyReport(docs(9000L -> text(1)), root)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(3)).toMap
+    assert(nov(9000L) === 0.0,
+      "archived pre-feature content mis-scored as novel — fast path trusted an incomplete merge")
+  }
+
   test("compact is idempotent and a second call with nothing to merge is a no-op") {
     val root = Files.createTempDirectory("dsc-i").toString
     simulateDays(root, 5)

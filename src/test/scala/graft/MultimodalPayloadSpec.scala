@@ -68,6 +68,25 @@ class MultimodalPayloadSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("does not match its manifest"))
   }
 
+  test("hostile modality strings survive the manifest round-trip") {
+    import spark.implicits._
+    // modality is arbitrary user data: quotes/backslashes/control
+    // chars must neither corrupt the manifest JSON nor mis-key the
+    // per-modality accounting; null normalizes to "" as on the wire
+    val rows = Seq(
+      (1L, """im"age\weird""", bytes(1, 2, 3)),
+      (2L, "line\nbreak", bytes(4, 5)),
+      (3L, null.asInstanceOf[String], bytes(6)))
+    val dir = java.nio.file.Files.createTempDirectory("payesc").toString
+    val m = PayloadRecords.export(rows.toDF("doc_id", "modality", "payload"), dir)
+    assert(m.byModality === Map(
+      """im"age\weird""" -> 1L, "line\nbreak" -> 1L, "" -> 1L))
+    val back = PayloadRecords.readCommitted(spark, dir)
+      .as[(Long, String, Array[Byte])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(back === Map(1L -> """im"age\weird""", 2L -> "line\nbreak", 3L -> ""))
+  }
+
   test("null payloads are rejected at export, not smuggled") {
     import spark.implicits._
     val df = Seq((1L, "image", Option(bytes(1, 2, 3))), (2L, "image", None))
