@@ -99,6 +99,42 @@ object IncrementalCurationJob {
       }
       .start()
 
+  /** STREAMING multimodal near-dedup — [[runStream]]'s payload twin:
+    * each micro-batch of `(doc_id, payload)` rows runs
+    * [[DedupStore.ingestPhash]] with the batch id as its store day,
+    * so a continuously-ingested image/audio feed is deduplicated
+    * against ALL history through the 24-byte/payload signature store
+    * — exactly-once by the same argument as [[runStream]] (a
+    * replayed batch re-runs a committed day idempotently; micro-
+    * batches are sequential, satisfying the single-writer-per-day
+    * contract). Survivors of each batch land as that batch's
+    * `out/dt=batch-<id>/` TFRecord export via
+    * [[graft.sources.PayloadRecords.export]] (payload bytes + the
+    * manifest a trainer audits). */
+  def runPayloadStream(payloads: DataFrame, root: String, checkpointDir: String,
+      targetShardBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+    payloads.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val day = f"batch-$id%06d"
+        val surv = DedupStore.ingestPhash(batch.toDF(), s"$root/phash", day,
+          retainCache = true)
+        try {
+          val outDir = s"$root/out/dt=$day"
+          // re-runs may pack fewer shards; clear stale parts first
+          // (the same rule as ingestDay's export)
+          val p = new org.apache.hadoop.fs.Path(outDir)
+          p.getFileSystem(batch.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          graft.sources.PayloadRecords.export(
+            surv.withColumn("modality",
+              graft.queries.MultimodalQueries.modality(col("doc_id"))),
+            outDir, targetShardBytes): Unit
+        } finally surv.unpersist(): Unit
+      }
+      .start()
+
   /** Store MAINTENANCE — run periodically (weekly cron, or after
     * every Nth ingest): [[DedupStore.compact]] over the job's three
     * store roots, folding each store's old day-partitions into one

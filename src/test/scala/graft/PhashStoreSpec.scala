@@ -76,6 +76,34 @@ class PhashStoreSpec extends AnyFunSuite with SparkSpec {
     assert(d4 === Set(31L), "compacted sig store lost archived signatures")
   }
 
+  test("runPayloadStream: micro-batches dedup against the sig store; committed exports audit") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("phs-stream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("phs-sck").toString
+    val a = blob(); val b = blob()
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.jobs.IncrementalCurationJob.runPayloadStream(
+      in.toDF().toDF("doc_id", "payload"), root, ckpt)
+    try {
+      in.addData((1L, a), (2L, b))
+      q.processAllAvailable() // batch 0: both fresh
+      in.addData((10L, twin(a)), (11L, blob()))
+      q.processAllAvailable() // batch 1: 10 dies vs streamed 1
+    } finally q.stop()
+    def dayIds(day: String): Set[Long] =
+      graft.sources.PayloadRecords.readCommitted(spark, s"$root/out/dt=$day")
+        .select($"doc_id").as[Long].collect().toSet
+    assert(dayIds("batch-000000") === Set(1L, 2L))
+    assert(dayIds("batch-000001") === Set(11L),
+      "archived payload's byte-twin must die against the stream's sig store")
+    // the export manifests carry the payload accounting end-to-end
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+      s"$root/out/dt=batch-000001/_manifest.json")))
+  }
+
   test("banding radius is enforced: a looser threshold than pigeonhole-exact is rejected") {
     val root = Files.createTempDirectory("phs-r").toString
     val e = intercept[IllegalArgumentException] {
