@@ -94,7 +94,7 @@ object IncrementalCurationJob {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        ingestDay(batch.toDF(), root, f"batch-$id%06d", cfg, containT,
+        ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
           stats = false): Unit
       }
       .start()
@@ -117,7 +117,7 @@ object IncrementalCurationJob {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val day = f"batch-$id%06d"
+        val day = f"batch-$id%09d"
         val surv = DedupStore.ingestPhash(batch.toDF(), s"$root/phash", day,
           retainCache = true)
         try {
@@ -145,7 +145,12 @@ object IncrementalCurationJob {
     * Returns store name → report. */
   def compactStores(spark: SparkSession, root: String,
       keepDays: Int = 7): Map[String, DedupStore.CompactionReport] =
-    Seq("exact", "near", "contain").map { s0 =>
+    Seq("exact", "near", "contain", "phash").map { s0 =>
+      // compact() no-ops on an absent root (day-zero store) — the
+      // phash store only exists when runPayloadStream ran, and it is
+      // the FASTEST small-files accumulator of the four (one
+      // committed day per MICRO-BATCH), so omitting it here would
+      // grow every subsequent batch's marker listing without bound
       s0 -> DedupStore.compact(spark, s"$root/$s0", keepDays)
     }.toMap
 

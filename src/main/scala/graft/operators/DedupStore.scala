@@ -162,12 +162,18 @@ object DedupStore {
     // their own slim one-column table — [[noveltyReport]]'s fast
     // path. ~8 bytes per distinct shingle per day; membership only
     // (duplicates ACROSS days are fine — the report anti-joins).
+    // The sets frame is cached across its own write and the postings
+    // projection — without it the survivors pay a THIRD full
+    // word_shingle_hashes pass per day.
+    val sets = IncrementalNearDedup.shingleSets(surv, idCol, textCol).cache()
     try commitDay(spark, root, day, Seq(
       "bands" -> IncrementalNearDedup.bandTable(surv, idCol, textCol),
-      "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol),
-      "postings" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)
-        .select(explode(col("hset")).as("sh")).distinct()))
-    finally if (!retainCache) surv.unpersist()
+      "sets" -> sets,
+      "postings" -> sets.select(explode(col("hset")).as("sh")).distinct()))
+    finally {
+      sets.unpersist()
+      if (!retainCache) surv.unpersist()
+    }
     surv
   }
 
@@ -537,23 +543,45 @@ object DedupStore {
     finally out.close()
     fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
       Options.Rename.OVERWRITE)
-    sweepReplaced(f, root)
+    // DELIBERATELY no sweep here: the replaced days' files are
+    // invisible garbage to every NEW reader, but a query that built
+    // its plan just before the marker landed may still be scanning
+    // them — deleting now would kill it mid-action with a
+    // FileNotFoundException. The sweep runs at the START of the next
+    // compact (days later at maintenance cadence) — a grace period
+    // far beyond any query lifetime, bought with a few days of
+    // invisible disk instead of a reader-coordination protocol.
     CompactionReport(Some(mergedDay), mergeDays.size, before,
       committedFileCount(spark, root))
   }
 
   /** Delete markers + partitions of days replaced by a COMMITTED
-    * compaction marker — pure garbage collection: readers already
-    * ignore them. Idempotent, safe at any time. */
+    * compaction marker, plus `dt=merged-*` partition DEBRIS whose
+    * marker never committed (a crashed compact whose merge set then
+    * changed would otherwise leak that name forever — no marker ever
+    * lists it, so no other path can GC it). Pure garbage collection:
+    * readers already ignore all of it. Idempotent; runs only at the
+    * start of [[compact]] so in-flight readers get a
+    * maintenance-interval grace period (see the no-sweep note
+    * above). */
   private def sweepReplaced(f: org.apache.hadoop.fs.FileSystem,
       root: String): Unit = {
     val (names, replaced) = markerState(f, root)
-    if (replaced.isEmpty) return
     val present = names.toSet
     val tables = storeTables(f, root)
     replaced.intersect(present).foreach { dd =>
       tables.foreach(t => f.delete(new Path(s"$root/$t/dt=$dd"), true))
       f.delete(new Path(s"$root/$MarkerDir", dd), false)
+    }
+    // uncommitted merged-* partition debris: a crashed compact whose
+    // merge set changed before the retry leaves dirs under a digest
+    // name no marker will ever name again
+    tables.foreach { t =>
+      Option(f.globStatus(new Path(s"$root/$t/dt=$MergedPrefix*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath)
+        .filterNot(p => present.contains(p.getName.stripPrefix("dt=")))
+        .foreach(p => f.delete(p, true))
     }
   }
 

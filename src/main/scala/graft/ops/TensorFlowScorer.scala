@@ -79,13 +79,19 @@ object TensorFlowScorer {
     val createShaped = tensorCls.getMethod("create",
       classOf[Array[Long]], classOf[java.nio.FloatBuffer])
     val close = tensorCls.getMethod("close")
-    val x = create.invoke(null, input)
-    // keep_prob = ones(1, 1024): Predictions.java:163-168
-    val ones = new Array[Float](1024)
-    java.util.Arrays.fill(ones, 1f)
-    val rate = createShaped.invoke(null, Array(1L, 1024L),
-      java.nio.FloatBuffer.wrap(ones))
+    // both tensors are NATIVE allocations; create them inside the try
+    // with null-guarded closes so a failure between the two (bad TF
+    // jar version, OOM) can't leak the already-created one — under
+    // Spark task retries a per-batch leak accumulates off-heap
+    var x: AnyRef = null
+    var rate: AnyRef = null
     try {
+      x = create.invoke(null, input)
+      // keep_prob = ones(1, 1024): Predictions.java:163-168
+      val ones = new Array[Float](1024)
+      java.util.Arrays.fill(ones, 1f)
+      rate = createShaped.invoke(null, Array(1L, 1024L),
+        java.nio.FloatBuffer.wrap(ones))
       val session = bundleCls.getMethod("session").invoke(b)
       val runner = sessionCls.getMethod("runner").invoke(session)
       val feed = runnerCls.getMethod("feed", classOf[String], tensorCls)
@@ -101,8 +107,8 @@ object TensorFlowScorer {
         pred.toSeq
       } finally close.invoke(out)
     } finally {
-      close.invoke(x)
-      close.invoke(rate)
+      if (x != null) close.invoke(x)
+      if (rate != null) close.invoke(rate)
     }
   }
 }

@@ -384,8 +384,13 @@ object DedupQueries {
     * deterministic (md5 planes), and at the planted margin
     * (cos ≥ 0.9887 → per-plane agreement 1 − arccos(0.9887)/π ≈
     * 0.952, per-table 0.952⁶ ≈ 0.74, miss-all-8 ≈ 0.26⁸ ≈ 2·10⁻⁵)
-    * every planted pair collides — verified bit-exact at sf0.01 and
-    * sf0.1. At the old 0.4 noise floor this config measured 21/59
+    * every planted pair collides — verified bit-exact at sf0.01,
+    * sf0.1 AND the ~sf1 replica (408 planted pairs; expected misses
+    * ≈ 0.009). SF ENVELOPE: unlike q140/q142's pigeonhole bound,
+    * this equality is probabilistic-per-pair — at ≥ sf100 (~40k+
+    * planted pairs) the expected miss count approaches 1 and a gate
+    * at that scale should widen the margin (smaller perturbation) or
+    * add tables before relying on exact equality. At the old 0.4 noise floor this config measured 21/59
     * recall scanning 12.4% of pair volume (100% recall at a noise
     * threshold provably requires ≥ brute-force work); the exact
     * quadratic baseline remains [[SimilarityQueries]]'s q45.

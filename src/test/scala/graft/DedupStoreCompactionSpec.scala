@@ -198,12 +198,15 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     }
     val reports = graft.jobs.IncrementalCurationJob
       .compactStores(spark, root, keepDays = 2)
-    assert(reports.keySet === Set("exact", "near", "contain"))
+    assert(reports.keySet === Set("exact", "near", "contain", "phash"))
     // every root folded its 4-day tail (exact always has digests;
     // near/contain may have fewer populated days but same day count)
     reports.foreach { case (name, r) =>
-      assert(r.daysMerged === 4, s"$name: $r")
-      assert(DedupStore.committedDays(spark, s"$root/$name").size === 3, name)
+      if (name == "phash") assert(r.daysMerged === 0, s"absent store must no-op: $r")
+      else {
+        assert(r.daysMerged === 4, s"$name: $r")
+        assert(DedupStore.committedDays(spark, s"$root/$name").size === 3, name)
+      }
     }
     // the maintained store still curates: a re-serve of a COMPACTED
     // day's doc dies at the exact stage

@@ -123,12 +123,12 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
         (12L, archived.split(" ").take(10).mkString(" ")), // contained in 1
         (14L, "a brand new unique document about gardening tulips and rich soil beds"))
       q.processAllAvailable() // batch 1: only 14 survives the stores
-      assert(readDay(root, "batch-000000") === Set(1L, 2L))
-      assert(readDay(root, "batch-000001") === Set(14L))
+      assert(readDay(root, "batch-000000000") === Set(1L, 2L))
+      assert(readDay(root, "batch-000000001") === Set(14L))
       // every micro-batch committed its day markers in all three stores
       for (store <- Seq("exact", "near", "contain"))
         assert(graft.operators.DedupStore.committedDays(s, s"$root/$store")
-          === Seq("batch-000000", "batch-000001"), store)
+          === Seq("batch-000000000", "batch-000000001"), store)
     } finally q.stop()
   }
 

@@ -96,12 +96,12 @@ class PhashStoreSpec extends AnyFunSuite with SparkSpec {
     def dayIds(day: String): Set[Long] =
       graft.sources.PayloadRecords.readCommitted(spark, s"$root/out/dt=$day")
         .select($"doc_id").as[Long].collect().toSet
-    assert(dayIds("batch-000000") === Set(1L, 2L))
-    assert(dayIds("batch-000001") === Set(11L),
+    assert(dayIds("batch-000000000") === Set(1L, 2L))
+    assert(dayIds("batch-000000001") === Set(11L),
       "archived payload's byte-twin must die against the stream's sig store")
     // the export manifests carry the payload accounting end-to-end
     assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
-      s"$root/out/dt=batch-000001/_manifest.json")))
+      s"$root/out/dt=batch-000000001/_manifest.json")))
   }
 
   test("banding radius is enforced: a looser threshold than pigeonhole-exact is rejected") {

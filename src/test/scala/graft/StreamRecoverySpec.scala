@@ -170,8 +170,8 @@ class StreamRecoverySpec extends AnyFunSuite with SparkSpec {
     // batch truth: 1,2 survive batch 0; 10 (exact) and 11 (near) die,
     // 12 survives batch 1 — IDENTICAL after the replay; 20 dies
     // against the archive, 21 survives batch 2
-    assert(dayIds("batch-000000") === Set(1L, 2L))
-    assert(dayIds("batch-000001") === Set(12L), "replayed batch must converge")
-    assert(dayIds("batch-000002") === Set(21L))
+    assert(dayIds("batch-000000000") === Set(1L, 2L))
+    assert(dayIds("batch-000000001") === Set(12L), "replayed batch must converge")
+    assert(dayIds("batch-000000002") === Set(21L))
   }
 }
