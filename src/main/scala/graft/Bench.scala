@@ -112,24 +112,37 @@ object Bench {
     // queries map as qNNN_setup / qNNN_probe but are EXCLUDED from
     // the headline total (BenchReport) — the combined rows above keep
     // the cross-round series comparable.
-    val splits = if (only.isEmpty) graft.queries.DedupQueries.benchSplits else Nil
-    def runSplit(setup: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        probe: (SparkSession, String, org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame): (Double, Double) = {
+    // BENCH_ONLY selects a split when it names any query sharing the
+    // split's qNNN prefix (e.g. q118_incremental_containment → the
+    // q118 split) — the dev-iteration path for probe-side work
+    val splits = graft.queries.DedupQueries.benchSplits.filter { case (n, _, _) =>
+      only.forall(f => f.exists(_.startsWith(n)))
+    }
+    def runSplit(setup: (SparkSession, String) => Seq[org.apache.spark.sql.DataFrame],
+        probe: (SparkSession, String, Seq[org.apache.spark.sql.DataFrame]) => org.apache.spark.sql.DataFrame): (Double, Double) = {
       spark.catalog.clearCache()
+      // unpersist rides a finally (round-10 advice: the catch path
+      // leaked the cached setup frames into the rest of the rep until
+      // the next split's clearCache), and the failure log attributes
+      // the PHASE — a setup failure and a probe failure are different
+      // regressions
+      var phase = "setup"
+      var frames: Seq[org.apache.spark.sql.DataFrame] = Nil
       try {
-        val st = setup(spark, sfDir).cache()
+        frames = setup(spark, sfDir).map(_.cache())
         val t0 = System.nanoTime()
-        st.write.format("noop").mode("overwrite").save() // materializes the cache
+        // materializes the caches
+        frames.foreach(_.write.format("noop").mode("overwrite").save())
         val tSetup = (System.nanoTime() - t0) / 1e9
+        phase = "probe"
         val t1 = System.nanoTime()
-        probe(spark, sfDir, st).write.format("noop").mode("overwrite").save()
+        probe(spark, sfDir, frames).write.format("noop").mode("overwrite").save()
         val tProbe = (System.nanoTime() - t1) / 1e9
-        st.unpersist()
         (tSetup, tProbe)
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] split failed: ${e.getMessage}")
+        System.err.println(s"[bench] split $phase failed: ${e.getMessage}")
         (-1.0, -1.0)
-      }
+      } finally frames.foreach(_.unpersist())
     }
     splits.foreach { case (_, su, pr) => runSplit(su, pr) } // warm-up
     val splitPasses: Vector[Seq[(Double, Double)]] =

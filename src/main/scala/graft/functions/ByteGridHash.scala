@@ -80,8 +80,22 @@ object ByteGridHashImpl {
       ns(i) = (hi - lo).toLong
       i += 1
     }
+    gradientSig(sums, ns)
+  }
+
+  /** The 63-bit adjacent-cell gradient over 64 (sum, count) cells —
+    * factored out of [[compute]] so a REAL decoder
+    * ([[graft.ops.PayloadDecoder]], round 11) can feed pixel-grid
+    * luma cells through the IDENTICAL signature definition the raw
+    * byte path uses: downstream banding/verify/store code is shared
+    * bit-for-bit, only the cell source differs. Cross-multiplied
+    * integer compare — no float divide, empty cells (count 0) compare
+    * 0 > 0 = false deterministically. */
+  def gradientSig(sums: Array[Long], ns: Array[Long]): Long = {
+    require(sums.length == Cells && ns.length == Cells,
+      s"gradient signature needs exactly $Cells cells")
     var sig = 0L
-    i = 0
+    var i = 0
     while (i < Bits) {
       if (sums(i) * ns(i + 1) > sums(i + 1) * ns(i)) sig |= 1L << i
       i += 1

@@ -89,15 +89,20 @@ object IncrementalCurationJob {
     * single-writer-per-day store contract holds by construction. */
   def runStream(docs: DataFrame, root: String, checkpointDir: String,
       cfg: CurationJob.Config = CurationJob.Config(),
-      containT: Double = IncrementalContainment.DefaultT): org.apache.spark.sql.streaming.StreamingQuery =
+      containT: Double = IncrementalContainment.DefaultT,
+      compactEvery: Int = 64, keepDays: Int = 7): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireNoLegacyBatchDays(docs.sparkSession,
+      Seq("exact", "near", "contain").map(s0 => s"$root/$s0"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
-          stats = false): Unit
+          stats = false)
+        maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays)
       }
       .start()
+  }
 
   /** STREAMING multimodal near-dedup — [[runStream]]'s payload twin:
     * each micro-batch of `(doc_id, payload)` rows runs
@@ -112,7 +117,9 @@ object IncrementalCurationJob {
     * [[graft.sources.PayloadRecords.export]] (payload bytes + the
     * manifest a trainer audits). */
   def runPayloadStream(payloads: DataFrame, root: String, checkpointDir: String,
-      targetShardBytes: Long = 128L * 1024 * 1024): org.apache.spark.sql.streaming.StreamingQuery =
+      targetShardBytes: Long = 128L * 1024 * 1024,
+      compactEvery: Int = 64, keepDays: Int = 7): org.apache.spark.sql.streaming.StreamingQuery = {
+    requireNoLegacyBatchDays(payloads.sparkSession, Seq(s"$root/phash"))
     payloads.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
@@ -132,8 +139,54 @@ object IncrementalCurationJob {
               graft.queries.MultimodalQueries.modality(col("doc_id"))),
             outDir, targetShardBytes): Unit
         } finally surv.unpersist(): Unit
+        maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays)
       }
       .start()
+  }
+
+  /** Every-N-batches store maintenance inside the streaming loop
+    * (round-11): one committed store day per MICRO-BATCH is the
+    * fastest small-files accumulator in the engine, and a streaming
+    * job has no daily-cron seam to hang [[compactStores]] off — so
+    * the trigger rides foreachBatch itself. Runs AFTER the batch's
+    * ingest (same thread — Structured Streaming serializes batches,
+    * so the single-writer store contract holds), at `compactEvery`
+    * batch cadence; `keepDays` recent batch-days stay day-partitioned,
+    * which must cover the replay horizon (a recovering stream replays
+    * at most the one in-flight batch, so the default 7 is deep
+    * margin — [[DedupStore]] now REFUSES an ingest of a compacted
+    * day rather than silently self-suppressing, so a misconfigured
+    * window fails loudly). `compactEvery <= 0` disables. The tiered
+    * merge policy keeps the steady-state trigger cost O(aged
+    * batches), not O(archive) — see [[DedupStore.compact]]. */
+  private def maybeCompact(spark: SparkSession, root: String, batchId: Long,
+      compactEvery: Int, keepDays: Int): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactStores(spark, root, keepDays): Unit
+
+  /** Round-11 upgrade guard: round 10 widened the streaming store-day
+    * format from `batch-%06d` to `batch-%09d`. A checkpointed stream
+    * upgraded IN PLACE would replay its in-flight batch under the new
+    * name — the old-format commit is not excluded as "own day", so the
+    * replay self-suppresses against its own prior rows and commits a
+    * near-empty duplicate day; mixed-format names also break the
+    * chronological sort [[DedupStore.compact]]'s retention window
+    * relies on. Detect legacy day names (committed OR already folded
+    * by compaction) at stream construction and refuse to start:
+    * resume legacy checkpoints on the old build, or start fresh
+    * (new checkpoint dir + new store root). */
+  private def requireNoLegacyBatchDays(spark: SparkSession,
+      roots: Seq[String]): Unit =
+    roots.foreach { r =>
+      val legacy = DedupStore.knownDays(spark, r)
+        .filter(_.matches("batch-\\d{6}"))
+      if (legacy.nonEmpty) throw new IllegalStateException(
+        s"store '$r' holds legacy batch-%06d day names (${legacy.take(3).mkString(", ")}…): " +
+          "a checkpointed stream upgraded in place would replay its in-flight " +
+          "batch under the new batch-%09d name and self-suppress it to a " +
+          "near-empty duplicate day. Start this stream with a FRESH " +
+          "checkpoint dir and store root (or migrate the store's day names).")
+    }
 
   /** Store MAINTENANCE — run periodically (weekly cron, or after
     * every Nth ingest): [[DedupStore.compact]] over the job's three

@@ -107,6 +107,61 @@ object DedupStore {
     names.filterNot(replaced).sorted
   }
 
+  /** Every REAL day name the store has ever committed — the live ones
+    * AND those a compaction folded into a merged partition (whose own
+    * markers are excluded; they are partitions, not days). The
+    * streaming jobs' upgrade guard reads this: a legacy-format day
+    * name is a hazard whether or not it has since been compacted. */
+  def knownDays(spark: SparkSession, root: String): Seq[String] = {
+    val (names, replaced) = markerState(fs(spark, root), root)
+    (names ++ replaced).filterNot(_.startsWith(MergedPrefix)).distinct.sorted
+  }
+
+  /** Refuse an ingest of a day that a committed compaction already
+    * folded (round-11 hardening): the day's rows live in the merged
+    * partition, where the ingest's own-day exclusion can no longer
+    * reach them — the re-run would silently self-suppress to zero
+    * survivors, commit a near-empty day, and the next sweep's
+    * retention would make the data's disappearance permanent. An
+    * explicit error turns that silent loss into an operational
+    * signal: size `keepDays` to cover the replay horizon. */
+  private def requireNotCompacted(spark: SparkSession, root: String,
+      day: String): Unit = {
+    val (_, replaced) = markerState(fs(spark, root), root)
+    if (replaced.contains(day)) throw new IllegalStateException(
+      s"day '$day' of store '$root' was already folded into a compacted " +
+        "partition; re-ingesting it cannot exclude its own prior rows and " +
+        "would self-suppress to zero survivors. Re-ingest is only supported " +
+        "inside compact()'s keepDays retention window — size keepDays to " +
+        "cover the longest replay horizon.")
+  }
+
+  /** The `dt=` partition names present under one table dir — ONE
+    * directory listing, not per-day exists() round-trips (a year-old
+    * store on object storage would pay ~365 sequential RPCs each). */
+  private def dtNames(f: org.apache.hadoop.fs.FileSystem, root: String,
+      table: String): Set[String] = {
+    val dir = new Path(s"$root/$table")
+    if (!f.exists(dir)) Set.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
+  }
+
+  /** Whether an OPTIONAL acceleration table (`postings` for
+    * [[noveltyReport]], `df` for [[ingestContained]]'s guard) is
+    * trustworthy: every committed day either wrote its partition or
+    * had zero survivors (no `sets` partition either). Days written
+    * before the feature existed fail the check and the reader falls
+    * back to deriving the statistic from `sets` directly. */
+  private def accelComplete(spark: SparkSession, root: String,
+      table: String, exceptDay: Option[String]): Boolean = {
+    val f = fs(spark, root)
+    val days = committedDays(spark, root).filterNot(exceptDay.contains)
+    val accelDays = dtNames(f, root, table)
+    val setDays = dtNames(f, root, "sets")
+    days.forall(dd => accelDays.contains(dd) || !setDays.contains(dd))
+  }
+
   /** Union of the committed days of one store table, empty-framed on
     * day zero. `template` supplies the data schema (derived from the
     * caller's delta via the operator's own builders, so id-column
@@ -147,6 +202,7 @@ object DedupStore {
       retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
+    requireNotCompacted(spark, root, day)
     val emptyDelta = delta.limit(0)
     val storeBands = readCommitted(spark, root, "bands",
       IncrementalNearDedup.bandTable(emptyDelta, idCol, textCol),
@@ -188,23 +244,49 @@ object DedupStore {
     * (re-running a committed day excludes its own prior output from
     * the store it reads, so it converges to identical survivors).
     *
-    * A containment store persists ONLY the `sets` table (the prefix
-    * and postings sides are row-local derivations of `hset` — no
-    * second copy of the shingles on disk); use a SEPARATE `root` from
-    * a Jaccard [[ingest]] store — the day markers are store-wide, and
-    * interleaving two suppression disciplines under one marker
-    * namespace would let either's half-written day look committed to
-    * the other. */
+    * A containment store persists the `sets` table (the prefix and
+    * postings sides are row-local derivations of `hset` — no second
+    * copy of the shingles on disk) plus, since round 11, the slim
+    * per-day `df` table `(sh, cnt)` — each day's survivors' shingle
+    * document frequencies ([[IncrementalContainment.shingleDf]]).
+    * The hot-shingle guard's occupancy counts are additive across
+    * days, so the guard reads the committed per-day counts and folds
+    * in only the DELTA's counts, instead of re-aggregating occupancy
+    * over store-wide postings on every ingest (the round-10 guard's
+    * +50% q118 price). Stores written before the feature (some
+    * committed day has sets but no df partition) fall back
+    * transparently to the full re-count — and [[compact]] HEALS them:
+    * its merged df partition is recomputed from the merged days'
+    * sets, so maintenance progressively restores the fast path
+    * (fully by the time the tiered merged partitions themselves
+    * fold; df-less days still inside the keepDays window stay on the
+    * fallback until they age out). Use a
+    * SEPARATE `root` from a Jaccard [[ingest]] store — the day
+    * markers are store-wide, and interleaving two suppression
+    * disciplines under one marker namespace would let either's
+    * half-written day look committed to the other. */
   def ingestContained(delta: DataFrame, root: String, day: String,
       idCol: String = "doc_id", textCol: String = "text",
       t: Double = IncrementalContainment.DefaultT,
       retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
+    requireNotCompacted(spark, root, day)
     val emptyDelta = delta.limit(0)
+    val emptySets = IncrementalNearDedup.shingleSets(emptyDelta, idCol, textCol)
     val storeSets = readCommitted(spark, root, "sets",
-      IncrementalNearDedup.shingleSets(emptyDelta, idCol, textCol),
-      exceptDay = Some(day)).drop("dt")
+      emptySets, exceptDay = Some(day)).drop("dt")
+    // the guard's pre-aggregated occupancy — only when EVERY committed
+    // day that has survivors also committed its df partition (the
+    // noveltyReport/postings completeness discipline: a partial df
+    // table would silently UNDER-count occupancy and let a hot key
+    // through the guard)
+    val storeDf =
+      if (accelComplete(spark, root, "df", exceptDay = Some(day)))
+        Some(readCommitted(spark, root, "df",
+          IncrementalContainment.shingleDf(emptySets),
+          exceptDay = Some(day)).drop("dt"))
+      else None
     // the delta's shingle sets feed four joins (both candidate
     // orientations + both verification fetches) — cache the
     // delta-sized table so word_shingle_hashes runs once, and own
@@ -213,14 +295,22 @@ object DedupStore {
       .shingleSets(delta, idCol, textCol).cache()
     try {
       val pairs = IncrementalContainment.fromSets(dSets, storeSets, t,
-        IncrementalContainment.maxShingleDf(spark))
+        IncrementalContainment.maxShingleDf(spark), storeDf)
       val dropped = IncrementalContainment.suppressedDeltaIds(pairs,
         storeSets.select(col("id")), delta.select(col(idCol).as("id")))
       val surv = delta.join(dropped.withColumnRenamed("id", idCol),
         Seq(idCol), "left_anti").cache()
+      // cache the survivors' sets across the two table writes — same
+      // rationale as [[ingest]]'s sets cache (df is a projection of
+      // the same frame; without it word_shingle_hashes runs twice)
+      val sSets = IncrementalNearDedup.shingleSets(surv, idCol, textCol).cache()
       try commitDay(spark, root, day, Seq(
-        "sets" -> IncrementalNearDedup.shingleSets(surv, idCol, textCol)))
-      finally if (!retainCache) surv.unpersist()
+        "sets" -> sSets,
+        "df" -> IncrementalContainment.shingleDf(sSets)))
+      finally {
+        sSets.unpersist()
+        if (!retainCache) surv.unpersist()
+      }
       surv
     } finally dSets.unpersist()
   }
@@ -239,6 +329,7 @@ object DedupStore {
       retainCache: Boolean = false): DataFrame = {
     requireDay(day)
     val spark = delta.sparkSession
+    requireNotCompacted(spark, root, day)
     val fp = "__graft_fp"
     val store = readCommitted(spark, root, "digests",
       delta.limit(0).select(md5(col(textCol)).as("fp")),
@@ -288,6 +379,7 @@ object DedupStore {
     import graft.queries.MultimodalQueries.sigBands
     requireDay(day)
     val spark = delta.sparkSession
+    requireNotCompacted(spark, root, day)
     graft.GraftExtensions.ensureRegistered(spark)
     require(maxHamming <= graft.queries.MultimodalQueries.PhashMaxHamming,
       s"banding is pigeonhole-exact only to hamming ${
@@ -377,21 +469,7 @@ object DedupStore {
       idCol: String = "doc_id", textCol: String = "text",
       exceptDay: Option[String] = None): DataFrame = {
     val spark = delta.sparkSession
-    val f = fs(spark, root)
-    val days = committedDays(spark, root).filterNot(exceptDay.contains)
-    // completeness via TWO directory listings, not 2·|days| driver
-    // round-trips (a year-old store on object storage would pay ~730
-    // sequential exists() RPCs before any Spark work)
-    def dtNames(table: String): Set[String] = {
-      val dir = new Path(s"$root/$table")
-      if (!f.exists(dir)) Set.empty
-      else f.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("dt=")).map(_.stripPrefix("dt=")).toSet
-    }
-    val postingDays = dtNames("postings")
-    val setDays = dtNames("sets")
-    val postingsComplete = days.forall(dd =>
-      postingDays.contains(dd) || !setDays.contains(dd))
+    val postingsComplete = accelComplete(spark, root, "postings", exceptDay)
     val emptySets = IncrementalNearDedup.shingleSets(
       delta.limit(0), idCol, textCol)
     val ref =
@@ -495,12 +573,28 @@ object DedupStore {
     // keepDays tail would shrink the protected window by one real day
     // per compaction — eventually folding the CURRENT day, whose
     // crash-retry re-ingest could then no longer exclude its own rows
-    // and would self-suppress to zero. Prior merged partitions are
-    // instead ALWAYS re-merge inputs (they are old by construction),
-    // which also stops merged markers accumulating run over run.
+    // and would self-suppress to zero.
     val (alreadyMerged, realDays) = all.partition(_.startsWith(MergedPrefix))
-    val mergeDays = alreadyMerged ++ realDays.dropRight(keepDays)
-    if (mergeDays.size < 2 || realDays.dropRight(keepDays).isEmpty)
+    val newOld = realDays.dropRight(keepDays)
+    // TIERED re-merge (round 11): the round-10 policy folded every
+    // prior merged partition into every compaction, so each
+    // maintenance run re-read and re-wrote the ENTIRE historical tail
+    // — O(archive) churn for an O(new-old-days) change, the exact
+    // cost curve the store's append-only layout exists to avoid. Now
+    // a run folds only the newly-aged real days into a FRESH merged
+    // partition, letting merged partitions accumulate up to
+    // `graft.store.maxMergedParts` (default 4); only when one more
+    // would exceed the bound does a run fold the merged tier too.
+    // Amortized archive churn drops from O(archive)/run to
+    // O(archive/maxMergedParts)/run, while reader-side day listing
+    // stays bounded.
+    val maxMergedParts = spark.conf.getOption("graft.store.maxMergedParts")
+      .map(_.toInt).getOrElse(4)
+    require(maxMergedParts >= 1, "graft.store.maxMergedParts must be >= 1")
+    val mergeDays =
+      if (alreadyMerged.size + 1 > maxMergedParts) alreadyMerged ++ newOld
+      else newOld
+    if (mergeDays.size < 2 || newOld.isEmpty)
       return CompactionReport(None, 0, before, before)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(mergeDays.mkString(",").getBytes("UTF-8"))
@@ -525,12 +619,29 @@ object DedupStore {
         partFiles(f, new Path(s"$root/postings/dt=$dd")).nonEmpty ||
           partFiles(f, new Path(s"$root/sets/dt=$dd")).isEmpty
       }
-      if (dayDirs.nonEmpty && !skipIncompletePostings) {
-        val bytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
-        val target = math.max(1L,
-          math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+      def target(bytes: Long): Int = math.max(1L,
+        math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+      if (t == "df" && tables.contains("sets")) {
+        // the guard's df table is RECOMPUTED from the merged days'
+        // sets rather than concatenated: (a) it re-collapses per-day
+        // (sh, cnt) rows to one row per shingle, and (b) it HEALS
+        // pre-feature stores — days written before the df table
+        // existed have no partition to concatenate, but their sets
+        // hold exactly the survivors the counts must cover, so one
+        // compaction restores ingestContained's fast path (contrast
+        // `postings`, which must be SKIPPED on a mixed merge: its
+        // reader trusts any present partition).
+        val setDirs = mergeDays.map(dd => new Path(s"$root/sets/dt=$dd"))
+          .filter(dd => partFiles(f, dd).nonEmpty)
+        if (setDirs.nonEmpty)
+          spark.read.parquet(setDirs.map(_.toString): _*)
+            .select(explode(col("hset")).as("sh"))
+            .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+            .coalesce(target(setDirs.flatMap(partFiles(f, _)).map(_.getLen).sum))
+            .write.parquet(outDir.toString)
+      } else if (dayDirs.nonEmpty && !skipIncompletePostings) {
         spark.read.parquet(dayDirs.map(_.toString): _*)
-          .coalesce(target)
+          .coalesce(target(dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum))
           .write.parquet(outDir.toString)
       }
     }

@@ -97,6 +97,19 @@ object IncrementalContainment {
     s.conf.getOption("graft.contain.maxShingleDf").map(_.toInt)
       .getOrElse(DefaultMaxShingleDf)
 
+  /** `(sh, cnt)`: shingle document frequency over a sets frame — the
+    * guard's occupancy statistic, factored out so it can be
+    * PRE-AGGREGATED and persisted ([[DedupStore]]'s per-day `df`
+    * table, round 11): the round-10 guard re-counted occupancy over
+    * store ∪ delta postings on EVERY ingest (q118's +50% bench
+    * price); with per-day counts committed alongside the sets, an
+    * ingest folds only the delta's counts into the stored sums.
+    * Counts are additive across disjoint doc sets (each doc
+    * contributes ≤ 1 per distinct shingle — `hset` is a set), so
+    * day-partitioned frames concatenate and re-sum exactly. */
+  def shingleDf(sets: DataFrame): DataFrame =
+    postingRows(sets).groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+
   /** `(__ca, na, sh)`: each doc's fixed witness prefix — the
     * ⌊(1−t)·n⌋+1 smallest shingle hashes. */
   private def prefixRows(sets: DataFrame, t: Double): DataFrame =
@@ -118,11 +131,28 @@ object IncrementalContainment {
     * matches nothing. Exposed private[graft] so the skew-stress spec
     * can count candidates with and without the guard. */
   private[graft] def candidates(dSets: DataFrame, sSets: DataFrame,
-      allSets: DataFrame, t: Double, maxShingleDf: Int): DataFrame = {
+      allSets: DataFrame, t: Double, maxShingleDf: Int,
+      storeDf: Option[DataFrame] = None): DataFrame = {
     require(t > 0.0 && t <= 1.0, s"containment threshold must be in (0,1], got $t")
     require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
-    val hot = postingRows(allSets).groupBy(col("sh"))
-      .agg(count(lit(1)).as("__w"))
+    // occupancy over store ∪ delta, two routes to the same counts:
+    //  - storeDf provided: the store side arrives PRE-AGGREGATED
+    //    ((sh, cnt) — [[shingleDf]] over exactly the docs in sSets,
+    //    the caller's contract); only the delta's counts are built
+    //    here, so the per-ingest guard cost is O(delta shingles) +
+    //    one slim store-df scan instead of a store-wide postings
+    //    re-count (the round-11 reclaim of q118's guard price);
+    //  - no storeDf: count over allSets postings directly (the
+    //    self-contained batch path — q118's gate query). The second
+    //    groupBy over already-distinct (sh, cnt) rows is a no-op-ish
+    //    re-sum kept for one shared shape.
+    val occ = storeDf match {
+      case Some(sdf) => shingleDf(dSets).unionByName(
+        sdf.select(col("sh"), col("cnt")))
+      case None => shingleDf(allSets)
+    }
+    val hot = occ.groupBy(col("sh"))
+      .agg(sum(col("cnt")).as("__w"))
       .filter(col("__w") > maxShingleDf)
       .select(col("sh"))
     def cool(rows: DataFrame): DataFrame = rows.join(hot, Seq("sh"), "left_anti")
@@ -144,7 +174,7 @@ object IncrementalContainment {
     * shingles and never pair (q100's exact path owns short texts). */
   def containedPairs(delta: DataFrame, storeSets: DataFrame,
       idCol: String = "doc_id", textCol: String = "text",
-      t: Double = DefaultT): DataFrame = {
+      t: Double = DefaultT, storeDf: Option[DataFrame] = None): DataFrame = {
     // cache: the delta's shingle sets feed four joins below; without
     // it word_shingle_hashes replays per consumer. The engine's query
     // convention (q71/q119 precedent): intra-query caches are released
@@ -153,18 +183,20 @@ object IncrementalContainment {
     // with caller-owned persistence (DedupStore.ingestContained does).
     fromSets(
       IncrementalNearDedup.shingleSets(delta, idCol, textCol).cache(),
-      storeSets, t, maxShingleDf(delta.sparkSession))
+      storeSets, t, maxShingleDf(delta.sparkSession), storeDf)
   }
 
   /** [[containedPairs]] over pre-built `(id, n, hset)` delta sets —
     * persistence of `dSets` (read by four joins) is the CALLER's
-    * concern. */
+    * concern. `storeDf`, when given, must be [[shingleDf]] over
+    * exactly the docs in `storeSets` (see [[candidates]]). */
   private[graft] def fromSets(dSets: DataFrame, storeSets: DataFrame,
       t: Double = DefaultT,
-      maxShingleDf: Int = DefaultMaxShingleDf): DataFrame = {
+      maxShingleDf: Int = DefaultMaxShingleDf,
+      storeDf: Option[DataFrame] = None): DataFrame = {
     val sSets = storeSets.select(col("id"), col("n"), col("hset"))
     val allSets = dSets.unionByName(sSets)
-    val cand = candidates(dSets, sSets, allSets, t, maxShingleDf)
+    val cand = candidates(dSets, sSets, allSets, t, maxShingleDf, storeDf)
     cand
       .join(allSets.select(col("id").as("__ca"), col("n").as("na"),
         col("hset").as("ha")), "__ca")

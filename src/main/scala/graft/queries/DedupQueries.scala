@@ -1165,25 +1165,34 @@ object DedupQueries {
     * `qNNN_setup` / `qNNN_probe` rows (excluded from the headline
     * total — the combined rows keep the cross-round series). */
   private[graft] def benchSplits: Seq[(String,
-      (SparkSession, String) => DataFrame,
-      (SparkSession, String, DataFrame) => DataFrame)] = Seq(
+      (SparkSession, String) => Seq[DataFrame],
+      (SparkSession, String, Seq[DataFrame]) => DataFrame)] = Seq(
+    // q118's setup builds BOTH store-side frames a real daily ingest
+    // amortizes: the sets table AND (round 11) the pre-aggregated
+    // shingle-df table the hot-key guard reads
+    // ([[graft.operators.DedupStore.ingestContained]] persists it
+    // per-day; here it stands in cached). The probe then prices
+    // exactly the recurring per-ingest work: delta shingling, the
+    // guard's delta-count fold, the candidate joins, verification.
     ("q118",
       (s, d) => {
         import s.implicits._
-        graft.operators.IncrementalNearDedup.shingleSets(
+        val store = graft.operators.IncrementalNearDedup.shingleSets(
           T.documents(s, d).filter($"doc_id" % 2 === 0))
+        Seq(store, graft.operators.IncrementalContainment.shingleDf(store))
       },
-      (s, d, store) => {
+      (s, d, fr) => {
         import s.implicits._
         graft.operators.IncrementalContainment.containedPairs(
-          T.documents(s, d).filter($"doc_id" % 2 === 1), store)
+          T.documents(s, d).filter($"doc_id" % 2 === 1), fr(0),
+          storeDf = Some(fr(1)))
       }),
     ("q123",
-      (s, d) => q123Ref(s, d),
-      (s, d, ref) => q123Score(s, d, ref)),
+      (s, d) => Seq(q123Ref(s, d)),
+      (s, d, fr) => q123Score(s, d, fr.head)),
     ("q125",
-      (s, d) => jaccardPairs(s, d),
-      (s, d, pairs) => dupSourceMatrixFrom(pairs,
+      (s, d) => Seq(jaccardPairs(s, d)),
+      (s, d, fr) => dupSourceMatrixFrom(fr.head,
         T.documents(s, d).select(col("doc_id"), col("source")))))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,

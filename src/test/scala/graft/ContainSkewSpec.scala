@@ -85,6 +85,44 @@ class ContainSkewSpec extends AnyFunSuite with SparkSpec {
       s"boilerplate-only docs must not pair: $pairs")
   }
 
+  test("pre-aggregated store-df guard route matches the self-contained recount route") {
+    // round 11: [[DedupStore.ingestContained]] feeds the guard the
+    // committed per-day (sh, cnt) table instead of re-counting
+    // occupancy over store postings each ingest. Same counts by
+    // construction (per-doc contributions are ≤1 per distinct shingle
+    // and additive over disjoint doc sets) — pinned here ON the skew
+    // corpus, at a cap the hot key actually crosses, so the two
+    // routes must prune the identical key set
+    val s = spark
+    import s.implicits._
+    val all = corpus(600)
+    val d = sets(all.filter($"doc_id" % 2 === 1)).cache()
+    val st = sets(all.filter($"doc_id" % 2 === 0)).cache()
+    val union = d.unionByName(st)
+    try {
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long)].collect().toSet
+      val recount = collect(IncrementalContainment
+        .candidates(d, st, union, IncrementalContainment.DefaultT, 64))
+      val preAgg = collect(IncrementalContainment
+        .candidates(d, st, union, IncrementalContainment.DefaultT, 64,
+          Some(IncrementalContainment.shingleDf(st))))
+      assert(recount === preAgg,
+        s"guard routes diverged: only-recount=${recount -- preAgg} only-preagg=${preAgg -- recount}")
+      assert(recount.nonEmpty)
+      // end-to-end parity through containedPairs
+      val full = IncrementalContainment.containedPairs(
+        all.filter($"doc_id" % 2 === 1), st)
+        .select($"contained", $"container").as[(Long, Long)].collect().toSet
+      val viaDf = IncrementalContainment.containedPairs(
+        all.filter($"doc_id" % 2 === 1), st,
+        storeDf = Some(IncrementalContainment.shingleDf(st)))
+        .select($"contained", $"container").as[(Long, Long)].collect().toSet
+      assert(full === viaDf)
+      assert(viaDf.contains((9000L, 9001L)))
+    } finally { d.unpersist(); st.unpersist(): Unit }
+  }
+
   test("q116 on a planted-hot-key corpus: default guard changes nothing") {
     val s = spark
     import s.implicits._

@@ -119,11 +119,16 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(sC2 === nC.keySet, "uncommitted merged debris leaked into a read")
   }
 
-  test("retention counts REAL days only; repeated compactions re-merge the merged tail") {
-    // the review-caught hazard: merged-* names sort after date names,
-    // so counting them in the keepDays tail would shrink the protected
-    // window by one real day per compaction — eventually folding the
-    // CURRENT day, whose re-ingest would then self-suppress
+  test("retention counts REAL days only; tiered compaction leaves the merged tier alone until the part bound") {
+    // two review-caught hazards pinned together: (r10) merged-* names
+    // sort after date names, so counting them in the keepDays tail
+    // would shrink the protected window by one real day per
+    // compaction; (r11) ALWAYS folding the prior merged partition
+    // re-reads and re-writes the entire historical tail every run —
+    // O(archive) churn per maintenance call. Tiered policy: new aged
+    // days fold into a FRESH merged partition; the merged tier itself
+    // folds only when one more partition would exceed
+    // graft.store.maxMergedParts.
     val root = Files.createTempDirectory("dsc-ret").toString
     simulateDays(root, 4)
     val r1 = DedupStore.compact(spark, root, keepDays = 2)
@@ -132,18 +137,65 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
       DedupStore.ingest(docs((d * 100L) -> text(d)), root, f"2024-01-$d%02d")
     }
     val r2 = DedupStore.compact(spark, root, keepDays = 2)
-    // merge set = prior merged partition + real days 3-4; days 5-6
-    // (the two most recent REAL days) stay day-partitioned
-    assert(r2.daysMerged === 3, s"$r2")
+    // tiered: only real days 3-4 fold — the prior merged partition is
+    // NOT re-read (two merged partitions now coexist, both committed)
+    assert(r2.daysMerged === 2, s"$r2")
     val days = DedupStore.committedDays(spark, root)
-    assert(days.count(_.startsWith("merged-")) === 1,
-      s"merged markers must not accumulate: $days")
+    assert(days.count(_.startsWith("merged-")) === 2,
+      s"tiered compaction must leave the prior merged partition untouched: $days")
     assert(days.filterNot(_.startsWith("merged-")) ===
       Seq("2024-01-05", "2024-01-06"),
       s"recent real days must stay inside the retention window: $days")
-    // and the re-merged history still suppresses
-    val probe = docs(9000L -> text(1), 9001L -> text(42))
-    assert(ids(DedupStore.ingest(probe, root, "2024-02-01")) === Set(9001L))
+    // both merged tiers still suppress
+    val probe = docs(9000L -> text(1), 9001L -> text(3), 9002L -> text(42))
+    assert(ids(DedupStore.ingest(probe, root, "2024-02-01")) === Set(9002L))
+
+    // drive the tier over its part bound: with maxMergedParts=2, the
+    // next fold must collapse BOTH merged partitions + the aged days
+    // into one (the amortized-archive-churn moment)
+    (7 to 8).foreach { d =>
+      DedupStore.ingest(docs((d * 100L) -> text(d)), root, f"2024-01-$d%02d")
+    }
+    spark.conf.set("graft.store.maxMergedParts", "2")
+    val r3 = try DedupStore.compact(spark, root, keepDays = 2)
+    finally spark.conf.unset("graft.store.maxMergedParts")
+    // merge set = 2 merged partitions + real days 2024-01-05/06 +
+    // 2024-02-01 (now aged); 07-08 retained
+    assert(r3.daysMerged === 5, s"$r3")
+    val days3 = DedupStore.committedDays(spark, root)
+    assert(days3.count(_.startsWith("merged-")) === 1,
+      s"tier fold must collapse the merged partitions: $days3")
+    // full history still suppresses after the tier fold
+    val probe2 = docs(9100L -> text(1), 9101L -> text(5), 9102L -> text(77))
+    assert(ids(DedupStore.ingest(probe2, root, "2024-02-02")) === Set(9102L))
+  }
+
+  test("re-ingesting a compacted day fails loudly instead of silently vanishing") {
+    // round-10 advice: the day's rows live in the merged partition,
+    // unreachable by the ingest's own-day exclusion — the re-run would
+    // self-suppress to zero survivors and the data would quietly
+    // disappear at the next sweep
+    val root = Files.createTempDirectory("dsc-reingest").toString
+    simulateDays(root, 5)
+    assert(DedupStore.compact(spark, root, keepDays = 2).daysMerged === 3)
+    val e = intercept[IllegalStateException] {
+      DedupStore.ingest(docs(1L -> text(1)), root, "2024-01-02")
+    }
+    assert(e.getMessage.contains("keepDays"))
+    // a day still inside the retention window re-ingests fine (its own
+    // prior rows are excluded, so its content re-survives; a MERGED
+    // day's twin still suppresses)
+    assert(ids(DedupStore.ingest(docs(405L -> text(4), 407L -> text(2),
+      406L -> text(55)), root, "2024-01-04")) === Set(405L, 406L))
+    // and the other three disciplines refuse the same way
+    val ex = intercept[IllegalStateException] {
+      DedupStore.ingestExact(docs(1L -> text(1)), root, "2024-01-01")
+    }
+    assert(ex.getMessage.contains("self-suppress"))
+    val ec = intercept[IllegalStateException] {
+      DedupStore.ingestContained(docs(1L -> text(1)), root, "2024-01-03")
+    }
+    assert(ec.getMessage.contains("self-suppress"))
   }
 
   test("compacting a store with pre-postings-feature days never fabricates a complete postings table") {
@@ -185,7 +237,7 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(DedupStore.committedDays(spark, root) === daysAfter)
   }
 
-  test("IncrementalCurationJob.compactStores maintains all three store roots") {
+  test("IncrementalCurationJob.compactStores maintains all four store roots") {
     val root = Files.createTempDirectory("dsc-job").toString
     // letter-only per-day vocab: the job's quality floor demands
     // alpha ratio >= 0.5, which the digit-heavy w1x1 words fail
@@ -214,6 +266,58 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
       docs(999L -> (1 to 20).map(w => s"q${('a' + 2).toChar}${('a' + w).toChar}zz")
         .mkString(" ")), root, "2024-05-01")
     assert(r.afterExact === 0, "compacted digest store lost a day")
+  }
+
+  test("contain-store df table: compaction recomputes it from sets and heals pre-feature days") {
+    val root = Files.createTempDirectory("dsc-df").toString
+    val s = spark
+    import s.implicits._
+    (1 to 4).foreach { d =>
+      DedupStore.ingestContained(
+        docs((d * 100L) -> text(d), (d * 100L + 1) -> text2(d)),
+        root, f"2024-03-$d%02d")
+    }
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // every ingest committed its per-day df partition alongside sets
+    for (d <- 1 to 4)
+      assert(f.exists(new org.apache.hadoop.fs.Path(f"$root/df/dt=2024-03-$d%02d")),
+        s"day $d must commit its df partition")
+    // simulate a pre-feature day: delete day 1's df partition
+    f.delete(new org.apache.hadoop.fs.Path(s"$root/df/dt=2024-03-01"), true)
+
+    // compaction folds days 1-2 and RECOMPUTES the merged df from
+    // their sets — the pre-feature day's counts are restored, not
+    // silently missing (the postings-merge hazard, solved differently)
+    val r = DedupStore.compact(spark, root, keepDays = 2)
+    assert(r.daysMerged === 2, s"$r")
+    val mergedDf = new org.apache.hadoop.fs.Path(s"$root/df/dt=${r.mergedDay.get}")
+    assert(f.exists(mergedDf), "merged df partition must be recomputed from sets")
+    val dfRows = spark.read.parquet(mergedDf.toString)
+    // days 1+2 committed 4 docs x 10 words = 4 x 8 distinct 3-gram
+    // shingles, all unique across disjoint vocabularies
+    assert(dfRows.count() === 32)
+    assert(dfRows.agg(org.apache.spark.sql.functions.max($"cnt")).head.getLong(0) === 1L)
+
+    // and the healed store's df FAST path gives the SAME survivors as
+    // an identical-content control store forced down the full-recount
+    // FALLBACK (one missing df partition, never compacted): 9000 is a
+    // whole-copy of a merged day's doc (containment 1.0 → drop); 9001
+    // quotes a retained day's doc at 8/12 = 0.667 < 0.7 (survives);
+    // 9002 is fresh
+    val probe = docs(9000L -> text(1),
+      9001L -> (text(2) + " plus a longer tail"), 9002L -> text(99))
+    val fast = ids(DedupStore.ingestContained(probe, root, "2024-03-10"))
+    val rootU = Files.createTempDirectory("dsc-df-u").toString
+    (1 to 4).foreach { d =>
+      DedupStore.ingestContained(
+        docs((d * 100L) -> text(d), (d * 100L + 1) -> text2(d)),
+        rootU, f"2024-03-$d%02d")
+    }
+    f.delete(new org.apache.hadoop.fs.Path(s"$rootU/df/dt=2024-03-01"), true)
+    assert(ids(DedupStore.ingestContained(probe, rootU, "2024-03-10")) === fast,
+      "df fast path diverged from the full-recount fallback")
+    assert(fast === Set(9001L, 9002L), s"got $fast")
   }
 
   test("normal ingests cannot use the reserved merged- day prefix") {

