@@ -25,6 +25,10 @@ import org.apache.spark.sql.functions._
   *   4. CONTAINMENT vs history — [[DedupStore.ingestContained]]: the
   *      one-sided prefix probe; catches the new-doc-quotes-archived-
   *      doc case Jaccard structurally misses.
+  *   4b. PAYLOAD NEAR-DUP vs history (opt-in `payloadCol`, round 11)
+  *      — [[DedupStore.ingestPhash]]: rows carrying binary payloads
+  *      also probe the phash sig store, so re-crawled images/audio
+  *      with rewritten surrounding text still die here.
   *   5. EXPORT — the day's curated docs as byte-packed gzip TFRecord
   *      shards under `out/dt=<day>/` plus a per-day scalar manifest,
   *      so a trainer consumes day directories exactly as it consumes
@@ -70,7 +74,8 @@ object IncrementalCurationJob {
     * docs. */
   case class Report(day: String, input: Long, afterQuality: Long,
       afterExact: Long, afterNear: Long, curated: Long,
-      shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0)
+      shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0,
+      afterContain: Long = -1L)
 
   /** STREAMING ingest against the same stores — each micro-batch runs
     * [[ingestDay]] with the batch id as its store "day"
@@ -210,11 +215,26 @@ object IncrementalCurationJob {
   /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
     * ride along) against the stores under `root`, exporting curated
     * TFRecord shards to `root/out/dt=<day>/`. Returns the per-day
-    * report (also written as the day's `_manifest.json`). */
+    * report (also written as the day's `_manifest.json`).
+    *
+    * `payloadCol` (round 11) composes the MULTIMODAL stage into the
+    * daily pipeline: rows carrying a binary payload in that column
+    * additionally probe the phash store ([[DedupStore.ingestPhash]] —
+    * suppress when the payload's byte-grid signature near-matches an
+    * archived or smaller-id sibling payload), so a doc is curated
+    * only if BOTH its text and its payload are novel. Runs LAST (the
+    * text stages are cheaper and shrink the sig work); rows with a
+    * NULL or < 64-byte payload pass the stage untouched (no
+    * signature — exact dedup upstream owns byte-identical tiny
+    * payloads). With a payload stage the report's `afterContain`
+    * carries the post-containment count (`curated` is then the
+    * post-phash export count); without one `afterContain` is -1 and
+    * `curated` means post-containment, as before. */
   def ingestDay(delta: DataFrame, root: String, day: String,
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
-      stats: Boolean = true, novelty: Boolean = false): Report = {
+      stats: Boolean = true, novelty: Boolean = false,
+      payloadCol: Option[String] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
@@ -230,8 +250,13 @@ object IncrementalCurationJob {
     val afterNear = DedupStore.ingest(afterExact, s"$root/near", day,
       t = cfg.jaccardT, maxBucket = LshGuard.maxBucket(spark),
       spillDir = cfg.nearDedupSpillDir, retainCache = true)
-    val curated = DedupStore.ingestContained(afterNear, s"$root/contain",
+    val afterContain = DedupStore.ingestContained(afterNear, s"$root/contain",
       day, t = containT, retainCache = true)
+    val curated = payloadCol match {
+      case None => afterContain
+      case Some(pc) => DedupStore.ingestPhash(afterContain, s"$root/phash",
+        day, payloadCol = pc, retainCache = true)
+    }
     try {
       val outDir = s"$root/out/dt=$day"
       // re-runs may pack FEWER shards than a prior attempt; clear the
@@ -260,12 +285,14 @@ object IncrementalCurationJob {
       // an aliased value can never fail it
       val report = Report(day, n(delta), n(afterQuality), n(afterExact),
         n(afterNear), if (stats) curated.count() else written, shards, written,
-        noveltyMean)
+        noveltyMean,
+        afterContain = if (payloadCol.isEmpty) -1L else n(afterContain))
       if (stats) require(report.curated == written,
         s"sink dropped records: curated ${report.curated} != written $written")
       val manifest =
         s"""{"day":"$day","input":${report.input},"after_quality":${report.afterQuality},
            |"after_exact":${report.afterExact},"after_near":${report.afterNear},
+           |"after_contain":${report.afterContain},
            |"curated":${report.curated},"shards":${report.shards},
            |"records_written":${report.recordsWritten},
            |"novelty_mean":${report.noveltyMean}}"""
@@ -283,7 +310,8 @@ object IncrementalCurationJob {
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       report
     } finally {
-      curated.unpersist(); afterNear.unpersist(); afterExact.unpersist()
+      if (payloadCol.isDefined) curated.unpersist()
+      afterContain.unpersist(); afterNear.unpersist(); afterExact.unpersist()
     }
   }
 }

@@ -338,6 +338,38 @@ object DedupQueries {
   private val CosBits = 6
   private val CosDim = 64
 
+  /** Planted-twin perturbation for [[plantedEmbeddings]] — ONE
+    * constant interpolated into BOTH engines' view definitions (so
+    * the margin cannot drift between them): first element +0.15
+    * yields planted cosines ≥ 0.9887 on this corpus. The margin is
+    * the recall envelope's other knob (see [[cosExpectedMisses]]):
+    * a bigger perturbation (smaller margin) needs more tables. */
+  private[graft] val CosPlantMargin = 0.15
+
+  /** SRP table count, conf-overridable (round 11): at ≥ sf100 the
+    * per-pair miss probability × pair count approaches 1 and the
+    * remedy is MORE TABLES — `graft.cos.tables` flips it without a
+    * code change. Upward-safe for the gate: extra tables only ADD
+    * candidates, and exact-cosine verification keeps the emitted set
+    * identical wherever recall is already full. */
+  private[graft] def cosTables(s: SparkSession): Int = {
+    val t = s.conf.getOption("graft.cos.tables").map(_.toInt).getOrElse(CosTables)
+    require(t >= 1 && t <= 64, s"graft.cos.tables must be in [1,64], got $t")
+    t
+  }
+
+  /** The q44 recall-envelope math as CODE, so a scale-up checks a
+    * budget instead of rediscovering the derivation: expected planted
+    * misses = n · (1 − a^bits)^tables with per-plane agreement
+    * a = 1 − arccos(minCos)/π (the SRP collision probability —
+    * Goemans–Williamson). DedupPairsSpec pins the budget at gate,
+    * ~sf1-replica and sf100 scales. */
+  private[graft] def cosExpectedMisses(nPairs: Long, minCos: Double,
+      tables: Int, bits: Int): Double = {
+    val agree = 1.0 - math.acos(minCos) / math.Pi
+    nPairs * math.pow(1.0 - math.pow(agree, bits), tables)
+  }
+
   /** The PLANTED embedding view q44 runs over: every vec_id ≡ 0
     * (mod 50) gains a near-duplicate twin (id → −(id+1) — the
     * NEGATIVE mirror, which no corpus id and no ×N replica's shifted
@@ -357,18 +389,19 @@ object DedupQueries {
     val base = T.embeddings(s, d).select($"vec_id", $"embedding")
     val twins = base.filter(pmod($"vec_id", lit(50)) === 0)
       .select((-$"vec_id" - 1).as("vec_id"),
-        concat(array(($"embedding".getItem(0) + lit(0.15)).cast("float")),
+        concat(array(($"embedding".getItem(0) + lit(CosPlantMargin)).cast("float")),
           slice($"embedding", 2, CosDim - 1)).as("embedding"))
     base.unionByName(twins)
   }
 
-  /** DuckDB form of [[plantedEmbeddings]]. */
+  /** DuckDB form of [[plantedEmbeddings]] (same [[CosPlantMargin]]
+    * constant — the views cannot drift). */
   private val plantedEmbSql: String =
-    """planted AS (
+    s"""planted AS (
       SELECT vec_id, embedding FROM embeddings
       UNION ALL
       SELECT -vec_id - 1,
-        list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.15 AS FLOAT), embedding[2:])
+        list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + $CosPlantMargin AS FLOAT), embedding[2:])
       FROM embeddings WHERE vec_id % 50 = 0)"""
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.9) over the
@@ -389,8 +422,11 @@ object DedupQueries {
     * ≈ 0.009). SF ENVELOPE: unlike q140/q142's pigeonhole bound,
     * this equality is probabilistic-per-pair — at ≥ sf100 (~40k+
     * planted pairs) the expected miss count approaches 1 and a gate
-    * at that scale should widen the margin (smaller perturbation) or
-    * add tables before relying on exact equality. At the old 0.4 noise floor this config measured 21/59
+    * at that scale should widen the margin ([[CosPlantMargin]] — one
+    * shared constant in both view definitions) or add tables (conf
+    * `graft.cos.tables` — [[cosTables]], no code change); the budget
+    * math is executable ([[cosExpectedMisses]]) and DedupPairsSpec
+    * pins it at gate, replica and sf100 scales. At the old 0.4 noise floor this config measured 21/59
     * recall scanning 12.4% of pair volume (100% recall at a noise
     * threshold provably requires ≥ brute-force work); the exact
     * quadratic baseline remains [[SimilarityQueries]]'s q45.
@@ -411,9 +447,10 @@ object DedupQueries {
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
         .cache() // read by the bucket explode and both verify sides
       // native srp_sig: one JIT loop for all 48 plane dots per row
-      // (the interpreted HOF fold was tables×bits×dim lambda calls)
+      // (the interpreted HOF fold was tables×bits×dim lambda calls);
+      // table count is the conf-driven scale knob ([[cosTables]])
       val tb = e.select($"vec_id",
-          posexplode(expr(s"srp_sig(embedding, 'cos', $CosTables, $CosBits)")))
+          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, $CosBits)")))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       val cand = tb.as("a").join(tb.as("b"),
           $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")

@@ -119,4 +119,38 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
     assert(planted.nonEmpty && planted.subsetOf(
       lsh.map { case (a, b, _) => (a, b) }.toSet))
   }
+
+  test("q44 recall-envelope budget: the executable math covers gate, replica and sf100 scales") {
+    import graft.queries.DedupQueries.cosExpectedMisses
+    // the derivation the scaladoc carries, now CI-pinned so a future
+    // scale-up checks a budget instead of rediscovering it: per-plane
+    // agreement at the planted margin ~0.952, per-table collision
+    // 0.952^6 ~0.74, miss-all-8 ~2e-5 per pair
+    val perPair = cosExpectedMisses(1, 0.9887, 8, 6)
+    assert(perPair > 1e-6 && perPair < 1e-4, s"per-pair miss $perPair")
+    // ~sf1 replica: 408 planted pairs (measured, SCALING.md) — the
+    // bit-exact sweeps ran inside a ~0.01 expected-miss budget
+    assert(cosExpectedMisses(408, 0.9887, 8, 6) < 0.05)
+    // sf100 (~40k planted pairs): the default config BLOWS the budget
+    // — exactly why the knob exists...
+    assert(cosExpectedMisses(40000, 0.9887, 8, 6) > 0.5)
+    // ...and the documented remedy (graft.cos.tables=12) restores it
+    assert(cosExpectedMisses(40000, 0.9887, 12, 6) < 0.05)
+  }
+
+  test("q44 graft.cos.tables is upward-safe: more tables, identical gated result") {
+    import spark.implicits._
+    def pairs(): Set[(Long, Long)] = run("q44_dedup_cosine")
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val dflt = pairs()
+    spark.conf.set("graft.cos.tables", "12")
+    val wide = try pairs() finally spark.conf.unset("graft.cos.tables")
+    assert(wide === dflt,
+      "extra tables must only add candidates that exact-verify filters identically")
+    val bad = intercept[IllegalArgumentException] {
+      spark.conf.set("graft.cos.tables", "0")
+      try pairs() finally spark.conf.unset("graft.cos.tables")
+    }
+    assert(bad.getMessage.contains("graft.cos.tables"))
+  }
 }

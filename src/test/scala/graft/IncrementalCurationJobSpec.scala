@@ -132,6 +132,62 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("payloadCol composes the phash stage: text OR payload near-dup suppresses; manifest carries per-stage counts") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("icur-pl").toString
+    val rnd = new scala.util.Random(11)
+    def blob(): Array[Byte] = Array.fill(4096)(rnd.nextInt().toByte)
+    def twin(b: Array[Byte]): Array[Byte] = {
+      val t = b.clone(); t(100) = (t(100) ^ 0x5a).toByte; t
+    }
+    val imgA = blob(); val imgB = blob()
+    def withPayload(rows: (Long, String, Array[Byte])*): DataFrame =
+      rows.toSeq.toDF("doc_id", "text", "payload")
+
+    val r1 = IncrementalCurationJob.ingestDay(
+      withPayload((1L, archived, imgA), (2L, other, imgB)),
+      root, "d1", payloadCol = Some("payload"))
+    assert(r1.curated === 2 && r1.afterContain === 2)
+    assert(graft.operators.DedupStore.committedDays(spark, s"$root/phash")
+      === Seq("d1"), "payload stage must commit its sig-store day")
+
+    // day 2, each row planted for one verdict:
+    //  10: fresh text + BYTE-TWIN of archived payload A → cut by PHASH
+    //      (every text stage passes it — the case this stage exists for)
+    //  11: near-dup TEXT + fresh payload → cut at NEAR (text stages
+    //      still run first)
+    //  14: fresh text + fresh payload → survives
+    //  15: fresh text + NULL payload → no signature, passes untouched
+    val day2 = withPayload(
+      (10L, "a wholly fresh caption describing an image recrawled from the archive mirror", twin(imgA)),
+      (11L, other.replace("today", "tonight"), blob()),
+      (14L, "a brand new unique document about gardening tulips and rich soil beds", blob()))
+      .unionByName(Seq((15L, "another fresh document whose record carries no payload bytes at all",
+        null.asInstanceOf[Array[Byte]])).toDF("doc_id", "text", "payload"))
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      payloadCol = Some("payload"))
+    assert(r2.afterNear === 3, "11 cut by the near-dup text store")
+    assert(r2.afterContain === 3, "no containment cut this day")
+    assert(r2.curated === 2, "10 cut by the phash payload store")
+    assert(readDay(root, "d2") === Set(14L, 15L))
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/dt=d2", "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"after_contain\":3") &&
+      manifest.contains("\"curated\":2"), manifest)
+
+    // re-run converges (the phash day re-commits idempotently)
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      payloadCol = Some("payload"))
+    assert(r2again === r2)
+
+    // without payloadCol the report keeps its old meaning
+    val r3 = IncrementalCurationJob.ingestDay(
+      docs(20L -> "one more entirely novel document regarding alpine meadow flora"),
+      root, "d3")
+    assert(r3.afterContain === -1L && r3.curated === 1)
+  }
+
   test("re-running a committed day converges to identical output") {
     val root = Files.createTempDirectory("icur3").toString
     IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
