@@ -37,9 +37,12 @@ object ScaleBench {
   private val Shift = 1000000000L
 
   /** Materialize a ×`copies` replica of `src` under `dst` (also used
-    * by ScaleCheckSpec's CI growth guard). */
+    * by ScaleCheckSpec's CI growth guard). `tables` restricts the
+    * build to a subset (plus the fixed dims when they're requested) —
+    * the ×100 family runs need only `documents`, and replicating
+    * lineitem ×100 alongside would dominate the build for nothing. */
   private[graft] def replicate(spark: SparkSession, src: String, dst: String,
-      copies: Int): Unit = {
+      copies: Int, tables: Option[Set[String]] = None): Unit = {
     require(copies >= 1 && copies.toLong * Shift < Long.MaxValue / 4,
       s"copies out of range: $copies")
     val shifted: Map[String, Seq[String]] = Map(
@@ -51,7 +54,7 @@ object ScaleBench {
       "events" -> Seq("event_id", "user_id"),
       "documents" -> Seq("doc_id"),
       "embeddings" -> Seq("vec_id"))
-    for ((table, keys) <- shifted) {
+    for ((table, keys) <- shifted if tables.forall(_.contains(table))) {
       val base =
         if (table == "events") {
           // copy the ts column in its source encoding untouched: with
@@ -75,7 +78,7 @@ object ScaleBench {
         .parquet(s"$dst/$table.parquet")
       println(s"SCALE replicated $table x$copies")
     }
-    for (t <- Seq("nation", "region"))
+    for (t <- Seq("nation", "region") if tables.forall(_.contains(t)))
       spark.read.parquet(s"$src/$t.parquet").write.mode("overwrite")
         .parquet(s"$dst/$t.parquet")
   }
@@ -96,7 +99,11 @@ object ScaleBench {
     "q105_heavy_hitters", "q107_temperature_mix",
     "q110_dedup_keep_longest", "q111_token_budget_pack",
     "q112_decontam_report", "q113_embedding_center_stats",
-    "q114_dataset_card", "q116_containment_dedup")
+    "q114_dataset_card", "q116_containment_dedup",
+    // round 11: the third-decade (~sf10) family runs — incremental
+    // containment + the multimodal phash pipeline
+    "q118_incremental_containment", "q139_mm_phash_sig",
+    "q140_mm_phash_neardup", "q142_mm_phash_incremental")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime
@@ -127,8 +134,14 @@ object ScaleBench {
     // the median index on an empty run
     require(run.nonEmpty, "SPARK_GRAFT_SCALE_ONLY matched no probe query; " +
       s"valid names: ${probes.mkString(", ")}")
-    if (!new java.io.File(s"$big/lineitem.parquet").exists())
-      replicate(spark, base, big, copies)
+    // SPARK_GRAFT_SCALE_TABLES=documents[,…] builds a family-scoped
+    // replica; presence is then checked on the first requested table
+    val tableList = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
+      .map(_.split(",").map(_.trim).toSeq)
+    val tableFilter = tableList.map(_.toSet)
+    val presenceTable = tableList.map(_.head).getOrElse("lineitem")
+    if (!new java.io.File(s"$big/$presenceTable.parquet").exists())
+      replicate(spark, base, big, copies, tableFilter)
     // warm-up pass at the small scale (JIT + file listing)
     run.foreach(q => time(spark, q, base))
     val rows = run.map { q =>

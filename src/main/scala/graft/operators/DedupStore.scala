@@ -375,7 +375,8 @@ object DedupStore {
   def ingestPhash(delta: DataFrame, root: String, day: String,
       idCol: String = "doc_id", payloadCol: String = "payload",
       maxHamming: Int = graft.queries.MultimodalQueries.PhashMaxHamming,
-      retainCache: Boolean = false): DataFrame = {
+      retainCache: Boolean = false,
+      decoder: Option[graft.ops.PayloadDecoder] = None): DataFrame = {
     import graft.queries.MultimodalQueries.sigBands
     requireDay(day)
     val spark = delta.sparkSession
@@ -384,11 +385,26 @@ object DedupStore {
     require(maxHamming <= graft.queries.MultimodalQueries.PhashMaxHamming,
       s"banding is pigeonhole-exact only to hamming ${
         graft.queries.MultimodalQueries.PhashMaxHamming}, got $maxHamming")
-    def sigsOf(df: DataFrame): DataFrame = df
-      .filter(length(col(payloadCol)) >= 64)
-      .select(col(idCol).as("doc_id"),
-        length(col(payloadCol)).cast("long").as("n_bytes"),
-        expr(s"byte_grid_dhash(`$payloadCol`)").as("sig"))
+    // signature source — the ONE seam a real codec swaps (round 11):
+    //  - default: the codec-independent byte-grid gradient; payloads
+    //    under 64 bytes carry no signature (grid cells go empty);
+    //  - decoder: DECODED pixel luma through the identical gradient
+    //    ([[graft.ops.PayloadDecoder.sigs]] — same banding, same
+    //    store tables, same suppression joins downstream); payloads
+    //    the codec rejects carry no signature. Either way, sig-less
+    //    rows pass through unsuppressed and commit nothing — exact
+    //    dedup upstream owns byte-identical payloads. A store must
+    //    stick to ONE signature source: byte sigs and pixel sigs of
+    //    the same payload are different fingerprints, and mixing them
+    //    in one sig table silently halves recall.
+    def sigsOf(df: DataFrame): DataFrame = decoder match {
+      case None => df
+        .filter(length(col(payloadCol)) >= 64)
+        .select(col(idCol).as("doc_id"),
+          length(col(payloadCol)).cast("long").as("n_bytes"),
+          expr(s"byte_grid_dhash(`$payloadCol`)").as("sig"))
+      case Some(d) => graft.ops.PayloadDecoder.sigs(df, d, idCol, payloadCol)
+    }
     val storeSigs = readCommitted(spark, root, "sigs",
       sigsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
     val dSigs = sigsOf(delta).cache()

@@ -4,6 +4,14 @@ import graft.functions.ByteGridHashImpl
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
+/** A decoded payload's 64-cell luma grid plus its source geometry —
+  * everything downstream needs: the cells feed
+  * [[ByteGridHashImpl.gradientSig]], the dimensions feed the band
+  * key (see [[PayloadDecoder.sigs]] — geometry, not byte length, is
+  * what survives a re-encode). */
+final case class LumaGrid(sums: Array[Long], counts: Array[Long],
+    width: Int, height: Int)
+
 /** Pluggable payload-DECODE seam (round 11) — the [[TensorFlowScorer]]
   * mold applied to the multimodal pillar: the engine's perceptual
   * near-dup pipeline is codec-independent by construction
@@ -16,13 +24,13 @@ import org.apache.spark.sql.functions.col
   * and [[ByteGridHashImpl.gradientSig]] turns either grid into the
   * identical 63-bit signature — everything downstream (7×9-bit
   * banding, hamming verify, [[graft.operators.DedupStore.ingestPhash]]
-  * persistence) is shared code, unchanged.
+  * persistence, which takes a `decoder` directly) is shared code,
+  * unchanged.
   *
   * Undecodable payloads return None and are DROPPED by [[sigs]] — the
   * corrupt-drop policy the engine applies at every decode seam (the
-  * reference's proto-decode stance, `ParseBidLog`; q55's observed
-  * metric is the monitoring pattern to copy if drop-rate visibility
-  * is needed).
+  * reference's proto-decode stance; q55's observed metric is the
+  * monitoring pattern to copy if drop-rate visibility is needed).
   *
   * Implementations must be Serializable (they ship to executors) and
   * cheap to construct per-JVM — cache native resources in a companion
@@ -30,21 +38,30 @@ import org.apache.spark.sql.functions.col
   */
 trait PayloadDecoder extends Serializable {
 
-  /** 64 luma cells — `(sums, counts)` arrays of
-    * [[ByteGridHashImpl.Cells]] — or None if the payload does not
-    * decode under this codec. */
-  def lumaCells(payload: Array[Byte]): Option[(Array[Long], Array[Long])]
+  /** The payload's 64-cell luma grid + geometry, or None if it does
+    * not decode under this codec. */
+  def lumaGrid(payload: Array[Byte]): Option[LumaGrid]
 }
 
 object PayloadDecoder {
 
   /** `(doc_id, n_bytes, sig)` from a `(idCol, payloadCol)` frame via
-    * a real decoder — the DECODED twin of
+    * a real decoder — shape-identical to
     * [[graft.queries.MultimodalQueries]]' byte-path signature frame,
-    * shape-identical so the banded pair join, the planted-twin gate
-    * machinery and the sig store compose with either. Row-local
-    * `mapPartitions` (decode is per-payload CPU, no shuffle); null
-    * and undecodable payloads are dropped (corrupt-drop). */
+    * so the banded pair join, the planted-twin gate machinery and the
+    * sig store consume either. Row-local `mapPartitions` (decode is
+    * per-payload CPU, no shuffle); null and undecodable payloads are
+    * dropped (corrupt-drop).
+    *
+    * The `n_bytes` slot — the value the banding fuses into every band
+    * key — carries the packed PIXEL GEOMETRY (`width·2²⁰ + height`),
+    * NOT the encoded byte length: two encodings of the same picture
+    * (PNG vs BMP, stripped metadata, different row padding) differ in
+    * bytes but not geometry, and matching across re-encodes is the
+    * decoded path's entire reason to exist. The fusion still does its
+    * band-key-space job (the ×47 lesson): corpora bucket by image
+    * size, and a resize re-bins every grid cell anyway (the dHash
+    * contract — same-geometry in-place edits, not crops). */
   def sigs(pl: DataFrame, decoder: PayloadDecoder,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
     val spark = pl.sparkSession
@@ -53,8 +70,9 @@ object PayloadDecoder {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         if (bytes == null) None
-        else decoder.lumaCells(bytes).map { case (sums, ns) =>
-          (id, bytes.length.toLong, ByteGridHashImpl.gradientSig(sums, ns))
+        else decoder.lumaGrid(bytes).map { g =>
+          (id, (g.width.toLong << 20) | g.height.toLong,
+            ByteGridHashImpl.gradientSig(g.sums, g.counts))
         }
       })
       .toDF("doc_id", "n_bytes", "sig")
@@ -65,7 +83,7 @@ object PayloadDecoder {
   * PNG/JPEG/BMP/GIF readers ship with every full JRE), accessed via
   * REFLECTION so the engine still compiles and runs on a stripped
   * runtime without the `java.desktop` module (server-jre images): on
-  * such a JRE [[available]] is false and [[lumaCells]] fails with
+  * such a JRE [[available]] is false and [[lumaGrid]] fails with
   * instructions instead of a NoClassDefFoundError mid-task — the
   * [[TensorFlowScorer]] graceful-refusal contract
   * (PayloadDecoderSpec pins both paths).
@@ -89,9 +107,9 @@ final case class ImageIoDecoder(
     try { Class.forName(imageIoClass); true }
     catch { case _: Throwable => false }
 
-  override def lumaCells(payload: Array[Byte]): Option[(Array[Long], Array[Long])] = {
+  override def lumaGrid(payload: Array[Byte]): Option[LumaGrid] = {
     require(available, ImageIoDecoder.Missing)
-    ImageIoDecoder.cells(imageIoClass, payload)
+    ImageIoDecoder.grid(imageIoClass, payload)
   }
 }
 
@@ -119,8 +137,7 @@ object ImageIoDecoder {
       (read, rgb)
     })
 
-  private[ops] def cells(cls: String,
-      bytes: Array[Byte]): Option[(Array[Long], Array[Long])] = {
+  private[ops] def grid(cls: String, bytes: Array[Byte]): Option[LumaGrid] = {
     val (read, rgbM) = readAndRgb(cls)
     // ImageIO.read returns null for streams no registered reader
     // claims, and throws for streams a reader claims then rejects —
@@ -133,7 +150,7 @@ object ImageIoDecoder {
     val bi = img.asInstanceOf[AnyRef]
     val w = bi.getClass.getMethod("getWidth").invoke(bi).asInstanceOf[Int]
     val h = bi.getClass.getMethod("getHeight").invoke(bi).asInstanceOf[Int]
-    if (w <= 0 || h <= 0) return None
+    if (w <= 0 || h <= 0 || w >= (1 << 20) || h >= (1 << 20)) return None
     val px = new Array[Int](w * h)
     rgbM.invoke(bi, Int.box(0), Int.box(0), Int.box(w), Int.box(h),
       px, Int.box(0), Int.box(w))
@@ -154,6 +171,6 @@ object ImageIoDecoder {
       }
       y += 1
     }
-    Some((sums, ns))
+    Some(LumaGrid(sums, ns, w, h))
   }
 }

@@ -45,49 +45,70 @@ class PayloadDecoderSpec extends AnyFunSuite with SparkSpec {
   // right edge to the dark left edge (bit set) → bits 7,15,…,55
   private val base = bmp(32, 32, (x, _) => x * 7)
   private val BaseSig = 0x0080808080808080L
+  private val twin = bmp(32, 32, (x, y) => if (x == 0 && y == 0) 8 else x * 7)
+  private val far = bmp(32, 32, (x, _) => 217 - x * 7)
+  // the SAME picture as `base` under a different ENCODING: BMP readers
+  // stop at the header's declared image size, so trailing junk changes
+  // the byte stream (and its length, and its byte-grid sig) without
+  // touching one pixel — the minimal stand-in for a PNG→BMP re-encode
+  private val reenc = base ++ Array.fill(7)(0x5a.toByte)
 
   private def decoder = ImageIoDecoder()
 
   test("graceful refusal: a stripped JRE (absent imageio class) fails with instructions, not NoClassDefFoundError") {
     val d = ImageIoDecoder(imageIoClass = "no.such.javax.ImageIO")
     assert(!d.available)
-    val e = intercept[IllegalArgumentException](d.lumaCells(base))
+    val e = intercept[IllegalArgumentException](d.lumaGrid(base))
     assert(e.getMessage.contains("javax.imageio"))
   }
 
   test("decoded pixel grid reproduces the pinned gradient signature; near-twin within radius, reversed image far") {
     assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
-    val Some((sums, ns)) = decoder.lumaCells(base): @unchecked
-    assert(ns.sum === 32L * 32 && ns.forall(_ === 16L),
+    val Some(g) = decoder.lumaGrid(base): @unchecked
+    assert(g.width === 32 && g.height === 32)
+    assert(g.counts.sum === 32L * 32 && g.counts.forall(_ === 16L),
       "32×32 must pool to 64 cells of 16 pixels")
-    assert(ByteGridHashImpl.gradientSig(sums, ns) === BaseSig)
+    assert(ByteGridHashImpl.gradientSig(g.sums, g.counts) === BaseSig)
 
     // one brightened pixel cannot flip a 448-luma inter-cell margin
-    val twin = bmp(32, 32, (x, y) => if (x == 0 && y == 0) 8 else x * 7)
-    val Some((ts, tn)) = decoder.lumaCells(twin): @unchecked
+    val Some(t) = decoder.lumaGrid(twin): @unchecked
     assert(ByteGridHashImpl.hamming(
-      ByteGridHashImpl.gradientSig(ts, tn), BaseSig) <= 6)
+      ByteGridHashImpl.gradientSig(t.sums, t.counts), BaseSig) <= 6)
 
     // luma falling left→right reverses every gradient
-    val far = bmp(32, 32, (x, _) => 217 - x * 7)
-    val Some((fs, fn)) = decoder.lumaCells(far): @unchecked
+    val Some(f) = decoder.lumaGrid(far): @unchecked
     assert(ByteGridHashImpl.hamming(
-      ByteGridHashImpl.gradientSig(fs, fn), BaseSig) === 63)
+      ByteGridHashImpl.gradientSig(f.sums, f.counts), BaseSig) === 63)
   }
 
   test("undecodable bytes are corrupt-dropped, not errored") {
     assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
-    assert(decoder.lumaCells("definitely not an image".getBytes).isEmpty)
+    assert(decoder.lumaGrid("definitely not an image".getBytes).isEmpty)
     // truncated header: a reader may claim it then reject mid-parse
-    assert(decoder.lumaCells(base.take(20)).isEmpty)
+    assert(decoder.lumaGrid(base.take(20)).isEmpty)
+  }
+
+  test("re-encode invariance: different bytes, same pixels → identical sig AND identical band-fusion key") {
+    assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
+    val s = spark
+    import s.implicits._
+    // byte level: the encodings genuinely differ (the byte path would
+    // never band these together — lengths differ)
+    assert(!java.util.Arrays.equals(base, reenc) && base.length != reenc.length)
+    assert(ByteGridHashImpl.compute(base) !== ByteGridHashImpl.compute(reenc))
+    // decoded level: geometry (not byte length) is the fused key, so
+    // the pair is bandable and the sigs are bit-identical
+    val sigs = PayloadDecoder.sigs(
+      Seq(1L -> base, 2L -> reenc).toDF("doc_id", "payload"), decoder)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(sigs(1L) === sigs(2L), s"re-encode must not change (key, sig): $sigs")
+    assert(sigs(1L)._1 === ((32L << 20) | 32L), "key must be packed geometry")
   }
 
   test("decoded sigs feed the shared banded near-dup pipeline end-to-end") {
     assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
     val s = spark
     import s.implicits._
-    val twin = bmp(32, 32, (x, y) => if (x == 0 && y == 0) 8 else x * 7)
-    val far = bmp(32, 32, (x, _) => 217 - x * 7)
     val pl = Seq(
       1L -> base, 2L -> twin, 3L -> far,
       4L -> "garbage payload that is not an image at all".getBytes)
@@ -96,9 +117,33 @@ class PayloadDecoderSpec extends AnyFunSuite with SparkSpec {
     assert(sigs.select($"doc_id").as[Long].collect().toSet === Set(1L, 2L, 3L),
       "undecodable row must drop; decodable rows must sign")
     // the byte-path pair pipeline consumes the decoded sigs verbatim:
-    // same-size BMPs band together, only the pixel-twin verifies
+    // same-geometry BMPs band together, only the pixel-twin verifies
     val pairs = graft.queries.MultimodalQueries.phashPairs(sigs)
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
     assert(pairs === Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("DedupStore.ingestPhash(decoder = …): a re-encoded archived image dies against the sig store") {
+    assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("phs-dec").toString
+    val dec = Some(decoder: PayloadDecoder)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select($"doc_id").as[Long].collect().toSet
+    val d1 = graft.operators.DedupStore.ingestPhash(
+      Seq(1L -> base, 2L -> far).toDF("doc_id", "payload"),
+      root, "2024-07-01", decoder = dec)
+    assert(ids(d1) === Set(1L, 2L))
+    // day 2: 10 = RE-ENCODING of archived 1 (different bytes — the
+    // byte-sig store would pass it); 11 = pixel twin of archived 2;
+    // 12 = fresh image; 13 = undecodable → no sig, passes through
+    val d2 = graft.operators.DedupStore.ingestPhash(
+      Seq(10L -> reenc,
+        11L -> bmp(32, 32, (x, y) => if (x == 5 && y == 5) 210 else 217 - x * 7),
+        12L -> bmp(32, 32, (x, y) => (x * 7 + y * 31) % 256),
+        13L -> "not an image".getBytes).toDF("doc_id", "payload"),
+      root, "2024-07-02", decoder = dec)
+    assert(ids(d2) === Set(12L, 13L), s"got ${ids(d2)}")
   }
 }
