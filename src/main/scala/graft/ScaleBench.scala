@@ -135,12 +135,14 @@ object ScaleBench {
     require(run.nonEmpty, "SPARK_GRAFT_SCALE_ONLY matched no probe query; " +
       s"valid names: ${probes.mkString(", ")}")
     // SPARK_GRAFT_SCALE_TABLES=documents[,…] builds a family-scoped
-    // replica; presence is then checked on the first requested table
+    // replica; presence is checked for EVERY requested table — a
+    // later run that widens the list must trigger a (re)build, not
+    // skip on the first table's leftovers and crash mid-probe
     val tableList = sys.env.get("SPARK_GRAFT_SCALE_TABLES")
       .map(_.split(",").map(_.trim).toSeq)
     val tableFilter = tableList.map(_.toSet)
-    val presenceTable = tableList.map(_.head).getOrElse("lineitem")
-    if (!new java.io.File(s"$big/$presenceTable.parquet").exists())
+    val needed = tableList.getOrElse(Seq("lineitem"))
+    if (!needed.forall(t => new java.io.File(s"$big/$t.parquet").exists()))
       replicate(spark, base, big, copies, tableFilter)
     // warm-up pass at the small scale (JIT + file listing)
     run.foreach(q => time(spark, q, base))

@@ -123,15 +123,19 @@ object IncrementalCurationJob {
     * manifest a trainer audits). */
   def runPayloadStream(payloads: DataFrame, root: String, checkpointDir: String,
       targetShardBytes: Long = 128L * 1024 * 1024,
-      compactEvery: Int = 64, keepDays: Int = 7): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 64, keepDays: Int = 7,
+      decoder: Option[graft.ops.PayloadDecoder] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     requireNoLegacyBatchDays(payloads.sparkSession, Seq(s"$root/phash"))
     payloads.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val day = f"batch-$id%09d"
+        // decoder: pixel signatures instead of byte signatures — one
+        // sig source per store for its whole life (ingestPhash's
+        // contract: mixed fingerprint kinds silently halve recall)
         val surv = DedupStore.ingestPhash(batch.toDF(), s"$root/phash", day,
-          retainCache = true)
+          retainCache = true, decoder = decoder)
         try {
           val outDir = s"$root/out/dt=$day"
           // re-runs may pack fewer shards; clear stale parts first
@@ -226,7 +230,10 @@ object IncrementalCurationJob {
     * text stages are cheaper and shrink the sig work); rows with a
     * NULL or < 64-byte payload pass the stage untouched (no
     * signature — exact dedup upstream owns byte-identical tiny
-    * payloads). With a payload stage the report's `afterContain`
+    * payloads); pass `payloadDecoder` to sign decoded PIXELS instead
+    * of raw bytes (re-encode-invariant — see
+    * [[graft.ops.PayloadDecoder]]; one sig source per store root for
+    * its whole life). With a payload stage the report's `afterContain`
     * carries the post-containment count (`curated` is then the
     * post-phash export count); without one `afterContain` is -1 and
     * `curated` means post-containment, as before. */
@@ -234,7 +241,8 @@ object IncrementalCurationJob {
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
       stats: Boolean = true, novelty: Boolean = false,
-      payloadCol: Option[String] = None): Report = {
+      payloadCol: Option[String] = None,
+      payloadDecoder: Option[graft.ops.PayloadDecoder] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
@@ -255,7 +263,7 @@ object IncrementalCurationJob {
     val curated = payloadCol match {
       case None => afterContain
       case Some(pc) => DedupStore.ingestPhash(afterContain, s"$root/phash",
-        day, payloadCol = pc, retainCache = true)
+        day, payloadCol = pc, retainCache = true, decoder = payloadDecoder)
     }
     try {
       val outDir = s"$root/out/dt=$day"

@@ -426,7 +426,13 @@ object DedupStore {
       val surv = delta.join(
         suppressed.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
         .cache()
-      try commitDay(spark, root, day, Seq("sigs" -> sigsOf(surv)))
+      // the day's committed sigs = the CACHED delta sigs semi-joined
+      // on the survivor ids — recomputing sigsOf(surv) would re-sign
+      // every surviving payload a second time, which with a real
+      // `decoder` means a second full image decode per survivor per
+      // ingest (the dominant CPU of the stage)
+      try commitDay(spark, root, day, Seq("sigs" -> dSigs.join(
+        surv.select(col(idCol).as("doc_id")), Seq("doc_id"), "left_semi")))
       finally if (!retainCache) surv.unpersist()
       surv
     } finally dSigs.unpersist()
@@ -649,11 +655,19 @@ object DedupStore {
         // reader trusts any present partition).
         val setDirs = mergeDays.map(dd => new Path(s"$root/sets/dt=$dd"))
           .filter(dd => partFiles(f, dd).nonEmpty)
+        // size the merged df from the DF side (its own day partitions
+        // when present, a sets/8 estimate when healing pre-feature
+        // days) — sizing from the sets bytes would over-shard the far
+        // smaller aggregate, re-growing the small-file count this
+        // pass exists to bound
+        val dfBytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
+        val estBytes = if (dfBytes > 0) dfBytes
+          else setDirs.flatMap(partFiles(f, _)).map(_.getLen).sum / 8
         if (setDirs.nonEmpty)
           spark.read.parquet(setDirs.map(_.toString): _*)
             .select(explode(col("hset")).as("sh"))
             .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-            .coalesce(target(setDirs.flatMap(partFiles(f, _)).map(_.getLen).sum))
+            .coalesce(target(estBytes))
             .write.parquet(outDir.toString)
       } else if (dayDirs.nonEmpty && !skipIncompletePostings) {
         spark.read.parquet(dayDirs.map(_.toString): _*)
@@ -661,12 +675,27 @@ object DedupStore {
           .write.parquet(outDir.toString)
       }
     }
-    // the atomic swap: marker content = replaced days
+    // the atomic swap: marker content = the replaced names
+    // TRANSITIVELY — a folded merged-* partition contributes its own
+    // name (so the sweep can GC it) PLUS every day its marker listed.
+    // Without the closure, the sweep's later deletion of the inner
+    // merged marker would erase its days from the replaced set, and
+    // [[requireNotCompacted]]/[[knownDays]] would silently stop
+    // protecting days folded two generations back — a backfill
+    // re-ingest of such a day would self-suppress, the exact silent
+    // loss the round-11 guard exists to make loud. (Inner marker
+    // contents are already closures, so one level of expansion is
+    // the full closure.)
+    val content = mergeDays.flatMap { dd =>
+      if (dd.startsWith(MergedPrefix))
+        dd +: readMarker(f, new Path(s"$root/$MarkerDir", dd))
+      else Seq(dd)
+    }.distinct
     val marker = new Path(s"$root/$MarkerDir", mergedDay)
     val tmp = new Path(s"$root/$MarkerDir", s".$mergedDay.tmp")
     f.mkdirs(new Path(root, MarkerDir))
     val out = f.create(tmp, true)
-    try out.write((mergeDays.mkString("\n") + "\n").getBytes("UTF-8"))
+    try out.write((content.mkString("\n") + "\n").getBytes("UTF-8"))
     finally out.close()
     fc(spark, root).rename(f.makeQualified(tmp), f.makeQualified(marker),
       Options.Rename.OVERWRITE)

@@ -1,8 +1,9 @@
 package graft.ops
 
 import graft.functions.ByteGridHashImpl
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** A decoded payload's 64-cell luma grid plus its source geometry —
   * everything downstream needs: the cells feed
@@ -51,7 +52,10 @@ object PayloadDecoder {
     * so the banded pair join, the planted-twin gate machinery and the
     * sig store consume either. Row-local `mapPartitions` (decode is
     * per-payload CPU, no shuffle); null and undecodable payloads are
-    * dropped (corrupt-drop).
+    * dropped (corrupt-drop). The id column keeps its CORPUS type
+    * (string URLs, UUIDs, longs — same id-type-agnostic contract as
+    * the byte path and the store's template mechanism; no silent
+    * cast).
     *
     * The `n_bytes` slot — the value the banding fuses into every band
     * key — carries the packed PIXEL GEOMETRY (`width·2²⁰ + height`),
@@ -64,18 +68,21 @@ object PayloadDecoder {
     * contract — same-geometry in-place edits, not crops). */
   def sigs(pl: DataFrame, decoder: PayloadDecoder,
       idCol: String = "doc_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = pl.sparkSession
-    import spark.implicits._
-    pl.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.flatMap { case (id, bytes) =>
+    val in = pl.select(col(idCol).as("doc_id"),
+      col(payloadCol).cast("binary").as("__pl"))
+    val outSchema = StructType(Seq(in.schema.head,
+      StructField("n_bytes", LongType, nullable = false),
+      StructField("sig", LongType, nullable = false)))
+    in.mapPartitions { it =>
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](1)
         if (bytes == null) None
         else decoder.lumaGrid(bytes).map { g =>
-          (id, (g.width.toLong << 20) | g.height.toLong,
+          Row(r.get(0), (g.width.toLong << 20) | g.height.toLong,
             ByteGridHashImpl.gradientSig(g.sums, g.counts))
         }
-      })
-      .toDF("doc_id", "n_bytes", "sig")
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 }
 
@@ -88,13 +95,28 @@ object PayloadDecoder {
   * [[TensorFlowScorer]] graceful-refusal contract
   * (PayloadDecoderSpec pins both paths).
   *
+  * Decode discipline (a crawl's payload column is HOSTILE input):
+  *  - geometry is read from the HEADER first (`ImageReader.getWidth/
+  *    getHeight` before `read`), so a decode-bomb — a tiny file
+  *    declaring a 40000×40000 canvas — is rejected by [[MaxPixels]]
+  *    BEFORE any pixel buffer is allocated, instead of OOM-killing
+  *    the executor and wedging a streaming batch on permanent replay;
+  *  - ANY codec failure during header or pixel decode (JDK readers
+  *    throw RuntimeExceptions, not just IOExceptions, on malformed
+  *    streams) is "undecodable" → None → corrupt-drop. Only the
+  *    missing-JRE-module case refuses loudly;
+  *  - images narrower or shorter than the 8×8 pool grid are refused
+  *    (w, h ≥ 8): below that, alternating pool cells are empty and
+  *    EVERY such image degenerates to the all-zero gradient — two
+  *    distinct 4×4 icons would suppress each other as "near-dups".
+  *    The byte path's `length ≥ 64` filter guards the same
+  *    degeneracy; this is its pixel-space twin.
+  *
   * Cell mapping: the decoded image is average-pooled onto an 8×8
   * spatial grid (pixel (x, y) → cell (⌊8y/h⌋·8 + ⌊8x/w⌋)); each
   * pixel contributes its INTEGER BT.601 luma
   * (⌊(299·R + 587·G + 114·B) / 1000⌋), keeping the whole signature
-  * integer-exact like the byte path. Images smaller than 8×8 leave
-  * empty cells, which the gradient compares deterministically
-  * (0 > 0 = false) — same rule as short byte payloads.
+  * integer-exact like the byte path.
   *
   * The `imageIoClass` parameter exists for the spec's refusal-path
   * pin (point it at a class that does not exist and the decoder
@@ -120,57 +142,89 @@ object ImageIoDecoder {
       "java.desktop module) — run on a full JRE, or plug a codec-library " +
       "PayloadDecoder implementation instead"
 
-  // resolved once per (JVM, class-name) — reflective Method lookups are
-  // the per-call cost worth caching; the decode itself dominates
-  private val methods =
-    new java.util.concurrent.ConcurrentHashMap[String, (java.lang.reflect.Method, java.lang.reflect.Method)]()
+  /** Decoded-pixel cap (16M px ≈ 64 MB int buffer) — checked against
+    * the HEADER dims before allocation; the decode-bomb guard. */
+  private[ops] val MaxPixels: Long = 1L << 24
 
-  private def readAndRgb(cls: String) =
-    methods.computeIfAbsent(cls, c => {
-      val read = Class.forName(c)
-        .getMethod("read", classOf[java.io.InputStream])
+  private final case class Api(createStream: java.lang.reflect.Method,
+      getReaders: java.lang.reflect.Method, setInput: java.lang.reflect.Method,
+      getW: java.lang.reflect.Method, getH: java.lang.reflect.Method,
+      readImg: java.lang.reflect.Method, dispose: java.lang.reflect.Method,
+      rgb: java.lang.reflect.Method)
+
+  // resolved once per (JVM, class-name) — reflective Method lookups
+  // are the per-call cost worth caching; the decode itself dominates.
+  // Lookup failures here mean the module is absent → propagate (the
+  // loud-refusal path), unlike per-payload decode failures below.
+  private val apis = new java.util.concurrent.ConcurrentHashMap[String, Api]()
+
+  private def api(cls: String): Api = apis.computeIfAbsent(cls, c => {
+    val io = Class.forName(c)
+    val reader = Class.forName("javax.imageio.ImageReader")
+    Api(
+      io.getMethod("createImageInputStream", classOf[Object]),
+      io.getMethod("getImageReaders", classOf[Object]),
+      reader.getMethod("setInput", classOf[Object]),
+      reader.getMethod("getWidth", classOf[Int]),
+      reader.getMethod("getHeight", classOf[Int]),
+      reader.getMethod("read", classOf[Int]),
+      reader.getMethod("dispose"),
       // BufferedImage.getRGB(startX, startY, w, h, rgbArray, offset,
       // scansize) — ONE reflective call per image, not one per pixel
-      val rgb = Class.forName("java.awt.image.BufferedImage")
+      Class.forName("java.awt.image.BufferedImage")
         .getMethod("getRGB", classOf[Int], classOf[Int], classOf[Int],
-          classOf[Int], classOf[Array[Int]], classOf[Int], classOf[Int])
-      (read, rgb)
-    })
+          classOf[Int], classOf[Array[Int]], classOf[Int], classOf[Int]))
+  })
 
   private[ops] def grid(cls: String, bytes: Array[Byte]): Option[LumaGrid] = {
-    val (read, rgbM) = readAndRgb(cls)
-    // ImageIO.read returns null for streams no registered reader
-    // claims, and throws for streams a reader claims then rejects —
-    // both are "undecodable" here
-    val img =
-      try read.invoke(null, new java.io.ByteArrayInputStream(bytes))
-      catch { case e: java.lang.reflect.InvocationTargetException
-        if e.getCause.isInstanceOf[java.io.IOException] => null }
-    if (img == null) return None
-    val bi = img.asInstanceOf[AnyRef]
-    val w = bi.getClass.getMethod("getWidth").invoke(bi).asInstanceOf[Int]
-    val h = bi.getClass.getMethod("getHeight").invoke(bi).asInstanceOf[Int]
-    if (w <= 0 || h <= 0 || w >= (1 << 20) || h >= (1 << 20)) return None
-    val px = new Array[Int](w * h)
-    rgbM.invoke(bi, Int.box(0), Int.box(0), Int.box(w), Int.box(h),
-      px, Int.box(0), Int.box(w))
-    val sums = new Array[Long](ByteGridHashImpl.Cells)
-    val ns = new Array[Long](ByteGridHashImpl.Cells)
-    var y = 0
-    while (y < h) {
-      val row = (y.toLong * 8 / h).toInt * 8
-      var x = 0
-      while (x < w) {
-        val p = px(y * w + x)
-        val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
-          + 114 * (p & 0xff)) / 1000
-        val cell = row + (x.toLong * 8 / w).toInt
-        sums(cell) += luma
-        ns(cell) += 1
-        x += 1
-      }
-      y += 1
+    val a = api(cls)
+    try {
+      val iis = a.createStream.invoke(null, new java.io.ByteArrayInputStream(bytes))
+      if (iis == null) return None
+      try {
+        val readers = a.getReaders.invoke(null, iis)
+          .asInstanceOf[java.util.Iterator[AnyRef]]
+        if (!readers.hasNext) return None // no registered codec claims it
+        val rd = readers.next()
+        try {
+          a.setInput.invoke(rd, iis)
+          val w = a.getW.invoke(rd, Int.box(0)).asInstanceOf[Int]
+          val h = a.getH.invoke(rd, Int.box(0)).asInstanceOf[Int]
+          if (w < 8 || h < 8 || w >= (1 << 20) || h >= (1 << 20) ||
+              w.toLong * h > MaxPixels) return None
+          val bi = a.readImg.invoke(rd, Int.box(0))
+          if (bi == null) return None
+          val px = new Array[Int](w * h)
+          a.rgb.invoke(bi, Int.box(0), Int.box(0), Int.box(w), Int.box(h),
+            px, Int.box(0), Int.box(w))
+          val sums = new Array[Long](ByteGridHashImpl.Cells)
+          val ns = new Array[Long](ByteGridHashImpl.Cells)
+          var y = 0
+          while (y < h) {
+            val row = (y.toLong * 8 / h).toInt * 8
+            var x = 0
+            while (x < w) {
+              val p = px(y * w + x)
+              val luma = (299 * ((p >> 16) & 0xff) + 587 * ((p >> 8) & 0xff)
+                + 114 * (p & 0xff)) / 1000
+              val cell = row + (x.toLong * 8 / w).toInt
+              sums(cell) += luma
+              ns(cell) += 1
+              x += 1
+            }
+            y += 1
+          }
+          Some(LumaGrid(sums, ns, w, h))
+        } finally a.dispose.invoke(rd)
+      } finally iis.asInstanceOf[AutoCloseable].close()
+    } catch {
+      // a reader claimed the stream then choked on it — the JDK
+      // codecs throw IOException AND assorted RuntimeExceptions
+      // (ArrayIndexOutOfBounds, NegativeArraySize, CMMException) on
+      // malformed input; all of it is "undecodable", none of it may
+      // kill the task (a poison payload in a streaming batch would
+      // wedge the job on permanent replay)
+      case _: java.lang.reflect.InvocationTargetException => None
     }
-    Some(LumaGrid(sums, ns, w, h))
   }
 }

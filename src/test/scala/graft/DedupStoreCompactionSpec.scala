@@ -168,6 +168,18 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     // full history still suppresses after the tier fold
     val probe2 = docs(9100L -> text(1), 9101L -> text(5), 9102L -> text(77))
     assert(ids(DedupStore.ingest(probe2, root, "2024-02-02")) === Set(9102L))
+
+    // TWO-GENERATION re-ingest protection (review-caught): day 01 was
+    // folded into the first merged partition, the tier fold replaced
+    // that partition, and the next compact's sweep GCs the inner
+    // marker — the tier-fold marker's TRANSITIVE closure must keep
+    // carrying day 01, or the re-ingest guard silently lapses right
+    // when the data becomes unreachable
+    DedupStore.compact(spark, root, keepDays = 2) // sweep runs first
+    val e2 = intercept[IllegalStateException] {
+      DedupStore.ingest(docs(1L -> text(1)), root, "2024-01-01")
+    }
+    assert(e2.getMessage.contains("self-suppress"))
   }
 
   test("re-ingesting a compacted day fails loudly instead of silently vanishing") {

@@ -84,8 +84,42 @@ class PayloadDecoderSpec extends AnyFunSuite with SparkSpec {
   test("undecodable bytes are corrupt-dropped, not errored") {
     assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
     assert(decoder.lumaGrid("definitely not an image".getBytes).isEmpty)
-    // truncated header: a reader may claim it then reject mid-parse
+    // truncated header: a reader may claim it then reject mid-parse —
+    // JDK codecs throw RuntimeExceptions on malformed streams, which
+    // must become None (a poison payload in a streaming batch would
+    // otherwise wedge the job on permanent replay)
     assert(decoder.lumaGrid(base.take(20)).isEmpty)
+    assert(decoder.lumaGrid(base.take(200)).isEmpty, "torn pixel data")
+  }
+
+  test("hostile-input guards: decode-bomb rejected from the header; sub-pool-grid images refused") {
+    assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
+    // a 71-byte file declaring a 50000×50000 canvas: geometry must be
+    // rejected from the HEADER (2.5 Gpx > MaxPixels), never allocated
+    val bomb = base.take(54 + 17)
+    val bb = java.nio.ByteBuffer.wrap(bomb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 50000).putInt(22, 50000)
+    assert(decoder.lumaGrid(bomb).isEmpty, "decode-bomb must drop, not OOM")
+    // below the 8×8 pool grid every adjacent gradient touches an
+    // empty cell → ALL such images share the all-zero sig and would
+    // suppress each other; refused like the byte path's len < 64
+    assert(decoder.lumaGrid(bmp(4, 4, (x, y) => x * 50 + y)).isEmpty)
+    assert(decoder.lumaGrid(bmp(7, 32, (x, y) => x * 30 + y)).isEmpty)
+    assert(decoder.lumaGrid(bmp(8, 8, (x, y) => x * 30 + y * 3)).isDefined,
+      "8×8 is the floor, not a refusal")
+  }
+
+  test("decoded sigs keep the corpus id type (no silent cast to long)") {
+    assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
+    val s = spark
+    import s.implicits._
+    val pl = Seq("doc-url-a" -> base, "doc-url-b" -> far)
+      .toDF("doc_id", "payload")
+    val sigs = PayloadDecoder.sigs(pl, decoder)
+    assert(sigs.schema("doc_id").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(sigs.select($"doc_id").as[String].collect().toSet ===
+      Set("doc-url-a", "doc-url-b"))
   }
 
   test("re-encode invariance: different bytes, same pixels → identical sig AND identical band-fusion key") {
