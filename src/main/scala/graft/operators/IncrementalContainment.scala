@@ -145,16 +145,49 @@ object IncrementalContainment {
     //  - storeDf provided: the store side arrives PRE-AGGREGATED
     //    ((sh, cnt) — [[shingleDf]] over exactly the docs in sSets,
     //    the caller's contract); only the delta's counts are built
-    //    here, so the per-ingest guard cost is O(delta shingles) +
-    //    one slim store-df scan instead of a store-wide postings
-    //    re-count (the round-11 reclaim of q118's guard price);
+    //    here, and — once the archive's df outgrows the delta's (the
+    //    daily-cadence regime) — the store side is ROUTED through a
+    //    Bloom filter of the delta's keys before it ever shuffles.
+    //    That routing is
+    //    EXACT, not approximate: both candidate orientations join
+    //    through a delta-side `sh` (postings of dSets in one, prefix
+    //    of dSets in the other), so a store key ABSENT from the delta
+    //    can never form a candidate pair — whether the guard marks it
+    //    hot is irrelevant — and Bloom false positives only admit
+    //    store rows whose hotness then prunes nothing. Per-ingest
+    //    guard shuffle: O(delta shingles + delta-matching store rows),
+    //    independent of archive width (the round-11 reclaim of q118's
+    //    guard price, completed: without the route the store df —
+    //    every distinct shingle the archive ever kept — re-shuffled
+    //    through this aggregate on every ingest);
     //  - no storeDf: count over allSets postings directly (the
     //    self-contained batch path — q118's gate query). The second
     //    groupBy over already-distinct (sh, cnt) rows is a no-op-ish
     //    re-sum kept for one shared shape.
     val occ = storeDf match {
-      case Some(sdf) => shingleDf(dSets).unionByName(
-        sdf.select(col("sh"), col("cnt")))
+      case Some(sdf) =>
+        // the filter is built from the delta's RAW posting rows, not
+        // the aggregated df: a Bloom insert is idempotent, so feeding
+        // duplicates costs nothing and the build is one map-side
+        // treeAggregate pass over the (caller-cached) delta sets —
+        // zero shuffle, no recomputation of the df aggregate. Sizing
+        // uses Σn (total shingle occurrences, a cheap row-local agg)
+        // — an overestimate of the distinct count, which only widens
+        // the bitset. ADAPTIVE: the build costs ~two delta-sized jobs,
+        // worth paying only when the avoided store-side shuffle
+        // dominates — i.e. at daily cadence, where the archive's df
+        // is many× the day's (measured: at the bench's adversarial
+        // 50/50 split the route is a ~0.4 s wash; the count that
+        // decides is footer-stats-cheap on a parquet df table).
+        val nEst = Option(dSets.agg(sum(col("n"))).head.get(0))
+          .fold(0L)(_.asInstanceOf[Long])
+        val relevant =
+          if (nEst <= 0) sdf.limit(0) // shingle-less delta: no candidates
+          else if (sdf.count() <= 4 * nEst) sdf.select(col("sh"), col("cnt"))
+          else sdf.filter(BloomAntiJoin.mightContainCol(
+            postingRows(dSets).select(col("sh")), "sh",
+            fpp = 0.03, expectedKeys = Some(nEst)).get)
+        shingleDf(dSets).unionByName(relevant.select(col("sh"), col("cnt")))
       case None => shingleDf(allSets)
     }
     val hot = occ.groupBy(col("sh"))

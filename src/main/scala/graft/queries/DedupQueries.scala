@@ -931,6 +931,31 @@ object DedupQueries {
       WHERE c*1.0/sa.n >= 0.7 AND (ca % 2 = 1 OR cb % 2 = 1)"""),
     bench = true)
 
+  /** q118's guard fed the ROUND-11 FAST ROUTE: the store-side
+    * occupancy arrives pre-aggregated
+    * ([[graft.operators.IncrementalContainment.shingleDf]] — the
+    * frame [[graft.operators.DedupStore.ingestContained]] persists
+    * per day and reads back), so the guard folds only the delta's
+    * counts. The oracle is IDENTICAL to q118's all-pairs SQL:
+    * equality proves the pre-aggregated guard route changes nothing
+    * — the drift this would catch is the two occupancy definitions
+    * separating (e.g. a df table that double-counts a doc's repeated
+    * shingle, or misses a day), which ContainSkewSpec pins on a
+    * planted corpus and THIS gate pins against an independent
+    * engine on the fixture corpus. */
+  private val incrementalContainmentDf = Q(
+    "q143_incremental_containment_dfguard",
+    (s, d) => {
+      import s.implicits._
+      val docs = T.documents(s, d)
+      val store = graft.operators.IncrementalNearDedup
+        .shingleSets(docs.filter($"doc_id" % 2 === 0))
+      graft.operators.IncrementalContainment.containedPairs(
+        docs.filter($"doc_id" % 2 === 1), store,
+        storeDf = Some(graft.operators.IncrementalContainment.shingleDf(store)))
+    },
+    incrementalContainment.oracle)
+
   /** Span-CUT application — q71 measures which token positions are
     * covered by cross-doc verbatim k=20-token spans; this query
     * actually CUTS them, emitting each doc's cleaned text with the
@@ -1235,6 +1260,7 @@ object DedupQueries {
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
     cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
-    containmentDedup, incrementalContainment, spanCut, shingleNovelty,
-    dupSourceMatrix, splitLeakage, containSourceMatrix)
+    containmentDedup, incrementalContainment, incrementalContainmentDf,
+    spanCut, shingleNovelty, dupSourceMatrix, splitLeakage,
+    containSourceMatrix)
 }

@@ -123,6 +123,35 @@ class ContainSkewSpec extends AnyFunSuite with SparkSpec {
     } finally { d.unpersist(); st.unpersist(): Unit }
   }
 
+  test("daily-cadence geometry (archive >> delta) takes the Bloom route and changes nothing") {
+    // the adaptive guard routes the store df through a delta-keyed
+    // Bloom only when the archive's df outweighs the delta's (4x) —
+    // the 50/50 split above stays on the plain union, so THIS case
+    // plants the real geometry: a 40-doc delta against a 560-doc
+    // archive (store df ~6700 keys >> 4x the delta's ~500), including
+    // the planted containment pair straddling the split
+    val s = spark
+    import s.implicits._
+    val all = corpus(600)
+    val d = sets(all.filter($"doc_id" % 15 === 1)
+      .unionByName(all.filter($"doc_id" === 9001L))).cache()
+    val st = sets(all.filter($"doc_id" % 15 =!= 1 && $"doc_id" =!= 9001L)).cache()
+    val union = d.unionByName(st)
+    try {
+      def collect(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long)].collect().toSet
+      val recount = collect(IncrementalContainment
+        .candidates(d, st, union, IncrementalContainment.DefaultT, 64))
+      val bloomed = collect(IncrementalContainment
+        .candidates(d, st, union, IncrementalContainment.DefaultT, 64,
+          Some(IncrementalContainment.shingleDf(st))))
+      assert(recount === bloomed,
+        s"bloom route diverged: only-recount=${recount -- bloomed} only-bloom=${bloomed -- recount}")
+      assert(bloomed.contains((9000L, 9001L)) || bloomed.contains((9001L, 9000L)),
+        s"planted pair lost by the bloom route: $bloomed")
+    } finally { d.unpersist(); st.unpersist(): Unit }
+  }
+
   test("q116 on a planted-hot-key corpus: default guard changes nothing") {
     val s = spark
     import s.implicits._
