@@ -21,6 +21,7 @@ object PlanAudit {
     "q111_token_budget_pack", "q112_decontam_report",
     "q113_embedding_center_stats", "q114_dataset_card",
     "q116_containment_dedup", "q118_incremental_containment",
+    "q143_incremental_containment_dfguard",
     "q140_mm_phash_neardup", "q142_mm_phash_incremental")
 
   def main(args: Array[String]): Unit =
