@@ -711,6 +711,226 @@ object DedupStore {
       committedFileCount(spark, root))
   }
 
+  /** One integrity finding from [[fsck]]. Severities:
+    *  - `error` — a reader-visible invariant is broken (rows double-
+    *    count, or an acceleration table disagrees with the data it
+    *    summarizes): fix before trusting query results;
+    *  - `warn` — invisible to readers but operationally actionable
+    *    (crash debris that a re-ingest or the next [[compact]] should
+    *    resolve, a day name the delete paths cannot address);
+    *  - `info` — expected transient states of the protocol itself
+    *    (replaced days inside the sweep grace period). */
+  case class FsckFinding(severity: String, check: String,
+      subject: String, detail: String)
+
+  /** STORE INTEGRITY AUDIT — the operational `fsck` for a store root,
+    * report-only (nothing heals here; [[compact]] owns GC, re-ingest
+    * owns repair). The marker protocol is crash-safe only while its
+    * invariants hold; after a restore-from-backup, a manual partition
+    * copy, or a bug, nothing else VERIFIES them — queries would just
+    * silently double-count. This walks them:
+    *
+    * Shallow (default) — pure metadata, O(days) listings + marker
+    * reads, safe at any cadence:
+    *  - `tmp-marker` (warn): a `.DAY.tmp` file under `_committed` — a
+    *    commit crashed between create and rename; the day never
+    *    published.
+    *  - `empty-merged-marker` (error): a live `merged-*` marker whose
+    *    content lists nothing — it commits a partition that replaces
+    *    no days (manual tampering; [[compact]] never writes one).
+    *  - `double-merged` (error): a real day claimed by TWO live
+    *    `merged-*` markers — both merged partitions hold its rows and
+    *    the committed view double-counts them. The one invariant no
+    *    reader-side filter can mask.
+    *  - `orphan-partition` (warn): a `dt=DAY` partition no marker has
+    *    ever named — a crash between table write and marker publish.
+    *    Invisible to readers; re-ingest the day (idempotent) or
+    *    delete.
+    *  - `merged-debris` / `awaiting-sweep` (info): uncommitted
+    *    `merged-*` partitions and replaced days inside the sweep
+    *    grace period — the protocol's normal transients.
+    *  - `invalid-day-name` (warn): a marker [[requireDay]] would
+    *    reject — the literal `dt=$day` delete paths cannot address
+    *    its partitions.
+    *  - `accel-without-sets` (warn): an acceleration partition (`df`,
+    *    `postings`) for a committed day with no `sets` partition —
+    *    counts claiming survivors that do not exist; the df guard
+    *    would over-count occupancy.
+    *
+    * Deep (`deep = true`) — full store scans; run at maintenance
+    * cadence, e.g. right before [[compact]]:
+    *  - `dup-identity` (error): an identity key committed twice
+    *    across the committed view (`sets.id` / `digests.fp` /
+    *    `sigs.doc_id`) — ingest's own suppression makes this
+    *    impossible, so a hit means duplicated/restored partitions.
+    *  - `df-mismatch` (error): the committed `df` occupancy disagrees
+    *    with a recount from the committed `sets` (checked only when
+    *    the df table is complete — incomplete stores are already on
+    *    the fallback path and have nothing to audit).
+    *  - `postings-mismatch` (error): the committed `postings`
+    *    shingle set differs from the `sets`-derived one (same
+    *    completeness precondition).
+    *
+    * Returns findings worst-first; an empty result is a clean bill.
+    * A healthy store mid-lifecycle returns only `info` rows. */
+  def fsck(spark: SparkSession, root: String,
+      deep: Boolean = false): Seq[FsckFinding] = {
+    val f = fs(spark, root)
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
+    val markerDir = new Path(root, MarkerDir)
+    val (names, replaced) = markerState(f, root)
+    val live = names.filterNot(replaced).toSet
+    val tables = storeTables(f, root)
+    val committed = committedDays(spark, root)
+
+    // crashed-commit temp markers (create succeeded, rename did not)
+    if (f.exists(markerDir))
+      f.listStatus(markerDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+        .foreach(n => out += FsckFinding("warn", "tmp-marker", n,
+          "crashed commit left a temp marker; the day never published — " +
+            "re-ingest it (idempotent) or delete the file"))
+
+    // live merged-marker content invariants
+    val liveMerged = names.filter(n => n.startsWith(MergedPrefix) && live(n))
+    val contents = liveMerged
+      .map(m => m -> readMarker(f, new Path(markerDir, m))).toMap
+    contents.foreach { case (m, c) =>
+      if (c.isEmpty) out += FsckFinding("error", "empty-merged-marker", m,
+        "committed compaction marker replaces no days — compact() never " +
+          "writes one; remove it and audit how it appeared")
+    }
+    contents.toSeq
+      .flatMap { case (m, c) =>
+        c.filterNot(_.startsWith(MergedPrefix)).map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .foreach { case (d, ms) =>
+        out += FsckFinding("error", "double-merged", d,
+          s"day claimed by ${ms.size} live compaction markers " +
+            s"(${ms.map(_._2).sorted.mkString(", ")}) — its rows are " +
+            "duplicated across merged partitions and the committed view " +
+            "double-counts them") }
+
+    // marker names the delete paths cannot address
+    names.filterNot(_.startsWith(MergedPrefix))
+      .filterNot(n => scala.util.Try(requireDay(n)).isSuccess)
+      .foreach(n => out += FsckFinding("warn", "invalid-day-name", n,
+        "marker name outside [A-Za-z0-9._-]+ — partition-dir encoding " +
+          "diverges from the literal dt=DAY paths the store deletes by"))
+
+    // per-table partition scans against the marker namespace
+    val everNamed = names.toSet ++ replaced
+    tables.foreach { t =>
+      dtNames(f, root, t).toSeq.sorted.foreach { d =>
+        if (!everNamed.contains(d)) {
+          if (d.startsWith(MergedPrefix))
+            out += FsckFinding("info", "merged-debris", s"$t/dt=$d",
+              "uncommitted merged partition (crashed compact); the next " +
+                "compact() sweeps it")
+          else
+            out += FsckFinding("warn", "orphan-partition", s"$t/dt=$d",
+              "partition with no marker (crash between table write and " +
+                "publish): invisible to readers — re-ingest the day or " +
+                "delete the directory")
+        } else if (replaced.contains(d))
+          out += FsckFinding("info", "awaiting-sweep", s"$t/dt=$d",
+            "replaced by a committed compaction; swept at the next " +
+              "compact() after the reader grace period")
+      }
+    }
+    names.filter(replaced.contains).foreach(n =>
+      out += FsckFinding("info", "awaiting-sweep", s"$MarkerDir/$n",
+        "replaced day's marker inside the sweep grace period"))
+
+    // acceleration partitions claiming survivors that do not exist
+    if (tables.contains("sets")) {
+      val setDays = dtNames(f, root, "sets")
+        .filter(d => partFiles(f, new Path(s"$root/sets/dt=$d")).nonEmpty)
+      Seq("df", "postings").filter(tables.contains).foreach { t =>
+        dtNames(f, root, t)
+          .filter(d => live(d) &&
+            partFiles(f, new Path(s"$root/$t/dt=$d")).nonEmpty)
+          .filterNot(setDays.contains).toSeq.sorted
+          .foreach(d => out += FsckFinding("warn", "accel-without-sets",
+            s"$t/dt=$d",
+            "acceleration partition present for a committed day with no " +
+              "survivors — its counts cover rows that do not exist"))
+      }
+    }
+
+    if (deep) out ++= fsckDeep(spark, root, f, tables, committed)
+
+    val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)
+    out.sortBy(fi => (rank(fi.severity), fi.check, fi.subject)).toSeq
+  }
+
+  /** The full-scan half of [[fsck]]: identity uniqueness across the
+    * committed view and acceleration-table recounts. */
+  private def fsckDeep(spark: SparkSession, root: String,
+      f: org.apache.hadoop.fs.FileSystem, tables: Seq[String],
+      committed: Seq[String]): Seq[FsckFinding] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
+    // committed view of one table as the union of its day dirs — no
+    // partition-type inference (date-shaped day names would infer a
+    // DateType dt), no schema template needed (absent days just drop
+    // out of the path list)
+    def readDays(t: String): Option[DataFrame] = {
+      val dirs = committed.map(d => new Path(s"$root/$t/dt=$d"))
+        .filter(dd => partFiles(f, dd).nonEmpty)
+      if (dirs.isEmpty) None
+      else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    }
+    def dupCheck(table: String, key: String): Unit =
+      if (tables.contains(table)) readDays(table).foreach { df =>
+        val dups = df.groupBy(col(key)).count()
+          .filter(col("count") > 1).count()
+        if (dups > 0) out += FsckFinding("error", "dup-identity",
+          s"$table.$key",
+          s"$dups keys committed more than once across the committed " +
+            "view — ingest suppression forbids this; suspect restored or " +
+            "hand-copied partitions")
+      }
+    dupCheck("sets", "id")
+    dupCheck("digests", "fp")
+    dupCheck("sigs", "doc_id")
+
+    if (tables.contains("df") && tables.contains("sets") &&
+        accelComplete(spark, root, "df", None))
+      (readDays("sets"), readDays("df")) match {
+        case (Some(sets), Some(dfT)) =>
+          val expect = sets.select(explode(col("hset")).as("sh"))
+            .groupBy(col("sh")).agg(count(lit(1)).as("e"))
+          val got = dfT.groupBy(col("sh")).agg(sum(col("cnt")).as("g"))
+          val bad = expect.join(got, Seq("sh"), "full_outer")
+            .filter(coalesce(col("e"), lit(0L)) =!=
+              coalesce(col("g"), lit(0L))).count()
+          if (bad > 0) out += FsckFinding("error", "df-mismatch", "df",
+            s"$bad shingles whose committed df count disagrees with a " +
+              "recount from the committed sets — the containment guard " +
+              "reads wrong occupancy; delete the df partitions (readers " +
+              "fall back) and let compact() rebuild them")
+        case _ => ()
+      }
+
+    if (tables.contains("postings") && tables.contains("sets") &&
+        accelComplete(spark, root, "postings", None))
+      (readDays("sets"), readDays("postings")) match {
+        case (Some(sets), Some(post)) =>
+          val expect = sets.select(explode(col("hset")).as("sh")).distinct()
+          val got = post.select(col("sh")).distinct()
+          val missing = expect.join(got, Seq("sh"), "left_anti").count()
+          val extra = got.join(expect, Seq("sh"), "left_anti").count()
+          if (missing + extra > 0)
+            out += FsckFinding("error", "postings-mismatch", "postings",
+              s"$missing shingles missing / $extra extra vs the committed " +
+                "sets — noveltyReport's fast path mis-scores; delete the " +
+                "postings partitions (readers fall back) and let " +
+                "compact() rebuild coverage")
+        case _ => ()
+      }
+    out.toSeq
+  }
+
   /** Delete markers + partitions of days replaced by a COMMITTED
     * compaction marker, plus `dt=merged-*` partition DEBRIS whose
     * marker never committed (a crashed compact whose merge set then

@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupStore
+
+/** [[DedupStore.fsck]] — the store integrity audit. The marker
+  * protocol is crash-safe only while its invariants hold; fsck is the
+  * tool that VERIFIES them after a restore, a manual copy, or a bug.
+  * The matrix: a healthy store at every lifecycle stage yields no
+  * error/warn findings, and each constructed corruption is detected
+  * by exactly the intended check. All tampering goes through the
+  * Hadoop FileSystem API — java.nio writes would leave stale .crc
+  * sidecars on the local ChecksumFileSystem and fail the read back.
+  */
+class DedupStoreFsckSpec extends AnyFunSuite with SparkSpec {
+
+  private def hfs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def docs(ids: (Long, String)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ids.toSeq.toDF("doc_id", "text")
+  }
+
+  // per-day disjoint vocab: no accidental cross-day suppression
+  private def text(d: Int): String =
+    (1 to 10).map(w => s"fw${d}k$w").mkString(" ")
+
+  private def nearStore(days: Int): String = {
+    val root = Files.createTempDirectory("fsck-near").toString
+    (1 to days).foreach(d =>
+      DedupStore.ingest(docs((d * 10L) -> text(d)), root, f"2024-03-$d%02d"))
+    root
+  }
+
+  private def containStore(days: Int): String = {
+    val root = Files.createTempDirectory("fsck-con").toString
+    (1 to days).foreach(d =>
+      DedupStore.ingestContained(
+        docs((d * 10L) -> text(d)), root, f"2024-03-$d%02d"))
+    root
+  }
+
+  private def sev(fs: Seq[DedupStore.FsckFinding], s: String) =
+    fs.filter(_.severity == s)
+  private def checks(fs: Seq[DedupStore.FsckFinding]) =
+    fs.map(_.check).toSet
+
+  private def writeMarker(root: String, name: String, content: String): Unit = {
+    val out = hfs.create(new Path(s"$root/_committed/$name"), true)
+    try if (content.nonEmpty) out.write((content + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  test("healthy store at every lifecycle stage: no error/warn findings") {
+    val root = nearStore(4)
+    // fresh store, shallow + deep
+    val f1 = DedupStore.fsck(spark, root, deep = true)
+    assert(sev(f1, "error").isEmpty && sev(f1, "warn").isEmpty,
+      s"fresh store must be clean, got $f1")
+
+    // post-compaction, pre-sweep: replaced garbage is an expected
+    // transient — info only, never error/warn
+    DedupStore.compact(spark, root, keepDays = 1)
+    val f2 = DedupStore.fsck(spark, root, deep = true)
+    assert(sev(f2, "error").isEmpty && sev(f2, "warn").isEmpty,
+      s"post-compaction store must be clean, got $f2")
+    assert(checks(f2).contains("awaiting-sweep"),
+      "pre-sweep replaced days must surface as info")
+
+    // post-sweep (the next compact): transients gone entirely
+    DedupStore.ingest(docs(50L -> text(5)), root, "2024-03-05")
+    DedupStore.compact(spark, root, keepDays = 1)
+    val f3 = DedupStore.fsck(spark, root)
+    assert(!checks(f3).contains("orphan-partition") &&
+      sev(f3, "error").isEmpty, s"post-sweep store must be clean, got $f3")
+  }
+
+  test("healthy containment store (df accel) is deep-clean") {
+    val root = containStore(3)
+    val f = DedupStore.fsck(spark, root, deep = true)
+    assert(sev(f, "error").isEmpty && sev(f, "warn").isEmpty,
+      s"containment store must be clean, got $f")
+  }
+
+  test("crash debris: tmp marker, orphan partition, merged debris") {
+    val root = nearStore(2)
+    val out = hfs.create(new Path(s"$root/_committed/.2024-03-09.tmp"), true)
+    out.close()
+    hfs.mkdirs(new Path(s"$root/sets/dt=2024-09-09"))
+    hfs.mkdirs(new Path(s"$root/bands/dt=merged-77d-feedface0000"))
+    val f = DedupStore.fsck(spark, root)
+    assert(f.exists(x => x.check == "tmp-marker" &&
+      x.subject == ".2024-03-09.tmp" && x.severity == "warn"))
+    assert(f.exists(x => x.check == "orphan-partition" &&
+      x.subject == "sets/dt=2024-09-09" && x.severity == "warn"))
+    assert(f.exists(x => x.check == "merged-debris" &&
+      x.subject == "bands/dt=merged-77d-feedface0000" && x.severity == "info"))
+    assert(sev(f, "error").isEmpty, "debris is never an error")
+  }
+
+  test("double-merged: a day claimed by two live compaction markers is an error") {
+    val root = nearStore(4)
+    DedupStore.compact(spark, root, keepDays = 1) // folds days 1-3
+    // a second (hand-made) live merged marker re-claiming a folded day
+    writeMarker(root, "merged-1d-cafecafe0000", "2024-03-02")
+    val f = DedupStore.fsck(spark, root)
+    val dbl = f.filter(_.check == "double-merged")
+    assert(dbl.map(_.subject) == Seq("2024-03-02") &&
+      dbl.forall(_.severity == "error"), s"expected one double-merged, got $f")
+  }
+
+  test("empty merged marker and invalid day name are flagged") {
+    val root = nearStore(1)
+    writeMarker(root, "merged-0d-000000000000", "")
+    writeMarker(root, "bad day name", "")
+    val f = DedupStore.fsck(spark, root)
+    assert(f.exists(x => x.check == "empty-merged-marker" &&
+      x.subject == "merged-0d-000000000000" && x.severity == "error"))
+    assert(f.exists(x => x.check == "invalid-day-name" &&
+      x.subject == "bad day name" && x.severity == "warn"))
+  }
+
+  test("accel partition without sets (zero-survivor day) is flagged") {
+    val root = nearStore(2)
+    // day 2's survivors "disappear" but its postings partition stays —
+    // the accel table now claims shingles for rows that do not exist
+    hfs.delete(new Path(s"$root/sets/dt=2024-03-02"), true)
+    val f = DedupStore.fsck(spark, root)
+    assert(f.exists(x => x.check == "accel-without-sets" &&
+      x.subject == "postings/dt=2024-03-02" && x.severity == "warn"), s"got $f")
+  }
+
+  test("deep: duplicated partitions (restore gone wrong) fail identity uniqueness") {
+    val root = nearStore(2)
+    // "restore" day 1's sets under a new committed day — the classic
+    // backup-replay double-commit
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileUtil.copy(hfs, new Path(s"$root/sets/dt=2024-03-01"),
+      hfs, new Path(s"$root/sets/dt=2024-03-07"), false, conf)
+    FileUtil.copy(hfs, new Path(s"$root/postings/dt=2024-03-01"),
+      hfs, new Path(s"$root/postings/dt=2024-03-07"), false, conf)
+    writeMarker(root, "2024-03-07", "")
+    assert(!DedupStore.fsck(spark, root).exists(_.severity == "error"),
+      "shallow fsck cannot see inside partitions")
+    val f = DedupStore.fsck(spark, root, deep = true)
+    assert(f.exists(x => x.check == "dup-identity" && x.subject == "sets.id" &&
+      x.severity == "error"), s"got $f")
+  }
+
+  test("deep: tampered df occupancy is caught by the recount") {
+    val root = containStore(2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    hfs.delete(new Path(s"$root/df/dt=2024-03-02"), true)
+    FileUtil.copy(hfs, new Path(s"$root/df/dt=2024-03-01"),
+      hfs, new Path(s"$root/df/dt=2024-03-02"), false, conf)
+    val f = DedupStore.fsck(spark, root, deep = true)
+    assert(f.exists(x => x.check == "df-mismatch" && x.severity == "error"),
+      s"got $f")
+  }
+
+  test("deep: tampered postings coverage is caught") {
+    val root = nearStore(2)
+    val conf = spark.sparkContext.hadoopConfiguration
+    hfs.delete(new Path(s"$root/postings/dt=2024-03-02"), true)
+    FileUtil.copy(hfs, new Path(s"$root/postings/dt=2024-03-01"),
+      hfs, new Path(s"$root/postings/dt=2024-03-02"), false, conf)
+    val f = DedupStore.fsck(spark, root, deep = true)
+    assert(f.exists(x => x.check == "postings-mismatch" &&
+      x.severity == "error"), s"got $f")
+  }
+}
