@@ -22,7 +22,8 @@ object PlanAudit {
     "q113_embedding_center_stats", "q114_dataset_card",
     "q116_containment_dedup", "q118_incremental_containment",
     "q143_incremental_containment_dfguard",
-    "q140_mm_phash_neardup", "q142_mm_phash_incremental")
+    "q140_mm_phash_neardup", "q142_mm_phash_incremental",
+    "q144_cos_incremental")
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>

@@ -198,7 +198,7 @@ object IncrementalCurationJob {
     }
 
   /** Store MAINTENANCE — run periodically (weekly cron, or after
-    * every Nth ingest): [[DedupStore.compact]] over the job's three
+    * every Nth ingest): [[DedupStore.compact]] over the job's five
     * store roots, folding each store's old day-partitions into one
     * consolidated partition while `keepDays` recent days stay
     * day-partitioned (the idempotent-re-run window — a compacted day
@@ -207,7 +207,7 @@ object IncrementalCurationJob {
     * Returns store name → report. */
   def compactStores(spark: SparkSession, root: String,
       keepDays: Int = 7): Map[String, DedupStore.CompactionReport] =
-    Seq("exact", "near", "contain", "phash").map { s0 =>
+    Seq("exact", "near", "contain", "phash", "cos").map { s0 =>
       // compact() no-ops on an absent root (day-zero store) — the
       // phash store only exists when runPayloadStream ran, and it is
       // the FASTEST small-files accumulator of the four (one

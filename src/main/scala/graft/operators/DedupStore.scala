@@ -19,6 +19,7 @@ import org.apache.spark.sql.types.StringType
   *   postings/dt=2024-01-01/part-*.parquet  (sh)             per day (r10)
   *   digests/dt=.../                        (fp)         [[ingestExact]]
   *   sigs/dt=.../                   (doc_id, n_bytes, sig) [[ingestPhash]]
+  *   vecs/dt=.../                (vec_id, nrm, embedding) [[ingestCosine]]
   *   _committed/2024-01-01                  marker file per day
   * }}}
   *
@@ -436,6 +437,113 @@ object DedupStore {
       finally if (!retainCache) surv.unpersist()
       surv
     } finally dSigs.unpersist()
+  }
+
+  /** Day-over-day SEMANTIC (embedding-cosine) near-dedup ingest
+    * (round 11) — the fifth suppression discipline, completing the
+    * incremental dedup matrix's embedding cell: suppress delta rows
+    * whose embedding sits at cosine ≥ `minCos` to a committed
+    * archive vector (the same document re-crawled, lightly re-edited
+    * or re-encoded — textually distinct, semantically identical: the
+    * SemDeDup-style cut that byte/shingle detectors cannot make) or
+    * to a SMALLER-id delta vector (intra-day canonical, q40's min-id
+    * rule; each row is judged by its own partner's existence
+    * regardless of that partner's fate — the chain stance shared by
+    * [[ingestPhash]] and [[IncrementalContainment]]), then append the
+    * survivors' `(vec_id, nrm, embedding)` rows as `day`'s partition
+    * under the same marker/idempotency protocol as [[ingest]].
+    *
+    * Candidates come from q44's signed-random-projection LSH
+    * (`srp_sig`, salt "cos" — [[graft.queries.DedupQueries.cosTables]]
+    * tables × 6-bit buckets): delta buckets equi-join store ∪ delta
+    * buckets per (table, bucket) — never a pair scan — then EVERY
+    * candidate is verified by exact cosine over the stored
+    * embeddings, so banding affects recall only, never precision.
+    * RECALL is probabilistic-per-pair (SRP has no pigeonhole bound —
+    * the contrast with [[ingestPhash]]): a true pair at cosine c is
+    * missed with probability (1 − a^6)^tables, a = 1 − arccos(c)/π
+    * ([[graft.queries.DedupQueries.cosExpectedMisses]] is the budget
+    * as code; ≈ 2·10⁻⁵ at c = 0.99 with the default 8 tables). The
+    * knob is conf `graft.cos.tables` — and because signatures are
+    * RECOMPUTED from stored embeddings on every ingest (they derive
+    * deterministically from the vector; persisting them would freeze
+    * the table count into the store the way [[ingestPhash]]'s one-
+    * sig-source rule freezes its decoder), raising it applies to the
+    * ENTIRE archive at the next ingest, not just to new days. The
+    * price is reading the embedding column (~4·dim B/row) for the
+    * banding pass instead of a slim persisted-sig column — the verify
+    * join scans it anyway, so the delta is < 2× ingest scan bytes for
+    * a conf that can never drift from its data.
+    *
+    * Hot buckets (embedding-space boilerplate: near-identical
+    * template families, all-zero-ish junk vectors) are capped by
+    * [[LshGuard]] on the COMBINED delta ∪ store occupancy, exactly as
+    * [[ingestPhash]] — members of ≥ cap-wide families stop generating
+    * candidates (exact dedup upstream owns identical inputs).
+    * Zero-norm or empty embeddings carry no signature: cosine is
+    * undefined there (and Spark's NaN ordering would otherwise count
+    * NaN ≥ minCos as TRUE), so such rows pass through unsuppressed
+    * and commit nothing. Store bytes: 4·dim + 16 B per vector
+    * (dim 64 → ~270 B — heavier than phash's 24 B because exact
+    * verification needs the vector itself; every vector index at
+    * scale carries the same constant). */
+  def ingestCosine(delta: DataFrame, root: String, day: String,
+      idCol: String = "vec_id", embCol: String = "embedding",
+      minCos: Double = 0.9, retainCache: Boolean = false): DataFrame = {
+    import graft.functions.Vectors
+    requireDay(day)
+    val spark = delta.sparkSession
+    requireNotCompacted(spark, root, day)
+    graft.GraftExtensions.ensureRegistered(spark)
+    require(minCos > 0.0 && minCos <= 1.0,
+      s"minCos must be in (0, 1] (SRP plane agreement degrades toward " +
+        s"chance as minCos -> 0 — see cosExpectedMisses), got $minCos")
+    val tables = graft.queries.DedupQueries.cosTables(spark)
+    val bits = graft.queries.DedupQueries.CosBits
+    def vecsOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("vec_id"),
+        Vectors.norm(col(embCol)).as("nrm"), col(embCol).as("embedding"))
+      // sig-less rows: no cosine defined. The isnan guard matters
+      // because Spark ORDERS NaN above every double — a NaN-poisoned
+      // vector would otherwise pass `> 0`, verify as NaN >= minCos =
+      // true, and suppress arbitrary neighbors.
+      .filter(col("nrm") > 0.0 && !isnan(col("nrm")))
+    def bands(v: DataFrame): DataFrame = v
+      .select(col("vec_id"),
+        posexplode(expr(s"srp_sig(embedding, 'cos', $tables, $bits)")))
+      .toDF("vec_id", "band", "bv")
+    val storeVecs = readCommitted(spark, root, "vecs",
+      vecsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
+    val dVecs = vecsOf(delta).cache()
+    try {
+      val rawAll = bands(dVecs).withColumn("__store", lit(false))
+        .unionByName(bands(storeVecs).withColumn("__store", lit(true)))
+      val hot = LshGuard.hotBuckets(rawAll, LshGuard.maxBucket(spark))
+      val dBands = LshGuard.prune(bands(dVecs), hot)
+      val allBands = LshGuard.prune(rawAll, hot)
+      val cand = dBands.as("a").join(allBands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
+            && (col("b.__store") || col("b.vec_id") < col("a.vec_id")))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      // exact verification: candidate ids -> embeddings (vec_b may be
+      // archive or delta; the union resolves both without a branch)
+      val allVecs = dVecs.unionByName(storeVecs)
+      val suppressed = cand
+        .join(dVecs.as("ea"), col("vec_a") === col("ea.vec_id"))
+        .join(allVecs.as("eb"), col("vec_b") === col("eb.vec_id"))
+        .filter(Vectors.cosineWithNorms(col("ea.embedding"),
+          col("eb.embedding"), col("ea.nrm"), col("eb.nrm")) >= minCos)
+        .select(col("vec_a").as(idCol)).distinct()
+      val surv = delta.join(suppressed, Seq(idCol), "left_anti").cache()
+      // the day's committed vecs = the CACHED delta vectors semi-joined
+      // on survivor ids (the ingestPhash stance: never re-derive what
+      // the cache already holds)
+      try commitDay(spark, root, day, Seq("vecs" -> dVecs.join(
+        surv.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")))
+      finally if (!retainCache) surv.unpersist()
+      surv
+    } finally dVecs.unpersist()
   }
 
   /** Committed containment-pair REPORT for a delta against a store
@@ -893,6 +1001,7 @@ object DedupStore {
     dupCheck("sets", "id")
     dupCheck("digests", "fp")
     dupCheck("sigs", "doc_id")
+    dupCheck("vecs", "vec_id")
 
     if (tables.contains("df") && tables.contains("sets") &&
         accelComplete(spark, root, "df", None))

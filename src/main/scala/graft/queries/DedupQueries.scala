@@ -335,7 +335,7 @@ object DedupQueries {
     * keeps this family independent of [[SimilarityQueries]]' q46
     * planes). 8 tables × 6 bits. */
   private val CosTables = 8
-  private val CosBits = 6
+  private[graft] val CosBits = 6 // read by DedupStore.ingestCosine
   private val CosDim = 64
 
   /** Planted-twin perturbation for [[plantedEmbeddings]] — ONE
@@ -475,6 +475,65 @@ object DedupQueries {
       WHERE list_sum(list_transform(range($CosDim), i ->
           CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
           / (a.nrm * b.nrm) >= 0.9"""))
+
+  /** Incremental SEMANTIC near-dedup RULE, oracle-gated — the
+    * [[graft.operators.DedupStore.ingestCosine]] suppression decision
+    * on the q142 pattern (even vec_ids stand in for the committed
+    * store, odd + planted twins for the delta, no disk): a delta
+    * vector is suppressed iff some STORE vector, or some SMALLER-id
+    * delta vector, sits at cosine ≥ 0.9. Spark runs q44's SRP-LSH
+    * banded equi-join (conf-driven tables × 6-bit buckets) with exact
+    * cosine verification of every candidate; the oracle is the
+    * all-pairs rule verbatim — equality proves the banded incremental
+    * decision loses nothing. Over the [[plantedEmbeddings]] view so
+    * the gate is non-vacuous: every twin (delta, negative id) has its
+    * store original at cos ≥ 0.9887, and the corpus noise floor
+    * (≤ 0.60) keeps chance pairs out. Recall shares q44's
+    * probabilistic-per-pair envelope ([[cosExpectedMisses]],
+    * `graft.cos.tables`), NOT q142's pigeonhole bound — the two
+    * incremental gates deliberately pin one detector of each kind.
+    * Output: every delta vector with its verdict. */
+  private val cosineIncremental = Q(
+    "q144_cos_incremental",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val e = plantedEmbeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        .cache()
+      val isDelta = $"vec_id" < 0 || pmod($"vec_id", lit(2)) === 1
+      val tb = e.select($"vec_id", isDelta.as("__delta"),
+          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, $CosBits)")))
+        .toDF("vec_id", "__delta", "t", "bucket")
+      val cand = tb.filter($"__delta").as("a").join(tb.as("b"),
+          $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket"
+            && (!$"b.__delta" || $"b.vec_id" < $"a.vec_id"))
+        .select($"a.vec_id".as("vec_a"), $"b.vec_id".as("vec_b")).distinct()
+      val suppressed = cand
+        .join(e.as("ea"), $"vec_a" === $"ea.vec_id")
+        .join(e.as("eb"), $"vec_b" === $"eb.vec_id")
+        .filter(Vectors.cosineWithNorms($"ea.embedding", $"eb.embedding",
+          $"ea.nrm", $"eb.nrm") >= 0.9)
+        .select($"vec_a".as("vec_id")).distinct()
+        .withColumn("__sup", lit(true))
+      e.filter(isDelta).select($"vec_id")
+        .join(suppressed, Seq("vec_id"), "left")
+        .select($"vec_id", coalesce($"__sup", lit(false)).as("is_suppressed"))
+    },
+    Some(s"""WITH $plantedEmbSql,
+      n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM planted),
+      del AS (SELECT * FROM n WHERE vec_id < 0 OR vec_id % 2 = 1),
+      sup AS (SELECT DISTINCT a.vec_id FROM del a JOIN n b
+        ON a.vec_id <> b.vec_id
+        AND (NOT (b.vec_id < 0 OR b.vec_id % 2 = 1) OR b.vec_id < a.vec_id)
+        AND list_sum(list_transform(range($CosDim), i ->
+            CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+          / (a.nrm * b.nrm) >= 0.9)
+      SELECT del.vec_id, sup.vec_id IS NOT NULL AS is_suppressed
+      FROM del LEFT JOIN sup ON del.vec_id = sup.vec_id"""),
+    bench = true)
 
   /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
     * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
@@ -1258,7 +1317,7 @@ object DedupQueries {
         T.documents(s, d).select(col("doc_id"), col("source")))))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
+    cosineNearDup, cosineIncremental, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
     containmentDedup, incrementalContainment, incrementalContainmentDf,
     spanCut, shingleNovelty, dupSourceMatrix, splitLeakage,

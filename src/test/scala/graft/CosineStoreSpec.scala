@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.DedupStore
+
+/** [[DedupStore.ingestCosine]] — day-over-day SEMANTIC near-dedup:
+  * an archived vector's cosine-twin arriving on a later day dies
+  * against the embedding store; intra-day twins collapse to the min
+  * id; zero-norm and NaN-poisoned vectors carry no signature and pass
+  * through (committing nothing, suppressing nobody); committed-day
+  * re-runs are idempotent; raising `graft.cos.tables` mid-life
+  * applies to the WHOLE archive (signatures recompute from stored
+  * embeddings — the conf-flip-safety the scaladoc promises);
+  * compaction folds the vecs table without changing suppression; the
+  * fsck deep pass audits vecs identity uniqueness. */
+class CosineStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private val Dim = 32
+  private val rnd = new scala.util.Random(7)
+  private def vec(): Array[Float] =
+    Array.fill(Dim)(rnd.nextGaussian().toFloat)
+  /** cos(v, twin(v)) ≈ 0.998 at this dim/perturbation — comfortably
+    * inside the SRP recall envelope (miss-all-8-tables ≈ 1e-5). */
+  private def twin(v: Array[Float]): Array[Float] = {
+    val t = v.clone(); t(0) = t(0) + 0.3f; t
+  }
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    def d(x: Array[Float], y: Array[Float]) =
+      x.iterator.zip(y.iterator).map { case (p, q) => p.toDouble * q }.sum
+    d(a, b) / math.sqrt(d(a, a) * d(b, b))
+  }
+
+  private def vecs(rows: (Long, Array[Float])*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("vec_id", "embedding")
+  }
+
+  private def ids(df: DataFrame): Set[Long] = {
+    val s = spark
+    import s.implicits._
+    df.select($"vec_id").as[Long].collect().toSet
+  }
+
+  test("cross-day cosine-twins suppressed, intra-day min-id wins, sig-less vectors pass") {
+    val a = vec(); val b = vec(); val c = vec()
+    // sanity: the planted geometry is what the suppression rule assumes
+    assert(cos(a, twin(a)) >= 0.99, s"twin margin too thin: ${cos(a, twin(a))}")
+    assert(Seq(a -> b, a -> c, b -> c).forall { case (x, y) => cos(x, y) < 0.9 },
+      "random gaussian vectors must sit below the threshold")
+
+    val root = Files.createTempDirectory("cosst").toString
+    val d1 = ids(DedupStore.ingestCosine(
+      vecs(1L -> a, 2L -> b), root, "2024-06-01"))
+    assert(d1 === Set(1L, 2L))
+
+    val day2 = vecs(
+      10L -> twin(a),                    // cosine-twin of archived 1 → dies
+      11L -> c,                          // fresh → survives
+      13L -> twin(c),                    // intra-day twin of 11 → 13 dies
+      14L -> Array.fill(Dim)(0f),        // zero norm: no signature, passes
+      15L -> (vec().updated(3, Float.NaN))) // NaN-poisoned: passes, harms nobody
+    val d2 = ids(DedupStore.ingestCosine(day2, root, "2024-06-02"))
+    assert(d2 === Set(11L, 14L, 15L), s"got $d2")
+
+    // idempotent re-run of the committed day: identical survivors
+    val d2again = ids(DedupStore.ingestCosine(day2, root, "2024-06-02"))
+    assert(d2again === d2, "re-run self-suppressed against its own vectors")
+
+    // day 3: twin of the day-2 SURVIVOR 11 dies; twin of the day-2
+    // SUPPRESSED 13 also dies (13's canonical 11 is committed and
+    // twin(twin(c)) stays within the cosine radius of c)
+    val d3 = ids(DedupStore.ingestCosine(
+      vecs(20L -> twin(c), 21L -> vec()), root, "2024-06-03"))
+    assert(d3 === Set(21L))
+
+    // sig-less rows committed nothing: the store holds only real vectors
+    val s = spark
+    import s.implicits._
+    val stored = spark.read.parquet(s"$root/vecs")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(!stored.contains(14L) && !stored.contains(15L),
+      s"sig-less rows must not pollute the store: $stored")
+
+    // compaction folds the vecs table; suppression unchanged
+    val r = DedupStore.compact(spark, root, keepDays = 1)
+    assert(r.mergedDay.isDefined)
+    val d4 = ids(DedupStore.ingestCosine(
+      vecs(30L -> twin(b), 31L -> vec()), root, "2024-06-04"))
+    assert(d4 === Set(31L), "compacted vector store lost archived embeddings")
+
+    // the fsck deep pass knows the vecs table: healthy store is clean,
+    // a duplicated-partition restore is an error
+    assert(!DedupStore.fsck(spark, root, deep = true).exists(_.severity == "error"))
+    val hfs = new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FileUtil.copy(hfs, new Path(s"$root/vecs/dt=2024-06-04"),
+      hfs, new Path(s"$root/vecs/dt=2024-06-09"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val out = hfs.create(new Path(s"$root/_committed/2024-06-09"), true)
+    out.close()
+    assert(DedupStore.fsck(spark, root, deep = true).exists(f =>
+      f.check == "dup-identity" && f.subject == "vecs.vec_id"),
+      "duplicated vecs partitions must fail identity uniqueness")
+  }
+
+  test("raising graft.cos.tables mid-life recalls archive-wide (sigs recompute from stored embeddings)") {
+    val a = vec()
+    val root = Files.createTempDirectory("cosconf").toString
+    try {
+      spark.conf.set("graft.cos.tables", "4")
+      assert(ids(DedupStore.ingestCosine(
+        vecs(1L -> a), root, "2024-06-01")) === Set(1L))
+      // the day-2 ingest banding runs at 12 tables on BOTH sides —
+      // including day 1's archived vector, which was ingested at 4
+      spark.conf.set("graft.cos.tables", "12")
+      assert(ids(DedupStore.ingestCosine(
+        vecs(10L -> twin(a), 11L -> vec()), root, "2024-06-02")) === Set(11L),
+        "archived vector ingested under the old conf must still suppress")
+    } finally spark.conf.unset("graft.cos.tables")
+  }
+
+  test("minCos outside (0, 1] is rejected") {
+    val root = Files.createTempDirectory("cosr").toString
+    val e = intercept[IllegalArgumentException] {
+      DedupStore.ingestCosine(vecs(1L -> vec()), root, "2024-06-01",
+        minCos = 0.0)
+    }
+    assert(e.getMessage.contains("minCos"))
+  }
+}

@@ -249,7 +249,7 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(DedupStore.committedDays(spark, root) === daysAfter)
   }
 
-  test("IncrementalCurationJob.compactStores maintains all four store roots") {
+  test("IncrementalCurationJob.compactStores maintains all five store roots") {
     val root = Files.createTempDirectory("dsc-job").toString
     // letter-only per-day vocab: the job's quality floor demands
     // alpha ratio >= 0.5, which the digit-heavy w1x1 words fail
@@ -262,11 +262,12 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     }
     val reports = graft.jobs.IncrementalCurationJob
       .compactStores(spark, root, keepDays = 2)
-    assert(reports.keySet === Set("exact", "near", "contain", "phash"))
+    assert(reports.keySet === Set("exact", "near", "contain", "phash", "cos"))
     // every root folded its 4-day tail (exact always has digests;
     // near/contain may have fewer populated days but same day count)
     reports.foreach { case (name, r) =>
-      if (name == "phash") assert(r.daysMerged === 0, s"absent store must no-op: $r")
+      if (name == "phash" || name == "cos")
+        assert(r.daysMerged === 0, s"absent store must no-op: $r")
       else {
         assert(r.daysMerged === 4, s"$name: $r")
         assert(DedupStore.committedDays(spark, s"$root/$name").size === 3, name)
