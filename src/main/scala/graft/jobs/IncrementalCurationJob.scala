@@ -75,7 +75,7 @@ object IncrementalCurationJob {
   case class Report(day: String, input: Long, afterQuality: Long,
       afterExact: Long, afterNear: Long, curated: Long,
       shards: Int, recordsWritten: Long, noveltyMean: Double = -1.0,
-      afterContain: Long = -1L)
+      afterContain: Long = -1L, afterPhash: Long = -1L)
 
   /** STREAMING ingest against the same stores — each micro-batch runs
     * [[ingestDay]] with the batch id as its store "day"
@@ -95,15 +95,17 @@ object IncrementalCurationJob {
   def runStream(docs: DataFrame, root: String, checkpointDir: String,
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
-      compactEvery: Int = 64, keepDays: Int = 7): org.apache.spark.sql.streaming.StreamingQuery = {
+      compactEvery: Int = 64, keepDays: Int = 7,
+      embeddingCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     requireNoLegacyBatchDays(docs.sparkSession,
-      Seq("exact", "near", "contain").map(s0 => s"$root/$s0"))
+      (Seq("exact", "near", "contain") ++ embeddingCol.map(_ => "cos"))
+        .map(s0 => s"$root/$s0"))
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
-          stats = false)
+          stats = false, embeddingCol = embeddingCol)
         maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays)
       }
       .start()
@@ -233,16 +235,32 @@ object IncrementalCurationJob {
     * payloads); pass `payloadDecoder` to sign decoded PIXELS instead
     * of raw bytes (re-encode-invariant — see
     * [[graft.ops.PayloadDecoder]]; one sig source per store root for
-    * its whole life). With a payload stage the report's `afterContain`
-    * carries the post-containment count (`curated` is then the
-    * post-phash export count); without one `afterContain` is -1 and
-    * `curated` means post-containment, as before. */
+    * its whole life).
+    *
+    * `embeddingCol` (round 11) composes the SEMANTIC stage the same
+    * way: rows carrying an `array<float>` embedding in that column
+    * additionally probe the cos store ([[DedupStore.ingestCosine]] —
+    * suppress at cosine ≥ `cosineT` to an archived or smaller-id
+    * sibling vector), the SemDeDup-style cut the byte/shingle stages
+    * cannot make. Runs LAST of all (the cheapest-first ordering;
+    * every upstream kill shrinks its banding work); rows with a NULL
+    * or zero-norm embedding pass the stage untouched.
+    *
+    * Report/manifest accounting under composition: `curated` is
+    * always the FINAL export count; `afterContain` carries the
+    * post-containment count whenever any later stage runs (-1
+    * otherwise, where `curated` already means post-containment);
+    * `afterPhash` carries the post-phash count only when BOTH later
+    * stages run (-1 otherwise, where the post-phash count is
+    * `curated`). */
   def ingestDay(delta: DataFrame, root: String, day: String,
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
       stats: Boolean = true, novelty: Boolean = false,
       payloadCol: Option[String] = None,
-      payloadDecoder: Option[graft.ops.PayloadDecoder] = None): Report = {
+      payloadDecoder: Option[graft.ops.PayloadDecoder] = None,
+      embeddingCol: Option[String] = None,
+      cosineT: Double = 0.9): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
@@ -260,10 +278,16 @@ object IncrementalCurationJob {
       spillDir = cfg.nearDedupSpillDir, retainCache = true)
     val afterContain = DedupStore.ingestContained(afterNear, s"$root/contain",
       day, t = containT, retainCache = true)
-    val curated = payloadCol match {
+    val afterPhash = payloadCol match {
       case None => afterContain
       case Some(pc) => DedupStore.ingestPhash(afterContain, s"$root/phash",
         day, payloadCol = pc, retainCache = true, decoder = payloadDecoder)
+    }
+    val curated = embeddingCol match {
+      case None => afterPhash
+      case Some(ec) => DedupStore.ingestCosine(afterPhash, s"$root/cos",
+        day, idCol = "doc_id", embCol = ec, minCos = cosineT,
+        retainCache = true)
     }
     try {
       val outDir = s"$root/out/dt=$day"
@@ -294,13 +318,17 @@ object IncrementalCurationJob {
       val report = Report(day, n(delta), n(afterQuality), n(afterExact),
         n(afterNear), if (stats) curated.count() else written, shards, written,
         noveltyMean,
-        afterContain = if (payloadCol.isEmpty) -1L else n(afterContain))
+        afterContain = if (payloadCol.isEmpty && embeddingCol.isEmpty) -1L
+          else n(afterContain),
+        afterPhash = if (payloadCol.isEmpty || embeddingCol.isEmpty) -1L
+          else n(afterPhash))
       if (stats) require(report.curated == written,
         s"sink dropped records: curated ${report.curated} != written $written")
       val manifest =
         s"""{"day":"$day","input":${report.input},"after_quality":${report.afterQuality},
            |"after_exact":${report.afterExact},"after_near":${report.afterNear},
            |"after_contain":${report.afterContain},
+           |"after_phash":${report.afterPhash},
            |"curated":${report.curated},"shards":${report.shards},
            |"records_written":${report.recordsWritten},
            |"novelty_mean":${report.noveltyMean}}"""
@@ -318,7 +346,8 @@ object IncrementalCurationJob {
           org.apache.hadoop.fs.Options.Rename.OVERWRITE)
       report
     } finally {
-      if (payloadCol.isDefined) curated.unpersist()
+      if (embeddingCol.isDefined) curated.unpersist()
+      if (payloadCol.isDefined) afterPhash.unpersist()
       afterContain.unpersist(); afterNear.unpersist(); afterExact.unpersist()
     }
   }

@@ -419,11 +419,21 @@ object DedupStore {
       val hot = LshGuard.hotBuckets(rawAll, LshGuard.maxBucket(spark))
       val dBands = LshGuard.prune(sigBands(dSigs), hot)
       val allBands = LshGuard.prune(rawAll, hot)
+      // localCheckpoint truncates the suppressed-id lineage (which
+      // embeds the delta plan several times via both band tables):
+      // without it, chaining store stages — ingestDay runs up to five
+      // — compounds the logical plan EXPONENTIALLY (each stage's
+      // survivors re-embed the previous stage's full plan per
+      // reference; five stages OOM'd the driver building plan
+      // strings). Checkpointed, each stage adds one delta reference:
+      // linear. Same executor-loss trade as ConnectedComponents'
+      // round labels; the frame is at most one id per delta row.
       val suppressed = dBands.as("a").join(allBands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
             && (col("b.__store") || col("b.doc_id") < col("a.doc_id")))
         .filter(expr("bit_count(a.sig ^ b.sig)") <= maxHamming)
         .select(col("a.doc_id").as("id")).distinct()
+        .localCheckpoint()
       val surv = delta.join(
         suppressed.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
         .cache()
@@ -529,12 +539,17 @@ object DedupStore {
       // exact verification: candidate ids -> embeddings (vec_b may be
       // archive or delta; the union resolves both without a branch)
       val allVecs = dVecs.unionByName(storeVecs)
+      // localCheckpoint: same lineage-truncation as ingestPhash —
+      // this frame embeds the delta plan ~five times (two band
+      // tables, both verify sides); checkpointing it keeps chained
+      // ingestDay stages' plans linear instead of exponential.
       val suppressed = cand
         .join(dVecs.as("ea"), col("vec_a") === col("ea.vec_id"))
         .join(allVecs.as("eb"), col("vec_b") === col("eb.vec_id"))
         .filter(Vectors.cosineWithNorms(col("ea.embedding"),
           col("eb.embedding"), col("ea.nrm"), col("eb.nrm")) >= minCos)
         .select(col("vec_a").as(idCol)).distinct()
+        .localCheckpoint()
       val surv = delta.join(suppressed, Seq(idCol), "left_anti").cache()
       // the day's committed vecs = the CACHED delta vectors semi-joined
       // on survivor ids (the ingestPhash stance: never re-derive what

@@ -188,6 +188,76 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(r3.afterContain === -1L && r3.curated === 1)
   }
 
+  test("embeddingCol composes the semantic stage; with payloadCol the manifest carries every stage count") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("icur-emb").toString
+    val rnd = new scala.util.Random(23)
+    def blob(): Array[Byte] = Array.fill(4096)(rnd.nextInt().toByte)
+    def btwin(b: Array[Byte]): Array[Byte] = {
+      val t = b.clone(); t(100) = (t(100) ^ 0x5a).toByte; t
+    }
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def vtwin(v: Array[Float]): Array[Float] = {
+      val t = v.clone(); t(0) = t(0) + 0.3f; t
+    }
+    val imgA = blob(); val imgB = blob()
+    val vecA = vec(); val vecB = vec()
+    def rows(rs: (Long, String, Array[Byte], Array[Float])*): DataFrame =
+      rs.toSeq.toDF("doc_id", "text", "payload", "embedding")
+
+    val r1 = IncrementalCurationJob.ingestDay(
+      rows((1L, archived, imgA, vecA), (2L, other, imgB, vecB)),
+      root, "d1", payloadCol = Some("payload"), embeddingCol = Some("embedding"))
+    assert(r1.curated === 2 && r1.afterContain === 2 && r1.afterPhash === 2)
+    assert(graft.operators.DedupStore.committedDays(spark, s"$root/cos")
+      === Seq("d1"), "embedding stage must commit its vector-store day")
+
+    // day 2, each row planted for exactly one verdict:
+    //  10: fresh text + BYTE-TWIN payload + fresh vec   → cut at PHASH
+    //  11: near-dup TEXT + fresh payload + fresh vec    → cut at NEAR
+    //  12: fresh text + fresh payload + COSINE-TWIN vec → cut at COS
+    //      (every byte/shingle stage passes it — the SemDeDup case
+    //      this stage exists for)
+    //  14: fresh everything                             → survives
+    //  15: fresh text, NULL payload + NULL embedding    → passes untouched
+    val day2 = rows(
+      (10L, "a wholly fresh caption describing an image recrawled from the archive mirror", btwin(imgA), vec()),
+      (11L, other.replace("today", "tonight"), blob(), vec()),
+      (12L, "semantically identical coverage of the archived story rewritten word for word", blob(), vtwin(vecA)),
+      (14L, "a brand new unique document about gardening tulips and rich soil beds", blob(), vec()))
+      .unionByName(Seq((15L, "another fresh document whose record carries neither payload nor embedding",
+        null.asInstanceOf[Array[Byte]], null.asInstanceOf[Array[Float]]))
+        .toDF("doc_id", "text", "payload", "embedding"))
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      payloadCol = Some("payload"), embeddingCol = Some("embedding"))
+    assert(r2.afterNear === 4, "11 cut by the near-dup text store")
+    assert(r2.afterContain === 4, "no containment cut this day")
+    assert(r2.afterPhash === 3, "10 cut by the phash payload store")
+    assert(r2.curated === 2, "12 cut by the cosine vector store")
+    assert(readDay(root, "d2") === Set(14L, 15L))
+    val manifest = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(s"$root/out/dt=d2", "_manifest.json")), "UTF-8")
+    assert(manifest.contains("\"after_contain\":4") &&
+      manifest.contains("\"after_phash\":3") &&
+      manifest.contains("\"curated\":2"), manifest)
+
+    // re-run converges (both sig stores re-commit idempotently)
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      payloadCol = Some("payload"), embeddingCol = Some("embedding"))
+    assert(r2again === r2)
+
+    // embedding-only day: afterPhash stays -1 (no phash stage ran);
+    // the cos store still suppresses across days — 20's vector is a
+    // twin of d1's ARCHIVED vecB
+    val r3 = IncrementalCurationJob.ingestDay(
+      Seq((20L, "one more entirely novel document regarding alpine meadow flora",
+        vtwin(vecB))).toDF("doc_id", "text", "embedding"),
+      root, "d3", embeddingCol = Some("embedding"))
+    assert(r3.afterPhash === -1L && r3.afterContain === 1 && r3.curated === 0,
+      s"archived vector must suppress the d3 twin: $r3")
+  }
+
   test("re-running a committed day converges to identical output") {
     val root = Files.createTempDirectory("icur3").toString
     IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
