@@ -473,8 +473,17 @@ object DedupStore {
     * the contrast with [[ingestPhash]]): a true pair at cosine c is
     * missed with probability (1 − a^6)^tables, a = 1 − arccos(c)/π
     * ([[graft.queries.DedupQueries.cosExpectedMisses]] is the budget
-    * as code; ≈ 2·10⁻⁵ at c = 0.99 with the default 8 tables). The
-    * knob is conf `graft.cos.tables` — and because signatures are
+    * as code; ≈ 2·10⁻⁵ at c = 0.99 with the default 8 tables).
+    *
+    * SIZING AT SCALE — two confs, sized together: the default 6-bit
+    * buckets span only 64 values per table, so chance candidates
+    * carry an n²/2^bits term AND, past ~cap·2^bits ≈ 16k same-band
+    * vectors, EVERY bucket exceeds [[LshGuard]]'s occupancy cap — the
+    * guard would prune all of them and suppression silently stops.
+    * Grow the bucket space with the corpus: `graft.cos.bits` ≳
+    * log₂(n/256), then re-size `graft.cos.tables` from the
+    * cosExpectedMisses budget (bits 6→12 needs tables 8→16 at the
+    * 0.99 margin). Because signatures are
     * RECOMPUTED from stored embeddings on every ingest (they derive
     * deterministically from the vector; persisting them would freeze
     * the table count into the store the way [[ingestPhash]]'s one-
@@ -509,7 +518,7 @@ object DedupStore {
       s"minCos must be in (0, 1] (SRP plane agreement degrades toward " +
         s"chance as minCos -> 0 — see cosExpectedMisses), got $minCos")
     val tables = graft.queries.DedupQueries.cosTables(spark)
-    val bits = graft.queries.DedupQueries.CosBits
+    val bits = graft.queries.DedupQueries.cosBits(spark)
     def vecsOf(df: DataFrame): DataFrame = df
       .select(col(idCol).as("vec_id"),
         Vectors.norm(col(embCol)).as("nrm"), col(embCol).as("embedding"))

@@ -358,6 +358,24 @@ object DedupQueries {
     t
   }
 
+  /** SRP bits per table, conf-overridable (round 11): the BUCKET-SPACE
+    * knob. Fixed bits carry an inherent n²/2^bits chance-candidate
+    * term (random pairs agree on a 6-bit bucket with prob ~1/64), so
+    * at archive scale the bucket space must grow with the corpus —
+    * size bits ≳ log₂(n/capacity) and then re-size tables from
+    * [[cosExpectedMisses]] (more bits cut per-table collision odds for
+    * TRUE pairs too: at the planted margin, bits 6→12 needs tables
+    * 8→16 to hold the same miss budget). Unlike `graft.cos.tables`
+    * this knob is NOT unconditionally upward-safe — it removes
+    * candidates — which is exactly why the budget math is executable
+    * and DedupPairsSpec pins a scaled (bits, tables) config against
+    * the default's gated result. */
+  private[graft] def cosBits(s: SparkSession): Int = {
+    val b = s.conf.getOption("graft.cos.bits").map(_.toInt).getOrElse(CosBits)
+    require(b >= 1 && b <= 30, s"graft.cos.bits must be in [1,30], got $b")
+    b
+  }
+
   /** The q44 recall-envelope math as CODE, so a scale-up checks a
     * budget instead of rediscovering the derivation: expected planted
     * misses = n · (1 − a^bits)^tables with per-plane agreement
@@ -450,7 +468,7 @@ object DedupQueries {
       // (the interpreted HOF fold was tables×bits×dim lambda calls);
       // table count is the conf-driven scale knob ([[cosTables]])
       val tb = e.select($"vec_id",
-          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, $CosBits)")))
+          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, ${cosBits(s)})")))
         .withColumnRenamed("pos", "t").withColumnRenamed("col", "bucket")
       val cand = tb.as("a").join(tb.as("b"),
           $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket" && $"a.vec_id" < $"b.vec_id")
@@ -503,7 +521,7 @@ object DedupQueries {
         .cache()
       val isDelta = $"vec_id" < 0 || pmod($"vec_id", lit(2)) === 1
       val tb = e.select($"vec_id", isDelta.as("__delta"),
-          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, $CosBits)")))
+          posexplode(expr(s"srp_sig(embedding, 'cos', ${cosTables(s)}, ${cosBits(s)})")))
         .toDF("vec_id", "__delta", "t", "bucket")
       val cand = tb.filter($"__delta").as("a").join(tb.as("b"),
           $"a.t" === $"b.t" && $"a.bucket" === $"b.bucket"

@@ -153,4 +153,38 @@ class DedupPairsSpec extends AnyFunSuite with SparkSpec {
     }
     assert(bad.getMessage.contains("graft.cos.tables"))
   }
+
+  test("graft.cos.bits scales the bucket space: a budget-sized (bits, tables) config is result-identical") {
+    import spark.implicits._
+    import graft.queries.DedupQueries.cosExpectedMisses
+    // bits is the ARCHIVE-SCALE knob (chance candidates ~ n²/2^bits;
+    // LshGuard saturates past ~cap·2^bits same-band vectors) and is
+    // NOT unconditionally upward-safe — more bits remove candidates —
+    // so a scaled config must be SIZED from the budget math first:
+    // at the planted margin, bits 6→12 halves per-table collision
+    // odds for true pairs and tables 8→16 restores the miss budget.
+    assert(cosExpectedMisses(408, 0.9887, 16, 12) < 0.05,
+      "the pinned scaled config must cover the replica's pair count")
+    def q44pairs(): Set[(Long, Long)] = run("q44_dedup_cosine")
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    def q144verdicts(): Set[(Long, Boolean)] = run("q144_cos_incremental")
+      .as[(Long, Boolean)].collect().toSet
+    val (dfltPairs, dfltVerdicts) = (q44pairs(), q144verdicts())
+    spark.conf.set("graft.cos.bits", "12")
+    spark.conf.set("graft.cos.tables", "16")
+    try {
+      assert(q44pairs() === dfltPairs,
+        "budget-sized (12, 16) config must find the identical pair set")
+      assert(q144verdicts() === dfltVerdicts,
+        "budget-sized (12, 16) config must make identical suppression decisions")
+    } finally {
+      spark.conf.unset("graft.cos.bits")
+      spark.conf.unset("graft.cos.tables")
+    }
+    val bad = intercept[IllegalArgumentException] {
+      spark.conf.set("graft.cos.bits", "31")
+      try q44pairs() finally spark.conf.unset("graft.cos.bits")
+    }
+    assert(bad.getMessage.contains("graft.cos.bits"))
+  }
 }
