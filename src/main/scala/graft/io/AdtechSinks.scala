@@ -65,13 +65,18 @@ object AdtechSinks {
     shard(js, shards).write.mode(SaveMode.Overwrite).text(path)
   }
 
-  /** S5: the BigQuery row shape as a parquet table. */
-  def writePredictionsTable(preds: DataFrame, path: String): Unit =
+  /** The S5 row shape — ONE function feeding both the parquet
+    * stand-in and the live [[BigQuerySink]], so the two can never
+    * drift from the reference schema (`PredictionJob.java:88-92`). */
+  private[io] def predictionTableShape(preds: DataFrame): DataFrame =
     preds.select(
       when(col("os") === 1, "ANDROID").when(col("os") === 2, "IOS")
         .otherwise("UNKNOWN_OS_TYPE").as("os"),
       col("uuid").cast("string").as("uuid"),
       col("prediction").cast("int").as("prediction"),
       col("score").cast("float").as("score"))
-      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** S5: the BigQuery row shape as a parquet table. */
+  def writePredictionsTable(preds: DataFrame, path: String): Unit =
+    predictionTableShape(preds).write.mode(SaveMode.Overwrite).parquet(path)
 }

@@ -218,6 +218,18 @@ object IncrementalCurationJob {
       s0 -> DedupStore.compact(spark, s"$root/$s0", keepDays)
     }.toMap
 
+  /** Store INTEGRITY audit over the job's five store roots —
+    * [[DedupStore.fsck]] per root, findings keyed by store name.
+    * Report-only (compact() owns GC, re-ingest owns repair); run at
+    * maintenance cadence — shallow at any frequency, `deep = true`
+    * right before [[compactStores]] or after a restore. Absent roots
+    * (day-zero stores) yield no findings. */
+  def fsckStores(spark: SparkSession, root: String,
+      deep: Boolean = false): Map[String, Seq[DedupStore.FsckFinding]] =
+    Seq("exact", "near", "contain", "phash", "cos").map { s0 =>
+      s0 -> DedupStore.fsck(spark, s"$root/$s0", deep)
+    }.toMap
+
   /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
     * ride along) against the stores under `root`, exporting curated
     * TFRecord shards to `root/out/dt=<day>/`. Returns the per-day

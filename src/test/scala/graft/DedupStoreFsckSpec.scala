@@ -165,6 +165,28 @@ class DedupStoreFsckSpec extends AnyFunSuite with SparkSpec {
       s"got $f")
   }
 
+  test("fsckStores audits all five curation roots; absent roots are clean") {
+    val root = Files.createTempDirectory("fsck-job").toString
+    // letter-only vocab per day (the job's quality floor demands
+    // alpha ratio >= 0.5 — digit-heavy synthetic words get cut)
+    def jobText(d: Int): String =
+      (1 to 20).map(w => s"f${('a' + d).toChar}${('a' + w).toChar}zz").mkString(" ")
+    (1 to 2).foreach(d => graft.jobs.IncrementalCurationJob.ingestDay(
+      docs((d * 100L) -> jobText(d)), root, f"2024-05-$d%02d", stats = false))
+    val clean = graft.jobs.IncrementalCurationJob.fsckStores(spark, root, deep = true)
+    assert(clean.keySet === Set("exact", "near", "contain", "phash", "cos"))
+    assert(clean.values.forall(_.forall(_.severity == "info")),
+      s"healthy curation stores must audit clean, got $clean")
+    assert(clean("phash").isEmpty && clean("cos").isEmpty,
+      "absent (day-zero) roots must yield no findings")
+    // tamper exactly one root: the finding lands under that key only
+    hfs.mkdirs(new Path(s"$root/near/sets/dt=2024-09-09"))
+    val dirty = graft.jobs.IncrementalCurationJob.fsckStores(spark, root)
+    assert(dirty("near").exists(_.check == "orphan-partition"))
+    assert(dirty.filterNot(_._1 == "near").values.forall(
+      _.forall(_.severity == "info")))
+  }
+
   test("deep: tampered postings coverage is caught") {
     val root = nearStore(2)
     val conf = spark.sparkContext.hadoopConfiguration
