@@ -45,7 +45,11 @@ object BigQuerySink {
       org.apache.spark.sql.execution.datasources.DataSource
         .lookupDataSource("bigquery", spark.sessionState.conf)
       true
-    } catch { case _: Throwable => false }
+    } catch {
+      // NonFatal only: an OOM/interrupt during the probe must surface
+      // as itself, not masquerade as "connector missing"
+      case scala.util.control.NonFatal(_) => false
+    }
 
   /** S5 live: predictions → BigQuery `table`
     * (`project.dataset.table`), WRITE_TRUNCATE + CREATE_IF_NEEDED via

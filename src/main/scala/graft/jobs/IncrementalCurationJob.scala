@@ -199,9 +199,14 @@ object IncrementalCurationJob {
           "checkpoint dir and store root (or migrate the store's day names).")
     }
 
+  /** The job's store roots under one curation root — the single list
+    * both maintenance entry points walk (a root missed by one of them
+    * would silently accumulate files or escape auditing). */
+  private val StoreRoots = Seq("exact", "near", "contain", "phash", "cos")
+
   /** Store MAINTENANCE — run periodically (weekly cron, or after
-    * every Nth ingest): [[DedupStore.compact]] over the job's five
-    * store roots, folding each store's old day-partitions into one
+    * every Nth ingest): [[DedupStore.compact]] over [[StoreRoots]],
+    * folding each store's old day-partitions into one
     * consolidated partition while `keepDays` recent days stay
     * day-partitioned (the idempotent-re-run window — a compacted day
     * must not be re-ingested, DedupStore's contract). Probe results
@@ -209,16 +214,16 @@ object IncrementalCurationJob {
     * Returns store name → report. */
   def compactStores(spark: SparkSession, root: String,
       keepDays: Int = 7): Map[String, DedupStore.CompactionReport] =
-    Seq("exact", "near", "contain", "phash", "cos").map { s0 =>
+    StoreRoots.map { s0 =>
       // compact() no-ops on an absent root (day-zero store) — the
       // phash store only exists when runPayloadStream ran, and it is
-      // the FASTEST small-files accumulator of the four (one
+      // the FASTEST small-files accumulator of the five (one
       // committed day per MICRO-BATCH), so omitting it here would
       // grow every subsequent batch's marker listing without bound
       s0 -> DedupStore.compact(spark, s"$root/$s0", keepDays)
     }.toMap
 
-  /** Store INTEGRITY audit over the job's five store roots —
+  /** Store INTEGRITY audit over [[StoreRoots]] —
     * [[DedupStore.fsck]] per root, findings keyed by store name.
     * Report-only (compact() owns GC, re-ingest owns repair); run at
     * maintenance cadence — shallow at any frequency, `deep = true`
@@ -226,7 +231,7 @@ object IncrementalCurationJob {
     * (day-zero stores) yield no findings. */
   def fsckStores(spark: SparkSession, root: String,
       deep: Boolean = false): Map[String, Seq[DedupStore.FsckFinding]] =
-    Seq("exact", "near", "contain", "phash", "cos").map { s0 =>
+    StoreRoots.map { s0 =>
       s0 -> DedupStore.fsck(spark, s"$root/$s0", deep)
     }.toMap
 

@@ -522,11 +522,16 @@ object DedupStore {
     def vecsOf(df: DataFrame): DataFrame = df
       .select(col(idCol).as("vec_id"),
         Vectors.norm(col(embCol)).as("nrm"), col(embCol).as("embedding"))
-      // sig-less rows: no cosine defined. The isnan guard matters
+      // sig-less rows: no cosine defined. The NaN/Inf guards matter
       // because Spark ORDERS NaN above every double — a NaN-poisoned
-      // vector would otherwise pass `> 0`, verify as NaN >= minCos =
-      // true, and suppress arbitrary neighbors.
-      .filter(col("nrm") > 0.0 && !isnan(col("nrm")))
+      // vector would otherwise pass `> 0`, and an Inf-poisoned one
+      // passes both (Inf is not NaN) yet verifies as dot/(x·Inf) =
+      // NaN >= minCos = true: either way one hostile row would
+      // suppress arbitrary same-bucket neighbors, forever (it
+      // commits). Finite positive norm ⇒ every pairwise cosine
+      // against another finite-norm vector is a real number.
+      .filter(col("nrm") > 0.0 && !isnan(col("nrm"))
+        && col("nrm") < Double.PositiveInfinity)
     def bands(v: DataFrame): DataFrame = v
       .select(col("vec_id"),
         posexplode(expr(s"srp_sig(embedding, 'cos', $tables, $bits)")))
@@ -534,11 +539,19 @@ object DedupStore {
     val storeVecs = readCommitted(spark, root, "vecs",
       vecsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
     val dVecs = vecsOf(delta).cache()
+    // the store-side band frame is consumed twice (combined occupancy
+    // + candidate join) — cache the SLIM (vec_id, band, bv) projection
+    // so the archive's wide embedding column is scanned once for
+    // banding (plus once by the verify join), not once per consumer;
+    // MEMORY_AND_DISK spills, so archive-scale band frames degrade to
+    // disk reads instead of re-scans
+    val storeBands = bands(storeVecs).cache()
     try {
-      val rawAll = bands(dVecs).withColumn("__store", lit(false))
-        .unionByName(bands(storeVecs).withColumn("__store", lit(true)))
+      val dB = bands(dVecs)
+      val rawAll = dB.withColumn("__store", lit(false))
+        .unionByName(storeBands.withColumn("__store", lit(true)))
       val hot = LshGuard.hotBuckets(rawAll, LshGuard.maxBucket(spark))
-      val dBands = LshGuard.prune(bands(dVecs), hot)
+      val dBands = LshGuard.prune(dB, hot)
       val allBands = LshGuard.prune(rawAll, hot)
       val cand = dBands.as("a").join(allBands.as("b"),
           col("a.band") === col("b.band") && col("a.bv") === col("b.bv")
@@ -567,7 +580,7 @@ object DedupStore {
         surv.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")))
       finally if (!retainCache) surv.unpersist()
       surv
-    } finally dVecs.unpersist()
+    } finally { dVecs.unpersist(); storeBands.unpersist() }
   }
 
   /** Committed containment-pair REPORT for a delta against a store

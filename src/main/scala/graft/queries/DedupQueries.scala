@@ -335,7 +335,7 @@ object DedupQueries {
     * keeps this family independent of [[SimilarityQueries]]' q46
     * planes). 8 tables × 6 bits. */
   private val CosTables = 8
-  private[graft] val CosBits = 6 // read by DedupStore.ingestCosine
+  private val CosBits = 6
   private val CosDim = 64
 
   /** Planted-twin perturbation for [[plantedEmbeddings]] — ONE

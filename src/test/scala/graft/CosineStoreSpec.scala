@@ -64,9 +64,14 @@ class CosineStoreSpec extends AnyFunSuite with SparkSpec {
       11L -> c,                          // fresh → survives
       13L -> twin(c),                    // intra-day twin of 11 → 13 dies
       14L -> Array.fill(Dim)(0f),        // zero norm: no signature, passes
-      15L -> (vec().updated(3, Float.NaN))) // NaN-poisoned: passes, harms nobody
+      15L -> (vec().updated(3, Float.NaN)), // NaN-poisoned: passes, harms nobody
+      // Inf-poisoned: nrm = Inf is NOT NaN and IS > 0, but every
+      // cosine against it is NaN, which Spark orders above minCos —
+      // without the finite-norm guard this one row would suppress
+      // arbitrary same-bucket neighbors and commit itself forever
+      16L -> (vec().updated(5, Float.PositiveInfinity)))
     val d2 = ids(DedupStore.ingestCosine(day2, root, "2024-06-02"))
-    assert(d2 === Set(11L, 14L, 15L), s"got $d2")
+    assert(d2 === Set(11L, 14L, 15L, 16L), s"got $d2")
 
     // idempotent re-run of the committed day: identical survivors
     val d2again = ids(DedupStore.ingestCosine(day2, root, "2024-06-02"))
@@ -84,7 +89,8 @@ class CosineStoreSpec extends AnyFunSuite with SparkSpec {
     import s.implicits._
     val stored = spark.read.parquet(s"$root/vecs")
       .select($"vec_id").as[Long].collect().toSet
-    assert(!stored.contains(14L) && !stored.contains(15L),
+    assert(!stored.contains(14L) && !stored.contains(15L) &&
+      !stored.contains(16L),
       s"sig-less rows must not pollute the store: $stored")
 
     // compaction folds the vecs table; suppression unchanged
