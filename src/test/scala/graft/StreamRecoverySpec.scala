@@ -246,4 +246,72 @@ class StreamRecoverySpec extends AnyFunSuite with SparkSpec {
       assert(parts.nonEmpty, s"$day export missing")
     }
   }
+
+  test("runStream(embeddingCol): kill between cos store marker and checkpoint commit + restart converges") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("srec4-in").toString
+    val root = Files.createTempDirectory("srec4-root").toString
+    val ckpt = Files.createTempDirectory("srec4-ckpt").toString
+
+    // axis-aligned embeddings: twins sit at cos ≈ 0.995 to their
+    // original (well inside the SRP recall envelope), everything else
+    // at ≤ ~0.1 — each verdict is decided by exactly one store
+    val vA = "1,0,0,0,0,0,0,0";    val twinA = "0.99,0.1,0,0,0,0,0,0"
+    val vB = "0,1,0,0,0,0,0,0";    val twinB = "0.1,0.99,0,0,0,0,0,0"
+    val vC = "0,0,1,0,0,0,0,0";    val vD = "0,0,0,1,0,0,0,0"
+    // batch 1's doc 10 carries FRESH text but a near-twin embedding:
+    // every text stage passes it, only the cos store can kill it —
+    // the SemDeDup case, under crash-replay
+    writeInput(in, "e0.csv", Seq(
+      s"1|alpha beta gamma delta epsilon zeta eta theta iota kappa|$vA",
+      s"2|one two three four five six seven eight nine ten eleven|$vB"))
+    writeInput(in, "e1.csv", Seq(
+      s"10|completely fresh wording covering the very same archived story again|$twinA",
+      s"12|an unrelated document about stream recovery for vector stores|$vC"))
+
+    def startQuery() = graft.jobs.IncrementalCurationJob.runStream(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(in)
+        .select(
+          split($"value", "\\|").getItem(0).cast("long").as("doc_id"),
+          split($"value", "\\|").getItem(1).as("text"),
+          transform(split(split($"value", "\\|").getItem(2), ","),
+            x => x.cast("float")).as("embedding")),
+      root, ckpt, embeddingCol = Some("embedding"))
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally stopAndDrain(q1)
+
+    // crash image: batch 1's cos store day marker landed (it commits
+    // inside foreachBatch, LAST of the five stages) but the driver
+    // died before the checkpoint commit — the replay re-runs the
+    // committed day and the own-day exclusion must converge it
+    assert(hDelete(s"$ckpt/commits/1"))
+    writeInput(in, "e2.csv", Seq(
+      s"20|yet another new phrasing of the second archived article entirely|$twinB",
+      s"21|a closing fresh document with its own embedding direction|$vD"))
+
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally stopAndDrain(q2)
+
+    def dayIds(day: String): Set[Long] = {
+      val files = TfRecordSource.read(spark, s"$root/out/dt=$day/part-*")
+        .map(new String(_, "UTF-8")).collect()
+      files.map(j => """"doc_id":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong).toSet
+    }
+    assert(dayIds("batch-000000000") === Set(1L, 2L))
+    assert(dayIds("batch-000000001") === Set(12L),
+      "replayed batch must converge: the semantic twin dies, the fresh doc survives")
+    assert(dayIds("batch-000000002") === Set(21L),
+      "post-recovery batch must still suppress against the vector store")
+
+    // vector-store state converged: one committed day per batch, each
+    // survivor's vector exactly once
+    assert(graft.operators.DedupStore.committedDays(spark, s"$root/cos") ===
+      Seq("batch-000000000", "batch-000000001", "batch-000000002"))
+    val vecDocs = spark.read.parquet(s"$root/cos/vecs")
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(vecDocs === Seq(1L, 2L, 12L, 21L),
+      s"vector store must hold each survivor exactly once, got $vecDocs")
+  }
 }
