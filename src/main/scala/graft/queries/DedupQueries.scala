@@ -422,6 +422,25 @@ object DedupQueries {
         list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + $CosPlantMargin AS FLOAT), embedding[2:])
       FROM embeddings WHERE vec_id % 50 = 0)"""
 
+  /** The exact all-pairs cosine-pair CTE body shared by every
+    * cosine-pair-consuming oracle (q44 and q145's cluster closure) —
+    * ONE copy of the planted view + norm + pair predicate, so the
+    * oracles cannot drift from each other (the [[pairsCtes]]
+    * discipline, applied to the embedding family). `cpairs` carries
+    * the cosine. */
+  private val cosPairsCtes: String =
+    s"""$plantedEmbSql,
+      n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM planted),
+      cpairs AS (SELECT * FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          list_sum(list_transform(range($CosDim), i ->
+            CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
+            / (a.nrm * b.nrm) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id)
+        WHERE cosine >= 0.9)"""
+
   /** Embedding-cosine near-dup pairs (cos ≥ 0.9) over the
     * [[plantedEmbeddings]] view: hyperplane-LSH candidate generation
     * (8 tables × 6-bit SRP buckets, equi-join per (table, bucket)) +
@@ -481,18 +500,8 @@ object DedupQueries {
             .as("cosine"))
         .filter($"cosine" >= 0.9)
     },
-    Some(s"""WITH $plantedEmbSql,
-      n AS (SELECT vec_id, embedding,
-        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM planted)
-      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        list_sum(list_transform(range($CosDim), i ->
-          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-          / (a.nrm * b.nrm) AS cosine
-      FROM n a JOIN n b ON a.vec_id < b.vec_id
-      WHERE list_sum(list_transform(range($CosDim), i ->
-          CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE)))
-          / (a.nrm * b.nrm) >= 0.9"""))
+    Some(s"""WITH $cosPairsCtes
+      SELECT vec_a, vec_b, cosine FROM cpairs"""))
 
   /** Incremental SEMANTIC near-dedup RULE, oracle-gated — the
     * [[graft.operators.DedupStore.ingestCosine]] suppression decision
@@ -552,6 +561,35 @@ object DedupQueries {
       SELECT del.vec_id, sup.vec_id IS NOT NULL AS is_suppressed
       FROM del LEFT JOIN sup ON del.vec_id = sup.vec_id"""),
     bench = true)
+
+  /** SEMANTIC near-dup CLUSTERS — q72's transitive closure applied to
+    * the embedding family (SemDeDup keeps one document per semantic
+    * cluster, and pairs alone under-merge: A~B, B~C may hold at
+    * cos ≥ 0.9 while A~C misses): distributed min-label connected
+    * components over q44's verified cosine pairs, composed from the
+    * REGISTERED q44 fn so the pair semantics cannot drift (the
+    * q121→q138 composition rule). Downstream survivor selection is
+    * q78/q110's guarded broadcast shape, unchanged. Oracle:
+    * recursive-CTE reachability over the SHARED [[cosPairsCtes]] —
+    * the same one-copy discipline as the text family's
+    * [[pairsCtes]]. */
+  private val cosClusters = Q(
+    "q145_cos_clusters",
+    (s, d) => {
+      import s.implicits._
+      graft.operators.ConnectedComponents
+        .label(cosineNearDup.fn(s, d).select($"vec_a", $"vec_b"))
+        .select($"id".as("vec_id"), $"component".as("cluster_root"))
+    },
+    Some(s"""WITH RECURSIVE $cosPairsCtes,
+      edges AS (SELECT vec_a AS s, vec_b AS t FROM cpairs
+                UNION ALL SELECT vec_b, vec_a FROM cpairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+      SELECT id AS vec_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
 
   /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
     * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
@@ -1335,7 +1373,7 @@ object DedupQueries {
         T.documents(s, d).select(col("doc_id"), col("source")))))
 
   def qs: Seq[Q] = Seq(exactDedup, jaccardDedup, minhashLsh, simhash,
-    cosineNearDup, cosineIncremental, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
+    cosineNearDup, cosineIncremental, cosClusters, repeatedSpans, ccClusters, jaccardPrefix, dedupPrune,
     boilerplate, incrementalDedup, keepLongest, clusterSizeDist,
     containmentDedup, incrementalContainment, incrementalContainmentDf,
     spanCut, shingleNovelty, dupSourceMatrix, splitLeakage,
