@@ -87,8 +87,13 @@ object ScaleBench {
     * plus the dedup candidates. Excluded by design: q45/q46/q47 (the
     * ANN query SET is defined as 2% of the corpus, so total work is
     * quadratic in corpus size by construction — scaling them means
-    * fixing |Q|, a different experiment), and sub-second queries
-    * whose times are all scheduling overhead. */
+    * fixing |Q|, a different experiment), the cosine family
+    * q44/q144/q145 (fixed-config SRP banding carries an n²/2^bits
+    * chance-candidate term by construction; its scale path is the
+    * `graft.cos.bits`/`graft.cos.tables` conf pair sized from the
+    * executable miss budget — SCALING.md's round-11 section and
+    * DedupPairsSpec pin that instead of a growth ratio), and
+    * sub-second queries whose times are all scheduling overhead. */
   private val probes = Seq(
     "q01_pricing_summary", "q03_profile_merge", "q05_distinct_counts",
     "q12_star_join_revenue", "q21_window_running", "q26_interval_join",
