@@ -428,11 +428,18 @@ object DedupQueries {
     * oracles cannot drift from each other (the [[pairsCtes]]
     * discipline, applied to the embedding family). `cpairs` carries
     * the cosine. */
+  /** Norm-annotated planted view — the drift-prone half of every
+    * cosine oracle (view + norm definition), kept as ONE string so
+    * q44/q144/q145 can share it even where their pair predicates
+    * differ (q144's rule is orientation-aware and stays verbatim). */
+  private val cosNormCte: String =
+    """n AS (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM planted)"""
+
   private val cosPairsCtes: String =
     s"""$plantedEmbSql,
-      n AS (SELECT vec_id, embedding,
-        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM planted),
+      $cosNormCte,
       cpairs AS (SELECT * FROM (
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
           list_sum(list_transform(range($CosDim), i ->
@@ -440,6 +447,22 @@ object DedupQueries {
             / (a.nrm * b.nrm) AS cosine
         FROM n a JOIN n b ON a.vec_id < b.vec_id)
         WHERE cosine >= 0.9)"""
+
+  /** Recursive-CTE connected-components closure over a pair CTE — ONE
+    * copy of the reachability SQL shared by q72 (Jaccard pairs) and
+    * q145 (cosine pairs), so the two clustering oracles cannot drift
+    * in what "component" means. Emits the final SELECT:
+    * (idOut, cluster_root = min reachable id). */
+  private def ccClosureSql(pairs: String, aCol: String, bCol: String,
+      idOut: String): String =
+    s"""edges AS (SELECT $aCol AS s, $bCol AS t FROM $pairs
+                UNION ALL SELECT $bCol, $aCol FROM $pairs),
+      nodes AS (SELECT DISTINCT s AS id FROM edges),
+      reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+      SELECT id AS $idOut, min(r) AS cluster_root FROM reach GROUP BY id"""
 
   /** Embedding-cosine near-dup pairs (cos ≥ 0.9) over the
     * [[plantedEmbeddings]] view: hyperplane-LSH candidate generation
@@ -548,9 +571,7 @@ object DedupQueries {
         .select($"vec_id", coalesce($"__sup", lit(false)).as("is_suppressed"))
     },
     Some(s"""WITH $plantedEmbSql,
-      n AS (SELECT vec_id, embedding,
-        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM planted),
+      $cosNormCte,
       del AS (SELECT * FROM n WHERE vec_id < 0 OR vec_id % 2 = 1),
       sup AS (SELECT DISTINCT a.vec_id FROM del a JOIN n b
         ON a.vec_id <> b.vec_id
@@ -582,14 +603,7 @@ object DedupQueries {
         .select($"id".as("vec_id"), $"component".as("cluster_root"))
     },
     Some(s"""WITH RECURSIVE $cosPairsCtes,
-      edges AS (SELECT vec_a AS s, vec_b AS t FROM cpairs
-                UNION ALL SELECT vec_b, vec_a FROM cpairs),
-      nodes AS (SELECT DISTINCT s AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-      SELECT id AS vec_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
+      ${ccClosureSql("cpairs", "vec_a", "vec_b", "vec_id")}"""))
 
   /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
     * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
@@ -632,14 +646,7 @@ object DedupQueries {
         .select($"id".as("doc_id"), $"component".as("cluster_root"))
     },
     Some(s"""WITH RECURSIVE $pairsCtes,
-      edges AS (SELECT doc_a AS s, doc_b AS t FROM pairs
-                UNION ALL SELECT doc_b, doc_a FROM pairs),
-      nodes AS (SELECT DISTINCT s AS id FROM edges),
-      reach(id, r) AS (
-        SELECT id, id FROM nodes
-        UNION
-        SELECT e.t, reach.r FROM reach JOIN edges e ON e.s = reach.id)
-      SELECT id AS doc_id, min(r) AS cluster_root FROM reach GROUP BY id"""))
+      ${ccClosureSql("pairs", "doc_a", "doc_b", "doc_id")}"""))
 
   /** Exact prefix-filtered Jaccard (the PPJoin family) — since round
     * 4 this IS [[jaccardPairs]] (the prefix filter became the one

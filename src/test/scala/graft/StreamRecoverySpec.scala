@@ -294,15 +294,19 @@ class StreamRecoverySpec extends AnyFunSuite with SparkSpec {
     val q2 = startQuery()
     try q2.processAllAvailable() finally stopAndDrain(q2)
 
-    def dayIds(day: String): Set[Long] = {
+    // a SEQ, not a Set: a duplicated shard surviving the replay's
+    // day-dir rewrite would surface as a repeated id here instead of
+    // collapsing invisibly
+    def dayIds(day: String): Seq[Long] = {
       val files = TfRecordSource.read(spark, s"$root/out/dt=$day/part-*")
         .map(new String(_, "UTF-8")).collect()
-      files.map(j => """"doc_id":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong).toSet
+      files.map(j => """"doc_id":(\d+)""".r.findFirstMatchIn(j).get.group(1).toLong)
+        .toSeq.sorted
     }
-    assert(dayIds("batch-000000000") === Set(1L, 2L))
-    assert(dayIds("batch-000000001") === Set(12L),
-      "replayed batch must converge: the semantic twin dies, the fresh doc survives")
-    assert(dayIds("batch-000000002") === Set(21L),
+    assert(dayIds("batch-000000000") === Seq(1L, 2L))
+    assert(dayIds("batch-000000001") === Seq(12L),
+      "replayed batch must converge: the semantic twin dies, the fresh doc survives — exactly once")
+    assert(dayIds("batch-000000002") === Seq(21L),
       "post-recovery batch must still suppress against the vector store")
 
     // vector-store state converged: one committed day per batch, each
