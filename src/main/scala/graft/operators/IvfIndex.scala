@@ -64,7 +64,15 @@ object IvfIndex {
     PartitionedLayout.writePartitioned(
       KMeans.assign(df, model.centroids, vecCol).drop("dist2"),
       s"$root/cells", Seq("cell"))
-    val text = model.centroids.map(_.mkString(",")).mkString("\n")
+    commitCentroids(spark, root, model.centroids)
+    model
+  }
+
+  /** Publish the centroids marker via tmp + atomic OVERWRITE rename
+    * (shared with [[IvfStore.init]] — same file, same open()). */
+  private[operators] def commitCentroids(spark: SparkSession, root: String,
+      centroids: Seq[Array[Double]]): Unit = {
+    val text = centroids.map(_.mkString(",")).mkString("\n")
     val marker = new Path(root, Marker)
     val tmp = new Path(root, s".$Marker.tmp")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -73,7 +81,6 @@ object IvfIndex {
     FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
       .rename(fs.makeQualified(tmp), fs.makeQualified(marker),
         Options.Rename.OVERWRITE)
-    model
   }
 
   /** The committed centroids; throws with the path when the index was
@@ -93,11 +100,21 @@ object IvfIndex {
     * (qid, <idCol>, dist2, rank) — rank 1 = nearest; ties break on
     * the row id for determinism. */
   def probe(spark: SparkSession, root: String, idCol: String, vecCol: String,
-      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int): DataFrame = {
+      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int): DataFrame =
+    probeCells(spark.read.parquet(s"$root/cells"), idCol, vecCol,
+      queries, open(spark, root), nprobe, topK)
+
+  /** The probe core over an arbitrary cell frame — ONE copy shared
+    * with [[IvfStore.probe]], whose frame carries an extra committed-
+    * days filter (both filters are partition-column predicates, so
+    * pruning still happens at the file index). */
+  private[operators] def probeCells(cells: DataFrame, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Double])],
+      cents: Seq[Array[Double]], nprobe: Int, topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val spark = cells.sparkSession
     import spark.implicits._
     require(nprobe >= 1 && topK >= 1, s"nprobe/topK must be >= 1")
-    val cents = open(spark, root)
     // (query, probed cell) pairs — driver-side |Q|·k·d flops
     val pairs = for {
       (qid, qv) <- queries
@@ -109,7 +126,7 @@ object IvfIndex {
 
     // the isin over the partition column prunes at the file index:
     // unprobed cells never reach the scan
-    val candidates = spark.read.parquet(s"$root/cells")
+    val candidates = cells
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(pairsDf), "cell")
     val d2 = aggregate(
