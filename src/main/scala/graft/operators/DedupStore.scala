@@ -664,10 +664,9 @@ object DedupStore {
   // restricted to chars that partition-dir encoding leaves verbatim:
   // the stale-partition delete below addresses `dt=$day` literally,
   // and an escaped value (e.g. a space → %20) would silently miss it
+  // (base character discipline shared via MarkerProtocol)
   private def requireDay(day: String): Unit = {
-    require(day.nonEmpty && day.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
-      s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
+    MarkerProtocol.requireDayName(day)
     require(!day.startsWith(MergedPrefix),
       s"'$MergedPrefix' is reserved for compaction markers, got '$day'")
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -68,20 +68,13 @@ object IvfIndex {
     model
   }
 
-  /** Publish the centroids marker via tmp + atomic OVERWRITE rename
+  /** Publish the centroids marker via [[MarkerProtocol.atomicMarker]]
     * (shared with [[IvfStore.init]] — same file, same open()). */
   private[operators] def commitCentroids(spark: SparkSession, root: String,
-      centroids: Seq[Array[Double]]): Unit = {
-    val text = centroids.map(_.mkString(",")).mkString("\n")
-    val marker = new Path(root, Marker)
-    val tmp = new Path(root, s".$Marker.tmp")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(tmp, true)
-    try out.write(text.getBytes("UTF-8")) finally out.close()
-    FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(marker),
-        Options.Rename.OVERWRITE)
-  }
+      centroids: Seq[Array[Double]]): Unit =
+    MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+      new Path(root), Marker,
+      centroids.map(_.mkString(",")).mkString("\n"))
 
   /** The committed centroids; throws with the path when the index was
     * never committed (or a build crashed before its marker flip). */
@@ -100,9 +93,14 @@ object IvfIndex {
     * (qid, <idCol>, dist2, rank) — rank 1 = nearest; ties break on
     * the row id for determinism. */
   def probe(spark: SparkSession, root: String, idCol: String, vecCol: String,
-      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int): DataFrame =
+      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int): DataFrame = {
+    // open() BEFORE constructing the reader: on a never-built root the
+    // caller must get the marker protocol's loud, path-naming error,
+    // not a raw path-does-not-exist from the cells scan
+    val cents = open(spark, root)
     probeCells(spark.read.parquet(s"$root/cells"), idCol, vecCol,
-      queries, open(spark, root), nprobe, topK)
+      queries, cents, nprobe, topK)
+  }
 
   /** The probe core over an arbitrary cell frame — ONE copy shared
     * with [[IvfStore.probe]], whose frame carries an extra committed-

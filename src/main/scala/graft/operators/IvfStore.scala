@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.hadoop.fs.{FileContext, Options, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import org.apache.hadoop.fs.Path
 
 /** Day-over-day INCREMENTAL IVF index (round 11) — the vector-index
   * counterpart of [[DedupStore]]'s incremental disciplines: a
@@ -27,24 +28,39 @@ import org.apache.spark.sql.functions._
   * Contract, mirrored from the dedup stores:
   *  - FROZEN centroids: [[init]] trains once on a seed corpus;
   *    every [[append]] assigns against that committed set, so cell
-  *    semantics never shift under committed data. Distribution DRIFT
-  *    therefore degrades recall over time (new-regime vectors crowd
-  *    into few cells); the maintenance story is a periodic REBUILD
-  *    into a fresh root ([[init]] + re-append, or [[IvfIndex.build]])
-  *    — which also re-trains the centroids — and a consumer-side
-  *    root swap (the SnapshotStore pointer pattern), NOT in-place
+  *    semantics never shift under committed data — and [[init]]
+  *    REFUSES a root that already holds centroids or committed days
+  *    (re-training in place would silently invalidate every stored
+  *    cell assignment: probes would prune by new-centroid geometry
+  *    against old-centroid partitions). Distribution DRIFT therefore
+  *    degrades recall over time (new-regime vectors crowd into few
+  *    cells); the maintenance story is a periodic REBUILD into a
+  *    FRESH root ([[init]] + re-append, or [[IvfIndex.build]]) —
+  *    which also re-trains the centroids — and a consumer-side root
+  *    swap (the SnapshotStore pointer pattern), never in-place
   *    mutation. The same rebuild is the small-files compaction story
   *    (one dir per day×cell accumulates at daily cadence).
-  *  - Idempotent re-append: dynamic partition overwrite replaces
-  *    exactly the day's partitions; the marker re-publishes
+  *  - Idempotent re-append: the day's prior partitions are cleared
+  *    first (the [[DedupStore]] commitDay discipline — dynamic
+  *    overwrite only replaces partitions PRESENT in the incoming
+  *    frame, so a corrected replay whose rows vacate a cell, or an
+  *    empty replay, would otherwise leave stale vectors standing
+  *    under the re-published marker), then written and re-committed
   *    atomically. A crash between the table write and the marker
   *    leaves the day invisible to probes — re-append it.
-  *  - Single writer per day; concurrent probes are safe at any time
-  *    (they see only marker-committed days).
+  *  - Single writer per day. Probes are safe concurrent with appends
+  *    of NEW days (they see only marker-committed days); a re-append
+  *    of an ALREADY-COMMITTED day mutates that day's partitions under
+  *    the live marker — like [[IvfIndex]]'s rebuild, that protects
+  *    against crashes, NOT concurrent readers. Pause probes (or run
+  *    the backfill through a fresh-root rebuild) for committed-day
+  *    backfills.
   *  - Rows [[KMeans.assign]] deems unusable (null vector, wrong
   *    dimension) are skipped silently — the sig-less pass-through
   *    discipline; they are data-quality casualties, not index
-  *    corruption.
+  *    corruption. A store whose every committed day held only
+  *    unusable rows has nothing to probe and [[probe]] says so
+  *    loudly instead of dying in parquet schema inference.
   *
   * At 100 TB: append cost is one map-side assignment pass over the
   * delta (|delta|·k·d flops, no shuffle — `cell` is computed
@@ -54,20 +70,22 @@ object IvfStore {
 
   private val MarkerDir = "_committed"
 
-  // same day-name discipline as DedupStore.requireDay: the partition
-  // paths and marker names must round-trip literally
-  private def requireDay(day: String): Unit =
-    require(day.nonEmpty && day.forall(c =>
-        c.isLetterOrDigit || c == '-' || c == '_' || c == '.') && !day.startsWith("."),
-      s"day must be [A-Za-z0-9._-]+ and not dot-led, got '$day'")
-
   /** Train the frozen centroid set on `seed` and commit it. Writes NO
     * vectors — follow with [[append]] (the seed day included, if its
-    * rows belong in the index). Returns the model with its SSE trace. */
+    * rows belong in the index). Refuses an already-initialized root
+    * (see the centroid-freeze contract above). Returns the model with
+    * its SSE trace. */
   def init(seed: DataFrame, idCol: String, vecCol: String, root: String,
       k: Int, iters: Int = 5): KMeans.Model = {
+    val spark = seed.sparkSession
+    require(scala.util.Try(IvfIndex.open(spark, root)).isFailure &&
+        committedDays(spark, root).isEmpty,
+      s"refusing to re-initialize '$root': it already holds a committed " +
+        "centroid set or committed days, and re-training in place would " +
+        "silently invalidate every stored cell assignment — rebuild into a " +
+        "FRESH root and swap consumers")
     val model = KMeans.train(seed, idCol, vecCol, k, iters)
-    IvfIndex.commitCentroids(seed.sparkSession, root, model.centroids)
+    IvfIndex.commitCentroids(spark, root, model.centroids)
     model
   }
 
@@ -81,24 +99,25 @@ object IvfStore {
   }
 
   /** Assign `delta` against the frozen centroids and commit it as
-    * `day`'s partitions. */
+    * `day`'s partitions (idempotent — see the re-append contract). */
   def append(delta: DataFrame, root: String, day: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    requireDay(day)
+    MarkerProtocol.requireDayName(day)
     val spark = delta.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val cents = IvfIndex.open(spark, root) // refuses an uninitialized root
+    // clear the day's prior partitions first (DedupStore.commitDay's
+    // rule): dynamic overwrite replaces only partitions present in
+    // the incoming frame — without the delete, a corrected replay
+    // that vacates a cell leaves the old cell's vectors committed
+    val dayDir = new Path(s"$root/cells/dt=$day")
+    dayDir.getFileSystem(conf).delete(dayDir, true)
     val assigned = KMeans.assign(delta, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .withColumn("dt", lit(day))
     PartitionedLayout.overwritePartitions(
       assigned, s"$root/cells", Seq("dt", "cell"))
-    val marker = new Path(s"$root/$MarkerDir/$day")
-    val tmp = new Path(s"$root/$MarkerDir/.$day.tmp")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.create(tmp, true).close()
-    FileContext.getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(marker),
-        Options.Rename.OVERWRITE): Unit
+    MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), day)
   }
 
   /** L2 top-k per query over the `nprobe` nearest cells of every
@@ -110,6 +129,15 @@ object IvfStore {
     val days = committedDays(spark, root)
     require(days.nonEmpty,
       s"no committed days at $root — append at least one day before probing")
+    // loud guard for the committed-but-empty store (every appended row
+    // unusable/empty): a bare parquet read over zero data files dies
+    // in schema inference with a message that points nowhere
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val anyData = Option(
+      fs.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
+      .exists(_.nonEmpty)
+    require(anyData, s"store at $root has committed days but no indexed " +
+      "vectors (every appended row was empty or unusable) — nothing to probe")
     val cells = spark.read.parquet(s"$root/cells")
       .filter(col("dt").isin(days: _*))
     IvfIndex.probeCells(cells, idCol, vecCol, queries, cents, nprobe, topK)

@@ -91,10 +91,15 @@ class IvfIndexSpec extends AnyFunSuite with SparkSpec {
     }.toSet
     assert(rows.toSet === reference)
 
-    // 3) open() refuses an uncommitted root, naming it
+    // 3) open() refuses an uncommitted root, naming it — and probe()
+    // surfaces THAT error (open runs before the cells reader), not a
+    // raw path-does-not-exist from the scan
     val bare = Files.createTempDirectory("ivf-none").toString
     val e = intercept[IllegalArgumentException](IvfIndex.open(s, bare))
     assert(e.getMessage.contains(bare))
+    val ep = intercept[IllegalArgumentException](
+      IvfIndex.probe(s, bare, "vec_id", "embedding", queries.take(1), 1, 1))
+    assert(ep.getMessage.contains(bare), ep.getMessage)
 
     // 4) rebuild with different k overwrites and re-commits
     val m2 = IvfIndex.build(emb, "vec_id", "embedding", root, k = 4, iters = 2)

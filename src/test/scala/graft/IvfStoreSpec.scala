@@ -111,6 +111,24 @@ class IvfStoreSpec extends AnyFunSuite with SparkSpec {
     assert(stored.size === stored.distinct.size &&
       stored.toSet === (day1 ++ day2 ++ day3).map(_._1).toSet,
       "re-appended day must hold each vector exactly once")
+
+    // CORRECTED replay whose rows vacate cells: the day's prior
+    // partitions must be cleared, not merely overlaid — dynamic
+    // overwrite alone would leave the vacated cells' stale vectors
+    // committed under the re-published marker
+    val day3small = day3.take(3)
+    IvfStore.append(vecs(day3small: _*), root, "2024-07-03")
+    val day3stored = spark.read.parquet(s"$root/cells/dt=2024-07-03")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(day3stored === day3small.map(_._1).toSet,
+      s"corrected replay left stale cell partitions standing: $day3stored")
+
+    // re-init of a live root refuses (frozen-centroid contract): the
+    // stored cell assignments would be silently invalidated
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.init(vecs(day1: _*), "vec_id", "embedding", root, k = 2)
+    }
+    assert(e.getMessage.contains("FRESH root"), e.getMessage)
   }
 
   test("unusable vectors are skipped; uninitialized root and empty store refuse") {
@@ -129,9 +147,21 @@ class IvfStoreSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e2.getMessage.contains("append"))
 
-    // a null vector and a wrong-dim vector are skipped, not indexed
+    // a committed day holding ONLY unusable rows: probe refuses
+    // loudly instead of dying in parquet schema inference
     val s = spark
     import s.implicits._
+    val allBad = Seq((40L, null.asInstanceOf[Array[Double]]))
+      .toDF("vec_id", "embedding")
+    IvfStore.append(allBad, root, "2024-06-30")
+    assert(IvfStore.committedDays(spark, root) === Seq("2024-06-30"))
+    val e3 = intercept[IllegalArgumentException] {
+      IvfStore.probe(spark, root, "vec_id", "embedding",
+        Seq(1L -> centers(0).toArray), 1, 1)
+    }
+    assert(e3.getMessage.contains("nothing to probe"), e3.getMessage)
+
+    // a null vector and a wrong-dim vector are skipped, not indexed
     val bad = Seq(
       (50L, around(centers(0): _*)),
       (51L, null.asInstanceOf[Array[Double]]),
