@@ -903,10 +903,15 @@ object DedupStore {
     *
     * Deep (`deep = true`) — full store scans; run at maintenance
     * cadence, e.g. right before [[compact]]:
-    *  - `dup-identity` (error): an identity key committed twice
-    *    across the committed view (`sets.id` / `digests.fp` /
-    *    `sigs.doc_id`) — ingest's own suppression makes this
-    *    impossible, so a hit means duplicated/restored partitions.
+    *  - `dup-identity` (error for `digests.fp`, warn for `sets.id` /
+    *    `sigs.doc_id` / `vecs.vec_id`): an identity key committed
+    *    twice across the committed view. Exact ingest suppresses BY
+    *    KEY, so a duplicate fp means duplicated/restored partitions
+    *    — error. The similarity disciplines suppress by
+    *    Jaccard/hamming/cosine, so a re-ingested id whose content
+    *    drifted past the threshold legitimately commits twice; on a
+    *    stable-id corpus a hit still usually means restored
+    *    partitions — warn.
     *  - `df-mismatch` (error): the committed `df` occupancy disagrees
     *    with a recount from the committed `sets` (checked only when
     *    the df table is complete — incomplete stores are already on
@@ -1024,20 +1029,34 @@ object DedupStore {
       if (dirs.isEmpty) None
       else Some(spark.read.parquet(dirs.map(_.toString): _*))
     }
-    def dupCheck(table: String, key: String): Unit =
+    // severity split (round 12): only the EXACT store suppresses BY
+    // KEY (digests.fp is the identity the ingest anti-joins on), so a
+    // duplicate fp is impossible under healthy operation — error. The
+    // near/phash/cos disciplines suppress by SIMILARITY: a re-ingested
+    // doc_id/vec_id whose content drifted past the Jaccard/hamming/
+    // cosine threshold legitimately commits the same key on two days,
+    // so a duplicate there is suspicious (most corpora assign stable
+    // ids to stable content) but not proof of tampering — warn.
+    def dupCheck(table: String, key: String, severity: String,
+        clause: String): Unit =
       if (tables.contains(table)) readDays(table).foreach { df =>
         val dups = df.groupBy(col(key)).count()
           .filter(col("count") > 1).count()
-        if (dups > 0) out += FsckFinding("error", "dup-identity",
+        if (dups > 0) out += FsckFinding(severity, "dup-identity",
           s"$table.$key",
           s"$dups keys committed more than once across the committed " +
-            "view — ingest suppression forbids this; suspect restored or " +
-            "hand-copied partitions")
+            s"view — $clause")
       }
-    dupCheck("sets", "id")
-    dupCheck("digests", "fp")
-    dupCheck("sigs", "doc_id")
-    dupCheck("vecs", "vec_id")
+    dupCheck("digests", "fp", "error",
+      "exact ingest suppresses by this key, so this is impossible under " +
+        "healthy operation; suspect restored or hand-copied partitions")
+    val simClause = "suppression here is similarity-based, not key-based: " +
+      "a re-ingested id whose content drifted past the threshold " +
+      "legitimately commits twice, but on a stable-id corpus suspect " +
+      "restored or hand-copied partitions"
+    dupCheck("sets", "id", "warn", simClause)
+    dupCheck("sigs", "doc_id", "warn", simClause)
+    dupCheck("vecs", "vec_id", "warn", simClause)
 
     if (tables.contains("df") && tables.contains("sets") &&
         accelComplete(spark, root, "df", None))

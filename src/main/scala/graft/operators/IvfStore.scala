@@ -46,8 +46,11 @@ import org.apache.hadoop.fs.Path
   *    frame, so a corrected replay whose rows vacate a cell, or an
   *    empty replay, would otherwise leave stale vectors standing
   *    under the re-published marker), then written and re-committed
-  *    atomically. A crash between the table write and the marker
-  *    leaves the day invisible to probes — re-append it.
+  *    atomically. The day's MARKER is retracted before any partition
+  *    is touched, so a crash ANYWHERE inside [[append]] — first-time
+  *    or re-append — leaves the day uncommitted and invisible to
+  *    probes (never a live marker over an empty or partial subtree);
+  *    re-append it.
   *  - Single writer per day. Probes are safe concurrent with appends
   *    of NEW days (they see only marker-committed days); a re-append
   *    of an ALREADY-COMMITTED day mutates that day's partitions under
@@ -106,12 +109,23 @@ object IvfStore {
     val spark = delta.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
     val cents = IvfIndex.open(spark, root) // refuses an uninitialized root
-    // clear the day's prior partitions first (DedupStore.commitDay's
-    // rule): dynamic overwrite replaces only partitions present in
-    // the incoming frame — without the delete, a corrected replay
-    // that vacates a cell leaves the old cell's vectors committed
+    // RE-APPEND crash discipline (round 12): retract the day's marker
+    // BEFORE touching its partitions. A re-append clears + rewrites
+    // the day's data; with the old marker left live through that
+    // window, a crash between the pre-delete and the re-publish left
+    // a COMMITTED marker over an empty (or partial) day subtree —
+    // probes silently omitted that day's vectors. With the marker
+    // retracted first, ANY crash inside append leaves the day
+    // uncommitted — loudly visible via [[committedDays]] — and the
+    // recovery is the same "re-append it" as for a first-time crash.
+    val fsys = new Path(root).getFileSystem(conf)
+    fsys.delete(new Path(new Path(root, MarkerDir), day), false)
+    // clear the day's prior partitions (DedupStore.commitDay's rule):
+    // dynamic overwrite replaces only partitions present in the
+    // incoming frame — without the delete, a corrected replay that
+    // vacates a cell leaves the old cell's vectors committed
     val dayDir = new Path(s"$root/cells/dt=$day")
-    dayDir.getFileSystem(conf).delete(dayDir, true)
+    fsys.delete(dayDir, true)
     val assigned = KMeans.assign(delta, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .withColumn("dt", lit(day))

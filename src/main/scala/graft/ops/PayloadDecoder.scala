@@ -9,9 +9,23 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * everything downstream needs: the cells feed
   * [[ByteGridHashImpl.gradientSig]], the dimensions feed the band
   * key (see [[PayloadDecoder.sigs]] — geometry, not byte length, is
-  * what survives a re-encode). */
+  * what survives a re-encode).
+  *
+  * Geometry bounds are part of THIS type's contract, not any one
+  * decoder's private discipline (round 12): [[PayloadDecoder.sigs]]
+  * packs the band-fusion key as `width·2²⁰ + height`, so a decoder
+  * returning dims outside (0, 2²⁰) would silently corrupt the packed
+  * key — width bits bleeding into height mis-fuses band keys with no
+  * error. A third-party decoder that can see such dims must reject
+  * the payload itself (return None — corrupt-drop), not construct an
+  * out-of-range grid. */
 final case class LumaGrid(sums: Array[Long], counts: Array[Long],
-    width: Int, height: Int)
+    width: Int, height: Int) {
+  require(width > 0 && width < (1 << 20) && height > 0 && height < (1 << 20),
+    s"LumaGrid geometry must be in (0, 2^20) per dimension — the packed " +
+      s"band key is width*2^20 + height — got ${width}x$height; a decoder " +
+      "seeing such dims must corrupt-drop the payload (return None) instead")
+}
 
 /** Pluggable payload-DECODE seam (round 11) — the [[TensorFlowScorer]]
   * mold applied to the multimodal pillar: the engine's perceptual
@@ -224,7 +238,22 @@ object ImageIoDecoder {
       // malformed input; all of it is "undecodable", none of it may
       // kill the task (a poison payload in a streaming batch would
       // wedge the job on permanent replay)
-      case _: java.lang.reflect.InvocationTargetException => None
+      case e: java.lang.reflect.InvocationTargetException => undecodable(e)
     }
+  }
+
+  /** The corrupt-drop decision for a reflective decode failure
+    * (round 12): NonFatal causes are "undecodable" → None, but a
+    * FATAL cause wrapped by reflection (OutOfMemoryError from ImageIO
+    * internals, InterruptedException from a task kill) is an executor
+    * problem, not a corrupt payload — swallowing it would reclassify
+    * a memory emergency as a data drop and hide it from the task
+    * framework. Rethrow the CAUSE so it surfaces exactly as a direct
+    * call would have thrown it. */
+  private[graft] def undecodable(
+      e: java.lang.reflect.InvocationTargetException): Option[LumaGrid] = {
+    val c = e.getCause
+    if (c != null && !scala.util.control.NonFatal(c)) throw c
+    None
   }
 }

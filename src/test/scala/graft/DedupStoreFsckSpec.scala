@@ -150,7 +150,24 @@ class DedupStoreFsckSpec extends AnyFunSuite with SparkSpec {
     assert(!DedupStore.fsck(spark, root).exists(_.severity == "error"),
       "shallow fsck cannot see inside partitions")
     val f = DedupStore.fsck(spark, root, deep = true)
+    // sets.id is a SIMILARITY-suppressed key (a content-drifted
+    // re-ingest can legitimately commit the same id twice), so the
+    // restore-replay signature is warn-grade here, not error-grade
     assert(f.exists(x => x.check == "dup-identity" && x.subject == "sets.id" &&
+      x.severity == "warn"), s"got $f")
+  }
+
+  test("deep: duplicated digests.fp stays error-grade (exact ingest is key-suppressed)") {
+    val root = Files.createTempDirectory("fsck-exact").toString
+    val d1 = docs(1L -> "alpha beta gamma", 2L -> "delta epsilon zeta")
+    DedupStore.ingestExact(d1, root, "2024-03-01")
+    DedupStore.ingestExact(docs(3L -> "unique eta theta iota"), root, "2024-03-02")
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileUtil.copy(hfs, new Path(s"$root/digests/dt=2024-03-01"),
+      hfs, new Path(s"$root/digests/dt=2024-03-07"), false, conf)
+    writeMarker(root, "2024-03-07", "")
+    val f = DedupStore.fsck(spark, root, deep = true)
+    assert(f.exists(x => x.check == "dup-identity" && x.subject == "digests.fp" &&
       x.severity == "error"), s"got $f")
   }
 

@@ -131,6 +131,51 @@ class IvfStoreSpec extends AnyFunSuite with SparkSpec {
     assert(e.getMessage.contains("FRESH root"), e.getMessage)
   }
 
+  test("a crashed RE-APPEND leaves the day uncommitted — never a live marker over an empty day") {
+    val root = Files.createTempDirectory("ivfst-rc").toString
+    val day1 = mkRows(0 until 12)
+    val day2 = mkRows(100 until 112)
+    IvfStore.init(vecs(day1: _*), "vec_id", "embedding", root, k = 2, iters = 3)
+    IvfStore.append(vecs(day1: _*), root, "2024-07-01")
+    IvfStore.append(vecs(day2: _*), root, "2024-07-02")
+    assert(IvfStore.committedDays(spark, root) ===
+      Seq("2024-07-01", "2024-07-02"))
+
+    // re-append of the COMMITTED day 2 dies mid-write (a udf that
+    // throws at evaluation — the crash lands between the day's
+    // pre-delete and the marker re-publish)
+    val s = spark
+    import s.implicits._
+    val boom = org.apache.spark.sql.functions.udf((id: Long) =>
+      if (id >= Long.MinValue) throw new RuntimeException("simulated crash")
+      else id)
+    intercept[Exception] {
+      IvfStore.append(
+        vecs(day2: _*).withColumn("vec_id", boom($"vec_id")),
+        root, "2024-07-02")
+    }
+    // the round-12 discipline: the marker was retracted BEFORE the
+    // partitions were touched, so the crash leaves day 2 UNCOMMITTED
+    // (loud — committedDays names the gap) instead of a live marker
+    // over an empty subtree (probes silently omitting its vectors)
+    assert(IvfStore.committedDays(spark, root) === Seq("2024-07-01"),
+      "crashed re-append must leave the day uncommitted")
+    val visible = IvfStore.probe(spark, root, "vec_id", "embedding",
+      Seq(1000L -> centers(0).toArray), nprobe = 99, topK = 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(visible.subsetOf(day1.map(_._1).toSet),
+      "no vector of the crashed day may be probe-visible")
+
+    // recovery is the documented one: re-append the day
+    IvfStore.append(vecs(day2: _*), root, "2024-07-02")
+    assert(IvfStore.committedDays(spark, root) ===
+      Seq("2024-07-01", "2024-07-02"))
+    val healed = IvfStore.probe(spark, root, "vec_id", "embedding",
+      Seq(1000L -> centers(0).toArray), nprobe = 99, topK = 50)
+      .collect().map(_.getLong(1)).toSet
+    assert(day2.map(_._1).toSet.subsetOf(healed), "re-append must heal")
+  }
+
   test("unusable vectors are skipped; uninitialized root and empty store refuse") {
     val root = Files.createTempDirectory("ivfst-e").toString
     // append before init: refuses via the centroids marker

@@ -109,6 +109,40 @@ class PayloadDecoderSpec extends AnyFunSuite with SparkSpec {
       "8×8 is the floor, not a refusal")
   }
 
+  test("LumaGrid enforces the packed-band-key geometry bound at the seam itself") {
+    // the band key is width*2^20 + height — a third-party decoder
+    // returning dims >= 2^20 would silently bleed width bits into
+    // height; the bound is the TYPE's contract, not ImageIoDecoder's
+    // private discipline
+    val cells = new Array[Long](ByteGridHashImpl.Cells)
+    intercept[IllegalArgumentException](
+      graft.ops.LumaGrid(cells, cells, 1 << 20, 16))
+    intercept[IllegalArgumentException](
+      graft.ops.LumaGrid(cells, cells, 16, 1 << 20))
+    intercept[IllegalArgumentException](graft.ops.LumaGrid(cells, cells, 0, 16))
+    intercept[IllegalArgumentException](graft.ops.LumaGrid(cells, cells, 16, -1))
+    assert(graft.ops.LumaGrid(cells, cells, (1 << 20) - 1, 1).width == (1 << 20) - 1)
+  }
+
+  test("reflective decode failures: NonFatal causes corrupt-drop; fatal causes resurface") {
+    import java.lang.reflect.InvocationTargetException
+    import graft.ops.ImageIoDecoder
+    // codec choking on hostile bytes → undecodable → None
+    assert(ImageIoDecoder.undecodable(
+      new InvocationTargetException(new java.io.IOException("torn"))).isEmpty)
+    assert(ImageIoDecoder.undecodable(
+      new InvocationTargetException(new ArrayIndexOutOfBoundsException(3))).isEmpty)
+    assert(ImageIoDecoder.undecodable(
+      new InvocationTargetException(null)).isEmpty)
+    // an executor memory emergency or task kill during decode is NOT a
+    // corrupt payload — swallowing it would hide the problem from the
+    // task framework; the CAUSE must resurface
+    intercept[OutOfMemoryError](ImageIoDecoder.undecodable(
+      new InvocationTargetException(new OutOfMemoryError("imageio buffer"))))
+    intercept[InterruptedException](ImageIoDecoder.undecodable(
+      new InvocationTargetException(new InterruptedException())))
+  }
+
   test("decoded sigs keep the corpus id type (no silent cast to long)") {
     assume(decoder.available, "JRE lacks java.desktop — decode tests skipped")
     val s = spark
