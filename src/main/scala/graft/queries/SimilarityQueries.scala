@@ -467,6 +467,79 @@ object SimilarityQueries {
       FROM ex0 e LEFT JOIN ap a ON e.q_vec = a.q_vec AND e.vec_id = a.vec_id
       GROUP BY e.q_vec"""))
 
+  /** ORACLE-GATED trained-IVF SERVING probe (round 12) — the
+    * CORRECTNESS row for the [[graft.operators.KMeans]] /
+    * [[graft.operators.IvfIndex]] / [[graft.operators.IvfStore]]
+    * family, until now the registry's only spec-gated-only operator
+    * family. The gate exercises the REAL store lifecycle end-to-end:
+    * `init` (k-means-trained frozen centroids) + two `append`ed days
+    * into a scratch root, then a FULL probe (nprobe = k) of every
+    * query vector. Full-probe IVF is EXACT global L2 top-k over the
+    * committed union by construction — the pruning can only drop
+    * cells the probe list excludes, and here it excludes none — so a
+    * DuckDB brute-force L2 top-k oracle must match bit-for-bit
+    * REGARDLESS of training quality (the IvfIndexSpec assertion,
+    * lifted into the driver's independent-engine gate). What equality
+    * proves: assignment loses no vector, day markers commit exactly
+    * the appended rows, the probe's union-read + distance + ranking
+    * reproduce exact semantics. What it deliberately does NOT grade:
+    * recall at nprobe < k (that is q126/q136's report territory, and
+    * IvfStoreSpec pins the file-pruning metrics).
+    *
+    * Queries are the vec_id % 50 slice COLLECTED to the driver —
+    * [[graft.operators.IvfIndex.probe]]'s documented ANN serving
+    * shape (requests arrive in small batches), size-guarded like
+    * every driver-side collect in the engine. The scratch root lives
+    * under java.io.tmpdir for exactly the call's duration: the probe
+    * result is localCheckpoint-materialized (the frame outlives the
+    * files), then the root is deleted — rerunning the gate leaks
+    * nothing. Both engines read ONLY dim-conforming vectors (the
+    * q113 ragged-row rule; [[graft.operators.KMeans.assign]] would
+    * corrupt-drop them on the Spark side anyway — the explicit filter
+    * keeps the two scopes provably identical). */
+  private val ivfStoreProbe = Q(
+    "q146_ivf_store_probe",
+    (s, d) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q146-ivfstore-").toString
+      val e = T.embeddings(s, d)
+        .filter(size($"embedding") === Dim)
+        .select($"vec_id", $"embedding")
+      try {
+        val seed = e.filter($"vec_id" % 2 === 0)
+        graft.operators.IvfStore.init(seed, "vec_id", "embedding", root,
+          k = 8, iters = 3)
+        graft.operators.IvfStore.append(seed, root, "day-1")
+        graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 1),
+          root, "day-2")
+        val qRows = e.filter($"vec_id" % 50 === 0).collect()
+        require(qRows.length <= 100000,
+          s"q146 query batch has ${qRows.length} vectors — the driver-side " +
+            "probe shape is for small request batches; shard the query set")
+        val queries = qRows.map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
+        graft.operators.IvfStore.probe(s, root, "vec_id", "embedding",
+          queries, nprobe = 8, topK = 5)
+          .localCheckpoint() // materialize before the root vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    },
+    Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        WHERE len(embedding) = $Dim),
+      q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
+      sc AS (SELECT q.qid, e.vec_id,
+        list_sum(list_transform(range($Dim), i ->
+          (CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE))
+          * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(q.qe[i+1] AS DOUBLE)))) AS dist2
+        FROM e CROSS JOIN q)
+      SELECT qid, vec_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) rank FROM sc)
+      WHERE rank <= 5"""))
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
-    annRecall, quantizedRecall)
+    annRecall, quantizedRecall, ivfStoreProbe)
 }
