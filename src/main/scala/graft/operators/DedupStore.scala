@@ -69,7 +69,7 @@ object DedupStore {
     * replaced days — at no instant does a reader see fewer (or
     * doubled) rows. Normal ingests must not use the prefix
     * ([[requireDay]] rejects it). */
-  private val MergedPrefix = "merged-"
+  private val MergedPrefix = MarkerProtocol.MergedPrefix
 
   private def fc(spark: SparkSession, root: String) =
     FileContext.getFileContext(
@@ -78,26 +78,14 @@ object DedupStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def readMarker(f: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
-    val in = f.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8")
-      .getLines().map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
-  }
+  private def readMarker(f: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] =
+    MarkerProtocol.readMarker(f, p)
 
-  /** (all marker names, the subset replaced by committed compactions). */
+  /** (all marker names, the subset replaced by committed compactions)
+    * — delegates to the [[MarkerProtocol]] shared copy (round 12). */
   private def markerState(f: org.apache.hadoop.fs.FileSystem,
-      root: String): (Seq[String], Set[String]) = {
-    val d = new Path(root, MarkerDir)
-    if (!f.exists(d)) (Nil, Set.empty)
-    else {
-      val names = f.listStatus(d).toSeq.map(_.getPath.getName)
-        .filterNot(_.startsWith("."))
-      val replaced = names.filter(_.startsWith(MergedPrefix))
-        .flatMap(m => readMarker(f, new Path(d, m))).toSet
-      (names, replaced)
-    }
-  }
+      root: String): (Seq[String], Set[String]) =
+    MarkerProtocol.markerState(f, new Path(root, MarkerDir))
 
   /** Days whose marker committed, sorted — EXCLUDING days a committed
     * `merged-*` compaction marker has replaced (their rows live in the

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import org.apache.hadoop.fs.Path
@@ -34,12 +34,16 @@ import org.apache.hadoop.fs.Path
   *    cell assignment: probes would prune by new-centroid geometry
   *    against old-centroid partitions). Distribution DRIFT therefore
   *    degrades recall over time (new-regime vectors crowd into few
-  *    cells); the maintenance story is a periodic REBUILD into a
+  *    cells); [[driftReport]] (round 12) measures it — per-day mean
+  *    assignment dist² vs the init-time seed baseline — so the
+  *    maintenance story fires on EVIDENCE: a periodic REBUILD into a
   *    FRESH root ([[init]] + re-append, or [[IvfIndex.build]]) —
   *    which also re-trains the centroids — and a consumer-side root
   *    swap (the SnapshotStore pointer pattern), never in-place
-  *    mutation. The same rebuild is the small-files compaction story
-  *    (one dir per day×cell accumulates at daily cadence).
+  *    mutation. Small files are handled separately: [[compact]]
+  *    (round 12) folds aged days into cell-partitioned merged
+  *    pseudo-days under the DedupStore tiered protocol, so the
+  *    day×cell dir count stays bounded without touching geometry.
   *  - Idempotent re-append: the day's prior partitions are cleared
   *    first (the [[DedupStore]] commitDay discipline — dynamic
   *    overwrite only replaces partitions PRESENT in the incoming
@@ -72,12 +76,49 @@ import org.apache.hadoop.fs.Path
 object IvfStore {
 
   private val MarkerDir = "_committed"
+  private val MergedPrefix = MarkerProtocol.MergedPrefix
+
+  /** Seed-assignment baseline for [[driftReport]], committed at
+    * [[init]]: "meanDist2 n" of the usable seed rows against the
+    * freshly-trained centroids. */
+  private val SeedStats = "_SEED_STATS.txt"
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The store's data files (one glob; also the committed-but-empty
+    * sentinel for [[probe]]). */
+  private def leafFiles(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Seq[org.apache.hadoop.fs.FileStatus] =
+    Option(f.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
+      .map(_.toSeq).getOrElse(Nil)
+
+  /** Committed cells under an EXPLICIT schema — id/vec data schema
+    * from one leaf file, partition columns pinned to (dt: string,
+    * cell: int). Partition-type INFERENCE must never run here: a
+    * store of date-shaped day names would infer a DateType `dt`
+    * (breaking marker-name comparisons — the [[DedupStore]] fsckDeep
+    * rule), and the type would FLIP to string the day a `merged-*`
+    * pseudo-day commits. Explicit partition columns still prune at
+    * the file index. */
+  private def cellsFrame(spark: SparkSession, root: String,
+      leaf: Path, days: Seq[String]): DataFrame = {
+    val schema = spark.read.parquet(leaf.toString).schema
+      .add("dt", org.apache.spark.sql.types.StringType)
+      .add("cell", org.apache.spark.sql.types.IntegerType)
+    spark.read.schema(schema).parquet(s"$root/cells")
+      .filter(col("dt").isin(days: _*))
+  }
 
   /** Train the frozen centroid set on `seed` and commit it. Writes NO
     * vectors — follow with [[append]] (the seed day included, if its
     * rows belong in the index). Refuses an already-initialized root
     * (see the centroid-freeze contract above). Returns the model with
-    * its SSE trace. */
+    * its SSE trace.
+    *
+    * Also commits the seed-assignment baseline (mean dist² of the
+    * usable seed rows — one extra assignment pass, init-time only)
+    * that [[driftReport]] compares every committed day against. */
   def init(seed: DataFrame, idCol: String, vecCol: String, root: String,
       k: Int, iters: Int = 5): KMeans.Model = {
     val spark = seed.sparkSession
@@ -88,17 +129,35 @@ object IvfStore {
         "silently invalidate every stored cell assignment — rebuild into a " +
         "FRESH root and swap consumers")
     val model = KMeans.train(seed, idCol, vecCol, k, iters)
+    val st = KMeans.assign(seed, model.centroids, vecCol)
+      .agg(avg(col("dist2")), count(lit(1))).collect()(0)
+    val conf = spark.sparkContext.hadoopConfiguration
+    MarkerProtocol.atomicMarker(conf, new Path(root), SeedStats,
+      s"${if (st.isNullAt(0)) 0.0 else st.getDouble(0)} ${st.getLong(1)}")
     IvfIndex.commitCentroids(spark, root, model.centroids)
     model
   }
 
-  /** Days whose marker committed, sorted. */
+  /** The init-time seed baseline (mean assignment dist², seed row
+    * count), or None for a store initialized before the feature. */
+  def seedStats(spark: SparkSession, root: String): Option[(Double, Long)] = {
+    val p = new Path(root, SeedStats)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else MarkerProtocol.readMarker(f, p).headOption.map { line =>
+      val parts = line.split("\\s+")
+      (parts(0).toDouble, parts(1).toLong)
+    }
+  }
+
+  /** Days whose marker committed, sorted — EXCLUDING days a committed
+    * `merged-*` compaction marker has replaced (their rows live in
+    * the merged partition — [[DedupStore.committedDays]]' rule) and
+    * INCLUDING committed merged pseudo-days. */
   def committedDays(spark: SparkSession, root: String): Seq[String] = {
-    val d = new Path(root, MarkerDir)
-    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d)) Nil
-    else fs.listStatus(d).toSeq.map(_.getPath.getName)
-      .filterNot(_.startsWith(".")).sorted
+    val (names, replaced) =
+      MarkerProtocol.markerState(fs(spark, root), new Path(root, MarkerDir))
+    names.filterNot(replaced).sorted
   }
 
   /** Assign `delta` against the frozen centroids and commit it as
@@ -106,8 +165,23 @@ object IvfStore {
   def append(delta: DataFrame, root: String, day: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     MarkerProtocol.requireDayName(day)
+    require(!day.startsWith(MergedPrefix),
+      s"'$MergedPrefix' is reserved for compaction markers, got '$day'")
     val spark = delta.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
+    // a day a committed compaction already folded can no longer be
+    // re-appended: its rows live in the merged partition, so the
+    // re-append would commit a SECOND copy under the day name and
+    // probes would double-count every duplicated vector (the
+    // DedupStore requireNotCompacted rule, double-count flavor)
+    val (_, replaced) =
+      MarkerProtocol.markerState(fs(spark, root), new Path(root, MarkerDir))
+    if (replaced.contains(day)) throw new IllegalStateException(
+      s"day '$day' of IVF store '$root' was already folded into a " +
+        "compacted partition; re-appending it would duplicate its vectors " +
+        "in every probe. Re-append is only supported inside compact()'s " +
+        "keepDays retention window — size keepDays to cover the longest " +
+        "replay horizon, or rebuild into a fresh root.")
     val cents = IvfIndex.open(spark, root) // refuses an uninitialized root
     // RE-APPEND crash discipline (round 12): retract the day's marker
     // BEFORE touching its partitions. A re-append clears + rewrites
@@ -146,14 +220,172 @@ object IvfStore {
     // loud guard for the committed-but-empty store (every appended row
     // unusable/empty): a bare parquet read over zero data files dies
     // in schema inference with a message that points nowhere
-    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val anyData = Option(
-      fs.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
-      .exists(_.nonEmpty)
-    require(anyData, s"store at $root has committed days but no indexed " +
-      "vectors (every appended row was empty or unusable) — nothing to probe")
-    val cells = spark.read.parquet(s"$root/cells")
-      .filter(col("dt").isin(days: _*))
+    val leaves = leafFiles(fs(spark, root), root)
+    require(leaves.nonEmpty, s"store at $root has committed days but no " +
+      "indexed vectors (every appended row was empty or unusable) — nothing to probe")
+    val cells = cellsFrame(spark, root, leaves.head.getPath, days)
     IvfIndex.probeCells(cells, idCol, vecCol, queries, cents, nprobe, topK)
+  }
+
+  /** What a [[compact]] run did: the committed merged pseudo-day (None
+    * when nothing qualified), how many days it folded, and the
+    * `cells/dt=*` day-dir count before/after (the small-files metric
+    * the pass exists to bound — per-day×cell dirs are the
+    * accumulator). */
+  case class CompactionReport(mergedDay: Option[String], foldedDays: Int,
+      dayDirsBefore: Int, dayDirsAfter: Int)
+
+  /** COMPACTION + retention for the IVF root — [[DedupStore.compact]]'s
+    * tiered protocol applied to the `cells` table, closing the
+    * small-files accumulator this store's own scaladoc warned about
+    * (one dir per day×cell at daily cadence ≈ 93k dirs/year at
+    * k=256): fold all committed real days older than the most recent
+    * `keepDays` into ONE merged pseudo-day that keeps the `cell`
+    * partitioning (probes must still prune unprobed cells at the
+    * file index — a flat merged dir would turn every probe into a
+    * full archive scan). Per cell the merged partition holds
+    * ⌈bytes/(k·targetFileBytes)⌉ files, id-hash-salted so a hot cell
+    * still splits.
+    *
+    * Protocol, verbatim from [[DedupStore.compact]]: merged partition
+    * written as uncommitted debris → ONE atomic marker whose content
+    * lists the replaced days TRANSITIVELY (so two-generation folds
+    * keep protecting inner days) → sweep deferred to the START of the
+    * next run (reader grace period). Tier policy via
+    * `graft.store.maxMergedParts` (default 4): a run folds only the
+    * newly-aged days until the merged tier would exceed the bound,
+    * then folds the tier too — O(archive/maxMergedParts) amortized
+    * churn. Re-appending a folded day refuses loudly ([[append]]).
+    * Centroids are untouched — compaction moves bytes, never
+    * geometry; [[driftReport]] is the evidence feed for the separate
+    * fresh-root REBUILD decision. */
+  def compact(spark: SparkSession, root: String, keepDays: Int = 7,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    require(keepDays >= 0, "keepDays must be >= 0")
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    sweepReplaced(f, root) // heal a prior crash between commit and sweep
+    def dayDirs(): Int =
+      Option(f.globStatus(new Path(s"$root/cells/dt=*")))
+        .map(_.length).getOrElse(0)
+    val before = dayDirs()
+    val all = committedDays(spark, root)
+    val (alreadyMerged, realDays) = all.partition(_.startsWith(MergedPrefix))
+    val newOld = realDays.dropRight(keepDays)
+    val maxMergedParts = spark.conf.getOption("graft.store.maxMergedParts")
+      .map(_.toInt).getOrElse(4)
+    require(maxMergedParts >= 1, "graft.store.maxMergedParts must be >= 1")
+    val mergeDays =
+      if (alreadyMerged.size + 1 > maxMergedParts) alreadyMerged ++ newOld
+      else newOld
+    if (mergeDays.size < 2 || newOld.isEmpty)
+      return CompactionReport(None, 0, before, before)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(mergeDays.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val mergedDay = s"$MergedPrefix${mergeDays.size}d-$digest"
+    val outDir = new Path(s"$root/cells/dt=$mergedDay")
+    f.delete(outDir, true): Unit // debris from a crashed prior attempt
+    val srcDirs = mergeDays.map(dd => new Path(s"$root/cells/dt=$dd"))
+      .filter(dd => Option(f.globStatus(new Path(dd, "cell=*/part-*")))
+        .exists(_.nonEmpty))
+    if (srcDirs.nonEmpty) {
+      val k = IvfIndex.open(spark, root).size
+      val leaves = srcDirs.flatMap(dd =>
+        f.globStatus(new Path(dd, "cell=*/part-*")).toSeq)
+      val bytes = leaves.map(_.getLen).sum
+      val filesPerCell = math.max(1L,
+        math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong).toInt
+      // explicit schema (see [[cellsFrame]] — no partition inference);
+      // basePath keeps the cell partition column in the multi-dir read
+      val schema = spark.read.parquet(leaves.head.getPath.toString).schema
+        .add("dt", org.apache.spark.sql.types.StringType)
+        .add("cell", org.apache.spark.sql.types.IntegerType)
+      val merged = spark.read.schema(schema)
+        .option("basePath", s"$root/cells")
+        .parquet(srcDirs.map(_.toString): _*)
+        .drop("dt")
+      // first data column is the id by [[append]]'s write order — the
+      // salt spreads a hot cell over filesPerCell files
+      val idName = merged.schema.fieldNames.head
+      merged
+        .repartition(k * filesPerCell, col("cell"),
+          pmod(xxhash64(col(idName)), lit(filesPerCell)))
+        .write.partitionBy("cell").parquet(outDir.toString)
+    }
+    val content = mergeDays.flatMap { dd =>
+      if (dd.startsWith(MergedPrefix))
+        dd +: MarkerProtocol.readMarker(f, new Path(s"$root/$MarkerDir", dd))
+      else Seq(dd)
+    }.distinct
+    MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), mergedDay,
+      content.mkString("\n") + "\n")
+    CompactionReport(Some(mergedDay), mergeDays.size, before, dayDirs())
+  }
+
+  /** GC of days replaced by a COMMITTED compaction marker plus
+    * `dt=merged-*` debris whose marker never committed — readers
+    * already ignore all of it. Runs only at the start of [[compact]]
+    * (the grace-period rule its scaladoc explains). */
+  private def sweepReplaced(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val markerDir = new Path(root, MarkerDir)
+    val (names, replaced) = MarkerProtocol.markerState(f, markerDir)
+    replaced.foreach { dd =>
+      f.delete(new Path(s"$root/cells/dt=$dd"), true)
+      f.delete(new Path(markerDir, dd), false)
+    }
+    Option(f.globStatus(new Path(s"$root/cells/dt=$MergedPrefix*")))
+      .getOrElse(Array.empty)
+      .map(_.getPath.getName.stripPrefix("dt="))
+      .filterNot(names.contains)
+      .foreach(dd => f.delete(new Path(s"$root/cells/dt=$dd"), true))
+  }
+
+  /** DRIFT MONITOR — the evidence feed for the fresh-root rebuild
+    * decision the store contract leaves to the operator: per
+    * committed day (merged pseudo-days included), the count and mean
+    * squared distance of stored vectors to their assigned FROZEN
+    * centroid, against the init-time seed baseline. A distribution
+    * that drifted away from the training regime crowds new vectors
+    * far from every centroid — mean dist² rises and probe recall at
+    * fixed nprobe decays. `drift_ratio` ≈ 1 means the day looks like
+    * the seed; a sustained ratio ≫ 1 (2–3× is a reasonable alarm
+    * line) on RECENT days is the rebuild trigger — fire on evidence,
+    * not folklore. One full scan of the committed cells (maintenance
+    * cadence, like [[DedupStore.fsck]] deep); the k·d centroid
+    * literal travels in the plan, distances are row-local codegen'd
+    * HOFs, the exchange carries one row per day.
+    *
+    * Output: (dt, n, mean_dist2, seed_mean_dist2, drift_ratio),
+    * dt-sorted; baseline columns are NULL for stores initialized
+    * before the baseline existed (re-init into a fresh root records
+    * one). */
+  def driftReport(spark: SparkSession, root: String,
+      vecCol: String = "embedding"): DataFrame = {
+    val cents = IvfIndex.open(spark, root)
+    val days = committedDays(spark, root)
+    require(days.nonEmpty,
+      s"no committed days at $root — nothing to audit for drift")
+    val centArr = array(cents.map(c => lit(c)): _*)
+    val d2 = aggregate(
+      zip_with(col(vecCol), element_at(centArr, col("cell") + 1),
+        (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
+      lit(0.0), (acc, x) => acc + x)
+    val base: Column = seedStats(spark, root) match {
+      case Some((m, _)) => lit(m)
+      case None => lit(null).cast("double")
+    }
+    val leaves = leafFiles(fs(spark, root), root)
+    require(leaves.nonEmpty, s"store at $root has committed days but no " +
+      "indexed vectors — nothing to audit for drift")
+    cellsFrame(spark, root, leaves.head.getPath, days)
+      .groupBy(col("dt"))
+      .agg(count(lit(1)).as("n"), avg(d2).as("mean_dist2"))
+      .withColumn("seed_mean_dist2", base)
+      .withColumn("drift_ratio",
+        when(col("seed_mean_dist2") > 0,
+          col("mean_dist2") / col("seed_mean_dist2")))
+      .orderBy(col("dt"))
   }
 }

@@ -12,6 +12,35 @@ import org.apache.hadoop.fs.{FileContext, Options, Path}
   * step. */
 private[operators] object MarkerProtocol {
 
+  /** Reserved prefix for COMPACTION markers (the [[DedupStore]]
+    * protocol, shared by [[IvfStore.compact]] since round 12): a
+    * `merged-*` marker commits like a day marker but its CONTENT
+    * lists the day names it replaces, so one atomic rename
+    * simultaneously commits the merged partition and un-commits the
+    * replaced days. */
+  val MergedPrefix = "merged-"
+
+  /** The newline-separated day names a marker's content lists. */
+  def readMarker(fs: org.apache.hadoop.fs.FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8")
+      .getLines().map(_.trim).filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** (all marker names under `markerDir`, the subset replaced by
+    * committed `merged-*` compaction markers). */
+  def markerState(fs: org.apache.hadoop.fs.FileSystem,
+      markerDir: Path): (Seq[String], Set[String]) =
+    if (!fs.exists(markerDir)) (Nil, Set.empty)
+    else {
+      val names = fs.listStatus(markerDir).toSeq.map(_.getPath.getName)
+        .filterNot(_.startsWith("."))
+      val replaced = names.filter(_.startsWith(MergedPrefix))
+        .flatMap(m => readMarker(fs, new Path(markerDir, m))).toSet
+      (names, replaced)
+    }
+
   /** Marker names double as literal `dt=<day>` partition paths and
     * delete targets, so the character set must round-trip untouched
     * through path encoding; dot-led names collide with the tmp

@@ -1,0 +1,133 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfStore, KMeans}
+
+/** [[IvfStore.compact]] + [[IvfStore.driftReport]] — the round-12
+  * maintenance story for the IVF root: daily appends create one dir
+  * per day×cell (the small-files accumulator); tiered compaction must
+  * bound the day-dir count over a long feed WITHOUT changing a single
+  * probe result, refuse re-appends of folded days, and keep the cell
+  * partitioning (probes still prune). The drift report is the
+  * evidence feed for the fresh-root rebuild decision: same-regime
+  * days sit at ratio ≈ 1, an off-regime day stands out. */
+class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
+
+  private val rnd = new scala.util.Random(17)
+  private def around(cx: Double*): Array[Double] =
+    cx.toArray.map(_ + rnd.nextGaussian() * 0.3)
+  private val centers =
+    Seq(Seq(10.0, 0, 0, 0), Seq(0.0, 10, 0, 0), Seq(0.0, 0, 10, 0))
+
+  private def vecs(rows: Seq[(Long, Array[Double])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+  private def mkRows(ids: Range): Seq[(Long, Array[Double])] =
+    ids.map(i => i.toLong -> around(centers(i % 3): _*))
+
+  private def hfs =
+    new Path("/").getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dayDirs(root: String): Seq[String] =
+    Option(hfs.globStatus(new Path(s"$root/cells/dt=*")))
+      .getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName.stripPrefix("dt="))
+
+  private def probeAll(root: String, qs: Seq[(Long, Array[Double])]) =
+    IvfStore.probe(spark, root, "vec_id", "embedding", qs,
+      nprobe = 99, topK = 7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(x => (x._1, x._4)).toSeq
+
+  test("30-day feed: tiered compaction bounds day dirs; probes identical before/after; folded-day re-append refuses") {
+    val root = Files.createTempDirectory("ivfst-comp").toString
+    val days = (1 to 30).map(d =>
+      f"2024-06-$d%02d" -> mkRows(d * 100 until d * 100 + 6))
+    IvfStore.init(vecs(days.head._2), "vec_id", "embedding", root,
+      k = 3, iters = 3)
+    val queries = Seq(9001L -> centers(0).toArray, 9002L -> centers(2).toArray)
+
+    // daily cadence with maintenance every 10 days
+    val keep = 5
+    var reports = List.empty[IvfStore.CompactionReport]
+    days.zipWithIndex.foreach { case ((day, rows), i) =>
+      IvfStore.append(vecs(rows), root, day)
+      if ((i + 1) % 10 == 0)
+        reports ::= IvfStore.compact(spark, root, keepDays = keep)
+    }
+    assert(reports.exists(r => r.mergedDay.isDefined && r.foldedDays >= 2),
+      s"no maintenance run folded anything: $reports")
+    val expected = probeAll(root, queries) // current committed answer
+
+    IvfStore.compact(spark, root, keepDays = keep) // sweeps the replaced tail
+
+    // the small-files bound: keepDays real days + <= maxMergedParts
+    // merged partitions on disk once the sweep ran
+    val maxMergedParts = 4
+    val onDisk = dayDirs(root)
+    assert(onDisk.size <= keep + maxMergedParts,
+      s"day dirs not bounded: ${onDisk.sorted}")
+    val committed = IvfStore.committedDays(spark, root)
+    assert(committed.count(!_.startsWith("merged-")) == keep)
+    assert(committed.count(_.startsWith("merged-")) <= maxMergedParts)
+
+    // compaction moved bytes, not semantics: bit-identical full probe
+    assert(probeAll(root, queries) === expected,
+      "compaction changed a probe result")
+
+    // the merged partition keeps the cell partitioning (probes prune)
+    val merged = committed.find(_.startsWith("merged-")).get
+    assert(Option(hfs.globStatus(new Path(s"$root/cells/dt=$merged/cell=*")))
+      .exists(_.nonEmpty), "merged day lost its cell partitioning")
+
+    // a folded day is out of the re-append contract — loud refusal
+    val folded = days.map(_._1).head
+    assert(!committed.contains(folded))
+    val e = intercept[IllegalStateException] {
+      IvfStore.append(vecs(mkRows(0 until 3)), root, folded)
+    }
+    assert(e.getMessage.contains("folded"), e.getMessage)
+
+    // still-windowed days keep the normal re-append path
+    IvfStore.append(vecs(days.last._2), root, days.last._1)
+    assert(probeAll(root, queries) === expected, "windowed re-append changed results")
+  }
+
+  test("driftReport: same-regime days at ratio ~1, an off-regime day stands out; pre-baseline stores degrade to null") {
+    val root = Files.createTempDirectory("ivfst-drift").toString
+    val seed = mkRows(0 until 60)
+    IvfStore.init(vecs(seed), "vec_id", "embedding", root, k = 3, iters = 4)
+    assert(IvfStore.seedStats(spark, root).exists(_._2 == 60L))
+
+    IvfStore.append(vecs(mkRows(100 until 160)), root, "2024-06-01")
+    // day 2 drifts: a regime the frozen centroids never saw
+    val shifted = (200 until 260).map(i =>
+      i.toLong -> around(35.0, 35.0, 35.0, 35.0))
+    IvfStore.append(vecs(shifted), root, "2024-06-02")
+
+    val rep = IvfStore.driftReport(spark, root).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    val (n1, _, ratio1) = rep("2024-06-01")
+    val (n2, _, ratio2) = rep("2024-06-02")
+    assert(n1 == 60L && n2 == 60L)
+    assert(ratio1 < 2.0, s"same-regime day should sit near the baseline, got $ratio1")
+    assert(ratio2 > 5.0 && ratio2 > 10 * ratio1,
+      s"drifted day must stand out: day1=$ratio1 day2=$ratio2")
+
+    // a store initialized before the baseline existed: report still
+    // runs, baseline columns null (no false alarm, no crash)
+    assert(hfs.delete(new Path(s"$root/_SEED_STATS.txt"), false))
+    val legacy = IvfStore.driftReport(spark, root).collect()
+    assert(legacy.forall(r => r.isNullAt(3) && r.isNullAt(4)),
+      "pre-baseline store must yield null baseline/ratio")
+  }
+}
