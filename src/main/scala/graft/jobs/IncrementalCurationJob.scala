@@ -96,7 +96,8 @@ object IncrementalCurationJob {
       cfg: CurationJob.Config = CurationJob.Config(),
       containT: Double = IncrementalContainment.DefaultT,
       compactEvery: Int = 64, keepDays: Int = 7,
-      embeddingCol: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      embeddingCol: Option[String] = None,
+      ivfRoot: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     requireNoLegacyBatchDays(docs.sparkSession,
       (Seq("exact", "near", "contain") ++ embeddingCol.map(_ => "cos"))
         .map(s0 => s"$root/$s0"))
@@ -105,7 +106,7 @@ object IncrementalCurationJob {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
-          stats = false, embeddingCol = embeddingCol)
+          stats = false, embeddingCol = embeddingCol, ivfRoot = ivfRoot)
         maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays)
       }
       .start()
@@ -263,6 +264,24 @@ object IncrementalCurationJob {
     * every upstream kill shrinks its banding work); rows with a NULL
     * or zero-norm embedding pass the stage untouched.
     *
+    * `ivfRoot` (round 12) makes the curated output ANN-SERVABLE
+    * without a separate indexing job: the day's SURVIVING vectors
+    * co-append to an [[graft.operators.IvfStore]] root under the same
+    * day name (requires `embeddingCol`; the root must have been
+    * [[graft.operators.IvfStore.init]]'d by the caller — frozen
+    * centroids are a training decision, not a side effect of
+    * ingestion). The append is row-local assignment (no shuffle) over
+    * the already-cached curated frame. Crash recovery across the TWO
+    * marker namespaces is the store protocol composed: a crash after
+    * the cos commit but before the IVF marker leaves the day
+    * ANN-invisible, and the re-run converges — every dedup re-ingest
+    * is idempotent and [[graft.operators.IvfStore.append]] clears the
+    * day before rewriting. Maintain the IVF root with
+    * [[graft.operators.IvfStore.compact]]/
+    * [[graft.operators.IvfStore.driftReport]] (it is deliberately NOT
+    * in [[compactStores]]' dedup list — its retention trades off
+    * against probe SLAs, not re-ingest windows alone).
+    *
     * Report/manifest accounting under composition: `curated` is
     * always the FINAL export count; `afterContain` carries the
     * post-containment count whenever any later stage runs (-1
@@ -277,10 +296,13 @@ object IncrementalCurationJob {
       payloadCol: Option[String] = None,
       payloadDecoder: Option[graft.ops.PayloadDecoder] = None,
       embeddingCol: Option[String] = None,
-      cosineT: Double = 0.9): Report = {
+      cosineT: Double = 0.9,
+      ivfRoot: Option[String] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
+    require(ivfRoot.isEmpty || embeddingCol.isDefined,
+      "ivfRoot needs embeddingCol — there is no vector column to index")
 
     val afterQuality = delta.filter(CurationJob.qualityPredicate(cfg))
     // retainCache: each ingest materializes its survivors for its own
@@ -307,6 +329,12 @@ object IncrementalCurationJob {
         retainCache = true)
     }
     try {
+      // ANN co-append first (see the ivfRoot contract above): a crash
+      // anywhere later leaves the IVF day committed but the export
+      // manifest absent — the re-run re-appends idempotently
+      for (ec <- embeddingCol; ir <- ivfRoot)
+        graft.operators.IvfStore.append(curated, ir, day,
+          idCol = "doc_id", vecCol = ec)
       val outDir = s"$root/out/dt=$day"
       // re-runs may pack FEWER shards than a prior attempt; clear the
       // day dir so stale higher-numbered parts can't survive the

@@ -258,6 +258,78 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
       s"archived vector must suppress the d3 twin: $r3")
   }
 
+  test("ivfRoot: survivors are probe-visible same-day, cos-cut twins never index, crash across the two markers recovers") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("icur-ivf").toString
+    val ivf = s"$root/ivf"
+    val rnd = new scala.util.Random(29)
+    def vec(): Array[Float] = Array.fill(32)(rnd.nextGaussian().toFloat)
+    def vtwin(v: Array[Float]): Array[Float] = {
+      val t = v.clone(); t(0) = t(0) + 0.3f; t
+    }
+    val vecA = vec(); val vecB = vec()
+    def rows(rs: (Long, String, Array[Float])*): DataFrame =
+      rs.toSeq.toDF("doc_id", "text", "embedding")
+
+    // frozen centroids are a TRAINING decision — the caller inits; an
+    // uninitialized root refuses at the first ingest, and ivfRoot
+    // without a vector column refuses immediately
+    intercept[IllegalArgumentException] {
+      IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "dx",
+        ivfRoot = Some(ivf))
+    }
+    graft.operators.IvfStore.init(
+      rows((900L, "seed", vecA), (901L, "seed", vecB),
+        (902L, "seed", vec())).drop("text").toDF(),
+      "doc_id", "embedding", ivf, k = 2, iters = 2)
+
+    def probeIds(): Set[Long] =
+      graft.operators.IvfStore.probe(spark, ivf, "doc_id", "embedding",
+        Seq(7L -> vecA.map(_.toDouble)), nprobe = 99, topK = 50)
+        .collect().map(_.getLong(1)).toSet
+
+    val r1 = IncrementalCurationJob.ingestDay(
+      rows((1L, archived, vecA), (2L, other, vecB)),
+      root, "d1", embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+    assert(r1.curated === 2)
+    assert(graft.operators.IvfStore.committedDays(spark, ivf) === Seq("d1"))
+    assert(probeIds() === Set(1L, 2L),
+      "day-1 survivors must be ANN-servable the moment the day commits")
+
+    // day 2: 12's vector is a cosine twin of ARCHIVED vecA — the cos
+    // stage cuts it, so it must never reach the index; 14 is fresh
+    val day2 = rows(
+      (12L, "semantically identical coverage of the archived story rewritten word for word", vtwin(vecA)),
+      (14L, "a brand new unique document about gardening tulips and rich soil beds", vec()))
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+    assert(r2.curated === 1, s"cos twin must be cut: $r2")
+    assert(probeIds() === Set(1L, 2L, 14L),
+      "exactly the curated survivors are indexed — never the cos-cut twin")
+
+    // crash image ACROSS the two marker namespaces: the cos store's d2
+    // committed, the IVF day marker did not (IvfStore.append retracts
+    // it first) — the day is ANN-invisible, not half-indexed
+    val hfs = new org.apache.hadoop.fs.Path(ivf)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$ivf/_committed/d2"), false))
+    assert(probeIds() === Set(1L, 2L), "uncommitted IVF day must be invisible")
+    assert(graft.operators.DedupStore.committedDays(spark, s"$root/cos")
+      === Seq("d1", "d2"), "the cos store's own commit is untouched")
+
+    // the documented recovery: re-run the day — every dedup re-ingest
+    // converges and the IVF re-append rewrites the day exactly once
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+    assert(r2again === r2)
+    assert(probeIds() === Set(1L, 2L, 14L))
+    val stored = spark.read.parquet(s"$ivf/cells")
+      .select($"doc_id").as[Long].collect().toSeq
+    assert(stored.size === stored.distinct.size,
+      s"recovered day must hold each vector exactly once: $stored")
+  }
+
   test("re-running a committed day converges to identical output") {
     val root = Files.createTempDirectory("icur3").toString
     IncrementalCurationJob.ingestDay(docs(1L -> archived), root, "d1")
