@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -246,6 +246,25 @@ object StreamingOps {
     * after `.start()`ing this one.
     *
     * Returns (idCol, ts) of retained docs. */
+  /** The chained-stateful-operator checker disable both banded
+    * detectors need — safe for THESE chains (every verdict inherits
+    * its input row's event time and batch, so the downstream agg sees
+    * a plain windowed-agg lateness profile), loudly recorded because
+    * the conf is session-wide and Spark offers no per-query scope. */
+  private def disableChainedStatefulCheck(s: SparkSession, what: String): Unit = {
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prior = s.conf.getOption(checkKey)
+    if (!prior.contains("false")) {
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"$what: disabling $checkKey SESSION-WIDE " +
+        s"(was ${prior.getOrElse("unset/true")}) — this chain is safe " +
+        "(verdicts inherit input event time), but other streaming " +
+        "queries in this session lose the check; re-enable it after " +
+        ".start()ing this query if they rely on it")
+    }
+    s.conf.set(checkKey, "false")
+  }
+
   def nearDedupStreamBanded(docs: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", watermark: String = "30 minutes",
       verdictWindow: String = "1 minute", ownersPerBucket: Int = 4): DataFrame = {
@@ -253,20 +272,7 @@ object StreamingOps {
     val s = docs.sparkSession
     graft.GraftExtensions.ensureRegistered(s)
     import s.implicits._
-    // safe here — see scaladoc (verdicts inherit their input's event
-    // time and batch, so downstream lateness = plain windowed agg);
-    // loudly recorded because the conf is session-wide
-    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
-    val prior = s.conf.getOption(checkKey)
-    if (!prior.contains("false")) {
-      org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"nearDedupStreamBanded: disabling $checkKey SESSION-WIDE " +
-        s"(was ${prior.getOrElse("unset/true")}) — this chain is safe " +
-        "(verdicts inherit input event time), but other streaming " +
-        "queries in this session lose the check; re-enable it after " +
-        ".start()ing this query if they rely on it")
-    }
-    s.conf.set(checkKey, "false")
+    disableChainedStatefulCheck(s, "nearDedupStreamBanded")
     val wmMs = durationMs(watermark)
     val base = docs
       .withColumn("__kind",
@@ -303,6 +309,130 @@ object StreamingOps {
           }
       }
     verdicts.toDF()
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), verdictWindow), col("docId"))
+      .agg(max(when(col("suppressed"), 1).otherwise(0)).as("sup"),
+        max(col("ts")).as("doc_ts"))
+      .filter(col("sup") === 0)
+      .select(col("docId").as(idCol), col("doc_ts").as("ts"))
+  }
+
+  final case class CosProbe(docId: Long, t: Int, bucket: Long,
+      vec: Seq[Float], ts: java.sql.Timestamp)
+  final case class CosVerdict(docId: Long, suppressed: Boolean,
+      ts: java.sql.Timestamp)
+  final case class CosBucketOwners(vecs: List[Seq[Float]])
+
+  /** One cosine bucket's fold step, pure for spec-ability — the
+    * [[foldBucket]] shape with exact-cosine verification: probe
+    * vectors arrive L2-NORMALIZED, so the verify is one dot product
+    * against each ring owner (≥ `minCos` ⇒ suppressed); a
+    * chance-bucket collision below the threshold claims a ring slot
+    * of its own (oldest evicted past `cap`). Length-mismatched owners
+    * never match (a dimension drift can't NaN the fold). */
+  private[graft] def foldCosBucket(owners0: List[Seq[Float]],
+      probes: Seq[CosProbe], cap: Int,
+      minCos: Double): (List[Seq[Float]], Vector[CosVerdict]) = {
+    def dot(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    var owners = owners0
+    val out = probes.iterator.map { p =>
+      if (owners.exists(o => o.length == p.vec.length && dot(o, p.vec) >= minCos))
+        CosVerdict(p.docId, suppressed = true, p.ts)
+      else {
+        owners = (p.vec :: owners).take(cap)
+        CosVerdict(p.docId, suppressed = false, p.ts)
+      }
+    }.toVector
+    (owners, out)
+  }
+
+  /** STREAMING SEMANTIC near-dedup — [[nearDedupStreamBanded]]'s
+    * embedding twin, and the watermark-bounded form of
+    * [[graft.operators.DedupStore.ingestCosine]]'s suppression rule
+    * (q144's discipline): a vector within cosine ≥ `minCos` of an
+    * earlier-arrived vector inside the watermark horizon is
+    * suppressed, the SemDeDup cut the byte/shingle streams cannot
+    * make. Candidates come from the SAME conf-driven SRP banding as
+    * the batch family (`graft.cos.tables` × `graft.cos.bits`-bit
+    * buckets, 'cos' salt — stream and store agree on geometry, so a
+    * conf sized by the batch miss-budget math serves both); each
+    * (table, bucket) keyed state holds a FIFO ring of up to
+    * `ownersPerBucket` L2-normalized claimant vectors, and the verify
+    * is EXACT cosine against the ring ([[foldCosBucket]]) — a chance
+    * bucket collision never suppresses. Verdicts fold back per doc
+    * through the same watermark-bounded tumbling window as the banded
+    * detector (any bucket says suppress ⇒ suppressed; the safe
+    * chained-stateful shape documented there).
+    *
+    * Recall envelope is q144's, NOT the phash family's pigeonhole
+    * bound: SRP collision is probabilistic per pair (miss-all-tables
+    * ≈ (1 − pᵇⁱᵗˢ)ᵗᵃᵇˡᵉˢ, executable via the batch family's
+    * cosExpectedMisses) — size the conf pair for the corpus, exactly
+    * as the store ingest documents. Additionally FIFO-bounded like
+    * every ring detector: a twin of an EVICTED owner passes
+    * (ownersPerBucket is the depth/memory trade).
+    *
+    * Rows with a NULL, zero-norm, or non-finite-norm vector cannot be
+    * banded or verified (the ingestCosine NaN-poisoning rule) — they
+    * PASS THROUGH unsuppressed and claim nothing, the engine's
+    * sig-less pass-through discipline at every decode/sig seam.
+    *
+    * State stays bounded for continuous ingest: at most
+    * `ownersPerBucket` normalized float vectors (dim · 4 bytes each)
+    * per non-empty (table, bucket), event-time-timed-out once the
+    * watermark passes. Returns (idCol, ts) of retained rows. */
+  def cosDedupStreamBanded(docs: DataFrame, embCol: String = "embedding",
+      idCol: String = "vec_id", watermark: String = "30 minutes",
+      verdictWindow: String = "1 minute", ownersPerBucket: Int = 4,
+      minCos: Double = 0.9): DataFrame = {
+    require(ownersPerBucket >= 1, "ownersPerBucket must be >= 1")
+    require(minCos > 0.0 && minCos <= 1.0, s"minCos must be in (0, 1], got $minCos")
+    val s = docs.sparkSession
+    graft.GraftExtensions.ensureRegistered(s)
+    import s.implicits._
+    disableChainedStatefulCheck(s, "cosDedupStreamBanded")
+    val wmMs = durationMs(watermark)
+    val tables = graft.queries.DedupQueries.cosTables(s)
+    val bits = graft.queries.DedupQueries.cosBits(s)
+    val base = docs
+      .withColumn("__nrm", graft.functions.Vectors.norm(col(embCol)))
+      .withColumn("__ok", col(embCol).isNotNull && col("__nrm") > 0 &&
+        !isnan(col("__nrm")) && col("__nrm") < lit(Double.PositiveInfinity))
+    val probes = base.filter(col("__ok"))
+      .select(col(idCol).cast("long").as("docId"),
+        posexplode(expr(s"srp_sig($embCol, 'cos', $tables, $bits)"))
+          .as(Seq("t", "bucket")),
+        expr(s"transform($embCol, x -> CAST(CAST(x AS DOUBLE) / __nrm AS FLOAT))")
+          .as("vec"),
+        col("ts"))
+      .select($"docId", $"t", $"bucket", $"vec", $"ts")
+      .withWatermark("ts", watermark)
+      .as[CosProbe]
+    val verdicts = probes
+      .groupByKey(p => (p.t, p.bucket))
+      .flatMapGroupsWithState[CosBucketOwners, CosVerdict](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (_, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(p => (p.ts.getTime, p.docId))
+            val (owners, out) = foldCosBucket(
+              state.getOption.map(_.vecs).getOrElse(Nil), sorted,
+              ownersPerBucket, minCos)
+            if (owners.nonEmpty) state.update(CosBucketOwners(owners))
+            state.setTimeoutTimestamp(sorted.map(_.ts.getTime).max + wmMs)
+            out.iterator
+          }
+      }
+    // sig-less rows bypass the stateful chain with a standing verdict
+    val passThrough = base.filter(!col("__ok"))
+      .select(col(idCol).cast("long").as("docId"),
+        lit(false).as("suppressed"), col("ts"))
+    verdicts.toDF().unionByName(passThrough)
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), verdictWindow), col("docId"))
       .agg(max(when(col("suppressed"), 1).otherwise(0)).as("sup"),

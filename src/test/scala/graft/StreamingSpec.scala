@@ -98,6 +98,83 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cosine streaming near-dup: planted semantic twin suppressed cross-batch; sig-less rows pass through") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(41)
+    def vec(): Seq[Float] = Seq.fill(32)(rnd.nextGaussian().toFloat)
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val vecA = vec()
+    val twinA = vecA.updated(0, vecA.head + 0.3f) // the q144 plant shape
+    val far = vec()
+    // fixture preconditions: the twin is above threshold, noise below
+    assert(cosine(vecA, twinA) >= 0.95, s"twin too far: ${cosine(vecA, twinA)}")
+    assert(cosine(vecA, far) < 0.9 && cosine(twinA, far) < 0.9,
+      s"noise fixture too close: ${cosine(vecA, far)}")
+
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val df = in.toDF().toDF("ts", "vec_id", "embedding")
+    val q = StreamingOps.cosDedupStreamBanded(df, "embedding", "vec_id", "30 minutes")
+      .writeStream.format("memory").queryName("cos_dedup")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData((t(1), 1L, vecA), (t(2), 20L, Seq.fill(32)(0f)))
+      q.processAllAvailable() // batch 1: the original claims its buckets
+      in.addData((t(3), 2L, twinA), (t(4), 3L, far),
+        (t(5), 21L, null.asInstanceOf[Seq[Float]]))
+      q.processAllAvailable() // batch 2: twin + noise + sig-less
+      in.addData((t(120), 99L, vec()))
+      q.processAllAvailable() // push the watermark past the windows
+      val kept = spark.table("cos_dedup").select("vec_id").as[Long].collect().toSet
+      assert(kept.contains(1L), "original must be retained")
+      assert(!kept.contains(2L), "cosine twin must be suppressed cross-batch")
+      assert(kept.contains(3L), "below-threshold vector must survive")
+      assert(kept.contains(20L) && kept.contains(21L),
+        "zero-norm and null vectors pass through unsuppressed (sig-less rule)")
+    } finally q.stop()
+  }
+
+  test("cosine bucket ring: exact verify, chance collisions claim slots, FIFO eviction, dim-mismatch never matches") {
+    import graft.streaming.StreamingOps.{foldCosBucket, CosProbe}
+    def unit(xs: Double*): Seq[Float] = {
+      val n = math.sqrt(xs.map(x => x * x).sum)
+      xs.map(x => (x / n).toFloat).toSeq
+    }
+    def probe(id: Long, v: Seq[Float]) =
+      CosProbe(id, 0, 0L, v, new java.sql.Timestamp(id * 60000L))
+    val a = unit(1, 0, 0, 0)
+    val b = unit(0, 1, 0, 0)            // cos(a,b)=0 — same bucket by construction
+    val twinB = unit(0.05, 1, 0, 0)     // cos(b,twinB) ≈ 0.9988
+    // exact verify: the chance-colliding b passes AND claims a slot;
+    // the twin of the SECOND owner is then suppressed
+    val (owners, v1) = foldCosBucket(Nil,
+      Seq(probe(1, a), probe(2, b), probe(3, twinB)), cap = 4, minCos = 0.9)
+    assert(v1.map(_.suppressed) == Vector(false, false, true))
+    assert(owners == List(b, a), "both claimants recorded, newest first")
+    // FIFO eviction: 4 mutually-far owners at cap 3 — oldest leaves,
+    // its twin passes, a retained owner's twin is suppressed
+    val fourth = unit(0, 0, 0, 1)
+    val (ring, _) = foldCosBucket(Nil,
+      Seq(probe(1, a), probe(2, b), probe(3, unit(0, 0, 1, 0)),
+        probe(4, fourth)), cap = 3, minCos = 0.9)
+    assert(ring.size == 3 && !ring.contains(a))
+    assert(!foldCosBucket(ring, Seq(probe(9, unit(1, 0.05, 0, 0))),
+      cap = 3, minCos = 0.9)._2.head.suppressed,
+      "twin of the EVICTED owner passes (the documented ring cap)")
+    assert(foldCosBucket(ring, Seq(probe(10, unit(0.05, 0, 0, 1))),
+      cap = 3, minCos = 0.9)._2.head.suppressed,
+      "twin of a retained owner suppressed")
+    // a dimension-drifted probe can never match (and never NaNs)
+    assert(!foldCosBucket(List(a), Seq(probe(11, unit(1, 0, 0))),
+      cap = 3, minCos = 0.9)._2.head.suppressed)
+  }
+
   test("bucket owner ring: second distinct owner is recorded, its twin suppressed") {
     import graft.streaming.StreamingOps.{foldBucket, BandProbe}
     def probe(id: Long, fp: Long) =
