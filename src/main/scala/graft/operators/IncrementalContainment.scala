@@ -190,10 +190,18 @@ object IncrementalContainment {
         shingleDf(dSets).unionByName(relevant.select(col("sh"), col("cnt")))
       case None => shingleDf(allSets)
     }
+    // localCheckpoint (round 12): BOTH cool() consumers anti-join
+    // against `hot`, and without materialization each re-evaluates the
+    // whole occupancy subtree — the delta count plus the store-df
+    // scan/Bloom route, i.e. the guard's entire cost, twice per probe.
+    // The frame is tiny by construction (only shingles with df > cap —
+    // boilerplate keys, usually zero rows), so materializing it is
+    // cheap at any corpus scale while halving the guard work.
     val hot = occ.groupBy(col("sh"))
       .agg(sum(col("cnt")).as("__w"))
       .filter(col("__w") > maxShingleDf)
       .select(col("sh"))
+      .localCheckpoint()
     def cool(rows: DataFrame): DataFrame = rows.join(hot, Seq("sh"), "left_anti")
     // contained=anything, container=delta — covers delta-in-delta and
     // store-in-delta; contained=delta, container=store covers the rest
