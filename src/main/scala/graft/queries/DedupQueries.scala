@@ -603,7 +603,8 @@ object DedupQueries {
         .select($"id".as("vec_id"), $"component".as("cluster_root"))
     },
     Some(s"""WITH RECURSIVE $cosPairsCtes,
-      ${ccClosureSql("cpairs", "vec_a", "vec_b", "vec_id")}"""))
+      ${ccClosureSql("cpairs", "vec_a", "vec_b", "vec_id")}"""),
+    bench = true)
 
   /** q41's pairs oracle, re-emitted as a CTE body shared by EVERY
     * pair-consuming oracle — q41/q72/q77/q78 and the round-9 reports
@@ -1076,7 +1077,8 @@ object DedupQueries {
         docs.filter($"doc_id" % 2 === 1), store,
         storeDf = Some(graft.operators.IncrementalContainment.shingleDf(store)))
     },
-    incrementalContainment.oracle)
+    incrementalContainment.oracle,
+    bench = true)
 
   /** Span-CUT application — q71 measures which token positions are
     * covered by cross-doc verbatim k=20-token spans; this query
