@@ -342,6 +342,144 @@ object IvfStore {
       .foreach(dd => f.delete(new Path(s"$root/cells/dt=$dd"), true))
   }
 
+  /** STORE INTEGRITY AUDIT — [[DedupStore.fsck]]'s discipline for the
+    * IVF root (report-only; [[compact]] owns GC, re-append owns
+    * repair). Findings reuse [[DedupStore.FsckFinding]] so operators
+    * aggregate one finding type across every store kind.
+    *
+    * Shallow (default) — metadata only, O(days):
+    *  - `no-centroids` (error): committed days but no `_CENTROIDS.txt`
+    *    — every probe fails to open; the marker was deleted or the
+    *    root was hand-assembled.
+    *  - `tmp-marker` (warn): a crashed commit's `.DAY.tmp` under
+    *    `_committed` — the day never published.
+    *  - `empty-merged-marker` / `double-merged` (error): a `merged-*`
+    *    marker replacing nothing, or a day claimed by two live merged
+    *    markers (probes double-count its vectors).
+    *  - `invalid-day-name` (warn): a marker the delete paths cannot
+    *    address as a literal `dt=` path.
+    *  - `orphan-partition` (warn): a `dt=` dir no marker ever named —
+    *    crash debris between write and publish; re-append or delete.
+    *  - `empty-day` (warn): a committed day with zero data files
+    *    (every appended row was unusable) — [[probe]]'s loud guard
+    *    fires only when ALL days are empty; this names the day.
+    *  - `merged-debris` / `awaiting-sweep` (info): protocol
+    *    transients, swept by the next [[compact]].
+    *
+    * Deep (`deep = true`) — one full scan:
+    *  - `cell-mismatch` (error): a stored vector whose `cell`
+    *    partition is NOT the argmin against the committed centroids.
+    *    The one invariant probes cannot survive: cell pruning would
+    *    skip the vector's true cell, silently losing it from every
+    *    probe at nprobe < k. Means centroids and cells diverged —
+    *    a hand-replaced `_CENTROIDS.txt` or partitions restored from
+    *    a different root; rebuild into a fresh root.
+    *  - `dup-identity` (warn): an id committed on two days — legal
+    *    for a store fed raw (append does not dedup; the curation
+    *    wiring suppresses upstream), but on a stable-id corpus it
+    *    usually means restored/hand-copied partitions, and probes
+    *    will return the id twice. */
+  def fsck(spark: SparkSession, root: String,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      deep: Boolean = false): Seq[DedupStore.FsckFinding] = {
+    val f = fs(spark, root)
+    val markerDir = new Path(root, MarkerDir)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DedupStore.FsckFinding]
+    if (!f.exists(new Path(root))) return Nil
+    val (names, replaced) = MarkerProtocol.markerState(f, markerDir)
+    val live = (d: String) => names.contains(d) && !replaced.contains(d)
+    val committed = names.filterNot(replaced).sorted
+
+    if (committed.nonEmpty &&
+        scala.util.Try(IvfIndex.open(spark, root)).isFailure)
+      out += DedupStore.FsckFinding("error", "no-centroids", root,
+        "committed days but no readable _CENTROIDS.txt — every probe " +
+          "fails to open; restore the marker or rebuild into a fresh root")
+
+    if (f.exists(markerDir))
+      f.listStatus(markerDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+        .foreach(n => out += DedupStore.FsckFinding("warn", "tmp-marker", n,
+          "crashed marker commit (create happened, rename did not); the " +
+            "day never published — re-append it"))
+
+    names.filter(n => n.startsWith(MergedPrefix) && live(n))
+      .filter(n => MarkerProtocol.readMarker(f, new Path(markerDir, n)).isEmpty)
+      .foreach(n => out += DedupStore.FsckFinding("error", "empty-merged-marker",
+        n, "live compaction marker replacing no days — compact() never " +
+          "writes one; suspect tampering"))
+    names.filter(n => n.startsWith(MergedPrefix) && live(n))
+      .flatMap(m => MarkerProtocol.readMarker(f, new Path(markerDir, m))
+        .filterNot(_.startsWith(MergedPrefix)).map(_ -> m))
+      .groupBy(_._1).filter(_._2.size > 1)
+      .foreach { case (d, ms) =>
+        out += DedupStore.FsckFinding("error", "double-merged", d,
+          s"day claimed by ${ms.size} live compaction markers " +
+            s"(${ms.map(_._2).sorted.mkString(", ")}) — probes double-count " +
+            "its vectors") }
+
+    names.filterNot(_.startsWith(MergedPrefix))
+      .filterNot(n => scala.util.Try(MarkerProtocol.requireDayName(n)).isSuccess)
+      .foreach(n => out += DedupStore.FsckFinding("warn", "invalid-day-name", n,
+        "marker name outside [A-Za-z0-9._-]+ — the literal dt=DAY delete " +
+          "paths cannot address its partitions"))
+
+    val everNamed = names.toSet ++ replaced
+    val dtDirs = Option(f.globStatus(new Path(s"$root/cells/dt=*")))
+      .getOrElse(Array.empty).toSeq
+      .map(_.getPath.getName.stripPrefix("dt="))
+    dtDirs.sorted.foreach { d =>
+      if (!everNamed.contains(d)) {
+        if (d.startsWith(MergedPrefix))
+          out += DedupStore.FsckFinding("info", "merged-debris", s"cells/dt=$d",
+            "uncommitted merged partition (crashed compact); the next " +
+              "compact() sweeps it")
+        else
+          out += DedupStore.FsckFinding("warn", "orphan-partition", s"cells/dt=$d",
+            "partition with no marker (crash between write and publish): " +
+              "invisible to probes — re-append the day or delete the dir")
+      } else if (replaced.contains(d))
+        out += DedupStore.FsckFinding("info", "awaiting-sweep", s"cells/dt=$d",
+          "replaced by a committed compaction; swept at the next compact() " +
+            "after the reader grace period")
+    }
+    committed
+      .filter(d => Option(f.globStatus(new Path(s"$root/cells/dt=$d/cell=*/part-*")))
+        .forall(_.isEmpty))
+      .foreach(d => out += DedupStore.FsckFinding("warn", "empty-day", d,
+        "committed day with zero data files (every appended row was " +
+          "unusable) — harmless to probes, but the feed produced nothing " +
+          "indexable that day"))
+
+    if (deep && committed.nonEmpty &&
+        scala.util.Try(IvfIndex.open(spark, root)).isSuccess) {
+      val leaves = leafFiles(f, root)
+      if (leaves.nonEmpty) {
+        val cents = IvfIndex.open(spark, root)
+        val cells = cellsFrame(spark, root, leaves.head.getPath, committed)
+        // re-derive the argmin exactly as append did; a mismatch means
+        // the partition value and the geometry no longer agree
+        val recheck = KMeans.assign(cells.withColumnRenamed("cell", "__stored"),
+          cents, vecCol)
+        val bad = recheck.filter(col("cell") =!= col("__stored")).count()
+        if (bad > 0) out += DedupStore.FsckFinding("error", "cell-mismatch",
+          "cells", s"$bad vectors stored under a cell that is not their " +
+            "argmin against the committed centroids — probes at nprobe < k " +
+            "silently lose them; centroids and partitions diverged (restored " +
+            "from a different root?) — rebuild into a fresh root")
+        val dups = cells.groupBy(col(idCol)).count()
+          .filter(col("count") > 1).count()
+        if (dups > 0) out += DedupStore.FsckFinding("warn", "dup-identity",
+          s"cells.$idCol", s"$dups ids committed on more than one day — " +
+            "append does not dedup (curation suppresses upstream), but on a " +
+            "stable-id corpus suspect restored partitions; probes return " +
+            "these ids twice")
+      }
+    }
+    val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)
+    out.sortBy(fi => (rank(fi.severity), fi.check, fi.subject)).toSeq
+  }
+
   /** DRIFT MONITOR — the evidence feed for the fresh-root rebuild
     * decision the store contract leaves to the operator: per
     * committed day (merged pseudo-days included), the count and mean

@@ -101,6 +101,70 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(probeAll(root, queries) === expected, "windowed re-append changed results")
   }
 
+  test("fsck: healthy store audits clean; each constructed corruption is caught by its intended check") {
+    import graft.operators.IvfIndex
+    val root = Files.createTempDirectory("ivfst-fsck").toString
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", root,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 30)), root, "2024-06-01")
+    IvfStore.append(vecs(mkRows(100 until 130)), root, "2024-06-02")
+    assert(IvfStore.fsck(spark, root, deep = true).isEmpty,
+      "healthy two-day store must audit clean")
+
+    def sev(c: String) = IvfStore.fsck(spark, root, deep = true)
+      .filter(_.check == c)
+
+    // orphan partition: a day dir no marker ever named
+    val conf = spark.sparkContext.hadoopConfiguration
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new Path(s"$root/cells/dt=2024-06-01"),
+      hfs, new Path(s"$root/cells/dt=2024-06-09"), false, conf)
+    assert(sev("orphan-partition").exists(x =>
+      x.subject == "cells/dt=2024-06-09" && x.severity == "warn"))
+    assert(hfs.delete(new Path(s"$root/cells/dt=2024-06-09"), true))
+
+    // tmp marker + invalid day name + empty committed day
+    def touchMarker(n: String): Unit = {
+      val o = hfs.create(new Path(s"$root/_committed/$n"), true); o.close()
+    }
+    touchMarker(".2024-06-03.tmp")
+    touchMarker("bad day name")
+    touchMarker("2024-06-04") // committed, zero data files
+    val shallow = IvfStore.fsck(spark, root)
+    assert(shallow.exists(x => x.check == "tmp-marker" && x.severity == "warn"))
+    assert(shallow.exists(x => x.check == "invalid-day-name" &&
+      x.subject == "bad day name"))
+    assert(shallow.exists(x => x.check == "empty-day" &&
+      x.subject == "2024-06-04"))
+    Seq(".2024-06-03.tmp", "bad day name", "2024-06-04")
+      .foreach(n => hfs.delete(new Path(s"$root/_committed/$n"), false))
+
+    // dup-identity (deep, warn): a day's partitions restored under a
+    // second committed day
+    org.apache.hadoop.fs.FileUtil.copy(hfs,
+      new Path(s"$root/cells/dt=2024-06-01"),
+      hfs, new Path(s"$root/cells/dt=2024-06-08"), false, conf)
+    touchMarker("2024-06-08")
+    assert(sev("dup-identity").exists(_.severity == "warn"))
+    hfs.delete(new Path(s"$root/cells/dt=2024-06-08"), true)
+    hfs.delete(new Path(s"$root/_committed/2024-06-08"), false)
+
+    // cell-mismatch (deep, error): centroids swapped under committed
+    // partitions — stored cells are no longer the argmin
+    val cents = IvfIndex.open(spark, root)
+    val swapped = Seq(cents(1), cents(0)) ++ cents.drop(2)
+    val o = hfs.create(new Path(s"$root/_CENTROIDS.txt"), true)
+    try o.write(swapped.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally o.close()
+    assert(sev("cell-mismatch").exists(_.severity == "error"),
+      "diverged centroids/partitions must fail the deep audit")
+
+    // no-centroids (error): marker gone entirely
+    assert(hfs.delete(new Path(s"$root/_CENTROIDS.txt"), false))
+    assert(IvfStore.fsck(spark, root).exists(x =>
+      x.check == "no-centroids" && x.severity == "error"))
+  }
+
   test("driftReport: same-regime days at ratio ~1, an off-regime day stands out; pre-baseline stores degrade to null") {
     val root = Files.createTempDirectory("ivfst-drift").toString
     val seed = mkRows(0 until 60)
