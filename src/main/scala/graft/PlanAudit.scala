@@ -24,6 +24,11 @@ object PlanAudit {
     "q143_incremental_containment_dfguard",
     "q140_mm_phash_neardup", "q142_mm_phash_incremental",
     "q144_cos_incremental")
+  // q145/q146 are deliberately NOT snapshotted: both execute eagerly
+  // (the CC label loop / the store build) and their registered frames
+  // are checkpoint scans — the interesting plans are q44's pair join
+  // (snapshotted) and IvfIndex.probeCells' pruned scan
+  // (numFiles-asserted in IvfStoreSpec, which beats a plan string).
 
   def main(args: Array[String]): Unit =
     graft.tools.AuditRunner.run({ (q, qe) =>

@@ -224,6 +224,22 @@ object IncrementalCurationJob {
       s0 -> DedupStore.compact(spark, s"$root/$s0", keepDays)
     }.toMap
 
+  /** [[compactStores]] plus the ANN index: a pipeline running with
+    * `ivfRoot` has a SIXTH day-partitioned store accumulating at the
+    * same cadence (one dt×cell dir set per ingest), maintained by
+    * [[graft.operators.IvfStore.compact]]'s own tiered protocol. The
+    * IVF root is caller-named (an explicit `ingestDay` argument, not
+    * a child of `root`), so it is an explicit argument here too. Use
+    * the SAME `keepDays` replay horizon — [[graft.operators.IvfStore]]
+    * refuses re-appends of folded days exactly as the dedup stores
+    * refuse re-ingests. */
+  def compactStoresWithIvf(spark: SparkSession, root: String,
+      ivfRoot: String, keepDays: Int = 7)
+      : (Map[String, DedupStore.CompactionReport],
+         graft.operators.IvfStore.CompactionReport) =
+    (compactStores(spark, root, keepDays),
+      graft.operators.IvfStore.compact(spark, ivfRoot, keepDays))
+
   /** Store INTEGRITY audit over [[StoreRoots]] —
     * [[DedupStore.fsck]] per root, findings keyed by store name.
     * Report-only (compact() owns GC, re-ingest owns repair); run at
@@ -235,6 +251,14 @@ object IncrementalCurationJob {
     StoreRoots.map { s0 =>
       s0 -> DedupStore.fsck(spark, s"$root/$s0", deep)
     }.toMap
+
+  /** [[fsckStores]] plus the ANN index's own audit
+    * ([[graft.operators.IvfStore.fsck]] — same finding type, keyed
+    * "ivf"), for pipelines running with `ivfRoot`. */
+  def fsckStoresWithIvf(spark: SparkSession, root: String, ivfRoot: String,
+      deep: Boolean = false): Map[String, Seq[DedupStore.FsckFinding]] =
+    fsckStores(spark, root, deep) +
+      ("ivf" -> graft.operators.IvfStore.fsck(spark, ivfRoot, deep = deep))
 
   /** Ingest one day's `delta` (needs `doc_id`, `text`; other columns
     * ride along) against the stores under `root`, exporting curated

@@ -380,7 +380,6 @@ object IvfStore {
     *    usually means restored/hand-copied partitions, and probes
     *    will return the id twice. */
   def fsck(spark: SparkSession, root: String,
-      idCol: String = "vec_id", vecCol: String = "embedding",
       deep: Boolean = false): Seq[DedupStore.FsckFinding] = {
     val f = fs(spark, root)
     val markerDir = new Path(root, MarkerDir)
@@ -456,6 +455,12 @@ object IvfStore {
       val leaves = leafFiles(f, root)
       if (leaves.nonEmpty) {
         val cents = IvfIndex.open(spark, root)
+        // column names come from the STORE itself ([[append]]'s write
+        // order: id first, vector second) — an audit must read what
+        // is there, not what a caller remembers naming it
+        val dataFields =
+          spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames
+        val (idCol, vecCol) = (dataFields(0), dataFields(1))
         val cells = cellsFrame(spark, root, leaves.head.getPath, committed)
         // re-derive the argmin exactly as append did; a mismatch means
         // the partition value and the geometry no longer agree

@@ -501,30 +501,37 @@ object SimilarityQueries {
     "q146_ivf_store_probe",
     (s, d) => {
       import s.implicits._
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q146-ivfstore-").toString
       val e = T.embeddings(s, d)
-        .filter(size($"embedding") === Dim)
+        .filter(size($"embedding") === Dim && $"vec_id".isNotNull)
         .select($"vec_id", $"embedding")
-      try {
-        val seed = e.filter($"vec_id" % 2 === 0)
-        graft.operators.IvfStore.init(seed, "vec_id", "embedding", root,
-          k = 8, iters = 3)
-        graft.operators.IvfStore.append(seed, root, "day-1")
-        graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 1),
-          root, "day-2")
-        val qRows = e.filter($"vec_id" % 50 === 0).collect()
-        require(qRows.length <= 100000,
-          s"q146 query batch has ${qRows.length} vectors — the driver-side " +
-            "probe shape is for small request batches; shard the query set")
-        val queries = qRows.map(r => (r.getLong(0),
-          r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
-        graft.operators.IvfStore.probe(s, root, "vec_id", "embedding",
-          queries, nprobe = 8, topK = 5)
-          .localCheckpoint() // materialize before the root vanishes
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      val qRows = e.filter($"vec_id" % 50 === 0).collect()
+      require(qRows.length <= 100000,
+        s"q146 query batch has ${qRows.length} vectors — the driver-side " +
+          "probe shape is for small request batches; shard the query set")
+      // totality on degenerate corpora: no conforming query vectors
+      // (all-null/ragged embeddings) → the empty answer, not a k-means
+      // seed failure — the oracle's CROSS JOIN is equally empty
+      if (qRows.isEmpty)
+        Seq.empty[(Long, Long, Double, Int)].toDF("qid", "vec_id", "dist2", "rank")
+      else {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q146-ivfstore-").toString
+        try {
+          graft.operators.IvfStore.init(e, "vec_id", "embedding", root,
+            k = 8, iters = 3)
+          graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 0),
+            root, "day-1")
+          graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 1),
+            root, "day-2")
+          val queries = qRows.map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
+          graft.operators.IvfStore.probe(s, root, "vec_id", "embedding",
+            queries, nprobe = 8, topK = 5)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
       }
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings

@@ -328,6 +328,17 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq
     assert(stored.size === stored.distinct.size,
       s"recovered day must hold each vector exactly once: $stored")
+
+    // maintenance entry points walk the sixth root too
+    val (dedupReports, ivfReport) =
+      IncrementalCurationJob.compactStoresWithIvf(spark, root, ivf)
+    assert(dedupReports.keySet === Set("exact", "near", "contain", "phash", "cos"))
+    assert(ivfReport.mergedDay.isEmpty, "two days inside keepDays: nothing folds")
+    val audits = IncrementalCurationJob.fsckStoresWithIvf(spark, root, ivf,
+      deep = true)
+    assert(audits.keySet === Set("exact", "near", "contain", "phash", "cos", "ivf"))
+    assert(audits("ivf").forall(_.severity == "info"),
+      s"healthy pipeline-fed IVF store must audit clean: ${audits("ivf")}")
   }
 
   test("re-running a committed day converges to identical output") {
