@@ -101,13 +101,23 @@ object IncrementalCurationJob {
     requireNoLegacyBatchDays(docs.sparkSession,
       (Seq("exact", "near", "contain") ++ embeddingCol.map(_ => "cos"))
         .map(s0 => s"$root/$s0"))
+    // misconfigurations refuse at STREAM CONSTRUCTION, not on the
+    // first micro-batch minutes after the operator walked away (the
+    // requireNoLegacyBatchDays precedent): ivfRoot needs a vector
+    // column, and an uninitialized IVF root would fail every batch —
+    // frozen centroids are the caller's training decision
+    require(ivfRoot.isEmpty || embeddingCol.isDefined,
+      "ivfRoot needs embeddingCol — there is no vector column to index")
+    ivfRoot.foreach(ir =>
+      graft.operators.IvfIndex.open(docs.sparkSession, ir): Unit)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
           stats = false, embeddingCol = embeddingCol, ivfRoot = ivfRoot)
-        maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays)
+        maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays,
+          ivfRoot = ivfRoot)
       }
       .start()
   }
@@ -170,11 +180,23 @@ object IncrementalCurationJob {
     * day rather than silently self-suppressing, so a misconfigured
     * window fails loudly). `compactEvery <= 0` disables. The tiered
     * merge policy keeps the steady-state trigger cost O(aged
-    * batches), not O(archive) — see [[DedupStore.compact]]. */
+    * batches), not O(archive) — see [[DedupStore.compact]].
+    *
+    * `ivfRoot` (round 12): a stream running with the ANN co-append
+    * commits one IVF day per micro-batch too — k cell dirs each, the
+    * fastest dir accumulator of the SIX stores — and foreachBatch is
+    * the only seam that can serialize [[graft.operators.IvfStore.compact]]
+    * with the stream's own appends (single-writer contract), so the
+    * trigger covers it here rather than leaving an operator to
+    * interleave a batch entry point unsafely. */
   private def maybeCompact(spark: SparkSession, root: String, batchId: Long,
-      compactEvery: Int, keepDays: Int): Unit =
-    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+      compactEvery: Int, keepDays: Int,
+      ivfRoot: Option[String] = None): Unit =
+    if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       compactStores(spark, root, keepDays): Unit
+      ivfRoot.foreach(ir =>
+        graft.operators.IvfStore.compact(spark, ir, keepDays): Unit)
+    }
 
   /** Round-11 upgrade guard: round 10 widened the streaming store-day
     * format from `batch-%06d` to `batch-%09d`. A checkpointed stream

@@ -504,12 +504,19 @@ object IvfStore {
     * dt-sorted; baseline columns are NULL for stores initialized
     * before the baseline existed (re-init into a fresh root records
     * one). */
-  def driftReport(spark: SparkSession, root: String,
-      vecCol: String = "embedding"): DataFrame = {
+  def driftReport(spark: SparkSession, root: String): DataFrame = {
     val cents = IvfIndex.open(spark, root)
     val days = committedDays(spark, root)
     require(days.nonEmpty,
       s"no committed days at $root — nothing to audit for drift")
+    val leaves = leafFiles(fs(spark, root), root)
+    require(leaves.nonEmpty, s"store at $root has committed days but no " +
+      "indexed vectors — nothing to audit for drift")
+    // the vector column name comes from the STORE's own leaf schema
+    // ([[append]]'s write order: id, vector) — the fsck rule: an
+    // audit reads what is there, not what a caller remembers naming
+    val vecCol =
+      spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames(1)
     val centArr = array(cents.map(c => lit(c)): _*)
     val d2 = aggregate(
       zip_with(col(vecCol), element_at(centArr, col("cell") + 1),
@@ -519,9 +526,6 @@ object IvfStore {
       case Some((m, _)) => lit(m)
       case None => lit(null).cast("double")
     }
-    val leaves = leafFiles(fs(spark, root), root)
-    require(leaves.nonEmpty, s"store at $root has committed days but no " +
-      "indexed vectors — nothing to audit for drift")
     cellsFrame(spark, root, leaves.head.getPath, days)
       .groupBy(col("dt"))
       .agg(count(lit(1)).as("n"), avg(d2).as("mean_dist2"))

@@ -519,10 +519,13 @@ object SimilarityQueries {
         try {
           graft.operators.IvfStore.init(e, "vec_id", "embedding", root,
             k = 8, iters = 3)
-          graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 0),
-            root, "day-1")
-          graft.operators.IvfStore.append(e.filter($"vec_id" % 2 === 1),
-            root, "day-2")
+          // pmod, not %: a negative id's % 2 is -1 in Spark, which
+          // would land it in NEITHER day while the oracle's cross
+          // join still ranks it — pmod partitions every id
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 0), root, "day-1")
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
           val queries = qRows.map(r => (r.getLong(0),
             r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
           graft.operators.IvfStore.probe(s, root, "vec_id", "embedding",
@@ -535,7 +538,7 @@ object SimilarityQueries {
       }
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-        WHERE len(embedding) = $Dim),
+        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL),
       q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
       sc AS (SELECT q.qid, e.vec_id,
         list_sum(list_transform(range($Dim), i ->

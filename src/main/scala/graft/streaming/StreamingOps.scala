@@ -376,10 +376,23 @@ object StreamingOps {
     * every ring detector: a twin of an EVICTED owner passes
     * (ownersPerBucket is the depth/memory trade).
     *
-    * Rows with a NULL, zero-norm, or non-finite-norm vector cannot be
-    * banded or verified (the ingestCosine NaN-poisoning rule) — they
-    * PASS THROUGH unsuppressed and claim nothing, the engine's
-    * sig-less pass-through discipline at every decode/sig seam.
+    * Rows with a NULL vector, a null ELEMENT, a zero norm, or a
+    * non-finite norm cannot be banded or verified (the ingestCosine
+    * NaN-poisoning rule) — they PASS THROUGH unsuppressed and claim
+    * nothing, the engine's sig-less pass-through discipline at every
+    * decode/sig seam.
+    *
+    * CHECKPOINT COMPATIBILITY: the conf pair is baked into the
+    * checkpointed STATE KEYS (`(table, bucket)`), so a
+    * `graft.cos.tables`/`graft.cos.bits` flip across a checkpoint
+    * restart silently strands every pre-restart ring owner (new
+    * probes hash into a different key space; old owners linger until
+    * timeout, matching nothing) — unlike the batch store, which
+    * re-bands stored embeddings each ingest and absorbs conf flips
+    * archive-wide. Pin the conf for a checkpoint's lifetime; to
+    * resize, restart with a FRESH checkpoint dir (suppression state
+    * inside the watermark horizon rebuilds from the stream, same
+    * warm-up caveat as the banded detector's ring migration).
     *
     * State stays bounded for continuous ingest: at most
     * `ownersPerBucket` normalized float vectors (dim · 4 bytes each)
@@ -400,7 +413,14 @@ object StreamingOps {
     val bits = graft.queries.DedupQueries.cosBits(s)
     val base = docs
       .withColumn("__nrm", graft.functions.Vectors.norm(col(embCol)))
-      .withColumn("__ok", col(embCol).isNotNull && col("__nrm") > 0 &&
+      // null-ELEMENT guard alongside the null/zero/non-finite-norm
+      // rules: the native dot reads null slots as 0.0, so a ragged
+      // [3, null, 4] row would norm fine and then kill the typed
+      // encoder (vec is Seq[Float], non-nullable elements) — wedging
+      // the stream on permanent replay. Such rows take the documented
+      // sig-less pass-through instead.
+      .withColumn("__ok", col(embCol).isNotNull &&
+        !exists(col(embCol), x => x.isNull) && col("__nrm") > 0 &&
         !isnan(col("__nrm")) && col("__nrm") < lit(Double.PositiveInfinity))
     val probes = base.filter(col("__ok"))
       .select(col(idCol).cast("long").as("docId"),

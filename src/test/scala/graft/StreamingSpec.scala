@@ -118,7 +118,15 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"noise fixture too close: ${cosine(vecA, far)}")
 
     val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    // id 22 carries a null ELEMENT (injected below — Seq[Float] cannot
+    // express one): the native dot reads null slots as 0.0, so without
+    // the exists() guard the row norms fine and then kills the typed
+    // encoder, wedging the stream on permanent replay
     val df = in.toDF().toDF("ts", "vec_id", "embedding")
+      .withColumn("embedding",
+        org.apache.spark.sql.functions.when($"vec_id" === 22L,
+          expr("transform(embedding, (x, i) -> IF(i = 1, NULL, x))"))
+          .otherwise($"embedding"))
     val q = StreamingOps.cosDedupStreamBanded(df, "embedding", "vec_id", "30 minutes")
       .writeStream.format("memory").queryName("cos_dedup")
       .outputMode(OutputMode.Append()).start()
@@ -127,16 +135,16 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       in.addData((t(1), 1L, vecA), (t(2), 20L, Seq.fill(32)(0f)))
       q.processAllAvailable() // batch 1: the original claims its buckets
       in.addData((t(3), 2L, twinA), (t(4), 3L, far),
-        (t(5), 21L, null.asInstanceOf[Seq[Float]]))
-      q.processAllAvailable() // batch 2: twin + noise + sig-less
+        (t(5), 21L, null.asInstanceOf[Seq[Float]]), (t(6), 22L, vec()))
+      q.processAllAvailable() // batch 2: twin + noise + sig-less rows
       in.addData((t(120), 99L, vec()))
       q.processAllAvailable() // push the watermark past the windows
       val kept = spark.table("cos_dedup").select("vec_id").as[Long].collect().toSet
       assert(kept.contains(1L), "original must be retained")
       assert(!kept.contains(2L), "cosine twin must be suppressed cross-batch")
       assert(kept.contains(3L), "below-threshold vector must survive")
-      assert(kept.contains(20L) && kept.contains(21L),
-        "zero-norm and null vectors pass through unsuppressed (sig-less rule)")
+      assert(kept.contains(20L) && kept.contains(21L) && kept.contains(22L),
+        "zero-norm, null, and null-element vectors pass through unsuppressed (sig-less rule)")
     } finally q.stop()
   }
 
