@@ -148,6 +148,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("cosine streaming near-dup: ring state survives a stop/restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    val rnd = new scala.util.Random(43)
+    def vec(): Seq[Float] = Seq.fill(32)(rnd.nextGaussian().toFloat)
+    val vecA = vec()
+    val twinA = vecA.updated(0, vecA.head + 0.3f)
+    val tmp = java.nio.file.Files.createTempDirectory("cos-restart").toString
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    def start() = StreamingOps.cosDedupStreamBanded(
+      in.toDF().toDF("ts", "vec_id", "embedding"),
+      "embedding", "vec_id", "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    val q1 = start()
+    in.addData((t(1), 1L, vecA))
+    q1.processAllAvailable()
+    q1.stop()
+    // drain before the second instance: an immediate restart can trip
+    // the concurrent-checkpoint guard (the round-10 sharp edge)
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+
+    val q2 = start() // restore the bucket rings from the checkpoint
+    in.addData((t(3), 2L, twinA), (t(4), 3L, vec()))
+    q2.processAllAvailable()
+    in.addData((t(120), 99L, vec()))
+    q2.processAllAvailable() // watermark flush
+    q2.stop()
+
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L), "pre-restart original retained")
+    assert(!kept.contains(2L),
+      "twin of a PRE-RESTART owner must be suppressed — ring state restored")
+    assert(kept.contains(3L), "post-restart distinct vector survives")
+  }
+
   test("cosine bucket ring: exact verify, chance collisions claim slots, FIFO eviction, dim-mismatch never matches") {
     import graft.streaming.StreamingOps.{foldCosBucket, CosProbe}
     def unit(xs: Double*): Seq[Float] = {
