@@ -101,6 +101,25 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(probeAll(root, queries) === expected, "windowed re-append changed results")
   }
 
+  test("probe enforces the driver-batch broadcast cap, loudly and conf-tunably") {
+    val root = Files.createTempDirectory("ivfst-cap").toString
+    IvfStore.init(vecs(mkRows(0 until 12)), "vec_id", "embedding", root,
+      k = 2, iters = 2)
+    IvfStore.append(vecs(mkRows(0 until 12)), root, "2024-06-01")
+    val qs = (0 until 10).map(i => (1000L + i) -> centers(i % 3).toArray)
+    spark.conf.set("graft.maxBroadcastRows", "8")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        IvfStore.probe(spark, root, "vec_id", "embedding", qs,
+          nprobe = 2, topK = 3) // 10 x 2 = 20 pair rows > cap 8
+      }
+      assert(e.getMessage.contains("graft.maxBroadcastRows"), e.getMessage)
+      spark.conf.set("graft.maxBroadcastRows", "500000")
+      assert(IvfStore.probe(spark, root, "vec_id", "embedding", qs,
+        nprobe = 2, topK = 3).collect().nonEmpty)
+    } finally spark.conf.unset("graft.maxBroadcastRows")
+  }
+
   test("fsck: healthy store audits clean; each constructed corruption is caught by its intended check") {
     import graft.operators.IvfIndex
     val root = Files.createTempDirectory("ivfst-fsck").toString
