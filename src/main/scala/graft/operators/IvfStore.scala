@@ -500,10 +500,18 @@ object IvfStore {
     * literal travels in the plan, distances are row-local codegen'd
     * HOFs, the exchange carries one row per day.
     *
-    * Output: (dt, n, mean_dist2, seed_mean_dist2, drift_ratio),
-    * dt-sorted; baseline columns are NULL for stores initialized
-    * before the baseline existed (re-init into a fresh root records
-    * one). */
+    * Drift has TWO observable axes and the report carries both:
+    * distance (above) and OCCUPANCY — a drifted regime also crowds
+    * its vectors into few cells, and `max_cell_frac` (the largest
+    * cell's share of the day's vectors) is what probe COST sees: as
+    * it approaches 1, nprobe = 1 reads the whole day and the index
+    * stops indexing. Balanced days sit near 1/k; alarm on sustained
+    * multiples of that.
+    *
+    * Output: (dt, n, mean_dist2, seed_mean_dist2, drift_ratio,
+    * max_cell_frac), dt-sorted; baseline columns are NULL for stores
+    * initialized before the baseline existed (re-init into a fresh
+    * root records one). */
   def driftReport(spark: SparkSession, root: String): DataFrame = {
     val cents = IvfIndex.open(spark, root)
     val days = committedDays(spark, root)
@@ -526,13 +534,22 @@ object IvfStore {
       case Some((m, _)) => lit(m)
       case None => lit(null).cast("double")
     }
-    cellsFrame(spark, root, leaves.head.getPath, days)
-      .groupBy(col("dt"))
-      .agg(count(lit(1)).as("n"), avg(d2).as("mean_dist2"))
+    val cells = cellsFrame(spark, root, leaves.head.getPath, days)
+    // per-(dt, cell) counts first — one shuffle keyed exactly like
+    // the layout; the per-day rollup and the max-share both fold the
+    // tiny (days x k) frame
+    val perCell = cells.groupBy(col("dt"), col("cell"))
+      .agg(count(lit(1)).as("cn"), avg(d2).as("cd2"))
+    perCell.groupBy(col("dt"))
+      .agg(sum(col("cn")).as("n"),
+        (sum(col("cd2") * col("cn")) / sum(col("cn"))).as("mean_dist2"),
+        (max(col("cn")).cast("double") / sum(col("cn"))).as("max_cell_frac"))
       .withColumn("seed_mean_dist2", base)
       .withColumn("drift_ratio",
         when(col("seed_mean_dist2") > 0,
           col("mean_dist2") / col("seed_mean_dist2")))
+      .select(col("dt"), col("n"), col("mean_dist2"),
+        col("seed_mean_dist2"), col("drift_ratio"), col("max_cell_frac"))
       .orderBy(col("dt"))
   }
 }

@@ -198,13 +198,17 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
 
     val rep = IvfStore.driftReport(spark, root).collect()
       .map(r => r.getString(0) ->
-        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
-    val (n1, _, ratio1) = rep("2024-06-01")
-    val (n2, _, ratio2) = rep("2024-06-02")
+        (r.getLong(1), r.getDouble(2), r.getDouble(4), r.getDouble(5))).toMap
+    val (n1, _, ratio1, frac1) = rep("2024-06-01")
+    val (n2, _, ratio2, frac2) = rep("2024-06-02")
     assert(n1 == 60L && n2 == 60L)
     assert(ratio1 < 2.0, s"same-regime day should sit near the baseline, got $ratio1")
     assert(ratio2 > 5.0 && ratio2 > 10 * ratio1,
       s"drifted day must stand out: day1=$ratio1 day2=$ratio2")
+    // the occupancy axis: a same-regime day spreads over the k=3
+    // cells; the off-regime day crowds into one (probe cost's view)
+    assert(frac1 < 0.7, s"balanced day's max cell share too high: $frac1")
+    assert(frac2 > 0.9, s"drifted day must crowd into one cell: $frac2")
 
     // a store initialized before the baseline existed: report still
     // runs, baseline columns null (no false alarm, no crash)
