@@ -323,6 +323,50 @@ object IvfStore {
     CompactionReport(Some(mergedDay), mergeDays.size, before, dayDirs())
   }
 
+  /** REBUILD into a fresh root — the executable form of the
+    * maintenance story every contract note here points at: when
+    * [[driftReport]] says the frozen centroids no longer fit the
+    * data (distance ratio or cell crowding sustained high), this
+    * re-trains on the FULL committed corpus and re-appends every
+    * committed day into `newRoot`, preserving day granularity so
+    * retention/compaction cadence carries over. The old root is
+    * untouched — consumers swap roots afterwards (the SnapshotStore
+    * pointer pattern), which is what makes the rebuild zero-downtime:
+    * probes keep reading `oldRoot` until the swap.
+    *
+    * Day names carry over verbatim, except compacted `merged-*`
+    * pseudo-days (the prefix is reserved for the NEW root's own
+    * compactions): their consolidated partitions re-append under
+    * `rebuilt-<original digest>` — same rows, same one-partition
+    * granularity, probe-identically committed.
+    *
+    * Cost: one training pass over the committed corpus (k-means at
+    * `iters`; train on a sample upstream if the archive is huge —
+    * pass `seedSample` to cap the training frame) plus one
+    * assignment + write pass per day. Returns the new model. */
+  def rebuild(spark: SparkSession, oldRoot: String, newRoot: String,
+      k: Int, iters: Int = 5, seedSample: Option[Double] = None): KMeans.Model = {
+    val days = committedDays(spark, oldRoot)
+    require(days.nonEmpty, s"nothing to rebuild: no committed days at $oldRoot")
+    val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
+    require(leaves.nonEmpty,
+      s"nothing to rebuild: no indexed vectors at $oldRoot")
+    val dataFields =
+      spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames
+    val (idCol, vecCol) = (dataFields(0), dataFields(1))
+    val all = cellsFrame(spark, oldRoot, leaves.head.getPath, days)
+    val seed = seedSample.fold(all)(f => all.sample(withReplacement = false,
+      f, seed = 42L))
+    val model = init(seed, idCol, vecCol, newRoot, k, iters)
+    days.foreach { d =>
+      val target = if (d.startsWith(MergedPrefix))
+        s"rebuilt-${d.stripPrefix(MergedPrefix)}" else d
+      append(all.filter(col("dt") === d).drop("dt", "cell"),
+        newRoot, target, idCol, vecCol)
+    }
+    model
+  }
+
   /** GC of days replaced by a COMMITTED compaction marker plus
     * `dt=merged-*` debris whose marker never committed — readers
     * already ignore all of it. Runs only at the start of [[compact]]

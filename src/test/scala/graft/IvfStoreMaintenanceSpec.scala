@@ -184,6 +184,51 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
       x.check == "no-centroids" && x.severity == "error"))
   }
 
+  test("rebuild: fresh root holds the exact committed corpus under retrained centroids; old root untouched") {
+    val root = Files.createTempDirectory("ivfst-rb").toString
+    val newRoot = Files.createTempDirectory("ivfst-rb-new").toString + "/r"
+    IvfStore.init(vecs(mkRows(0 until 40)), "vec_id", "embedding", root,
+      k = 3, iters = 4)
+    IvfStore.append(vecs(mkRows(0 until 40)), root, "2024-06-01")
+    IvfStore.append(vecs(mkRows(100 until 140)), root, "2024-06-02")
+    // day 3 drifts off-regime; the frozen centroids never saw it
+    val shifted = (200 until 240).map(i =>
+      i.toLong -> around(35.0, 35.0, 35.0, 35.0))
+    IvfStore.append(vecs(shifted), root, "2024-06-03")
+    // fold the old tail so the rebuild must handle a merged pseudo-day
+    IvfStore.compact(spark, root, keepDays = 1)
+    val oldDays = IvfStore.committedDays(spark, root)
+    assert(oldDays.exists(_.startsWith("merged-")))
+    val queries = Seq(9001L -> centers(0).toArray,
+      9002L -> Array(35.0, 35.0, 35.0, 35.0))
+    val before = probeAll(root, queries)
+    val oldDrift = IvfStore.driftReport(spark, root).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+
+    IvfStore.rebuild(spark, root, newRoot, k = 4, iters = 5)
+
+    // exact corpus carry-over: a full probe is centroid-independent,
+    // so old and new roots must answer bit-identically
+    assert(probeAll(newRoot, queries) === before,
+      "rebuild changed a full-probe answer")
+    // day granularity preserved; merged pseudo-days re-homed
+    val newDays = IvfStore.committedDays(spark, newRoot)
+    assert(newDays.toSet === oldDays.map(d =>
+      if (d.startsWith("merged-")) "rebuilt-" + d.stripPrefix("merged-")
+      else d).toSet, s"old=$oldDays new=$newDays")
+    // the retrained geometry absorbs the drifted day
+    val newDrift = IvfStore.driftReport(spark, newRoot).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(newDrift("2024-06-03") < oldDrift("2024-06-03") / 3,
+      s"retraining must absorb the drifted regime: " +
+        s"old=${oldDrift("2024-06-03")} new=${newDrift("2024-06-03")}")
+    assert(IvfStore.fsck(spark, newRoot, deep = true).isEmpty,
+      "rebuilt root must audit clean")
+    // old root untouched — consumers swap when ready
+    assert(IvfStore.committedDays(spark, root) === oldDays)
+    assert(probeAll(root, queries) === before)
+  }
+
   test("driftReport: same-regime days at ratio ~1, an off-regime day stands out; pre-baseline stores degrade to null") {
     val root = Files.createTempDirectory("ivfst-drift").toString
     val seed = mkRows(0 until 60)
