@@ -115,10 +115,9 @@ object IvfIndex {
     require(nprobe >= 1 && topK >= 1, s"nprobe/topK must be >= 1")
     // the documented driver-side batch guard, ENFORCED (round 12):
     // the (query, cell) pair frame is broadcast, so its row count is
-    // the thing the 8 GB-per-broadcast limit actually sees — same
-    // conf knob as every other broadcast cap in the engine
-    val cap = spark.conf.getOption("graft.maxBroadcastRows")
-      .map(_.toLong).getOrElse(500000L)
+    // the thing the 8 GB-per-broadcast limit actually sees — ONE
+    // knob shared with every other broadcast cap ([[BroadcastGuard]])
+    val cap = BroadcastGuard.cap(spark)
     require(queries.size.toLong * math.min(nprobe, cents.size) <= cap,
       s"probe batch of ${queries.size} queries x $nprobe cells exceeds " +
         s"the broadcast cap ($cap rows; conf graft.maxBroadcastRows) — " +

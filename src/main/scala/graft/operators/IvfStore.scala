@@ -78,6 +78,14 @@ object IvfStore {
   private val MarkerDir = "_committed"
   private val MergedPrefix = MarkerProtocol.MergedPrefix
 
+  /** Day-name prefix [[rebuild]] gives re-homed `merged-*` partitions
+    * in the new root. [[compact]] classifies these into the MERGED
+    * TIER, not the retention window: they sort lexicographically
+    * after date-named days, so counting them as real days would let
+    * them permanently occupy `keepDays` slots and push genuinely
+    * recent days into early folding (outside their replay window). */
+  private val RebuiltPrefix = "rebuilt-"
+
   /** Seed-assignment baseline for [[driftReport]], committed at
     * [[init]]: "meanDist2 n" of the usable seed rows against the
     * freshly-trained centroids. */
@@ -93,6 +101,14 @@ object IvfStore {
     Option(f.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
       .map(_.toSeq).getOrElse(Nil)
 
+  /** The store's data schema from one leaf file — the id column is
+    * first and the vector column second by [[append]]'s write order;
+    * every reader/audit derives names from HERE, never from what a
+    * caller remembers naming them. ONE footer read per call site. */
+  private def leafDataSchema(spark: SparkSession,
+      leaf: Path): org.apache.spark.sql.types.StructType =
+    spark.read.parquet(leaf.toString).schema
+
   /** Committed cells under an EXPLICIT schema — id/vec data schema
     * from one leaf file, partition columns pinned to (dt: string,
     * cell: int). Partition-type INFERENCE must never run here: a
@@ -102,8 +118,9 @@ object IvfStore {
     * pseudo-day commits. Explicit partition columns still prune at
     * the file index. */
   private def cellsFrame(spark: SparkSession, root: String,
-      leaf: Path, days: Seq[String]): DataFrame = {
-    val schema = spark.read.parquet(leaf.toString).schema
+      leaf: Path, days: Seq[String],
+      dataSchema: Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
+    val schema = dataSchema.getOrElse(leafDataSchema(spark, leaf))
       .add("dt", org.apache.spark.sql.types.StringType)
       .add("cell", org.apache.spark.sql.types.IntegerType)
     spark.read.schema(schema).parquet(s"$root/cells")
@@ -270,7 +287,10 @@ object IvfStore {
         .map(_.length).getOrElse(0)
     val before = dayDirs()
     val all = committedDays(spark, root)
-    val (alreadyMerged, realDays) = all.partition(_.startsWith(MergedPrefix))
+    // rebuilt-* pseudo-days count as the MERGED tier, never as
+    // retention-window days (see [[RebuiltPrefix]])
+    val (alreadyMerged, realDays) = all.partition(d =>
+      d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix))
     val newOld = realDays.dropRight(keepDays)
     val maxMergedParts = spark.conf.getOption("graft.store.maxMergedParts")
       .map(_.toInt).getOrElse(4)
@@ -298,7 +318,7 @@ object IvfStore {
         math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong).toInt
       // explicit schema (see [[cellsFrame]] — no partition inference);
       // basePath keeps the cell partition column in the multi-dir read
-      val schema = spark.read.parquet(leaves.head.getPath.toString).schema
+      val schema = leafDataSchema(spark, leaves.head.getPath)
         .add("dt", org.apache.spark.sql.types.StringType)
         .add("cell", org.apache.spark.sql.types.IntegerType)
       val merged = spark.read.schema(schema)
@@ -343,7 +363,13 @@ object IvfStore {
     * Cost: one training pass over the committed corpus (k-means at
     * `iters`; train on a sample upstream if the archive is huge —
     * pass `seedSample` to cap the training frame) plus one
-    * assignment + write pass per day. Returns the new model. */
+    * assignment + write pass per day. Returns the new model.
+    *
+    * NOT crash-resumable: a crash mid-rebuild leaves `newRoot`
+    * initialized but partially appended, and a re-run refuses at
+    * [[init]]. Recovery is safe and simple — DELETE `newRoot` and
+    * re-run; the OLD root is the untouched source of truth
+    * throughout, and consumers are still pointed at it. */
   def rebuild(spark: SparkSession, oldRoot: String, newRoot: String,
       k: Int, iters: Int = 5, seedSample: Option[Double] = None): KMeans.Model = {
     val days = committedDays(spark, oldRoot)
@@ -351,16 +377,16 @@ object IvfStore {
     val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
     require(leaves.nonEmpty,
       s"nothing to rebuild: no indexed vectors at $oldRoot")
-    val dataFields =
-      spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames
-    val (idCol, vecCol) = (dataFields(0), dataFields(1))
-    val all = cellsFrame(spark, oldRoot, leaves.head.getPath, days)
+    val ds = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
+    val all = cellsFrame(spark, oldRoot, leaves.head.getPath, days,
+      dataSchema = Some(ds))
     val seed = seedSample.fold(all)(f => all.sample(withReplacement = false,
       f, seed = 42L))
     val model = init(seed, idCol, vecCol, newRoot, k, iters)
     days.foreach { d =>
       val target = if (d.startsWith(MergedPrefix))
-        s"rebuilt-${d.stripPrefix(MergedPrefix)}" else d
+        s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
       append(all.filter(col("dt") === d).drop("dt", "cell"),
         newRoot, target, idCol, vecCol)
     }
@@ -499,13 +525,10 @@ object IvfStore {
       val leaves = leafFiles(f, root)
       if (leaves.nonEmpty) {
         val cents = IvfIndex.open(spark, root)
-        // column names come from the STORE itself ([[append]]'s write
-        // order: id first, vector second) — an audit must read what
-        // is there, not what a caller remembers naming it
-        val dataFields =
-          spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames
-        val (idCol, vecCol) = (dataFields(0), dataFields(1))
-        val cells = cellsFrame(spark, root, leaves.head.getPath, committed)
+        val ds = leafDataSchema(spark, leaves.head.getPath)
+        val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
+        val cells = cellsFrame(spark, root, leaves.head.getPath, committed,
+          dataSchema = Some(ds))
         // re-derive the argmin exactly as append did; a mismatch means
         // the partition value and the geometry no longer agree
         val recheck = KMeans.assign(cells.withColumnRenamed("cell", "__stored"),
@@ -564,11 +587,8 @@ object IvfStore {
     val leaves = leafFiles(fs(spark, root), root)
     require(leaves.nonEmpty, s"store at $root has committed days but no " +
       "indexed vectors — nothing to audit for drift")
-    // the vector column name comes from the STORE's own leaf schema
-    // ([[append]]'s write order: id, vector) — the fsck rule: an
-    // audit reads what is there, not what a caller remembers naming
-    val vecCol =
-      spark.read.parquet(leaves.head.getPath.toString).schema.fieldNames(1)
+    val dsch = leafDataSchema(spark, leaves.head.getPath)
+    val vecCol = dsch.fieldNames(1)
     val centArr = array(cents.map(c => lit(c)): _*)
     val d2 = aggregate(
       zip_with(col(vecCol), element_at(centArr, col("cell") + 1),
@@ -578,15 +598,21 @@ object IvfStore {
       case Some((m, _)) => lit(m)
       case None => lit(null).cast("double")
     }
-    val cells = cellsFrame(spark, root, leaves.head.getPath, days)
+    val cells = cellsFrame(spark, root, leaves.head.getPath, days,
+      dataSchema = Some(dsch))
     // per-(dt, cell) counts first — one shuffle keyed exactly like
     // the layout; the per-day rollup and the max-share both fold the
     // tiny (days x k) frame
+    // cdn (non-null d2 count) weights the mean, cn weights occupancy:
+    // a hand-restored root can hold rows whose d2 is null (wrong-dim
+    // vector, out-of-range cell) — they must not deflate mean_dist2
+    // by riding the denominator (fsck deep flags them; the report
+    // must not mask the drift alarm meanwhile)
     val perCell = cells.groupBy(col("dt"), col("cell"))
-      .agg(count(lit(1)).as("cn"), avg(d2).as("cd2"))
+      .agg(count(lit(1)).as("cn"), count(d2).as("cdn"), avg(d2).as("cd2"))
     perCell.groupBy(col("dt"))
       .agg(sum(col("cn")).as("n"),
-        (sum(col("cd2") * col("cn")) / sum(col("cn"))).as("mean_dist2"),
+        (sum(col("cd2") * col("cdn")) / sum(col("cdn"))).as("mean_dist2"),
         (max(col("cn")).cast("double") / sum(col("cn"))).as("max_cell_frac"))
       .withColumn("seed_mean_dist2", base)
       .withColumn("drift_ratio",

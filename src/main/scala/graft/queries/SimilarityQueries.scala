@@ -528,8 +528,15 @@ object SimilarityQueries {
             e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
           val queries = qRows.map(r => (r.getLong(0),
             r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
-          graft.operators.IvfStore.probe(s, root, "vec_id", "embedding",
-            queries, nprobe = 8, topK = 5)
+          // probe in broadcast-cap-sized shards (|shard|·nprobe pair
+          // rows per call — the probe guard's documented remedy);
+          // per-query top-k is shard-independent, so the union is
+          // exactly the single-call answer. One shard at gate SFs.
+          val shard = math.max(1, (graft.operators.BroadcastGuard.cap(s) / 8).toInt)
+          queries.grouped(shard)
+            .map(qs0 => graft.operators.IvfStore.probe(s, root,
+              "vec_id", "embedding", qs0, nprobe = 8, topK = 5))
+            .reduce(_ unionByName _)
             .localCheckpoint() // materialize before the root vanishes
         } finally {
           val p = new org.apache.hadoop.fs.Path(root)

@@ -224,6 +224,13 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
         s"old=${oldDrift("2024-06-03")} new=${newDrift("2024-06-03")}")
     assert(IvfStore.fsck(spark, newRoot, deep = true).isEmpty,
       "rebuilt root must audit clean")
+    // rebuilt pseudo-days belong to the merged TIER in the new root's
+    // own compaction, never the retention window — otherwise they
+    // sort after every date ('r' > '2'), permanently occupy keepDays
+    // slots, and push genuinely recent days into early folding
+    val r2 = IvfStore.compact(spark, newRoot, keepDays = 1)
+    assert(r2.mergedDay.isEmpty,
+      s"no real day has aged; rebuilt days must not hold retention slots: $r2")
     // old root untouched — consumers swap when ready
     assert(IvfStore.committedDays(spark, root) === oldDays)
     assert(probeAll(root, queries) === before)
