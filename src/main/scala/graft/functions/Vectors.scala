@@ -37,7 +37,17 @@ object Vectors {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cos(a,b) given precomputed norms (avoids recomputing ‖·‖ per pair
-    * in the O(n²) join — precompute per side, then one dot per pair). */
+    * in the O(n²) join — precompute per side, then one dot per pair).
+    *
+    * A ZERO denominator (a zero-norm vector on either side — the
+    * degenerate row every real corpus contains) yields NULL, not an
+    * ANSI DIVIDE_BY_ZERO error: the q113 `nullif` rule, applied at
+    * the one shared definition so every cosine consumer inherits the
+    * same totality. NULL then behaves exactly as the undefined
+    * similarity should — `>= t` filters drop it, `ORDER BY cosine
+    * DESC` ranks it last in BOTH engines (gate corpora carry no
+    * zero-norm vectors, so oracle equality is untouched; the
+    * degenerate-row contract is DegenerateInputSpec's). */
   def cosineWithNorms(a: Column, b: Column, normA: Column, normB: Column): Column =
-    dot(a, b) / (normA * normB)
+    dot(a, b) / nullif(normA * normB, lit(0.0))
 }

@@ -71,7 +71,13 @@ object MLQueries {
       // to_json'd portably (Jackson 1.0E-5 vs DuckDB 0.00001) and raw
       // array cells break the driver's pandas row-sort; exploded doubles
       // compare bit-exact.
-      T.embeddings(s, d).select($"vec_id", posexplode(expr(
+      // dim guard (round 12, the q113/q58 ragged-row rule): a short
+      // vector would throw ANSI INVALID_ARRAY_INDEX at embedding[i]
+      // where DuckDB silently yields NULL — both sides DROP off-dim
+      // rows instead (a no-op on conforming corpora)
+      T.embeddings(s, d)
+        .filter(size($"embedding") === 64)
+        .select($"vec_id", posexplode(expr(
         """transform(sequence(0, 63), i ->
              CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0
                   WHEN i = 20 THEN CAST(label AS DOUBLE) / 10.0
@@ -84,7 +90,7 @@ object MLQueries {
              WHEN r.range = 20 THEN CAST(label AS DOUBLE) / 10.0
              WHEN r.range = 30 THEN CAST(vec_id % 17 AS DOUBLE) / 17.0
              ELSE CAST(embedding[CAST(r.range + 1 AS INTEGER)] AS DOUBLE) END AS feature
-      FROM embeddings CROSS JOIN range(64) r"""))
+      FROM embeddings CROSS JOIN range(64) r WHERE len(embedding) = 64"""))
 
   /** Batched inference: mapPartitions, model as per-JVM lazy singleton
     * (= `@Setup` load-once), `grouped(60)` batches (= BUFFER_MAX_SIZE,

@@ -100,6 +100,11 @@ object SimilarityQueries {
             Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
         .reduce(_ union _)
       scored
+        // undefined similarity (NULL cosine — a zero-norm or null
+        // vector on either side) never emits or ranks: the
+        // cosineWithNorms nullif rule's consumer half (no-op on
+        // conforming corpora; DegenerateInputSpec pins it)
+        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
@@ -139,6 +144,11 @@ object SimilarityQueries {
             Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
         .reduce(_ union _)
       scored
+        // undefined similarity (NULL cosine — a zero-norm or null
+        // vector on either side) never emits or ranks: the
+        // cosineWithNorms nullif rule's consumer half (no-op on
+        // conforming corpora; DegenerateInputSpec pins it)
+        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
@@ -206,6 +216,11 @@ object SimilarityQueries {
         .select($"q_vec", $"vec_id",
           Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
       scored
+        // undefined similarity (NULL cosine — a zero-norm or null
+        // vector on either side) never emits or ranks: the
+        // cosineWithNorms nullif rule's consumer half (no-op on
+        // conforming corpora; DegenerateInputSpec pins it)
+        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)

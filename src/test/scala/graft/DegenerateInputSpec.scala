@@ -57,13 +57,22 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     docFull.coalesce(1).write.mode("overwrite").parquet(s"$d/documents.parquet")
 
     val embSchema = spark.read.parquet(s"$src/embeddings.parquet").schema
+    // REAL column names (vec_id, embedding) — round 12: the original
+    // fixture named these (doc_id, vec), which match nothing in the
+    // embeddings schema, so the schema-fill below nulled EVERY cell
+    // and the zero-norm / ragged-dim coverage was silently vacuous
+    // (only the all-null row was ever exercised). Dim 16 ≠ the
+    // corpus's 64 also exercises the ragged-width seams. vec_id 0 and
+    // 50 land in the ANN family's %50 query sets so the zero-norm and
+    // short-vector rows reach the query side too, not just the corpus
+    // side.
     val dim = 16
     val embs = Seq[(Long, Seq[Float])](
       (1L, null),
-      (2L, Seq.fill(dim)(0.0f)),                       // zero norm
-      (3L, (0 until dim).map(i => (i + 1).toFloat)),
+      (0L, Seq.fill(dim)(0.0f)),                       // zero norm, a query id
+      (50L, (0 until dim).map(i => (i + 1).toFloat)),  // ragged, a query id
       (4L, (0 until dim).map(i => (dim - i).toFloat)))
-      .toDF("doc_id", "vec")
+      .toDF("vec_id", "embedding")
     val embFull = embs.select(embSchema.fields.map { f =>
       if (embs.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)
@@ -86,10 +95,17 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
   test("zero-norm embedding never reaches ANN output; NaN cosine filters") {
     val out = SparkEntry.queries("q45_ann_bruteforce")(spark, dir)
     val rows = out.collect()
-    // doc 2 is the zero vector: 0/0 cosine is NaN on every pair, and
-    // NaN must filter — not rank, not crash, not emit.
+    // vec 0 is the zero vector (a QUERY id), vec 1 the null vector:
+    // their cosine is undefined on every pair (nullif denominator →
+    // NULL), and undefined similarity must filter — not rank, not
+    // crash, not emit, on EITHER side of the pair.
     assert(!rows.exists(r => (0 until r.length).exists(i =>
       r.get(i) match { case d: Double => d.isNaN; case f: Float => f.isNaN; case _ => false })))
+    assert(!rows.exists(r =>
+      Seq(r.getLong(0), r.getLong(1)).exists(id => id == 0L || id == 1L)),
+      s"zero-norm/null vectors leaked into ANN output: ${rows.mkString(", ")}")
+    assert(!rows.exists(r => r.isNullAt(2)),
+      "no NULL-cosine row may rank into the top-k")
   }
 
   test("drop seams report observed metrics: every cut is counted, none silent") {
