@@ -148,6 +148,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("banded streaming near-dup: ring state survives a stop/restart from the checkpoint") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    // the proven near-twin fixture from the cross-batch test
+    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight while stars shine bright above the quiet hills tonight"
+    val b = "the quick brown fox jumps over the lazy dog and runs far away home tonight while mouse shine bright above the quiet hills tonight"
+    val tmp = java.nio.file.Files.createTempDirectory("banded-restart").toString
+    val in = MemoryStream[(java.sql.Timestamp, Long, String)]
+    def start() = StreamingOps.nearDedupStreamBanded(
+      in.toDF().toDF("ts", "doc_id", "text"), "text", "doc_id", "30 minutes")
+      .writeStream.format("parquet")
+      .option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    val q1 = start()
+    in.addData((t(1), 1L, a))
+    q1.processAllAvailable()
+    q1.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+
+    val q2 = start() // restore the band-bucket rings
+    in.addData((t(3), 2L, b),
+      (t(4), 3L, "completely different words entirely here now with nothing shared at all today"))
+    q2.processAllAvailable()
+    in.addData((t(120), 99L, "watermark flush row"))
+    q2.processAllAvailable()
+    q2.stop()
+
+    val kept = spark.read.parquet(s"$tmp/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L), "pre-restart original retained")
+    assert(!kept.contains(2L),
+      "near-twin of a PRE-RESTART owner must be suppressed — ring state restored")
+    assert(kept.contains(3L), "post-restart distinct doc survives")
+  }
+
   test("cosine streaming near-dup: ring state survives a stop/restart from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
