@@ -76,7 +76,7 @@ object MLQueries {
       // where DuckDB silently yields NULL — both sides DROP off-dim
       // rows instead (a no-op on conforming corpora)
       T.embeddings(s, d)
-        .filter(size($"embedding") === 64)
+        .filter(size($"embedding") === lit(Dim))
         .select($"vec_id", posexplode(expr(
         """transform(sequence(0, 63), i ->
              CASE WHEN i = 10 THEN CAST(vec_id % 100 AS DOUBLE) / 100.0

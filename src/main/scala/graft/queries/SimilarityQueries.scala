@@ -91,6 +91,14 @@ object SimilarityQueries {
       import s.implicits._
       val e = T.embeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        // usable vectors only, per SIDE and before any join (the
+        // ingestCosine NaN-poisoning rule): a NULL/zero-norm vector
+        // has no defined similarity, and a NaN/Inf element would
+        // otherwise rank FIRST in every top-k (Spark orders NaN above
+        // all doubles). One O(n) filter; the oracle's n CTE mirrors
+        // it, so the scopes stay provably identical.
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"), $"nrm".as("q_nrm"))
       val scored = broadcastChunks(qset, $"q_vec", "ANN query set")
@@ -100,18 +108,13 @@ object SimilarityQueries {
             Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
         .reduce(_ union _)
       scored
-        // undefined similarity (NULL cosine — a zero-norm or null
-        // vector on either side) never emits or ranks: the
-        // cosineWithNorms nullif rule's consumer half (no-op on
-        // conforming corpora; DegenerateInputSpec pins it)
-        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
     },
-    Some("""WITH n AS (SELECT vec_id, embedding,
+    Some("""WITH n AS (SELECT * FROM (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM embeddings),
+        FROM embeddings) WHERE nrm > 0 AND isfinite(nrm)),
       q AS (SELECT vec_id q_vec, embedding q_emb, nrm q_nrm FROM n WHERE vec_id % 50 = 0),
       sc AS (SELECT q.q_vec, n.vec_id,
         list_sum(list_transform(range(64), i ->
@@ -133,6 +136,14 @@ object SimilarityQueries {
       graft.GraftExtensions.ensureRegistered(s)
       val e = T.embeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        // usable vectors only, per SIDE and before any join (the
+        // ingestCosine NaN-poisoning rule): a NULL/zero-norm vector
+        // has no defined similarity, and a NaN/Inf element would
+        // otherwise rank FIRST in every top-k (Spark orders NaN above
+        // all doubles). One O(n) filter; the oracle's n CTE mirrors
+        // it, so the scopes stay provably identical.
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
         .withColumn("bucket", expr(bucketSparkExpr))
       val qset = e.filter($"vec_id" % 50 === 0)
         .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"),
@@ -144,23 +155,18 @@ object SimilarityQueries {
             Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine")))
         .reduce(_ union _)
       scored
-        // undefined similarity (NULL cosine — a zero-norm or null
-        // vector on either side) never emits or ranks: the
-        // cosineWithNorms nullif rule's consumer half (no-op on
-        // conforming corpora; DegenerateInputSpec pins it)
-        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
     },
     Some(s"""WITH w AS (SELECT $wDuckArr m),
-      n AS (SELECT vec_id, embedding,
+      n AS (SELECT * FROM (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm,
         CAST(list_sum(list_transform(range($NPlanes), h ->
           CASE WHEN list_sum(list_transform(range($Dim), d2 ->
                  CAST(embedding[d2+1] AS DOUBLE) * m[h+1][d2+1])) > 0
           THEN 1::BIGINT << (${NPlanes - 1} - h) ELSE 0::BIGINT END)) AS BIGINT) bucket
-        FROM embeddings CROSS JOIN w),
+        FROM embeddings CROSS JOIN w) WHERE nrm > 0 AND isfinite(nrm)),
       q AS (SELECT vec_id q_vec, embedding q_emb, nrm q_nrm, bucket FROM n WHERE vec_id % 50 = 0),
       sc AS (SELECT q.q_vec, n.vec_id,
         list_sum(list_transform(range($Dim), i ->
@@ -183,6 +189,14 @@ object SimilarityQueries {
       import s.implicits._
       val e = T.embeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        // usable vectors only, per SIDE and before any join (the
+        // ingestCosine NaN-poisoning rule): a NULL/zero-norm vector
+        // has no defined similarity, and a NaN/Inf element would
+        // otherwise rank FIRST in every top-k (Spark orders NaN above
+        // all doubles). One O(n) filter; the oracle's n CTE mirrors
+        // it, so the scopes stay provably identical.
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
       val cents = e.filter($"vec_id" % 50 === 1)
         .select($"vec_id".as("cid"), $"embedding".as("c_emb"), $"nrm".as("c_nrm"))
       val centChunks = broadcastChunks(cents, $"cid", "IVF centroid set")
@@ -216,18 +230,13 @@ object SimilarityQueries {
         .select($"q_vec", $"vec_id",
           Vectors.cosineWithNorms($"q_emb", $"embedding", $"q_nrm", $"nrm").as("cosine"))
       scored
-        // undefined similarity (NULL cosine — a zero-norm or null
-        // vector on either side) never emits or ranks: the
-        // cosineWithNorms nullif rule's consumer half (no-op on
-        // conforming corpora; DegenerateInputSpec pins it)
-        .filter($"cosine".isNotNull)
         .withColumn("rank", row_number().over(
           Window.partitionBy($"q_vec").orderBy($"cosine".desc, $"vec_id".asc)))
         .filter($"rank" <= 5)
     },
-    Some(s"""WITH n AS (SELECT vec_id, embedding,
+    Some(s"""WITH n AS (SELECT * FROM (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM embeddings),
+        FROM embeddings) WHERE nrm > 0 AND isfinite(nrm)),
       c AS (SELECT vec_id cid, embedding c_emb, nrm c_nrm FROM n WHERE vec_id % 50 = 1),
       ac AS (SELECT n.vec_id, n.embedding, n.nrm, c.cid,
                list_sum(list_transform(range($Dim), i ->

@@ -17,12 +17,12 @@ import org.scalatest.funsuite.AnyFunSuite
   *
   *  - every native expression is `nullSafeEval` (NULL text → NULL
   *    signature → explode/joins drop the row — never a crash);
-  *  - a zero-norm embedding must not poison ANN top-k: 0/0 cosine is
-  *    NaN, and NaN ≥ t must FILTER (Spark and DuckDB agree NaN
-  *    comparisons are false in a WHERE filter; a top-k ORDER BY
-  *    would instead sort NaN LAST in DuckDB but FIRST in Spark — the
-  *    queries rank on filtered frames, so the gate never hits that
-  *    divergence, and the assertion here keeps it that way);
+  *  - a zero-norm or null embedding must not poison ANN top-k: since
+  *    round 12 the ANN family drops unusable vectors PER SIDE before
+  *    any join (norm > 0, finite — the ingestCosine rule, mirrored
+  *    in the DuckDB oracles), so an undefined similarity is never
+  *    computed, never NULL-ranked, and a NaN/Inf element can never
+  *    exploit Spark's NaN-sorts-first comparison order;
   *  - the quality floor cuts NULL text (predicate evaluates to NULL
   *    → filter drops), so downstream curation stages never see it.
   */
@@ -92,13 +92,13 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     assert(failures.isEmpty, s"\n${failures.mkString("\n")}")
   }
 
-  test("zero-norm embedding never reaches ANN output; NaN cosine filters") {
+  test("zero-norm and null embeddings never reach ANN output on either pair side") {
     val out = SparkEntry.queries("q45_ann_bruteforce")(spark, dir)
     val rows = out.collect()
     // vec 0 is the zero vector (a QUERY id), vec 1 the null vector:
-    // their cosine is undefined on every pair (nullif denominator →
-    // NULL), and undefined similarity must filter — not rank, not
-    // crash, not emit, on EITHER side of the pair.
+    // their similarity is undefined, and the per-side usable filter
+    // must cut them BEFORE any pair forms — not rank, not crash,
+    // not emit, on EITHER side.
     assert(!rows.exists(r => (0 until r.length).exists(i =>
       r.get(i) match { case d: Double => d.isNaN; case f: Float => f.isNaN; case _ => false })))
     assert(!rows.exists(r =>

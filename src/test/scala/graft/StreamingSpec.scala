@@ -13,6 +13,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
 
   private def us(minutes: Long): Long = minutes * 60L * 1000000L
 
+  // ONE copy of the banded near-twin fixture, shared by the
+  // cross-batch and restart tests: b is a hamming<=10 near twin of a,
+  // c is far from both — asserted at use so a fixture edit (or a
+  // simhash change) fails as a precondition, not as a misleading
+  // suppression-assert
+  private val nearTwinA = "the quick brown fox jumps over the lazy dog and runs far away home tonight while stars shine bright above the quiet hills tonight"
+  private val nearTwinB = "the quick brown fox jumps over the lazy dog and runs far away home tonight while mouse shine bright above the quiet hills tonight"
+  private val farC = "completely different words entirely here now with nothing shared at all today"
+  private def requireNearTwinFixture(): Unit = {
+    import spark.implicits._
+    GraftExtensions.ensureRegistered(spark)
+    def fp(t: String): Long = spark.createDataset(Seq(t)).toDF("text")
+      .select(expr("simhash60(word_shingles(text, 3))")).as[Long].head()
+    val hamAB = java.lang.Long.bitCount(fp(nearTwinA) ^ fp(nearTwinB))
+    assert(hamAB > 0 && hamAB <= 10, s"fixture texts: hamming(a,b)=$hamAB not in (0,10]")
+    assert(java.lang.Long.bitCount(fp(nearTwinA) ^ fp(farC)) > 10,
+      "fixture texts: c too close to a")
+  }
+
   test("windowed agg with watermark aggregates by tumbling window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
@@ -65,16 +84,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     GraftExtensions.ensureRegistered(spark)
-    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight while stars shine bright above the quiet hills tonight"
-    val b = "the quick brown fox jumps over the lazy dog and runs far away home tonight while mouse shine bright above the quiet hills tonight"
-    val c = "completely different words entirely here now with nothing shared at all today"
-    // precondition: b is a NEAR twin of a (0 < hamming <= 10 — the case
-    // the fingerprint-equality dedup can't catch), c is far from both
-    def fp(t: String): Long = spark.createDataset(Seq(t)).toDF("text")
-      .select(expr("simhash60(word_shingles(text, 3))")).as[Long].head()
-    val hamAB = java.lang.Long.bitCount(fp(a) ^ fp(b))
-    assert(hamAB > 0 && hamAB <= 10, s"fixture texts: hamming(a,b)=$hamAB not in (0,10]")
-    assert(java.lang.Long.bitCount(fp(a) ^ fp(c)) > 10, "fixture texts: c too close to a")
+    val (a, b, c) = (nearTwinA, nearTwinB, farC)
+    requireNearTwinFixture()
 
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
     val df = in.toDF().toDF("ts", "doc_id", "text")
@@ -152,9 +163,8 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     GraftExtensions.ensureRegistered(spark)
-    // the proven near-twin fixture from the cross-batch test
-    val a = "the quick brown fox jumps over the lazy dog and runs far away home tonight while stars shine bright above the quiet hills tonight"
-    val b = "the quick brown fox jumps over the lazy dog and runs far away home tonight while mouse shine bright above the quiet hills tonight"
+    val (a, b) = (nearTwinA, nearTwinB)
+    requireNearTwinFixture()
     val tmp = java.nio.file.Files.createTempDirectory("banded-restart").toString
     val in = MemoryStream[(java.sql.Timestamp, Long, String)]
     def start() = StreamingOps.nearDedupStreamBanded(
@@ -172,8 +182,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     while (spark.streams.active.nonEmpty) Thread.sleep(50)
 
     val q2 = start() // restore the band-bucket rings
-    in.addData((t(3), 2L, b),
-      (t(4), 3L, "completely different words entirely here now with nothing shared at all today"))
+    in.addData((t(3), 2L, b), (t(4), 3L, farC))
     q2.processAllAvailable()
     in.addData((t(120), 99L, "watermark flush row"))
     q2.processAllAvailable()
