@@ -433,9 +433,9 @@ object DedupQueries {
     * q44/q144/q145 can share it even where their pair predicates
     * differ (q144's rule is orientation-aware and stays verbatim). */
   private val cosNormCte: String =
-    """n AS (SELECT vec_id, embedding,
+    """n AS (SELECT * FROM (SELECT vec_id, embedding,
         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
-        FROM planted)"""
+        FROM planted) WHERE nrm > 0 AND isfinite(nrm))"""
 
   private val cosPairsCtes: String =
     s"""$plantedEmbSql,
@@ -505,6 +505,12 @@ object DedupQueries {
       graft.GraftExtensions.ensureRegistered(s)
       val e = plantedEmbeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        // usable vectors only (zero/NaN/Inf norms out), per the
+        // ingestCosine rule and MIRRORED in [[cosNormCte]]: without
+        // it a NaN-element vector passes `cosine >= t` (Spark orders
+        // NaN above all doubles) and poisons the pair set
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
         .cache() // read by the bucket explode and both verify sides
       // native srp_sig: one JIT loop for all 48 plane dots per row
       // (the interpreted HOF fold was tables×bits×dim lambda calls);
@@ -550,6 +556,12 @@ object DedupQueries {
       graft.GraftExtensions.ensureRegistered(s)
       val e = plantedEmbeddings(s, d)
         .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        // usable vectors only (zero/NaN/Inf norms out), per the
+        // ingestCosine rule and MIRRORED in [[cosNormCte]]: without
+        // it a NaN-element vector passes `cosine >= t` (Spark orders
+        // NaN above all doubles) and poisons the pair set
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
         .cache()
       val isDelta = $"vec_id" < 0 || pmod($"vec_id", lit(2)) === 1
       val tb = e.select($"vec_id", isDelta.as("__delta"),

@@ -275,7 +275,7 @@ object SimilarityQueries {
       T.embeddings(s, d)
         .withColumn("mx", expr(
           "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
-        .filter($"mx" > 0.0)
+        .filter($"mx" > 0.0 && !isnan($"mx") && $"mx" < lit(Double.PositiveInfinity))
         .withColumn("scale", lit(127.0) / $"mx")
         .select($"vec_id", $"scale",
           // to_json: int payload serializes identically in DuckDB; raw
@@ -294,7 +294,7 @@ object SimilarityQueries {
         to_json(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) AS INTEGER))) AS q8,
         list_aggregate(list_transform(embedding, x ->
           abs(CAST(x AS DOUBLE) - floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx))), 'max') AS max_abs_err
-      FROM m WHERE mx > 0.0"""))
+      FROM m WHERE mx > 0.0 AND isfinite(mx)"""))
 
   /** Embedding centering statistics — the standard ANN preprocessing
     * pass (IVF cell balance and SRP bucket quality both improve on
@@ -426,7 +426,7 @@ object SimilarityQueries {
       val base = T.embeddings(s, d)
         .withColumn("mx", expr(
           "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
-        .filter($"mx" > 0.0)
+        .filter($"mx" > 0.0 && !isnan($"mx") && $"mx" < lit(Double.PositiveInfinity))
       def top5(vecs: org.apache.spark.sql.DataFrame, what: String) = {
         val qset = vecs.filter($"vec_id" % 50 === 0)
           .select($"vec_id".as("q_vec"), $"e".as("qe"), $"nrm".as("qn"))
@@ -461,7 +461,7 @@ object SimilarityQueries {
         FROM embeddings),
       nf AS (SELECT vec_id,
         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        FROM m WHERE mx > 0.0),
+        FROM m WHERE mx > 0.0 AND isfinite(mx)),
       nf2 AS (SELECT vec_id, e,
         sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM nf),
       qf AS (SELECT vec_id q_vec, e qe, nrm qn FROM nf2 WHERE vec_id % 50 = 0),
@@ -475,7 +475,7 @@ object SimilarityQueries {
         WHERE rank <= 5),
       r AS (SELECT vec_id, list_transform(embedding,
           x -> floor(CAST(x AS DOUBLE) * (127.0 / mx) + 0.5) / (127.0 / mx)) AS e
-        FROM m WHERE mx > 0.0),
+        FROM m WHERE mx > 0.0 AND isfinite(mx)),
       n AS (SELECT vec_id, e,
         sqrt(list_sum(list_transform(e, x -> x * x))) nrm FROM r),
       q AS (SELECT vec_id q_vec, e qe, nrm qn FROM n WHERE vec_id % 50 = 0),

@@ -71,7 +71,14 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       (1L, null),
       (0L, Seq.fill(dim)(0.0f)),                       // zero norm, a query id
       (50L, (0 until dim).map(i => (i + 1).toFloat)),  // ragged, a query id
-      (4L, (0 until dim).map(i => (dim - i).toFloat)))
+      (4L, (0 until dim).map(i => (dim - i).toFloat)),
+      // NaN/Inf ELEMENTS (round 12): Spark orders NaN above every
+      // double, so an unguarded `score >= t` or top-k admits these
+      // rows FIRST, and an ANSI CAST(NaN AS INT) throws — every
+      // vector consumer must drop non-finite norms on both engine
+      // sides (the ingestCosine rule)
+      (6L, Float.NaN +: (1 until dim).map(i => i.toFloat)),
+      (7L, Float.PositiveInfinity +: (1 until dim).map(i => i.toFloat)))
       .toDF("vec_id", "embedding")
     val embFull = embs.select(embSchema.fields.map { f =>
       if (embs.columns.contains(f.name)) col(f.name).cast(f.dataType)
@@ -131,10 +138,10 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       def both(): Boolean = seen.synchronized(
         seen.contains("q55_decode_input") && seen.contains("q58_inference_input"))
       while (!both() && System.nanoTime() < deadline) Thread.sleep(50)
-      // 7 documents, 1 NULL payload; 4 embeddings, all invalid for the
-      // 64-dim model (NULL, zero-norm 16-dim, two normal 16-dim)
+      // 7 documents, 1 NULL payload; 6 embeddings, all invalid for the
+      // 64-dim model (NULL, zero-norm/NaN/Inf 16-dim, two normal 16-dim)
       assert(seen.synchronized(seen.get("q55_decode_input")) === Some((7L, 1L)))
-      assert(seen.synchronized(seen.get("q58_inference_input")) === Some((4L, 4L)))
+      assert(seen.synchronized(seen.get("q58_inference_input")) === Some((6L, 6L)))
     } finally spark.listenerManager.unregister(listener)
   }
 
