@@ -320,8 +320,15 @@ object SimilarityQueries {
       // semantics on malformed input. Both sides now DROP off-dim rows
       // (a no-op on conforming corpora; malformed vectors are a data
       // bug to surface upstream, not to average over).
+      // finite guard (round 12): unlike the row-local q08/q17 (where a
+      // NaN vector poisons only its own row — honest output), ONE
+      // NaN/Inf element here would NaN the per-dim centroid and poison
+      // EVERY row's stats; both sides drop non-finite vectors (zero
+      // norm stays — its NULL cosine is the deliberate nullif case).
       val emb = T.embeddings(s, d)
         .filter(size($"embedding") === Dim)
+        .withColumn("__n2", Vectors.dot($"embedding", $"embedding"))
+        .filter(!isnan($"__n2") && $"__n2" < lit(Double.PositiveInfinity))
         .select($"vec_id", transform($"embedding", x => x.cast("double")).as("e"))
       val mu = emb
         .select(posexplode($"e").as(Seq("pos", "v")))
@@ -342,7 +349,9 @@ object SimilarityQueries {
             .as("cos_to_centroid"))
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-               WHERE len(embedding) = $Dim),
+               WHERE len(embedding) = $Dim
+                 AND isfinite(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       dims AS (SELECT unnest(generate_series(1, $Dim)) AS i),
       m AS (SELECT i, avg(CAST(embedding[i] AS DOUBLE)) AS mu
             FROM e CROSS JOIN dims GROUP BY i),
