@@ -97,19 +97,24 @@ object MLQueries {
     * `Predictions.java:132`), argmax with first-index tie-break
     * (= `Predictions.java:38-46`).
     *
-    * Records whose feature vector cannot feed the model — NULL or
-    * wrong-dimension embeddings — are DROPPED before the encoder, the
-    * reference's own invalid-input policy (F4 default-instance drop,
-    * `PredictionPipeline`): a serving seam never scores garbage. The
-    * gate corpus is all 64-dim non-null (oracle unchanged);
-    * DegenerateInputSpec pins the drop. */
+    * Records whose feature vector cannot feed the model — NULL,
+    * wrong-dimension, or non-finite (NaN/Inf element, round 12)
+    * embeddings — are DROPPED before the encoder, the reference's own
+    * invalid-input policy (F4 default-instance drop,
+    * `PredictionPipeline`): a serving seam never scores garbage (a
+    * NaN feature would flow NaN through every class score and emit a
+    * meaningless argmax). The oracle mirrors the drop predicate; the
+    * gate corpus is all 64-dim finite (results unchanged);
+    * DegenerateInputSpec pins the drop counts. */
   private val inference = Q(
     "q58_batched_inference",
     (s, d) => {
       import s.implicits._
       T.embeddings(s, d)
         .select($"vec_id", $"embedding")
-        .withColumn("__ok", $"embedding".isNotNull && size($"embedding") === lit(Dim))
+        .withColumn("__n2", graft.functions.Vectors.dot($"embedding", $"embedding"))
+        .withColumn("__ok", $"embedding".isNotNull && size($"embedding") === lit(Dim) &&
+          !isnan($"__n2") && $"__n2" < lit(Double.PositiveInfinity))
         // drops must be OBSERVABLE, not silent: `observedMetrics`
         // under "q58_inference_input" carries {records, dropped} per
         // execution — the feed a serving pipeline alerts on (same
@@ -119,7 +124,7 @@ object MLQueries {
           count(lit(1)).as("records"),
           coalesce(sum(when($"__ok", 0L).otherwise(1L)), lit(0L)).as("dropped"))
         .filter($"__ok")
-        .drop("__ok")
+        .drop("__ok", "__n2")
         .as[(Long, Array[Float])]
         .mapPartitions { it =>
           it.grouped(60).flatMap { batch =>
@@ -139,7 +144,9 @@ object MLQueries {
           bias[j+1] + list_sum(list_transform(range($Dim), dd ->
             CAST(embedding[dd+1] AS DOUBLE) * w[dd+1][j+1]))) scores
         FROM embeddings CROSS JOIN m
-        WHERE embedding IS NOT NULL AND len(embedding) = $Dim)
+        WHERE embedding IS NOT NULL AND len(embedding) = $Dim
+          AND isfinite(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
       SELECT vec_id,
         CAST(list_position(scores, list_aggregate(scores, 'max')) - 1 AS INTEGER) AS prediction,
         list_aggregate(scores, 'max') AS score

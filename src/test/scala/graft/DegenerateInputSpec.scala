@@ -78,7 +78,11 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       // vector consumer must drop non-finite norms on both engine
       // sides (the ingestCosine rule)
       (6L, Float.NaN +: (1 until dim).map(i => i.toFloat)),
-      (7L, Float.PositiveInfinity +: (1 until dim).map(i => i.toFloat)))
+      (7L, Float.PositiveInfinity +: (1 until dim).map(i => i.toFloat)),
+      // full-width NaN: passes every dim check, so the FINITE guards
+      // (q58's serving drop, q113's centroid protection) are what
+      // actually cut it
+      (8L, Float.NaN +: (1 until 64).map(i => i.toFloat)))
       .toDF("vec_id", "embedding")
     val embFull = embs.select(embSchema.fields.map { f =>
       if (embs.columns.contains(f.name)) col(f.name).cast(f.dataType)
@@ -138,10 +142,11 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
       def both(): Boolean = seen.synchronized(
         seen.contains("q55_decode_input") && seen.contains("q58_inference_input"))
       while (!both() && System.nanoTime() < deadline) Thread.sleep(50)
-      // 7 documents, 1 NULL payload; 6 embeddings, all invalid for the
-      // 64-dim model (NULL, zero-norm/NaN/Inf 16-dim, two normal 16-dim)
+      // 7 documents, 1 NULL payload; 7 embeddings, all invalid for the
+      // model (NULL, zero-norm/NaN/Inf 16-dim, two normal 16-dim, one
+      // 64-dim NaN — the full-width row only the FINITE check catches)
       assert(seen.synchronized(seen.get("q55_decode_input")) === Some((7L, 1L)))
-      assert(seen.synchronized(seen.get("q58_inference_input")) === Some((6L, 6L)))
+      assert(seen.synchronized(seen.get("q58_inference_input")) === Some((7L, 7L)))
     } finally spark.listenerManager.unregister(listener)
   }
 
