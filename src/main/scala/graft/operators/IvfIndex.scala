@@ -142,6 +142,15 @@ object IvfIndex {
       lit(0.0), (acc, x) => acc + x)
     candidates
       .withColumn("dist2", d2)
+      // defensive corrupt-drop (round 13): [[KMeans.assign]] never
+      // writes a null/wrong-dim/non-finite vector, but a RESTORED or
+      // hand-copied cell dir can hold one, and its distance is
+      // undefined in the ranking — worse, a wrong-dim row's NULL
+      // dist2 sorts FIRST under asc (Spark nulls-first), poisoning
+      // rank 1 of every probe that touches its cell. Undefined
+      // distances leave the candidate set; fsck deep names the rows.
+      .filter(col("dist2").isNotNull && !isnan(col("dist2")) &&
+        col("dist2") < lit(Double.PositiveInfinity))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
           .orderBy(col("dist2").asc, col(idCol).asc)))

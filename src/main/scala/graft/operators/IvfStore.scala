@@ -248,9 +248,20 @@ object IvfStore {
     * when nothing qualified), how many days it folded, and the
     * `cells/dt=*` day-dir count before/after (the small-files metric
     * the pass exists to bound — per-day×cell dirs are the
-    * accumulator). */
+    * accumulator).
+    *
+    * TIMING of the after-count (round 13, honest-reporting): the
+    * protocol defers the sweep of replaced day dirs to the START of
+    * the NEXT run (the reader grace period), so on the run that
+    * actually folds, `dayDirsAfter = dayDirsBefore + 1` — the folded
+    * dirs still stand, plus the new merged dir. The decrease
+    * materializes at the next run's sweep. `awaitingSweep` makes the
+    * report self-explanatory: it counts replaced day dirs still on
+    * disk, so the steady-state dir count a monitoring rule should
+    * alarm on is `dayDirsAfter - awaitingSweep` — never key an
+    * `after < before` rule on a single productive run. */
   case class CompactionReport(mergedDay: Option[String], foldedDays: Int,
-      dayDirsBefore: Int, dayDirsAfter: Int)
+      dayDirsBefore: Int, dayDirsAfter: Int, awaitingSweep: Int)
 
   /** COMPACTION + retention for the IVF root — [[DedupStore.compact]]'s
     * tiered protocol applied to the `cells` table, closing the
@@ -298,8 +309,10 @@ object IvfStore {
     val mergeDays =
       if (alreadyMerged.size + 1 > maxMergedParts) alreadyMerged ++ newOld
       else newOld
+    // a no-op run still reports dirs the PREVIOUS fold left awaiting
+    // sweep zero — sweepReplaced above just cleared them
     if (mergeDays.size < 2 || newOld.isEmpty)
-      return CompactionReport(None, 0, before, before)
+      return CompactionReport(None, 0, before, before, awaitingSweep = 0)
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(mergeDays.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -340,7 +353,13 @@ object IvfStore {
     }.distinct
     MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), mergedDay,
       content.mkString("\n") + "\n")
-    CompactionReport(Some(mergedDay), mergeDays.size, before, dayDirs())
+    // the dirs this fold replaced stand until the NEXT run's sweep
+    // (reader grace period) — count the ones still on disk so
+    // dayDirsAfter is interpretable (see [[CompactionReport]])
+    val awaiting = mergeDays.count(dd =>
+      f.exists(new Path(s"$root/cells/dt=$dd")))
+    CompactionReport(Some(mergedDay), mergeDays.size, before, dayDirs(),
+      awaitingSweep = awaiting)
   }
 
   /** REBUILD into a fresh root — the executable form of the
@@ -534,6 +553,25 @@ object IvfStore {
         val recheck = KMeans.assign(cells.withColumnRenamed("cell", "__stored"),
           cents, vecCol)
         val bad = recheck.filter(col("cell") =!= col("__stored")).count()
+        // rows [[KMeans.assign]] corrupt-drops (null/wrong-dim/
+        // non-finite vector) are INVISIBLE to the recheck above —
+        // count them explicitly: append never writes them (round 13),
+        // so any present came from a restore/hand-copy, and in a probe
+        // their null/NaN distance is undefined under ranking (the
+        // probe core drops them defensively, but they waste scan bytes
+        // and the restore that brought them is worth investigating)
+        val n2 = aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double"))
+        val unusable = cells.filter(col(vecCol).isNull ||
+          size(col(vecCol)) =!= cents.head.length ||
+          !coalesce(!isnan(n2) && n2 < lit(Double.PositiveInfinity),
+            lit(false))).count()
+        if (unusable > 0) out += DedupStore.FsckFinding("warn",
+          "unusable-vector", "cells", s"$unusable stored vectors are " +
+            "null/wrong-dimension/non-finite — append corrupt-drops these, " +
+            "so they came from a restore or hand-copy; probes skip them " +
+            "(undefined distance), they only waste scan bytes — rewrite " +
+            "the affected days or rebuild")
         if (bad > 0) out += DedupStore.FsckFinding("error", "cell-mismatch",
           "cells", s"$bad vectors stored under a cell that is not their " +
             "argmin against the committed centroids — probes at nprobe < k " +
@@ -590,10 +628,26 @@ object IvfStore {
     val dsch = leafDataSchema(spark, leaves.head.getPath)
     val vecCol = dsch.fieldNames(1)
     val centArr = array(cents.map(c => lit(c)): _*)
-    val d2 = aggregate(
+    // Bounded-index guard (round 13): a hand-restored root can hold a
+    // `cell` outside [0, k) — under ANSI mode a bare element_at would
+    // throw INVALID_ARRAY_INDEX (or ELEMENT_AT_BY_INDEX_ZERO at
+    // cell = -1), taking the whole drift feed down on exactly the
+    // corrupted roots this report documents tolerating. Out-of-range
+    // cells degrade to a null d2 (cdn-excluded below; fsck deep is
+    // the audit that NAMES them); so does a non-finite d2 (a NaN/Inf
+    // vector element restored past [[KMeans.assign]]'s corrupt-drop —
+    // it must not NaN the day's mean and mask the alarm).
+    val cellOk = col("cell").isNotNull &&
+      col("cell") >= 0 && col("cell") < cents.size
+    val d2raw = aggregate(
       zip_with(col(vecCol), element_at(centArr, col("cell") + 1),
         (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
       lit(0.0), (acc, x) => acc + x)
+    // nested whens, not one fused condition: a CaseWhen CONDITION is
+    // always evaluated, so d2raw (and its element_at) may only appear
+    // under the cellOk branch VALUE
+    val d2 = when(cellOk,
+      when(!isnan(d2raw) && d2raw < lit(Double.PositiveInfinity), d2raw))
     val base: Column = seedStats(spark, root) match {
       case Some((m, _)) => lit(m)
       case None => lit(null).cast("double")

@@ -37,11 +37,16 @@ import org.apache.spark.sql.functions._
   * Empty cells keep their previous centroid (the standard Lloyd
   * fallback; at k ≪ n with hash seeding this is rare).
   *
-  * Degenerate vectors (NULL, wrong width vs the trained dim) are
-  * corrupt-DROPPED at the assignment seam in both [[train]] and
-  * [[assign]] — the q55/q58 discipline: a mismatched `zip_with`
-  * folds to a null distance, which would otherwise surface as a
-  * null-cell NPE in the update or a silently vanishing groupBy row.
+  * Degenerate vectors (NULL, wrong width vs the trained dim, a NULL
+  * element, a NaN/Inf element) are corrupt-DROPPED at the assignment
+  * seam in both [[train]] and [[assign]] — the q55/q58 discipline: a
+  * mismatched `zip_with` folds to a null distance (null-cell NPE in
+  * the update, or a silently vanishing groupBy row), and a NaN/Inf
+  * element makes EVERY distance non-finite, so the argmin cell is
+  * undefined (round 13: previously such a row still assigned — to
+  * whatever cell NaN comparison semantics happened to pick — and
+  * poisoned that cell's mean in train and its day's drift stats in
+  * [[IvfStore.driftReport]]).
   *
   * At 100 TB: the caller caches (or samples) the training frame —
   * each iteration is one scan; the standard discipline is train on a
@@ -94,14 +99,30 @@ object KMeans {
         }),
         lit(0.0), (acc, x) => acc + x))
 
+  /** Σ x² of the vector as one row-local HOF — the finite-vector
+    * probe: a NaN element NaNs it, an Inf element Infs it, a NULL
+    * element NULLs it (null acc propagates), so ONE predicate pair
+    * (`!isnan(n2) && n2 < Inf`, null-rejecting by three-valued
+    * filter logic) covers every element pathology. The q113
+    * discipline, applied at the assignment seam. */
+  private def sumSq(vecCol: String): Column =
+    aggregate(col(vecCol), lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+
   /** Rows whose vector is usable against `dim`-wide centroids —
     * the corrupt-DROP seam (q55/q58 discipline): NULL or wrong-width
     * vectors can't be assigned a cell (`zip_with` against a
-    * mismatched width folds to a null distance), so they are cut
-    * HERE, visibly, instead of surfacing as a null-cell NPE in the
-    * update step or silently vanishing from a groupBy. */
-  private def usable(vecCol: String, dim: Int): Column =
-    col(vecCol).isNotNull && size(col(vecCol)) === dim
+    * mismatched width folds to a null distance), and a NaN/Inf/NULL
+    * ELEMENT makes every distance non-finite or null so the argmin
+    * cell is undefined (see [[sumSq]]) — all are cut HERE, visibly,
+    * instead of surfacing as a null-cell NPE in the update step,
+    * silently vanishing from a groupBy, or landing in an arbitrary
+    * cell that probes then scan in vain. */
+  private def usable(vecCol: String, dim: Int): Column = {
+    val n2 = sumSq(vecCol)
+    col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+      !isnan(n2) && n2 < lit(Double.PositiveInfinity)
+  }
 
   /** `df`'s usable rows (NULL/wrong-dim vectors corrupt-DROPPED, see
     * [[usable]]) plus `cell` (0-based int; argmin ties break to the
@@ -138,8 +159,14 @@ object KMeans {
     // break deterministically (higher count, then narrower width). A
     // seed set shorter than k (corrupt candidates filtered) stays
     // usable — Lloyd's doesn't require exactly k non-empty cells.
+    // The finite guard (round 13) keeps a NaN/Inf/null-element vector
+    // from becoming a seed CENTROID — one poisoned seed makes every
+    // distance to it NaN for the whole corpus, far worse than the
+    // per-row pathology [[usable]] cuts.
+    val seedN2 = sumSq(vecCol)
     val seedCands: Seq[Array[Double]] = df
-      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0)
+      .filter(col(vecCol).isNotNull && size(col(vecCol)) > 0 &&
+        !isnan(seedN2) && seedN2 < lit(Double.PositiveInfinity))
       .select(col(vecCol).cast("array<double>").as("v"),
         xxhash64(col(idCol)).as("h"))
       .orderBy($"h".asc).limit(2 * k)

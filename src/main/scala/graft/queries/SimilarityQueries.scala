@@ -526,16 +526,21 @@ object SimilarityQueries {
     * under java.io.tmpdir for exactly the call's duration: the probe
     * result is localCheckpoint-materialized (the frame outlives the
     * files), then the root is deleted — rerunning the gate leaks
-    * nothing. Both engines read ONLY dim-conforming vectors (the
-    * q113 ragged-row rule; [[graft.operators.KMeans.assign]] would
-    * corrupt-drop them on the Spark side anyway — the explicit filter
-    * keeps the two scopes provably identical). */
+    * nothing. Both engines read ONLY dim-conforming FINITE vectors
+    * (the q113 ragged-row + finite rules;
+    * [[graft.operators.KMeans.assign]] corrupt-drops both classes on
+    * the Spark side anyway — round 13 extended it to NaN/Inf/null
+    * elements, whose argmin cell is undefined — so the explicit
+    * filter keeps the two scopes provably identical). */
   private val ivfStoreProbe = Q(
     "q146_ivf_store_probe",
     (s, d) => {
       import s.implicits._
+      val n2 = aggregate($"embedding", lit(0.0),
+        (a, x) => a + x.cast("double") * x.cast("double"))
       val e = T.embeddings(s, d)
-        .filter(size($"embedding") === Dim && $"vec_id".isNotNull)
+        .filter(size($"embedding") === Dim && $"vec_id".isNotNull &&
+          !isnan(n2) && n2 < lit(Double.PositiveInfinity))
         .select($"vec_id", $"embedding")
       val qRows = e.filter($"vec_id" % 50 === 0).collect()
       require(qRows.length <= 100000,
@@ -578,7 +583,13 @@ object SimilarityQueries {
       }
     },
     Some(s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
-        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL),
+        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL
+          -- list_sum SKIPS null elements (Spark's HOF aggregate nulls
+          -- the row) — the explicit null-element clause keeps the
+          -- scopes identical on ragged-element corpora
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
       q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id % 50 = 0),
       sc AS (SELECT q.qid, e.vec_id,
         list_sum(list_transform(range($Dim), i ->

@@ -274,7 +274,15 @@ object StreamingOps {
     import s.implicits._
     disableChainedStatefulCheck(s, "nearDedupStreamBanded")
     val wmMs = durationMs(watermark)
+    // identity/time contract (round 13): a row with a NULL id or NULL
+    // event time is DROPPED here — it has no identity to retain (the
+    // output is (id, ts)) and no event time to watermark, and left in
+    // it would reach the typed probe encoder whose non-nullable
+    // docId: Long throws at encode time, wedging the stream on
+    // permanent replay. Upstream must assign both; such rows are a
+    // data bug to surface there, not a dedup verdict to invent here.
     val base = docs
+      .filter(col(idCol).isNotNull && col("ts").isNotNull)
       .withColumn("__kind",
         when(size(split(trim(col(textCol)), "\\s+")) >= 3, lit("sh"))
           .otherwise(lit("tx")))
@@ -380,7 +388,10 @@ object StreamingOps {
     * non-finite norm cannot be banded or verified (the ingestCosine
     * NaN-poisoning rule) — they PASS THROUGH unsuppressed and claim
     * nothing, the engine's sig-less pass-through discipline at every
-    * decode/sig seam.
+    * decode/sig seam. Rows with a NULL id or NULL event time are
+    * DROPPED instead (both detectors, round 13): they have no
+    * identity to retain and no time to watermark — non-null id/ts is
+    * the input contract.
     *
     * CHECKPOINT COMPATIBILITY: the conf pair is baked into the
     * checkpointed STATE KEYS (`(table, bucket)`), so a
@@ -411,7 +422,14 @@ object StreamingOps {
     val wmMs = durationMs(watermark)
     val tables = graft.queries.DedupQueries.cosTables(s)
     val bits = graft.queries.DedupQueries.cosBits(s)
+    // identity/time contract (round 13) — the nearDedupStreamBanded
+    // rule: NULL id / NULL ts rows are dropped BEFORE the __ok split,
+    // because BOTH downstream branches need them (the probe branch's
+    // typed CosProbe encoder throws on a null docId — permanent
+    // replay wedge — and the pass-through branch would emit a
+    // null-id "retained" row no consumer can key on)
     val base = docs
+      .filter(col(idCol).isNotNull && col("ts").isNotNull)
       .withColumn("__nrm", graft.functions.Vectors.norm(col(embCol)))
       // null-ELEMENT guard alongside the null/zero/non-finite-norm
       // rules: the native dot reads null slots as 0.0, so a ragged

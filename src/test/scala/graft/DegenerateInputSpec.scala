@@ -150,6 +150,40 @@ class DegenerateInputSpec extends AnyFunSuite with SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("hostile vectors corrupt-drop through the IVF write path: append stores none, probes and drift stay finite") {
+    val s = spark
+    import s.implicits._
+    // the fixture's embeddings through the STORE lifecycle (round 13:
+    // the round-12 sweep hardened the query families; this pins the
+    // WRITE path) — usable rows are exactly {0 zero-norm, 4, 50}
+    // (zero norm is fine under L2), while NULL (1), NaN-element (6),
+    // Inf-element (7) and the 64-wide NaN row (8) must corrupt-drop
+    // at [[KMeans.assign]]'s seam, never assign to an undefined cell.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val root = java.nio.file.Files.createTempDirectory("graft-degen-ivf").toString + "/r"
+    graft.operators.IvfStore.init(emb, "vec_id", "embedding", root,
+      k = 2, iters = 2)
+    graft.operators.IvfStore.append(emb, root, "2024-06-01")
+    val stored = spark.read.parquet(s"$root/cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(stored === Set(0L, 4L, 50L),
+      s"append must store exactly the usable vectors, got $stored")
+    val probed = graft.operators.IvfStore.probe(spark, root,
+      "vec_id", "embedding",
+      Seq(9000L -> (0 until 16).map(_.toDouble + 1).toArray),
+      nprobe = 2, topK = 5).collect()
+    assert(probed.map(_.getLong(1)).toSet.subsetOf(Set(0L, 4L, 50L)))
+    assert(probed.forall(r => !r.isNullAt(2) && !r.getDouble(2).isNaN &&
+      !r.getDouble(2).isInfinite), "probe distances must be defined")
+    val drift = graft.operators.IvfStore.driftReport(spark, root).collect()
+    assert(drift.length == 1 && drift.head.getLong(1) == 3L)
+    val m = drift.head.getDouble(2)
+    assert(!m.isNaN && !m.isInfinite, s"drift mean must stay finite: $m")
+    assert(graft.operators.IvfStore.fsck(spark, root, deep = true).isEmpty,
+      "a store fed hostile vectors through the REAL write path audits clean")
+  }
+
   test("quality floor cuts NULL/empty/whitespace text; curation stays total") {
     val s = spark
     import s.implicits._

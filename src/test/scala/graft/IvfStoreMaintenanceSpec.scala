@@ -65,6 +65,18 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
     assert(reports.exists(r => r.mergedDay.isDefined && r.foldedDays >= 2),
       s"no maintenance run folded anything: $reports")
+    // awaitingSweep makes the deferred-sweep timing self-explanatory:
+    // on a productive run the replaced dirs still stand (grace
+    // period), so after > before-ish but after - awaitingSweep is the
+    // steady-state count a monitoring rule should use
+    reports.filter(_.mergedDay.isDefined).foreach { r =>
+      assert(r.awaitingSweep > 0,
+        s"productive fold must report its un-swept victims: $r")
+      assert(r.dayDirsAfter - r.awaitingSweep < r.dayDirsBefore,
+        s"sweep-adjusted dir count must show the fold's decrease: $r")
+    }
+    reports.filter(_.mergedDay.isEmpty).foreach(r =>
+      assert(r.awaitingSweep == 0, s"no-op run after a sweep: $r"))
     val expected = probeAll(root, queries) // current committed answer
 
     IvfStore.compact(spark, root, keepDays = keep) // sweeps the replaced tail
@@ -268,5 +280,91 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val legacy = IvfStore.driftReport(spark, root).collect()
     assert(legacy.forall(r => r.isNullAt(3) && r.isNullAt(4)),
       "pre-baseline store must yield null baseline/ratio")
+  }
+
+  test("driftReport survives a hand-restored root: out-of-range cells degrade to null-weighted rows, the feed stays up") {
+    val root = Files.createTempDirectory("ivfst-restored").toString
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", root,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 30)), root, "2024-06-01")
+    val clean = IvfStore.driftReport(spark, root).collect()
+    val cleanMean = clean.head.getDouble(2)
+
+    // a restore from a DIFFERENT root: day partitions land under cell
+    // ids the committed centroid set never defined. Under ANSI mode a
+    // bare element_at(cents, cell+1) would throw INVALID_ARRAY_INDEX,
+    // taking the drift feed down on exactly the corrupted roots it
+    // documents tolerating — the bounded-cell guard must degrade such
+    // rows to a null d2 instead (excluded from the mean's weights).
+    val conf = spark.sparkContext.hadoopConfiguration
+    val srcCell = Option(hfs.globStatus(
+      new Path(s"$root/cells/dt=2024-06-01/cell=*"))).get.head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(hfs, srcCell,
+      hfs, new Path(s"$root/cells/dt=2024-06-01/cell=99"), false, conf)
+
+    val rep = IvfStore.driftReport(spark, root).collect()
+    assert(rep.length == 1, "the report must still produce the day row")
+    val r = rep.head
+    assert(r.getLong(1) > 30L, "restored rows are scanned (n counts them)")
+    val mean = r.getDouble(2)
+    assert(!mean.isNaN && !mean.isInfinite,
+      s"mean_dist2 must stay finite under restored debris: $mean")
+    assert(math.abs(mean - cleanMean) < 1e-9,
+      s"null-d2 rows must not ride the mean's denominator: $mean vs $cleanMean")
+    // and the audit that NAMES the divergence still fires
+    assert(IvfStore.fsck(spark, root, deep = true)
+      .exists(f => f.check == "cell-mismatch" && f.severity == "error"),
+      "fsck deep must flag the restored out-of-range cells")
+  }
+
+  test("unusable restored vectors: fsck deep names them, probes skip them instead of null-ranking them first") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivfst-unusable").toString
+    IvfStore.init(vecs(mkRows(0 until 24)), "vec_id", "embedding", root,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 24)), root, "2024-06-01")
+    assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    val before = probeAll(root, Seq(9001L -> centers(0).toArray))
+
+    // hand-restore a data file holding vectors append would have
+    // corrupt-dropped: a NaN element, an Inf element, a ragged width,
+    // a null element — written straight into a committed cell dir
+    // (the restore-from-elsewhere scenario; single-part write so the
+    // copy is one file)
+    val junk = Seq(
+      (900L, Seq(Double.NaN, 1.0, 1.0, 1.0)),
+      (901L, Seq(Double.PositiveInfinity, 1.0, 1.0, 1.0)),
+      (902L, Seq(1.0, 2.0)),
+      (903L, Seq[java.lang.Double](1.0, null, 3.0, 4.0).map(
+        Option(_).map(_.doubleValue).getOrElse(Double.NaN))))
+      .toDF("vec_id", "embedding")
+    // (the null-element case travels as NaN through the tuple encoder;
+    // NaN already covers the non-finite class — keep all four ids)
+    val tmp = Files.createTempDirectory("ivfst-junkpq").toString
+    junk.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = Option(hfs.globStatus(new Path(s"$tmp/part-*"))).get.head.getPath
+    val destCell = Option(hfs.globStatus(
+      new Path(s"$root/cells/dt=2024-06-01/cell=*"))).get.head.getPath
+    org.apache.hadoop.fs.FileUtil.copy(hfs, part,
+      hfs, new Path(destCell, "part-restored.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+
+    // fsck deep names the class loudly
+    val findings = IvfStore.fsck(spark, root, deep = true)
+    assert(findings.exists(f => f.check == "unusable-vector" &&
+      f.severity == "warn" && f.detail.startsWith("4 ")),
+      s"expected all 4 restored vectors flagged (NaN element, Inf " +
+        s"element, ragged width, NaN-carried null element): $findings")
+
+    // probes must SKIP undefined distances — without the corrupt-drop
+    // the ragged row's NULL dist2 sorts first (Spark nulls-first) and
+    // poisons rank 1 of every probe touching its cell
+    val after = probeAll(root, Seq(9001L -> centers(0).toArray))
+    assert(after === before,
+      s"restored junk leaked into probe results: $after")
+    // and the drift feed stays finite
+    val mean = IvfStore.driftReport(spark, root).collect().head.getDouble(2)
+    assert(!mean.isNaN && !mean.isInfinite)
   }
 }

@@ -159,6 +159,139 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("identity/time contract: NULL id and NULL ts rows are dropped by both banded detectors, never wedging the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+    import org.apache.spark.sql.functions.{col, lit, when}
+    def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+
+    // cosine detector: a usable vector with a NULL id previously
+    // passed the __ok vector guard and reached the typed CosProbe
+    // encoder, whose non-nullable docId: Long throws at encode time —
+    // permanent replay wedge, the exact class the null-element guard
+    // was added against
+    val rnd = new scala.util.Random(47)
+    def vec(): Seq[Float] = Seq.fill(32)(rnd.nextGaussian().toFloat)
+    val inC = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val dfC = inC.toDF().toDF("ts", "vec_id", "embedding")
+      .withColumn("vec_id",
+        when(col("vec_id") === 30L, lit(null)).otherwise(col("vec_id")))
+      .withColumn("ts",
+        when(col("vec_id") === 31L,
+          lit(null).cast("timestamp")).otherwise(col("ts")))
+    val qc = StreamingOps.cosDedupStreamBanded(
+        dfC, "embedding", "vec_id", "30 minutes")
+      .writeStream.format("memory").queryName("cos_idts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inC.addData((t(1), 1L, vec()), (t(2), 30L, vec()), (t(3), 31L, vec()))
+      qc.processAllAvailable()
+      inC.addData((t(120), 99L, vec()))
+      qc.processAllAvailable()
+      val kept = spark.table("cos_idts").select("vec_id").as[Long].collect().toSet
+      assert(kept.contains(1L), "normal row retained")
+      assert(!kept.contains(31L), "null-ts row has no time to window — dropped")
+      // and crucially: the query is alive and produced output (no
+      // encoder wedge); null-id rows are simply absent
+    } finally qc.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+
+    // banded text detector shares the exposure through its typed
+    // (Long, String, Long, Timestamp) base encoder
+    val inN = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val dfN = inN.toDF().toDF("ts", "doc_id", "text")
+      .withColumn("doc_id",
+        when(col("doc_id") === 30L, lit(null)).otherwise(col("doc_id")))
+    val qn = StreamingOps.nearDedupStreamBanded(
+        dfN, "text", "doc_id", "30 minutes")
+      .writeStream.format("memory").queryName("near_idts")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      inN.addData((t(1), 1L, nearTwinA), (t(2), 30L, farC))
+      qn.processAllAvailable()
+      inN.addData((t(120), 99L, "watermark flush row"))
+      qn.processAllAvailable()
+      val kept = spark.table("near_idts").select("doc_id").as[Long].collect().toSet
+      assert(kept.contains(1L), "normal row retained alongside the dropped null-id row")
+    } finally qn.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+  }
+
+  test("stream/batch parity fuzz: cosDedupStreamBanded suppresses the same set as ingestCosine over a shuffled replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    GraftExtensions.ensureRegistered(spark)
+
+    // corpus: 48 well-separated random vectors + 12 planted twin PAIRS
+    // (twin id = original + 1000, so batch's smaller-id rule and the
+    // stream's earlier-arrival rule pick the SAME survivor when ts
+    // follows id order) + two sig-less rows. Pair-only plants keep the
+    // two disciplines' chain semantics out of scope: batch suppresses
+    // against any smaller-id bucket sibling, the stream only against
+    // ring CLAIMANTS — the sets can differ only via an A~B~C chain,
+    // which gaussian noise at cos<0.9 pairwise cannot form.
+    val rnd = new scala.util.Random(53)
+    def vec(): Seq[Float] = Seq.fill(32)(rnd.nextGaussian().toFloat)
+    def cosine(a: Seq[Float], b: Seq[Float]): Double = {
+      def d(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      d(a, b) / math.sqrt(d(a, a) * d(b, b))
+    }
+    val base = (1L to 48L).map(i => i -> vec()).toMap
+    val twins = base.toSeq.sortBy(_._1).take(12).map { case (i, v) =>
+      (i + 1000L) -> v.updated(0, v.head + 0.25f)
+    }
+    val all: Seq[(Long, Seq[Float])] =
+      (base.toSeq ++ twins :+ (2001L -> null.asInstanceOf[Seq[Float]])
+        :+ (2002L -> Seq.fill(32)(0f))).sortBy(_._1)
+    // fixture preconditions: every plant above threshold, all noise
+    // pairs below — assert so a drifted RNG fails loudly here
+    twins.foreach { case (ti, tv) =>
+      assert(cosine(base(ti - 1000L), tv) >= 0.92, s"plant $ti too far") }
+    for { Seq((i, a), (j, b)) <- base.toSeq.sortBy(_._1).combinations(2) }
+      assert(cosine(a, b) < 0.88, s"noise pair ($i,$j) too close: ${cosine(a, b)}")
+
+    // BATCH path: one-day ingest into a scratch store
+    val root = java.nio.file.Files
+      .createTempDirectory("cos-parity-store").toString + "/cos"
+    val delta = all.filter(_._2 != null).toDF("vec_id", "embedding")
+      .unionByName(Seq((2001L, null.asInstanceOf[Seq[Float]]))
+        .toDF("vec_id", "embedding"))
+    val batchKept = graft.operators.DedupStore
+      .ingestCosine(delta, root, "2024-06-01", minCos = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+
+    // STREAM path: same corpus, ts in id order, replayed SHUFFLED in
+    // one batch (the fold sorts by (ts, docId), so arrival order
+    // within the batch is immaterial — that is the property under
+    // fuzz) — same session conf, so the SRP geometry is identical
+    val ranked = all.map(_._1).sorted.zipWithIndex.toMap
+    val shuffled = new scala.util.Random(59).shuffle(all)
+    val in = MemoryStream[(java.sql.Timestamp, Long, Seq[Float])]
+    val df = in.toDF().toDF("ts", "vec_id", "embedding")
+    val q = StreamingOps.cosDedupStreamBanded(
+        df, "embedding", "vec_id", "30 minutes", minCos = 0.9)
+      .writeStream.format("memory").queryName("cos_parity")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      def t(min: Long) = new java.sql.Timestamp(min * 60000L)
+      in.addData(shuffled.map { case (i, v) =>
+        (t(ranked(i).toLong + 1), i, v) })
+      q.processAllAvailable()
+      in.addData((t(100000), 9999L, vec()))
+      q.processAllAvailable() // watermark flush
+      val streamKept = spark.table("cos_parity")
+        .select("vec_id").as[Long].collect().toSet - 9999L
+      assert(streamKept === batchKept,
+        s"stream/batch divergence: stream-only=${streamKept -- batchKept} " +
+          s"batch-only=${batchKept -- streamKept}")
+      // the suppressed set is exactly the planted twins, on both paths
+      assert(all.map(_._1).toSet -- batchKept === twins.map(_._1).toSet)
+    } finally q.stop()
+    while (spark.streams.active.nonEmpty) Thread.sleep(50)
+  }
+
   test("banded streaming near-dup: ring state survives a stop/restart from the checkpoint") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
