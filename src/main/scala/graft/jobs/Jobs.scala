@@ -79,6 +79,15 @@ object Jobs {
       case "curationReportJob" => // extension: data-quality dashboard
         val counts = CurationReportJob.run(spark, kv("input"), kv("output"))
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
+      case "maintenanceJob" => // extension: store maintenance + monitors
+        val counts = MaintenanceJob.run(spark, kv("root"),
+          kv.get("ivfRoot"), kv("output"),
+          keepDays = kv.get("keepDays").map(_.toInt).getOrElse(7),
+          deep = kv.get("deep").exists(_.toBoolean),
+          nprobe = kv.get("nprobe").map(_.toInt).getOrElse(8),
+          topK = kv.get("topK").map(_.toInt).getOrElse(5),
+          queriesPerDay = kv.get("queriesPerDay").map(_.toInt).getOrElse(16))
+        println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "mixtureJob" => // extension: epoch assembly (MixtureJob)
         val cfg = MixtureJob.Config(
           sliceCol = kv.getOrElse("slice", "lang"),

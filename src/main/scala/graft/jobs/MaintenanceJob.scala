@@ -1,0 +1,128 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupStore, IvfStore}
+
+/** The store-maintenance surface as ONE cron entry
+  * (`--job=maintenanceJob`) — round 13's answer to "an operator today
+  * writes a driver script": compaction, integrity audit, and (when an
+  * ANN root rides along) the drift + serving-recall monitors, each
+  * landed as a parquet report dir the way [[CurationReportJob]] lands
+  * the corpus dashboard —
+  *
+  *   compaction   per-store [[DedupStore.compact]] /
+  *                [[IvfStore.compact]] outcome (what folded, the
+  *                small-files metric before/after, un-swept victims)
+  *   fsck         every [[DedupStore.FsckFinding]] across the five
+  *                dedup roots (+ the IVF root, keyed "ivf")
+  *   drift        [[IvfStore.driftReport]] — per-day dist² vs the
+  *                seed baseline + cell-occupancy axis
+  *   recall       [[IvfStore.recallReport]] — per-day recall@topK at
+  *                the serving `nprobe` vs the exact full probe
+  *
+  * ORDER: compact first, then audit — the audit then describes the
+  * post-maintenance state (a pre-compact fsck would flag the very
+  * `awaiting-sweep` transients compact is about to clear, training
+  * operators to ignore the report). Drift/recall read only committed
+  * state, so they are order-independent.
+  *
+  * Every report REUSES the library functions the specs gate
+  * ([[IncrementalCurationJob.compactStoresWithIvf]],
+  * [[IncrementalCurationJob.fsckStoresWithIvf]], the IvfStore
+  * monitors) — one code path, so the cron job cannot drift from what
+  * the specs prove. Totality: absent roots no-op (day-zero pipeline),
+  * an IVF root with nothing probeable lands EMPTY schema-stable
+  * drift/recall reports instead of dying — the cron entry must
+  * survive day zero.
+  *
+  * Scale shape: compaction and fsck are metadata-plus-bounded-scan
+  * passes (fsck deep is one full scan — that is what the `deep` knob
+  * prices); drift is one committed-cells scan; recall is two sharded
+  * probe batches. Every landed report is O(stores + days + findings)
+  * rows — the single-file coalesce is a convenience, not a funnel.
+  *
+  * Returns report → row count (the scalar summary a cron log keeps).
+  */
+object MaintenanceJob {
+
+  /** One row per store root in the compaction report. `units` names
+    * what before/after count — the dedup stores bound committed FILES,
+    * the IVF store bounds day DIRS — and `awaiting_sweep` is the IVF
+    * protocol's deferred-sweep count (null for the dedup stores, whose
+    * report predates the field). */
+  private def compactionFrame(spark: SparkSession,
+      dedup: Map[String, DedupStore.CompactionReport],
+      ivf: Option[IvfStore.CompactionReport]): DataFrame = {
+    import spark.implicits._
+    val dd = dedup.toSeq.sortBy(_._1).map { case (s0, r) =>
+      (s0, r.mergedDay, r.daysMerged, "files",
+        r.filesBefore, r.filesAfter, Option.empty[Int])
+    }
+    val iv = ivf.toSeq.map(r =>
+      ("ivf", r.mergedDay, r.foldedDays, "day_dirs",
+        r.dayDirsBefore, r.dayDirsAfter, Some(r.awaitingSweep)))
+    (dd ++ iv).toDF("store", "merged_day", "folded_days", "units",
+      "before", "after", "awaiting_sweep")
+  }
+
+  private def findingsFrame(spark: SparkSession,
+      byStore: Map[String, Seq[DedupStore.FsckFinding]]): DataFrame = {
+    import spark.implicits._
+    byStore.toSeq.sortBy(_._1).flatMap { case (s0, fs0) =>
+      fs0.map(f => (s0, f.severity, f.check, f.subject, f.detail))
+    }.toDF("store", "severity", "check", "subject", "detail")
+  }
+
+  def run(spark: SparkSession, root: String, ivfRoot: Option[String],
+      outDir: String, keepDays: Int = 7, deep: Boolean = false,
+      nprobe: Int = 8, topK: Int = 5,
+      queriesPerDay: Int = 16): Map[String, Long] = {
+    import spark.implicits._
+
+    // 1. compact (sweeps prior runs' replaced debris first, per store)
+    val (dedupComp, ivfComp) = ivfRoot match {
+      case Some(ir) =>
+        val (d, i) = IncrementalCurationJob
+          .compactStoresWithIvf(spark, root, ir, keepDays)
+        (d, Some(i))
+      case None =>
+        (IncrementalCurationJob.compactStores(spark, root, keepDays), None)
+    }
+
+    // 2. audit the post-maintenance state
+    val findings = ivfRoot match {
+      case Some(ir) =>
+        IncrementalCurationJob.fsckStoresWithIvf(spark, root, ir, deep)
+      case None => IncrementalCurationJob.fsckStores(spark, root, deep)
+    }
+
+    // 3-4. the ANN monitors — empty schema-stable frames when the IVF
+    // root has nothing probeable yet (day zero / all-unusable), so the
+    // cron entry and any dashboard reading the dirs survive day one
+    val probeable = ivfRoot.exists(IvfStore.hasProbeableData(spark, _))
+    val drift = ivfRoot.filter(_ => probeable)
+      .map(IvfStore.driftReport(spark, _))
+      .getOrElse(Seq.empty[(String, Long, Double, Option[Double], Option[Double], Double)]
+        .toDF("dt", "n", "mean_dist2", "seed_mean_dist2", "drift_ratio",
+          "max_cell_frac"))
+    val recall = ivfRoot.filter(_ => probeable)
+      .map(IvfStore.recallReport(spark, _, nprobe, topK, queriesPerDay))
+      .getOrElse(Seq.empty[(String, Long, Int, Int, Double)]
+        .toDF("dt", "n_queries", "nprobe", "topk", "recall"))
+
+    val reports: Seq[(String, DataFrame)] = Seq(
+      "compaction" -> compactionFrame(spark, dedupComp, ivfComp),
+      "fsck" -> findingsFrame(spark, findings),
+      "drift" -> drift,
+      "recall" -> recall)
+    reports.map { case (name, df) =>
+      val out = df.cache()
+      try {
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        name -> out.count()
+      } finally out.unpersist()
+    }.toMap
+  }
+}

@@ -617,6 +617,119 @@ object IvfStore {
     * max_cell_frac), dt-sorted; baseline columns are NULL for stores
     * initialized before the baseline existed (re-init into a fresh
     * root records one). */
+  /** True when the store has committed days AND at least one indexed
+    * data file — exactly the precondition [[probe]], [[driftReport]]
+    * and [[recallReport]] require loudly. The totality guard for
+    * maintenance jobs that must no-op on day-zero or all-unusable
+    * roots instead of dying on a store that simply hasn't ingested
+    * yet. */
+  def hasProbeableData(spark: SparkSession, root: String): Boolean =
+    committedDays(spark, root).nonEmpty &&
+      leafFiles(fs(spark, root), root).nonEmpty
+
+  /** DAY-AWARE RECALL AXIS (round 13) — the third drift observable,
+    * and the one a serving operator actually alarms on:
+    * [[driftReport]]'s dist²/occupancy axes say the geometry no
+    * longer fits, but the RECALL DECAY they predict is measurable
+    * directly, with the store's own machinery: per committed day,
+    * sample `queriesPerDay` stored vectors (deterministic —
+    * hash-smallest ids, the KMeans seeding discipline) and compare
+    * `probe(nprobe)` against the FULL probe (`nprobe = k`), which is
+    * EXACT global top-k by construction (q146's gate-proven
+    * argument: pruning can only drop cells the probe list excludes,
+    * and the full list excludes none). recall@topK = |approx ∩
+    * exact| / |exact|, averaged per day.
+    *
+    * Why drift shows up here: a drifted regime's vectors sit far
+    * from every frozen centroid, so their true neighbors straddle
+    * near-tied cell boundaries — at serving nprobe the probe reads
+    * one boundary side and misses neighbors parked on the other.
+    * Same-regime days stay near 1. Alarm on a sustained drop of
+    * RECENT days' recall below the SLA the (nprobe, topK) pair was
+    * sized for; [[driftReport]]'s axes say why, this says how bad.
+    *
+    * Cost: 2 probes over `days · queriesPerDay` queries (sharded
+    * under the broadcast cap) + one scan to sample — maintenance
+    * cadence, like fsck deep. Queries are SELF-INCLUDED (the vector
+    * is in the store; exact rank 1 is itself) — the standard
+    * self-recall methodology, identical for both probe arms, so it
+    * cancels in the ratio.
+    *
+    * Output, dt-sorted and schema-stable:
+    * (dt, n_queries, nprobe, topk, recall) — recall in [0, 1]. */
+  def recallReport(spark: SparkSession, root: String, nprobe: Int,
+      topK: Int = 5, queriesPerDay: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && topK >= 1 && queriesPerDay >= 1,
+      "nprobe/topK/queriesPerDay must be >= 1")
+    val cents = IvfIndex.open(spark, root)
+    val days = committedDays(spark, root)
+    require(days.nonEmpty,
+      s"no committed days at $root — nothing to audit for recall")
+    val leaves = leafFiles(fs(spark, root), root)
+    require(leaves.nonEmpty, s"store at $root has committed days but no " +
+      "indexed vectors — nothing to audit for recall")
+    val dsch = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (dsch.fieldNames(0), dsch.fieldNames(1))
+    val cells = cellsFrame(spark, root, leaves.head.getPath, days,
+      dataSchema = Some(dsch))
+    // deterministic per-day sample: the hash-smallest usable ids (a
+    // restored unusable vector must not become a query — its argmin
+    // is undefined); one narrow shuffle keyed by day
+    val n2 = aggregate(col(vecCol), lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double"))
+    val sampled = cells
+      .filter(size(col(vecCol)) === cents.head.length &&
+        coalesce(!isnan(n2) && n2 < lit(Double.PositiveInfinity), lit(false)))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("dt"))
+          .orderBy(xxhash64(col(idCol)), col(idCol))))
+      .filter(col("__rk") <= queriesPerDay)
+      .select(col("dt"), col(vecCol).cast("array<double>").as("__v"))
+      .collect()
+    require(sampled.length <= 100000,
+      s"recall sample of ${sampled.length} queries is driver-collected — " +
+        "lower queriesPerDay or audit day ranges separately")
+    // synthetic qids: stored ids may legally repeat across days
+    // (dup-identity is a warn, not an invariant) and must not alias
+    val queries = sampled.zipWithIndex.map { case (r, i) =>
+      i.toLong -> r.getSeq[Double](1).toArray }.toSeq
+    val qidDay = sampled.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getString(0)) }.toSeq
+    import spark.implicits._
+    // a store whose every vector is unusable (wholesale restore) has
+    // no sampleable queries — the empty report, not a reduce() crash
+    if (queries.isEmpty)
+      return Seq.empty[(String, Long, Int, Int, Double)]
+        .toDF("dt", "n_queries", "nprobe", "topk", "recall")
+    val qidDayDf = qidDay.toDF("qid", "dt_q")
+    // both arms sharded under the broadcast cap (the q146 remedy);
+    // per-query top-k is shard-independent, so unions are exact
+    def probeAll(np: Int): DataFrame = {
+      val perCall = math.max(1L,
+        BroadcastGuard.cap(spark) / math.min(np, cents.size)).toInt
+      queries.grouped(perCall)
+        .map(qs => probe(spark, root, idCol, vecCol, qs, np, topK))
+        .reduce(_ unionByName _)
+    }
+    val exact = probeAll(cents.size)
+    val approx = probeAll(nprobe)
+    val hits = exact.as("e")
+      .join(approx.as("a"),
+        col(s"e.qid") === col(s"a.qid") &&
+          col(s"e.$idCol") === col(s"a.$idCol"), "left")
+      .groupBy(col("e.qid").as("qid"))
+      .agg((count(col(s"a.$idCol")) / count(lit(1))).as("q_recall"))
+    hits.join(broadcast(qidDayDf), Seq("qid"))
+      .groupBy(col("dt_q").as("dt"))
+      .agg(count(lit(1)).as("n_queries"), avg(col("q_recall")).as("recall"))
+      .withColumn("nprobe", lit(nprobe))
+      .withColumn("topk", lit(topK))
+      .select(col("dt"), col("n_queries"), col("nprobe"), col("topk"),
+        col("recall"))
+      .orderBy(col("dt"))
+  }
+
   def driftReport(spark: SparkSession, root: String): DataFrame = {
     val cents = IvfIndex.open(spark, root)
     val days = committedDays(spark, root)

@@ -46,4 +46,78 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     val tbl = spark.read.parquet(s"$tmp/out2/prediction-table").collect()
     assert(tbl.length == 1 && tbl.head.getString(0) == "IOS")
   }
+
+  test("maintenanceJob: one cron entry lands compaction/fsck/drift/recall parquet, parity with direct library calls; total on day-zero roots") {
+    import graft.jobs.{IncrementalCurationJob, MaintenanceJob}
+    import graft.operators.IvfStore
+    val s = spark
+    import s.implicits._
+
+    // day-zero totality FIRST: nothing ingested anywhere — the cron
+    // entry's very first firing must land all four reports, empty or
+    // near-empty, not die on an absent store
+    val zeroRoot = java.nio.file.Files.createTempDirectory("mj-zero").toString
+    val zeroCounts = MaintenanceJob.run(spark, s"$zeroRoot/stores",
+      Some(s"$zeroRoot/ivf"), s"$zeroRoot/reports")
+    assert(zeroCounts("fsck") == 0L && zeroCounts("drift") == 0L &&
+      zeroCounts("recall") == 0L, s"day-zero counts: $zeroCounts")
+    // schema-stable landed dirs, readable even when empty
+    assert(spark.read.parquet(s"$zeroRoot/reports/drift").columns.toSeq ===
+      Seq("dt", "n", "mean_dist2", "seed_mean_dist2", "drift_ratio",
+        "max_cell_frac"))
+    assert(spark.read.parquet(s"$zeroRoot/reports/recall").columns.toSeq ===
+      Seq("dt", "n_queries", "nprobe", "topk", "recall"))
+    // compaction still reports one no-op row per dedup store + ivf
+    val zc = spark.read.parquet(s"$zeroRoot/reports/compaction")
+    assert(zc.count() == zeroCounts("compaction") &&
+      zc.filter($"store" === "ivf").count() == 1)
+
+    // a populated pipeline: two curated days with embeddings + the
+    // co-appended ANN root (the IncrementalCurationJobSpec wiring)
+    val root = java.nio.file.Files.createTempDirectory("mj-live").toString
+    val ivf = s"$root/ivf"
+    val rnd = new scala.util.Random(31)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def rows(rs: (Long, String, Array[Float])*) =
+      rs.toSeq.toDF("doc_id", "text", "embedding")
+    val seed = rows((900L, "s", vec()), (901L, "s", vec()), (902L, "s", vec()))
+    IvfStore.init(seed.drop("text"), "doc_id", "embedding", ivf,
+      k = 2, iters = 2)
+    val someText = "a perfectly ordinary sentence with enough distinct words to shingle and rank normally today"
+    val otherText = "completely different content about distributed query engines and shuffle plans today"
+    IncrementalCurationJob.ingestDay(
+      rows((1L, someText, vec()), (2L, otherText, vec())),
+      s"$root/stores", "2024-01-01",
+      embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+    IncrementalCurationJob.ingestDay(
+      rows((10L, "fresh material covering storage compaction markers and " +
+        "probe pruning behavior across committed days", vec())),
+      s"$root/stores", "2024-01-02",
+      embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+
+    val counts = MaintenanceJob.run(spark, s"$root/stores", Some(ivf),
+      s"$root/reports", deep = true, nprobe = 2, queriesPerDay = 2)
+
+    // parity with the direct library calls — same functions, so the
+    // landed artifacts must agree row-for-row
+    val directFsck = IncrementalCurationJob
+      .fsckStoresWithIvf(spark, s"$root/stores", ivf, deep = true)
+      .values.map(_.size.toLong).sum
+    assert(counts("fsck") == directFsck)
+    assert(counts("fsck") == 0L, "healthy freshly-ingested stores audit " +
+      "clean: " + spark.read.parquet(s"$root/reports/fsck").collect().mkString("; "))
+    val landedDrift = spark.read.parquet(s"$root/reports/drift")
+      .orderBy($"dt").collect().map(r => (r.getString(0), r.getLong(1)))
+    val directDrift = IvfStore.driftReport(spark, ivf)
+      .orderBy($"dt").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(landedDrift === directDrift)
+    assert(landedDrift.map(_._1).toSeq === Seq("2024-01-01", "2024-01-02"))
+    val landedRecall = spark.read.parquet(s"$root/reports/recall")
+      .orderBy($"dt").collect()
+    assert(landedRecall.length == 2 &&
+      landedRecall.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    val comp = spark.read.parquet(s"$root/reports/compaction")
+    assert(comp.filter($"store" === "ivf").count() == 1)
+    assert(counts("compaction") == comp.count())
+  }
 }
