@@ -412,6 +412,76 @@ object IvfStore {
     model
   }
 
+  /** Schema of the pointer snapshot: one row, one column — the
+    * current IVF root path. */
+  private val PointerSchema = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("ivf_root",
+      org.apache.spark.sql.types.StringType, nullable = false)))
+
+  /** POINTERED ROOT (round 13) — the executable form of "the
+    * SnapshotStore pointer pattern" the rebuild contract pointed at:
+    * a [[SnapshotStore]] at `pointer` holds the CURRENT root path as
+    * a one-row snapshot, consumers resolve through it per probe, and
+    * [[rebuildVia]] flips it atomically after a fresh-root rebuild —
+    * making the rebuild zero-downtime by construction:
+    *
+    *  - mid-rebuild, the pointer still names the OLD root, so every
+    *    probe reads committed old-root state (the rebuild never
+    *    mutates it);
+    *  - the flip is [[SnapshotStore.commit]]'s atomic pointer-file
+    *    rename — a reader resolves either the old path or the new,
+    *    never a torn in-between;
+    *  - after the flip the old root receives no new readers and can
+    *    be vacuumed at leisure (in-flight probes that resolved
+    *    pre-flip still read its intact files — delete after the
+    *    serving timeout, exactly the snapshot-vacuum discipline).
+    *
+    * Publish cadence is rebuild cadence (rare), so the pointer's
+    * version lineage doubles as the root-swap history;
+    * [[SnapshotStore.vacuum]] bounds it. */
+  def publishRoot(spark: SparkSession, pointer: String, root: String): Long = {
+    // refuse publishing a root that can't serve — a typo'd path would
+    // otherwise take serving down at the NEXT probe, far from the
+    // operator who made the mistake
+    val cents = IvfIndex.open(spark, root)
+    require(cents.nonEmpty, s"refusing to publish $root: empty centroid set")
+    import spark.implicits._
+    SnapshotStore.commit(Seq(root).toDF("ivf_root"), pointer)
+  }
+
+  /** The root the pointer currently publishes. Loud on a pointer that
+    * was never published (the probe-side error must name the fix). */
+  def currentRoot(spark: SparkSession, pointer: String): String = {
+    val rows = SnapshotStore.read(spark, pointer, PointerSchema).collect()
+    require(rows.nonEmpty, s"no published IVF root at pointer '$pointer' — " +
+      "publishRoot(root) it before probing through the pointer")
+    rows.head.getString(0)
+  }
+
+  /** [[probe]] resolved through the pointer — the consumer-side call
+    * that makes [[rebuildVia]]'s swap invisible to serving. */
+  def probeVia(spark: SparkSession, pointer: String, idCol: String,
+      vecCol: String, queries: Seq[(Long, Array[Double])], nprobe: Int,
+      topK: Int): DataFrame =
+    probe(spark, currentRoot(spark, pointer), idCol, vecCol, queries,
+      nprobe, topK)
+
+  /** [[rebuild]] + atomic pointer swap: re-trains the CURRENT root's
+    * corpus into `newRoot`, then flips the pointer. Probes through
+    * the pointer read the old root for the whole rebuild and the new
+    * root from the flip onward — no pause, no torn read. Returns the
+    * new model and the REPLACED root path (vacuum it once in-flight
+    * readers age out; this function never deletes it). On a rebuild
+    * crash the pointer is untouched — delete `newRoot` and re-run. */
+  def rebuildVia(spark: SparkSession, pointer: String, newRoot: String,
+      k: Int, iters: Int = 5,
+      seedSample: Option[Double] = None): (KMeans.Model, String) = {
+    val oldRoot = currentRoot(spark, pointer)
+    val model = rebuild(spark, oldRoot, newRoot, k, iters, seedSample)
+    publishRoot(spark, pointer, newRoot)
+    (model, oldRoot)
+  }
+
   /** GC of days replaced by a COMMITTED compaction marker plus
     * `dt=merged-*` debris whose marker never committed — readers
     * already ignore all of it. Runs only at the start of [[compact]]

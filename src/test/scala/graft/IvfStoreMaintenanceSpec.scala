@@ -282,6 +282,58 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "pre-baseline store must yield null baseline/ratio")
   }
 
+  test("pointered root: probes serve THROUGH a live rebuild and flip atomically; old root vacuumable after the swap") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val base = Files.createTempDirectory("ivfst-ptr").toString
+    val (r1, r2, ptr) = (s"$base/root-1", s"$base/root-2", s"$base/ptr")
+    // enough committed work that the rebuild spans several probe
+    // round-trips: 8 days, re-trained at iters=6
+    IvfStore.init(vecs(mkRows(0 until 90)), "vec_id", "embedding", r1,
+      k = 3, iters = 3)
+    (1 to 8).foreach(d => IvfStore.append(
+      vecs(mkRows(d * 1000 until d * 1000 + 90)), r1, f"2024-07-$d%02d"))
+    IvfStore.publishRoot(spark, ptr, r1)
+    assert(IvfStore.currentRoot(spark, ptr) === r1)
+    // an unpublished pointer refuses loudly, naming the fix
+    val e0 = intercept[IllegalArgumentException] {
+      IvfStore.currentRoot(spark, s"$base/nowhere") }
+    assert(e0.getMessage.contains("publishRoot"), e0.getMessage)
+
+    val queries = Seq(9001L -> centers(0).toArray, 9002L -> centers(2).toArray)
+    def probePtr(): Seq[(Long, Long, Double, Int)] =
+      IvfStore.probeVia(spark, ptr, "vec_id", "embedding", queries,
+        nprobe = 99, topK = 7).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    val expected = probePtr()
+
+    // rebuild on a second thread; this thread hammers the pointer the
+    // whole time. FULL probes are centroid-independent, so every
+    // answer — before, during, and after the atomic flip — must be
+    // bit-identical: "no torn reads" is exactly this invariant
+    val fut = Future { IvfStore.rebuildVia(spark, ptr, r2, k = 4, iters = 6) }
+    var during = 0
+    while (!fut.isCompleted) {
+      assert(probePtr() === expected,
+        s"probe #$during diverged mid-rebuild")
+      during += 1
+    }
+    val (_, replaced) = Await.result(fut, 1.minute)
+    assert(during >= 1, "rebuild finished before a single concurrent " +
+      "probe — grow the fixture so the overlap is actually exercised")
+    assert(replaced === r1 && IvfStore.currentRoot(spark, ptr) === r2)
+    assert(probePtr() === expected, "post-flip answer changed")
+
+    // the old root is now vacuumable: serving never references it again
+    assert(hfs.delete(new Path(r1), true))
+    assert(probePtr() === expected, "serving must not depend on the old root")
+    // the pointer's version lineage is SnapshotStore's to bound
+    graft.operators.SnapshotStore.vacuum(spark, ptr, keep = 1)
+    assert(probePtr() === expected)
+  }
+
   test("recallReport: drifted day's serving recall falls while its dist2 rises; same-regime day stays near 1") {
     // OWN rng: the midplane geometry below is calibrated against the
     // trained centroids' sampling asymmetry, so the fixture must not
