@@ -195,6 +195,18 @@ object BenchReport {
   private def isAux(name: String): Boolean =
     name.endsWith("_setup") || name.endsWith("_probe")
 
+  /** DRIVER-VISIBLE bench-set annotations (round 13): entries that
+    * deliberately re-run a corpus another headline entry already
+    * covers, each with the reason. Without this, every round's total
+    * reads ~the duplicates' cost worse than the engine moved and the
+    * correction lives in commit-message prose; with it, the artifact
+    * carries its own adjustment — `dup_adjusted_total` excludes the
+    * keys below, giving the like-for-like series a pre-duplication
+    * baseline can be compared against without narrative. */
+  private[graft] val DupNotes: Map[String, String] = Map(
+    "q143_incremental_containment_dfguard" ->
+      "re-runs q118's containment corpus via the df-guard route")
+
   private def total(samples: Seq[(String, Seq[Double])],
       stat: Seq[Double] => Double): Double =
     samples.filterNot(s => isAux(s._1)).map(s => stat(s._2)).filter(_ >= 0).sum
@@ -209,7 +221,14 @@ object BenchReport {
     val failed = samples.collect { case (n, xs) if xs.isEmpty => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val contended = probeOf(samples).exists { case (_, xs) => BenchStats.contended(xs) }
+    val adjusted = total(
+      samples.filterNot(s => DupNotes.contains(s._1)), trimmed)
+    val notes = DupNotes.toSeq.sorted
+      .filter { case (n, _) => samples.exists(_._1 == n) }
+      .map { case (n, why) => "\"" + n + "\":\"" + why + "\"" }
+      .mkString("{", ",", "}")
     s"""{"metric":"total","value":${total(samples, trimmed)},"unit":"sec",""" +
+      s""""dup_adjusted_total":$adjusted,"notes":$notes,""" +
       s""""queries":${field(samples, trimmed)},"failed":$failed,""" +
       s""""contended":$contended,"sf":"$sfDir"}"""
   }

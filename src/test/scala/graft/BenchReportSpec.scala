@@ -81,6 +81,25 @@ class BenchReportSpec extends AnyFunSuite {
     assert(BenchReport.renderLine(contended, "/sf").contains(""""contended":true"""))
   }
 
+  test("intentional-duplicate entries are excluded from dup_adjusted_total and named in notes") {
+    val dupName = "q143_incremental_containment_dfguard"
+    assert(BenchReport.DupNotes.contains(dupName),
+      "the round-12 containment double-run must stay annotated until the bench set changes")
+    val withDup = full ++ Seq(dupName -> Seq(3.5, 3.5, 3.5, 3.5, 3.5))
+    val line = BenchReport.renderLine(withDup, "/sf")
+    def num(key: String): Double =
+      ("\"" + key + "\":([-0-9.eE]+)").r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble).getOrElse(fail(s"no $key in $line"))
+    val v = num("value")
+    val adj = num("dup_adjusted_total")
+    assert(math.abs((v - adj) - 3.5) < 1e-9,
+      s"adjusted total must exclude exactly the annotated entry: $v vs $adj")
+    assert(line.contains("\"notes\":{\"" + dupName + "\":"),
+      "the annotation must ride the artifact, not commit-message prose")
+    // a suite without the duplicate (BENCH_ONLY runs) reports no notes
+    assert(BenchReport.renderLine(full, "/sf").contains(""""notes":{}"""))
+  }
+
   test("detail channel carries the rep spread and stat tables") {
     val detail = BenchReport.renderDetail(oneBad)
     for (k <- Seq("\"stat\":", "\"median_total\":", "\"min_queries\":",
