@@ -47,6 +47,17 @@ object Jobs {
     AdtechSinks.writePredictionsTable(preds, s"$outDir/prediction-table")
   }
 
+  /** `maintenanceJob`'s ANN-root argument: `ivfRoot=` names a root
+    * directly; `ivfPointer=` resolves through the [[graft.operators.SnapshotStore]]
+    * pointer [[graft.operators.IvfStore.publishRoot]] maintains, so a
+    * [[graft.operators.IvfStore.rebuildVia]] swap redirects the cron
+    * automatically — the operator never edits crontab after a rebuild.
+    * `ivfRoot=` wins when both are given (explicit beats indirection). */
+  def resolveIvfRoot(spark: SparkSession,
+      kv: Map[String, String]): Option[String] =
+    kv.get("ivfRoot").orElse(kv.get("ivfPointer")
+      .map(p => graft.operators.IvfStore.currentRoot(spark, p)))
+
   def main(args: Array[String]): Unit = {
     val kv = args.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap
     val builder = SparkSession.builder()
@@ -81,7 +92,7 @@ object Jobs {
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "maintenanceJob" => // extension: store maintenance + monitors
         val counts = MaintenanceJob.run(spark, kv("root"),
-          kv.get("ivfRoot"), kv("output"),
+          resolveIvfRoot(spark, kv), kv("output"),
           keepDays = kv.get("keepDays").map(_.toInt).getOrElse(7),
           deep = kv.get("deep").exists(_.toBoolean),
           nprobe = kv.get("nprobe").map(_.toInt).getOrElse(8),

@@ -472,7 +472,16 @@ object IvfStore {
     * root from the flip onward — no pause, no torn read. Returns the
     * new model and the REPLACED root path (vacuum it once in-flight
     * readers age out; this function never deletes it). On a rebuild
-    * crash the pointer is untouched — delete `newRoot` and re-run. */
+    * crash the pointer is untouched — delete `newRoot` and re-run.
+    *
+    * WRITES are not covered by the zero-downtime guarantee: the
+    * rebuild carries the days committed when it STARTED, so a day
+    * appended to the old root mid-rebuild exists in neither snapshot
+    * after the flip. Pause ingestion for the rebuild window (it is
+    * PROBES that must not pause), or diff `committedDays(old)` vs
+    * `committedDays(new)` after the swap and re-append the gap — the
+    * append path is idempotent, so the catch-up is one call per
+    * missed day. */
   def rebuildVia(spark: SparkSession, pointer: String, newRoot: String,
       k: Int, iters: Int = 5,
       seedSample: Option[Double] = None): (KMeans.Model, String) = {

@@ -119,5 +119,20 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     val comp = spark.read.parquet(s"$root/reports/compaction")
     assert(comp.filter($"store" === "ivf").count() == 1)
     assert(counts("compaction") == comp.count())
+
+    // the cron entry's ANN-root argument: ivfPointer= follows the
+    // published pointer (so a rebuildVia swap redirects the cron),
+    // explicit ivfRoot= wins over it, neither → no ANN reports
+    val ptr = s"$root/ivf-pointer"
+    IvfStore.publishRoot(spark, ptr, ivf)
+    assert(Jobs.resolveIvfRoot(spark, Map("ivfPointer" -> ptr)) === Some(ivf))
+    IvfStore.init(seed.drop("text"), "doc_id", "embedding", s"$root/ivf-v2",
+      k = 2, iters = 2) // publishRoot refuses an uncommitted target
+    IvfStore.publishRoot(spark, ptr, s"$root/ivf-v2")
+    assert(Jobs.resolveIvfRoot(spark, Map("ivfPointer" -> ptr)) ===
+      Some(s"$root/ivf-v2"), "pointer re-publish must redirect the cron")
+    assert(Jobs.resolveIvfRoot(spark,
+      Map("ivfPointer" -> ptr, "ivfRoot" -> ivf)) === Some(ivf))
+    assert(Jobs.resolveIvfRoot(spark, Map.empty) === None)
   }
 }
