@@ -195,17 +195,22 @@ object BenchReport {
   private def isAux(name: String): Boolean =
     name.endsWith("_setup") || name.endsWith("_probe")
 
-  /** DRIVER-VISIBLE bench-set annotations (round 13): entries that
-    * deliberately re-run a corpus another headline entry already
-    * covers, each with the reason. Without this, every round's total
-    * reads ~the duplicates' cost worse than the engine moved and the
-    * correction lives in commit-message prose; with it, the artifact
-    * carries its own adjustment — `dup_adjusted_total` excludes the
-    * keys below, giving the like-for-like series a pre-duplication
-    * baseline can be compared against without narrative. */
+  /** DRIVER-VISIBLE bench-set annotations (round 13): entries whose
+    * time must NOT be read into the round-over-round comparable
+    * series, each with the reason — duplicates that re-run a corpus
+    * another headline entry already covers, and lifecycle entries
+    * whose cost is store build/teardown rather than query time.
+    * Without this, every round's total reads ~their cost worse than
+    * the engine moved and the correction lives in commit-message
+    * prose; with it, the artifact carries its own adjustment —
+    * `dup_adjusted_total` excludes the keys below, giving a
+    * like-for-like series future rounds compare against without
+    * narrative. */
   private[graft] val DupNotes: Map[String, String] = Map(
     "q143_incremental_containment_dfguard" ->
-      "re-runs q118's containment corpus via the df-guard route")
+      "re-runs q118's containment corpus via the df-guard route",
+    "q146_ivf_store_probe" ->
+      "new in r13: full IVF store lifecycle (init + 2 appends + sharded probe), not a query re-measure")
 
   private def total(samples: Seq[(String, Seq[Double])],
       stat: Seq[Double] => Double): Double =

@@ -190,18 +190,22 @@ object IncrementalContainment {
         shingleDf(dSets).unionByName(relevant.select(col("sh"), col("cnt")))
       case None => shingleDf(allSets)
     }
-    // localCheckpoint (round 12): BOTH cool() consumers anti-join
-    // against `hot`, and without materialization each re-evaluates the
-    // whole occupancy subtree — the delta count plus the store-df
-    // scan/Bloom route, i.e. the guard's entire cost, twice per probe.
-    // The frame is tiny by construction (only shingles with df > cap —
-    // boilerplate keys, usually zero rows), so materializing it is
-    // cheap at any corpus scale while halving the guard work.
+    // Deliberately LAZY (round 13, reverting round 12's
+    // localCheckpoint): both cool() consumers anti-join against `hot`,
+    // which on paper evaluates the occupancy subtree twice — but the
+    // round-13 idle reps=7 A/B at the ~sf1 replica measured the
+    // materialized variant at 7.40 s vs 4.39 s lazy for the full q118
+    // ingest+probe cycle (gate SF: a wash, as round 12 recorded).
+    // Eager localCheckpoint runs the store-df scan as a standalone
+    // blocking job with no overlap, once per candidates() call whether
+    // or not both orientations are consumed; lazily the tiny hot frame
+    // broadcasts inside the surrounding jobs where the scan overlaps
+    // other stage work (and the second evaluation hits page-cached
+    // parquet). Measured, not guessed — see SCALING.md round 13.
     val hot = occ.groupBy(col("sh"))
       .agg(sum(col("cnt")).as("__w"))
       .filter(col("__w") > maxShingleDf)
       .select(col("sh"))
-      .localCheckpoint()
     def cool(rows: DataFrame): DataFrame = rows.join(hot, Seq("sh"), "left_anti")
     // contained=anything, container=delta — covers delta-in-delta and
     // store-in-delta; contained=delta, container=store covers the rest

@@ -599,7 +599,8 @@ object SimilarityQueries {
       SELECT qid, vec_id, dist2, CAST(rank AS INTEGER) AS rank FROM (
         SELECT *, row_number() OVER (
           PARTITION BY qid ORDER BY dist2 ASC, vec_id ASC) rank FROM sc)
-      WHERE rank <= 5"""))
+      WHERE rank <= 5"""),
+    bench = true) // round 13: store-lifecycle timing tracked in BENCH_DETAIL
 
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
     annRecall, quantizedRecall, ivfStoreProbe)

@@ -85,6 +85,9 @@ class BenchReportSpec extends AnyFunSuite {
     val dupName = "q143_incremental_containment_dfguard"
     assert(BenchReport.DupNotes.contains(dupName),
       "the round-12 containment double-run must stay annotated until the bench set changes")
+    assert(BenchReport.DupNotes.contains("q146_ivf_store_probe"),
+      "the round-13 store-lifecycle entry must stay annotated: its time is " +
+        "init+append+teardown, not query-series movement")
     val withDup = full ++ Seq(dupName -> Seq(3.5, 3.5, 3.5, 3.5, 3.5))
     val line = BenchReport.renderLine(withDup, "/sf")
     def num(key: String): Double =

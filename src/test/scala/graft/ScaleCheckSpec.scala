@@ -52,7 +52,7 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
   private lazy val big: String = replica(10)
   private lazy val big30: String = replica(30)
 
-  private def shuffleRecordsOf(name: String, d: String): Long = {
+  private def shuffleRecordsOfAction(body: => Unit): Long = {
     val records = new AtomicLong(0L)
     val listener = new SparkListener {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
@@ -61,12 +61,17 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
     spark.catalog.clearCache() // query-internal caches must not carry over
     spark.sparkContext.addSparkListener(listener)
     try {
-      QueryRegistry.byName(name).fn(spark, d).write
-        .format("noop").mode("overwrite").save()
+      body
       org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
     } finally spark.sparkContext.removeSparkListener(listener)
     records.get()
   }
+
+  private def shuffleRecordsOf(name: String, d: String): Long =
+    shuffleRecordsOfAction {
+      QueryRegistry.byName(name).fn(spark, d).write
+        .format("noop").mode("overwrite").save()
+    }
 
   /** Recorded shuffle-record growth ratios, sf0.001 → ×10 (round-5
     * measurement). Sub-10 values are real: df=1 shingles never reach
@@ -237,5 +242,70 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
           f"= 2x the recorded $rec on 3x data) — a super-linear candidate " +
           "stage crept in; fix the plan, don't bump the bound")
     }
+  }
+
+  /** Round 13: the IVF store's two 100 TB claims, CI-pinned the same
+    * way the banded families are. (1) `append` is MAP-ONLY — row-local
+    * centroid assignment plus a partitioned write (no exchange; the
+    * partitionBy writer sorts locally) — so its shuffle-record count
+    * must be EXACTLY ZERO at every scale; a refactor that sneaks a
+    * repartition/groupBy into the ingest path turns the daily 100 TB
+    * append into a 100 TB shuffle and fails here first. (2) a probe
+    * with a FIXED query batch reads nprobe/k of the corpus (file-index
+    * pruning, pinned byte-exactly in IvfStoreSpec) and its only
+    * exchange carries per-partition top-k SLICES, not the rows read —
+    * the rank prunes to k per partition before shuffling, so records
+    * grow with partition count, far under corpus growth. Reads the
+    * raw parquet (not Tables.spread) so the harness's own repartition
+    * can't pollute claim (1). Recorded round-13 measurement: probe
+    * 55 → 80 shuffle records on ×10 data (ratio 1.5, |Q|=4, topK=5);
+    * red line = the house ×12 linear floor — anything near-linear
+    * here means the k-slice pruning was lost. */
+  test("IVF store: zero-shuffle append at both scales; fixed-query probe shuffle grows linearly x10") {
+    assume(new java.io.File(base).isDirectory)
+    import org.apache.spark.sql.functions.{col, pmod, size => asize}
+    import graft.operators.IvfStore
+    val dir = big // force replica build
+    def emb(d: String) = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter(asize(col("embedding")) === 64 && col("vec_id").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+    // the SAME query batch at both scales — |Q| must not grow with the
+    // corpus or the experiment measures |Q|·n, not n
+    val queries = emb(base).filter(col("vec_id") % 125 === 0)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
+    assert(queries.nonEmpty, "query batch empty — vec_id % 125 matched nothing")
+    val probeShuffle = Seq(base, dir).map { d =>
+      val root = java.nio.file.Files
+        .createTempDirectory("ivf-scale").toString
+      val e = emb(d)
+      IvfStore.init(e, "vec_id", "embedding", root, k = 8, iters = 2)
+      for ((day, par) <- Seq("2024-01-01" -> 0, "2024-01-02" -> 1)) {
+        val appendRecs = shuffleRecordsOfAction {
+          IvfStore.append(e.filter(pmod(col("vec_id"), org.apache.spark.sql
+            .functions.lit(2)) === par), root, day)
+        }
+        assert(appendRecs === 0L,
+          s"append($day) at $d wrote $appendRecs shuffle records — the " +
+            "map-only ingest claim is broken; at 100 TB/day this is the " +
+            "difference between a scan and a cluster-wide shuffle")
+      }
+      val recs = shuffleRecordsOfAction {
+        IvfStore.probe(spark, root, "vec_id", "embedding", queries,
+          nprobe = 2, topK = 5).write.format("noop").mode("overwrite").save()
+      }
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p, true): Unit
+      recs
+    }
+    val ratio = probeShuffle(1).toDouble / math.max(probeShuffle(0), 1L)
+    info(f"ivf probe: x1 ${probeShuffle(0)}%d -> x10 ${probeShuffle(1)}%d " +
+      f"shuffle records, ratio $ratio%.1f on 10x data (fixed |Q|=${queries.size}%d)")
+    assert(ratio <= 12.0,
+      f"fixed-query IVF probe shuffle grew x$ratio%.1f on 10x data " +
+        "(> 12 = the linear floor; recorded 1.5) — the per-partition " +
+        "top-k slice pruning was lost and the exchange now carries the " +
+        "scanned rows; fix the plan, don't bump the bound")
   }
 }
