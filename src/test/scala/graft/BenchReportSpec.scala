@@ -106,9 +106,36 @@ class BenchReportSpec extends AnyFunSuite {
   test("detail channel carries the rep spread and stat tables") {
     val detail = BenchReport.renderDetail(oneBad)
     for (k <- Seq("\"stat\":", "\"median_total\":", "\"min_queries\":",
-        "\"median_queries\":", "\"contention_probe\":", "\"reps\":"))
+        "\"median_queries\":", "\"contention_probe\":", "\"idle_pins\":",
+        "\"reps\":"))
       assert(detail.contains(k), s"missing $k")
+    // the idle reference pins ride the artifact so future rounds diff
+    // against idle, not in-suite, figures — and stay well-formed rows
+    assert(BenchReport.IdlePins.nonEmpty &&
+      detail.contains(""""query":"q118_incremental_containment","sf":"sf1""""))
     assert(detail.contains("[0.41,0.39,2.2,0.4,0.42]"), "raw samples must survive")
+  }
+
+  test("aux-row matcher strips exactly the split rows, not real queries named *_probe") {
+    // q146_ivf_store_probe is a REAL headline entry whose name happens
+    // to end in _probe; a suffix-only matcher silently dropped it from
+    // the total (round-13 find). Split rows are bare-prefix qNNN_setup
+    // / qNNN_probe and only those may be excluded.
+    val withLifecycle = full ++ Seq(
+      "q146_ivf_store_probe" -> Seq(4.0, 4.0, 4.0, 4.0, 4.0),
+      "q118_probe" -> Seq(2.0, 2.0, 2.0, 2.0, 2.0))
+    val line = BenchReport.renderLine(withLifecycle, "/sf")
+    def num(key: String): Double =
+      ("\"" + key + "\":([-0-9.eE]+)").r.findFirstMatchIn(line)
+        .map(_.group(1).toDouble).getOrElse(fail(s"no $key in $line"))
+    val base = ("\"value\":([-0-9.eE]+)").r
+      .findFirstMatchIn(BenchReport.renderLine(full, "/sf"))
+      .map(_.group(1).toDouble).get
+    assert(math.abs(num("value") - (base + 4.0)) < 1e-9,
+      "q146 must count in the headline total; q118_probe must not")
+    // and the DupNotes exclusion (not the aux matcher) takes it back
+    // out of the comparable series
+    assert(math.abs((num("value") - num("dup_adjusted_total")) - 4.0) < 1e-9)
   }
 
   test("trimmed stat on the line rejects the one contended pass — and flags it") {
