@@ -91,13 +91,28 @@ object Jobs {
         val counts = CurationReportJob.run(spark, kv("input"), kv("output"))
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "maintenanceJob" => // extension: store maintenance + monitors
+        // rebuildRoot= (with ivfPointer= and rebuildK=) arms the
+        // evidence-gated auto-rebuild — see [[MaintenanceJob.RebuildPolicy]]
+        val policy = kv.get("rebuildRoot").map { nr =>
+          MaintenanceJob.RebuildPolicy(
+            pointer = kv.getOrElse("ivfPointer", sys.error(
+              "rebuildRoot= needs ivfPointer= — the policy swaps the " +
+                "serving pointer, so the job must monitor through it")),
+            newRoot = nr,
+            k = kv.getOrElse("rebuildK", sys.error(
+              "rebuildRoot= needs rebuildK= (the re-train centroid count)")).toInt,
+            iters = kv.get("rebuildIters").map(_.toInt).getOrElse(5),
+            driftRatioMax = kv.get("rebuildDriftMax").map(_.toDouble).getOrElse(2.0),
+            recallMin = kv.get("rebuildRecallMin").map(_.toDouble).getOrElse(0.8))
+        }
         val counts = MaintenanceJob.run(spark, kv("root"),
           resolveIvfRoot(spark, kv), kv("output"),
           keepDays = kv.get("keepDays").map(_.toInt).getOrElse(7),
           deep = kv.get("deep").exists(_.toBoolean),
           nprobe = kv.get("nprobe").map(_.toInt).getOrElse(8),
           topK = kv.get("topK").map(_.toInt).getOrElse(5),
-          queriesPerDay = kv.get("queriesPerDay").map(_.toInt).getOrElse(16))
+          queriesPerDay = kv.get("queriesPerDay").map(_.toInt).getOrElse(16),
+          rebuildPolicy = policy)
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "mixtureJob" => // extension: epoch assembly (MixtureJob)
         val cfg = MixtureJob.Config(

@@ -21,6 +21,10 @@ import graft.operators.{DedupStore, IvfStore}
   *                seed baseline + cell-occupancy axis
   *   recall       [[IvfStore.recallReport]] — per-day recall@topK at
   *                the serving `nprobe` vs the exact full probe
+  *   rebuild      what the opt-in [[RebuildPolicy]] decided this run
+  *                (which threshold which day breached, and whether
+  *                the serving pointer was swapped) — empty when no
+  *                policy is configured or nothing breached
   *
   * ORDER: compact first, then audit — the audit then describes the
   * post-maintenance state (a pre-compact fsck would flag the very
@@ -75,10 +79,77 @@ object MaintenanceJob {
     }.toDF("store", "severity", "check", "subject", "detail")
   }
 
+  /** OPT-IN evidence-gated auto-rebuild: when any committed day's
+    * `drift_ratio` exceeds `driftRatioMax` OR any day's recall@topK at
+    * the serving nprobe falls below `recallMin`, the job re-trains the
+    * serving root into `newRoot` and flips `pointer` atomically
+    * ([[IvfStore.rebuildVia]] — probes read the old root until the
+    * flip; the write-window catch-up runs automatically). The trigger
+    * evidence is exactly the drift/recall reports this job lands, so
+    * the landed parquet always explains WHY a rebuild fired.
+    *
+    * Safety rails: the policy only fires when the job's monitored
+    * root IS the pointer's current root (evidence computed on some
+    * other root must never trigger a serving swap), and a `newRoot`
+    * that already holds a committed index downgrades the action to a
+    * `skipped-existing-newroot` report row instead of dying — the
+    * cron entry must survive an operator forgetting to clean up after
+    * a previous manual run. One rebuild per run at most; the next
+    * run's monitors read the fresh root (re-seeded drift baseline),
+    * so a cured store stops firing and an uncured one surfaces as a
+    * repeat `skipped` row a human must look at. */
+  final case class RebuildPolicy(pointer: String, newRoot: String,
+      k: Int, iters: Int = 5, driftRatioMax: Double = 2.0,
+      recallMin: Double = 0.8)
+
+  private val RebuildReportCols = Seq(
+    "trigger", "dt", "observed", "threshold", "old_root", "new_root", "action")
+
+  /** Evaluate + (maybe) fire the policy; returns the landed report
+    * rows. Empty frame (schema-stable) when no policy, nothing
+    * probeable, or no trigger breached. */
+  private def rebuildFrame(spark: SparkSession, policy: Option[RebuildPolicy],
+      ivfRoot: Option[String], probeable: Boolean,
+      drift: DataFrame, recall: DataFrame): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, Double, Double, String, String, String)]
+      .toDF(RebuildReportCols: _*)
+    val p = policy.getOrElse(return empty)
+    if (!probeable) return empty
+    val serving = IvfStore.currentRoot(spark, p.pointer)
+    require(ivfRoot.contains(serving),
+      s"rebuild policy monitors '$ivfRoot' but pointer '${p.pointer}' " +
+        s"serves '$serving' — evidence from one root must not swap another; " +
+        "pass ivfPointer= so the job monitors the serving root")
+    // the worst breaching day per axis — tiny frames (one row per day)
+    val driftHit = drift.select($"dt", $"drift_ratio").collect()
+      .flatMap(r => Option(r.get(1)).map(v => (r.getString(0), r.getDouble(1))))
+      .filter(_._2 > p.driftRatioMax).sortBy(-_._2).headOption
+      .map { case (dt, v) => ("drift", dt, v, p.driftRatioMax) }
+    val recallHit = recall.select($"dt", $"recall").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .filter(_._2 < p.recallMin).sortBy(_._2).headOption
+      .map { case (dt, v) => ("recall", dt, v, p.recallMin) }
+    val hits = driftHit.toSeq ++ recallHit.toSeq
+    if (hits.isEmpty) return empty
+    val newRootTaken = scala.util.Try(
+      graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess
+    val action =
+      if (newRootTaken) "skipped-existing-newroot"
+      else {
+        IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)
+        "rebuilt"
+      }
+    hits.map { case (trig, dt, v, thr) =>
+      (trig, dt, v, thr, serving, p.newRoot, action)
+    }.toDF(RebuildReportCols: _*)
+  }
+
   def run(spark: SparkSession, root: String, ivfRoot: Option[String],
       outDir: String, keepDays: Int = 7, deep: Boolean = false,
       nprobe: Int = 8, topK: Int = 5,
-      queriesPerDay: Int = 16): Map[String, Long] = {
+      queriesPerDay: Int = 16,
+      rebuildPolicy: Option[RebuildPolicy] = None): Map[String, Long] = {
     import spark.implicits._
 
     // 1. compact (sweeps prior runs' replaced debris first, per store)
@@ -112,11 +183,22 @@ object MaintenanceJob {
       .getOrElse(Seq.empty[(String, Long, Int, Int, Double)]
         .toDF("dt", "n_queries", "nprobe", "topk", "recall"))
 
+    // trigger evaluation MATERIALIZES drift/recall (collect) — cache
+    // so the landed parquet re-reads the cache, not the store twice;
+    // the write loop below owns the unpersist
+    val (driftC, recallC) = (drift.cache(), recall.cache())
+    // evaluated BEFORE the reports land, but over the same cached
+    // frames — the landed drift/recall parquet is the pre-rebuild
+    // evidence even when a rebuild fires this run
+    val rebuilt = rebuildFrame(spark, rebuildPolicy, ivfRoot, probeable,
+      driftC, recallC)
+
     val reports: Seq[(String, DataFrame)] = Seq(
       "compaction" -> compactionFrame(spark, dedupComp, ivfComp),
       "fsck" -> findingsFrame(spark, findings),
-      "drift" -> drift,
-      "recall" -> recall)
+      "drift" -> driftC,
+      "recall" -> recallC,
+      "rebuild" -> rebuilt)
     reports.map { case (name, df) =>
       val out = df.cache()
       try {

@@ -474,21 +474,56 @@ object IvfStore {
     * readers age out; this function never deletes it). On a rebuild
     * crash the pointer is untouched — delete `newRoot` and re-run.
     *
-    * WRITES are not covered by the zero-downtime guarantee: the
-    * rebuild carries the days committed when it STARTED, so a day
-    * appended to the old root mid-rebuild exists in neither snapshot
-    * after the flip. Pause ingestion for the rebuild window (it is
-    * PROBES that must not pause), or diff `committedDays(old)` vs
-    * `committedDays(new)` after the swap and re-append the gap — the
-    * append path is idempotent, so the catch-up is one call per
-    * missed day. */
+    * WRITES have a narrower guarantee than probes: the rebuild
+    * carries the days committed when it STARTED, and this call runs
+    * [[catchUp]] right after the flip to re-append any day that
+    * landed on the old root mid-rebuild. What remains uncovered is a
+    * writer that keeps appending to the OLD root path after the swap
+    * — writers should resolve [[currentRoot]] per day before each
+    * append or pause for the rebuild window; a missed day is
+    * recoverable at any time with one more `catchUp(old, new)` call
+    * (idempotent). */
   def rebuildVia(spark: SparkSession, pointer: String, newRoot: String,
       k: Int, iters: Int = 5,
       seedSample: Option[Double] = None): (KMeans.Model, String) = {
     val oldRoot = currentRoot(spark, pointer)
     val model = rebuild(spark, oldRoot, newRoot, k, iters, seedSample)
     publishRoot(spark, pointer, newRoot)
+    // the write-window catch-up (scaladoc above): days committed to
+    // the old root AFTER the rebuild snapshotted its day list would
+    // otherwise exist in neither serving snapshot post-flip. Running
+    // it after the flip shrinks the uncovered window to appends that
+    // land on the old root between this call and the writer noticing
+    // the pointer moved — writers that resolve the pointer per day
+    // (the ingestDay(ivfPointer=) path) have no window at all.
+    catchUp(spark, oldRoot, newRoot)
     (model, oldRoot)
+  }
+
+  /** Re-append to `newRoot` every day committed at `oldRoot` that
+    * `newRoot` lacks — the [[rebuildVia]] write-window closure, also
+    * callable standalone after a manual [[rebuild]] + swap. Compacted
+    * `merged-*` pseudo-days compare under their `rebuilt-*` alias
+    * (the name [[rebuild]] re-appends them under). Idempotent: the
+    * gap re-computes from marker state, so a crash mid-catch-up
+    * re-runs to completion. Returns the day names appended. */
+  def catchUp(spark: SparkSession, oldRoot: String,
+      newRoot: String): Seq[String] = {
+    def alias(d: String): String = if (d.startsWith(MergedPrefix))
+      s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
+    val have = committedDays(spark, newRoot).toSet
+    val gap = committedDays(spark, oldRoot).filterNot(d => have(alias(d)))
+    if (gap.isEmpty) return Nil
+    val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
+    require(leaves.nonEmpty,
+      s"catch-up source $oldRoot has committed days but no data files")
+    val ds = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
+    val all = cellsFrame(spark, oldRoot, leaves.head.getPath, gap,
+      dataSchema = Some(ds))
+    gap.foreach(d => append(all.filter(col("dt") === d).drop("dt", "cell"),
+      newRoot, alias(d), idCol, vecCol))
+    gap.map(alias)
   }
 
   /** GC of days replaced by a COMMITTED compaction marker plus

@@ -334,6 +334,28 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(probePtr() === expected)
   }
 
+  test("catchUp closes the rebuild write window: a day appended mid-rebuild lands in the new root, idempotently") {
+    val base = Files.createTempDirectory("ivfst-catchup").toString
+    val (r1, r2) = (s"$base/old", s"$base/new")
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", r1,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 30)), r1, "2024-07-01")
+    // manual rebuild (no pointer) snapshots the day list = {07-01} …
+    IvfStore.rebuild(spark, r1, r2, k = 3, iters = 3)
+    // … and a writer lands a new day on the old root after that
+    // snapshot — the write-window scenario rebuildVia's scaladoc names
+    IvfStore.append(vecs(mkRows(500 until 520)), r1, "2024-07-02")
+    assert(IvfStore.committedDays(spark, r2) === Seq("2024-07-01"))
+    assert(IvfStore.catchUp(spark, r1, r2) === Seq("2024-07-02"))
+    // the gap day's vectors answer from the new root: full probes are
+    // centroid-independent, so old and new must agree exactly
+    val qs = Seq(9100L -> centers(1).toArray)
+    assert(probeAll(r2, qs) === probeAll(r1, qs))
+    assert(IvfStore.committedDays(spark, r2) ===
+      Seq("2024-07-01", "2024-07-02"))
+    assert(IvfStore.catchUp(spark, r1, r2) === Nil, "nothing left to heal")
+  }
+
   test("recallReport: drifted day's serving recall falls while its dist2 rises; same-regime day stays near 1") {
     // OWN rng: the midplane geometry below is calibrated against the
     // trained centroids' sampling asymmetry, so the fixture must not

@@ -135,4 +135,72 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
       Map("ivfPointer" -> ptr, "ivfRoot" -> ivf)) === Some(ivf))
     assert(Jobs.resolveIvfRoot(spark, Map.empty) === None)
   }
+
+  test("rebuild policy: drift breach swaps the pointer with landed evidence; cured store stops firing; taken newRoot degrades to a skipped row") {
+    import graft.jobs.MaintenanceJob
+    import graft.operators.IvfStore
+    val s = spark
+    import s.implicits._
+
+    val root = java.nio.file.Files.createTempDirectory("mj-policy").toString
+    val (ivf, ptr) = (s"$root/ivf", s"$root/ptr")
+    val rnd = new scala.util.Random(7)
+    def blob(center: Double, ids: Range) = ids.map(i => (i.toLong,
+      Array.fill(8)((center + rnd.nextGaussian() * 0.05).toFloat)))
+      .toDF("vec_id", "embedding")
+    val day1 = blob(0.0, 0 until 24)            // the seed geometry
+    val day2 = blob(50.0, 100 until 124)        // a far drifted blob
+    IvfStore.init(day1, "vec_id", "embedding", ivf, k = 2, iters = 3)
+    IvfStore.append(day1, ivf, "2024-01-01")
+    IvfStore.append(day2, ivf, "2024-01-02")
+    IvfStore.publishRoot(spark, ptr, ivf)
+
+    def serving = IvfStore.currentRoot(spark, ptr)
+    def runWith(newRoot: String, out: String) = MaintenanceJob.run(
+      spark, s"$root/stores", Some(serving), out,
+      nprobe = 1, queriesPerDay = 4,
+      rebuildPolicy = Some(MaintenanceJob.RebuildPolicy(
+        ptr, newRoot, k = 2, iters = 3,
+        driftRatioMax = 3.0, recallMin = 0.0))) // recall axis disarmed
+
+    // 1. the drifted day breaches drift_ratio -> rebuild fires, the
+    // pointer swaps, and the landed row names the evidence
+    val c1 = runWith(s"$root/ivf-v2", s"$root/rep1")
+    assert(c1("rebuild") >= 1, s"policy should have fired: $c1")
+    assert(serving === s"$root/ivf-v2", "pointer must now serve the rebuilt root")
+    val row = spark.read.parquet(s"$root/rep1/rebuild")
+      .filter($"trigger" === "drift").collect()
+    assert(row.nonEmpty && row.head.getAs[String]("action") === "rebuilt" &&
+      row.head.getAs[String]("dt") === "2024-01-02" &&
+      row.head.getAs[Double]("observed") > 3.0 &&
+      row.head.getAs[String]("old_root") === ivf &&
+      row.head.getAs[String]("new_root") === s"$root/ivf-v2")
+    // serving answers survive the swap: full probe over the rebuilt
+    // root returns the same ids the old root returns
+    val q = Seq(9000L -> Array.fill(8)(50.0))
+    def top(r: String) = IvfStore.probe(spark, r, "vec_id", "embedding",
+      q, nprobe = 99, topK = 5).collect().map(_.getLong(1)).toSet
+    assert(top(s"$root/ivf-v2") === top(ivf))
+    // the old root is untouched (vacuum is the operator's call)
+    assert(new java.io.File(s"$ivf/cells").isDirectory)
+
+    // 2. the rebuilt root's baseline covers both blobs -> no day
+    // breaches -> the policy is armed but silent, pointer unchanged
+    val c2 = runWith(s"$root/ivf-v3", s"$root/rep2")
+    assert(c2("rebuild") === 0L, "cured store must stop firing: " +
+      spark.read.parquet(s"$root/rep2/rebuild").collect().mkString("; "))
+    assert(serving === s"$root/ivf-v2")
+    assert(!new java.io.File(s"$root/ivf-v3").exists(),
+      "no rebuild -> the new root must not even be initialized")
+
+    // 3. evidence still breaching but newRoot already committed ->
+    // skipped row, pointer NOT swapped (cron totality: never die on
+    // leftover roots, surface the conflict instead)
+    IvfStore.publishRoot(spark, ptr, ivf) // back to the drifted root
+    val c3 = runWith(s"$root/ivf-v2", s"$root/rep3")
+    assert(c3("rebuild") >= 1)
+    val skipped = spark.read.parquet(s"$root/rep3/rebuild").collect()
+    assert(skipped.forall(_.getAs[String]("action") === "skipped-existing-newroot"))
+    assert(serving === ivf, "a skipped rebuild must not move the pointer")
+  }
 }
