@@ -97,27 +97,35 @@ object IncrementalCurationJob {
       containT: Double = IncrementalContainment.DefaultT,
       compactEvery: Int = 64, keepDays: Int = 7,
       embeddingCol: Option[String] = None,
-      ivfRoot: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      ivfRoot: Option[String] = None,
+      ivfPointer: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     requireNoLegacyBatchDays(docs.sparkSession,
       (Seq("exact", "near", "contain") ++ embeddingCol.map(_ => "cos"))
         .map(s0 => s"$root/$s0"))
     // misconfigurations refuse at STREAM CONSTRUCTION, not on the
     // first micro-batch minutes after the operator walked away (the
-    // requireNoLegacyBatchDays precedent): ivfRoot needs a vector
-    // column, and an uninitialized IVF root would fail every batch —
-    // frozen centroids are the caller's training decision
-    require(ivfRoot.isEmpty || embeddingCol.isDefined,
-      "ivfRoot needs embeddingCol — there is no vector column to index")
-    ivfRoot.foreach(ir =>
+    // requireNoLegacyBatchDays precedent): ivfRoot/ivfPointer needs a
+    // vector column, and an uninitialized IVF root (or unpublished
+    // pointer) would fail every batch — frozen centroids are the
+    // caller's training decision
+    require((ivfRoot.isEmpty && ivfPointer.isEmpty) || embeddingCol.isDefined,
+      "ivfRoot/ivfPointer needs embeddingCol — there is no vector column to index")
+    // resolve the pointer PER MICRO-BATCH (ingestDay's per-day rule),
+    // so a long-lived stream follows rebuildVia swaps with no restart;
+    // construction-time validation opens whatever it names today
+    def ivfTarget(s: SparkSession): Option[String] = ivfRoot.orElse(
+      ivfPointer.map(p => graft.operators.IvfStore.currentRoot(s, p)))
+    ivfTarget(docs.sparkSession).foreach(ir =>
       graft.operators.IvfIndex.open(docs.sparkSession, ir): Unit)
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val ir = ivfTarget(batch.sparkSession)
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
-          stats = false, embeddingCol = embeddingCol, ivfRoot = ivfRoot)
+          stats = false, embeddingCol = embeddingCol, ivfRoot = ir)
         maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays,
-          ivfRoot = ivfRoot)
+          ivfRoot = ir)
       }
       .start()
   }
@@ -328,6 +336,14 @@ object IncrementalCurationJob {
     * in [[compactStores]]' dedup list — its retention trades off
     * against probe SLAs, not re-ingest windows alone).
     *
+    * `ivfPointer` (round 13) is the pointered alternative: the append
+    * target resolves through [[graft.operators.IvfStore.currentRoot]]
+    * PER DAY, so the first ingest after a
+    * [[graft.operators.IvfStore.rebuildVia]] swap lands on the new
+    * root with no operator action — the writer-side half of the
+    * zero-downtime rebuild. Explicit `ivfRoot` wins when both are
+    * given.
+    *
     * Report/manifest accounting under composition: `curated` is
     * always the FINAL export count; `afterContain` carries the
     * post-containment count whenever any later stage runs (-1
@@ -343,12 +359,20 @@ object IncrementalCurationJob {
       payloadDecoder: Option[graft.ops.PayloadDecoder] = None,
       embeddingCol: Option[String] = None,
       cosineT: Double = 0.9,
-      ivfRoot: Option[String] = None): Report = {
+      ivfRoot: Option[String] = None,
+      ivfPointer: Option[String] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
-    require(ivfRoot.isEmpty || embeddingCol.isDefined,
-      "ivfRoot needs embeddingCol — there is no vector column to index")
+    require((ivfRoot.isEmpty && ivfPointer.isEmpty) || embeddingCol.isDefined,
+      "ivfRoot/ivfPointer needs embeddingCol — there is no vector column to index")
+    // per-DAY pointer resolution (the writer-side rebuild discipline:
+    // IvfStore.rebuildVia's write-window note): each ingest re-reads
+    // the published root, so the first day after a rebuild swap
+    // appends to the NEW root with no operator action. Explicit
+    // ivfRoot wins when both are given (the Jobs.resolveIvfRoot rule).
+    val ivfTarget = ivfRoot.orElse(ivfPointer
+      .map(p => graft.operators.IvfStore.currentRoot(spark, p)))
 
     val afterQuality = delta.filter(CurationJob.qualityPredicate(cfg))
     // retainCache: each ingest materializes its survivors for its own
@@ -378,7 +402,7 @@ object IncrementalCurationJob {
       // ANN co-append first (see the ivfRoot contract above): a crash
       // anywhere later leaves the IVF day committed but the export
       // manifest absent — the re-run re-appends idempotently
-      for (ec <- embeddingCol; ir <- ivfRoot)
+      for (ec <- embeddingCol; ir <- ivfTarget)
         graft.operators.IvfStore.append(curated, ir, day,
           idCol = "doc_id", vecCol = ec)
       val outDir = s"$root/out/dt=$day"

@@ -85,7 +85,10 @@ object Jobs {
       case "incrementalCurationJob" => // extension: daily curation vs stores
         val report = IncrementalCurationJob.ingestDay(
           spark.read.parquet(kv("input")), kv("root"), kv("day"),
-          stats = kv.get("stats").forall(_.toBoolean))
+          stats = kv.get("stats").forall(_.toBoolean),
+          embeddingCol = kv.get("embeddingCol"),
+          ivfRoot = kv.get("ivfRoot"),
+          ivfPointer = kv.get("ivfPointer"))
         println(report)
       case "curationReportJob" => // extension: data-quality dashboard
         val counts = CurationReportJob.run(spark, kv("input"), kv("output"))

@@ -132,6 +132,44 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("runStream(ivfPointer): a mid-stream rebuild swap redirects the next micro-batch, no restart") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("icur-sptr").toString
+    val ckpt = Files.createTempDirectory("icur-sptr-ckpt").toString
+    val (ivfA, ivfB, ptr) = (s"$root/ivf-a", s"$root/ivf-b", s"$root/ptr")
+    val rnd = new scala.util.Random(43)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    graft.operators.IvfStore.init(
+      Seq((900L, vec()), (901L, vec()), (902L, vec()))
+        .toDF("doc_id", "embedding"),
+      "doc_id", "embedding", ivfA, k = 2, iters = 2)
+    graft.operators.IvfStore.publishRoot(spark, ptr, ivfA)
+    val in = MemoryStream[(Long, String, Array[Float])]
+    val q = graft.jobs.IncrementalCurationJob.runStream(
+      in.toDF().toDF("doc_id", "text", "embedding"), root, ckpt,
+      embeddingCol = Some("embedding"), ivfPointer = Some(ptr))
+    try {
+      in.addData((1L, archived, vec()))
+      q.processAllAvailable()
+      assert(graft.operators.IvfStore.committedDays(s, ivfA) ===
+        Seq("batch-000000000"))
+      // operator rebuilds mid-stream; the RUNNING query's next batch
+      // must land on the new root — per-batch pointer resolution is
+      // the whole point
+      graft.operators.IvfStore.rebuildVia(spark, ptr, ivfB, k = 2, iters = 2)
+      in.addData((2L, other, vec()))
+      q.processAllAvailable()
+      assert(graft.operators.IvfStore.committedDays(s, ivfB) ===
+        Seq("batch-000000000", "batch-000000001"),
+        "rebuild carries batch 0; the post-swap batch appends to the new root")
+      assert(graft.operators.IvfStore.committedDays(s, ivfA) ===
+        Seq("batch-000000000"), "the stale root receives nothing after the swap")
+    } finally q.stop()
+  }
+
   test("payloadCol composes the phash stage: text OR payload near-dup suppresses; manifest carries per-stage counts") {
     val s = spark
     import s.implicits._
@@ -339,6 +377,51 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(audits.keySet === Set("exact", "near", "contain", "phash", "cos", "ivf"))
     assert(audits("ivf").forall(_.severity == "info"),
       s"healthy pipeline-fed IVF store must audit clean: ${audits("ivf")}")
+  }
+
+  test("ivfPointer: each day resolves the published root, so a rebuild swap redirects the next ingest automatically") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("icur-ptr").toString
+    val (ivfA, ivfB, ptr) = (s"$root/ivf-a", s"$root/ivf-b", s"$root/ptr")
+    val rnd = new scala.util.Random(41)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    def rows(rs: (Long, String, Array[Float])*): DataFrame =
+      rs.toSeq.toDF("doc_id", "text", "embedding")
+
+    graft.operators.IvfStore.init(
+      rows((900L, "s", vec()), (901L, "s", vec()), (902L, "s", vec()))
+        .drop("text"),
+      "doc_id", "embedding", ivfA, k = 2, iters = 2)
+    graft.operators.IvfStore.publishRoot(spark, ptr, ivfA)
+
+    // day 1 through the pointer lands on the root it publishes today
+    IncrementalCurationJob.ingestDay(rows((1L, archived, vec())),
+      root, "d1", embeddingCol = Some("embedding"), ivfPointer = Some(ptr))
+    assert(graft.operators.IvfStore.committedDays(spark, ivfA) === Seq("d1"))
+
+    // a rebuild swaps the pointer; the NEXT day must land on the new
+    // root with no operator action — the writer-side half of the
+    // zero-downtime story
+    graft.operators.IvfStore.rebuildVia(spark, ptr, ivfB, k = 2, iters = 2)
+    IncrementalCurationJob.ingestDay(rows((2L, other, vec())),
+      root, "d2", embeddingCol = Some("embedding"), ivfPointer = Some(ptr))
+    assert(graft.operators.IvfStore.committedDays(spark, ivfB) ===
+      Seq("d1", "d2"), "rebuild carries d1; the post-swap ingest adds d2")
+    assert(graft.operators.IvfStore.committedDays(spark, ivfA) === Seq("d1"),
+      "the stale root must receive nothing after the swap")
+
+    // explicit ivfRoot wins over the pointer (the Jobs.resolveIvfRoot
+    // rule, enforced at the library layer too)
+    IncrementalCurationJob.ingestDay(
+      rows((3L, "a third unrelated document describing garden tools and " +
+        "seasonal soil preparation for tulips", vec())),
+      root, "d3", embeddingCol = Some("embedding"),
+      ivfRoot = Some(ivfA), ivfPointer = Some(ptr))
+    assert(graft.operators.IvfStore.committedDays(spark, ivfA) ===
+      Seq("d1", "d3"))
+    assert(graft.operators.IvfStore.committedDays(spark, ivfB) ===
+      Seq("d1", "d2"))
   }
 
   test("re-running a committed day converges to identical output") {
