@@ -110,9 +110,12 @@ object IncrementalCurationJob {
     // caller's training decision
     require((ivfRoot.isEmpty && ivfPointer.isEmpty) || embeddingCol.isDefined,
       "ivfRoot/ivfPointer needs embeddingCol — there is no vector column to index")
-    // resolve the pointer PER MICRO-BATCH (ingestDay's per-day rule),
-    // so a long-lived stream follows rebuildVia swaps with no restart;
-    // construction-time validation opens whatever it names today
+    // the pointer passes THROUGH to ingestDay, which resolves it
+    // immediately before each batch's co-append — a long-lived stream
+    // follows rebuildVia swaps with no restart, and even an
+    // intra-batch swap (curation stages running when the flip lands)
+    // appends to the freshly-published root; construction-time
+    // validation opens whatever the pointer names today
     def ivfTarget(s: SparkSession): Option[String] = ivfRoot.orElse(
       ivfPointer.map(p => graft.operators.IvfStore.currentRoot(s, p)))
     ivfTarget(docs.sparkSession).foreach(ir =>
@@ -121,11 +124,11 @@ object IncrementalCurationJob {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        val ir = ivfTarget(batch.sparkSession)
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
-          stats = false, embeddingCol = embeddingCol, ivfRoot = ir)
+          stats = false, embeddingCol = embeddingCol, ivfRoot = ivfRoot,
+          ivfPointer = ivfPointer)
         maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays,
-          ivfRoot = ir)
+          ivfRoot = ivfTarget(batch.sparkSession))
       }
       .start()
   }
@@ -338,11 +341,15 @@ object IncrementalCurationJob {
     *
     * `ivfPointer` (round 13) is the pointered alternative: the append
     * target resolves through [[graft.operators.IvfStore.currentRoot]]
-    * PER DAY, so the first ingest after a
-    * [[graft.operators.IvfStore.rebuildVia]] swap lands on the new
-    * root with no operator action — the writer-side half of the
-    * zero-downtime rebuild. Explicit `ivfRoot` wins when both are
-    * given.
+    * IMMEDIATELY BEFORE the co-append (not at entry — curation can
+    * run for hours, and a mid-curation rebuild would otherwise
+    * receive this day on the replaced root), so the first ingest
+    * after a [[graft.operators.IvfStore.rebuildVia]] swap lands on
+    * the new root with no operator action — the writer-side half of
+    * the zero-downtime rebuild. A rebuild overlapping the append call
+    * itself is the residual race; one
+    * [[graft.operators.IvfStore.catchUp]] heals it. Explicit
+    * `ivfRoot` wins when both are given.
     *
     * Report/manifest accounting under composition: `curated` is
     * always the FINAL export count; `afterContain` carries the
@@ -366,12 +373,15 @@ object IncrementalCurationJob {
     graft.GraftExtensions.ensureRegistered(spark)
     require((ivfRoot.isEmpty && ivfPointer.isEmpty) || embeddingCol.isDefined,
       "ivfRoot/ivfPointer needs embeddingCol — there is no vector column to index")
-    // per-DAY pointer resolution (the writer-side rebuild discipline:
-    // IvfStore.rebuildVia's write-window note): each ingest re-reads
-    // the published root, so the first day after a rebuild swap
-    // appends to the NEW root with no operator action. Explicit
-    // ivfRoot wins when both are given (the Jobs.resolveIvfRoot rule).
-    val ivfTarget = ivfRoot.orElse(ivfPointer
+    // pointer resolution happens at APPEND time, not here (the
+    // writer-side rebuild discipline: IvfStore.rebuildVia's
+    // write-window note): the curation stages between function entry
+    // and the co-append can run for hours on a real day, and an
+    // entry-time snapshot would append to a root a mid-curation
+    // rebuild already replaced — shrink the stale-root window to the
+    // append call itself. Explicit ivfRoot wins when both are given
+    // (the Jobs.resolveIvfRoot rule).
+    def ivfTarget(): Option[String] = ivfRoot.orElse(ivfPointer
       .map(p => graft.operators.IvfStore.currentRoot(spark, p)))
 
     val afterQuality = delta.filter(CurationJob.qualityPredicate(cfg))
@@ -402,7 +412,7 @@ object IncrementalCurationJob {
       // ANN co-append first (see the ivfRoot contract above): a crash
       // anywhere later leaves the IVF day committed but the export
       // manifest absent — the re-run re-appends idempotently
-      for (ec <- embeddingCol; ir <- ivfTarget)
+      for (ec <- embeddingCol; ir <- ivfTarget())
         graft.operators.IvfStore.append(curated, ir, day,
           idCol = "doc_id", vecCol = ec)
       val outDir = s"$root/out/dt=$day"

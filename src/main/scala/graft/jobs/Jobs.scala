@@ -52,11 +52,18 @@ object Jobs {
     * pointer [[graft.operators.IvfStore.publishRoot]] maintains, so a
     * [[graft.operators.IvfStore.rebuildVia]] swap redirects the cron
     * automatically — the operator never edits crontab after a rebuild.
-    * `ivfRoot=` wins when both are given (explicit beats indirection). */
+    * `ivfRoot=` wins when both are given (explicit beats indirection).
+    * A pointer nothing has published yet resolves to None (the cron
+    * entry is usually installed BEFORE the first publish; the dedup
+    * stores must still get their compaction/fsck that night). */
   def resolveIvfRoot(spark: SparkSession,
       kv: Map[String, String]): Option[String] =
-    kv.get("ivfRoot").orElse(kv.get("ivfPointer")
-      .map(p => graft.operators.IvfStore.currentRoot(spark, p)))
+    kv.get("ivfRoot").orElse(kv.get("ivfPointer").flatMap { p =>
+      val r = scala.util.Try(graft.operators.IvfStore.currentRoot(spark, p))
+      if (r.isFailure) System.err.println(s"[maintenanceJob] pointer '$p' " +
+        "has no published root yet — skipping the ANN reports this run")
+      r.toOption
+    })
 
   def main(args: Array[String]): Unit = {
     val kv = args.map(_.split("=", 2)).collect { case Array(k, v) => k -> v }.toMap

@@ -88,13 +88,16 @@ object MaintenanceJob {
     * evidence is exactly the drift/recall reports this job lands, so
     * the landed parquet always explains WHY a rebuild fired.
     *
-    * Safety rails: the policy only fires when the job's monitored
-    * root IS the pointer's current root (evidence computed on some
-    * other root must never trigger a serving swap), and a `newRoot`
-    * that already holds a committed index downgrades the action to a
-    * `skipped-existing-newroot` report row instead of dying — the
-    * cron entry must survive an operator forgetting to clean up after
-    * a previous manual run. One rebuild per run at most; the next
+    * Safety rails — each degrades to a `skipped-*` report row, never
+    * an exception, because the cron entry must keep landing reports
+    * whatever state an operator left behind: a breach whose monitored
+    * root is NOT the pointer's current root lands
+    * `skipped-monitored-root-mismatch` (evidence computed on one root
+    * must never swap another — the both-`ivfRoot=`-and-`ivfPointer=`
+    * crontab after a successful swap hits this every night until
+    * fixed, visibly), and a `newRoot` that already holds a committed
+    * index lands `skipped-existing-newroot` (a previous manual run's
+    * leftovers). One rebuild per run at most; the next
     * run's monitors read the fresh root (re-seeded drift baseline),
     * so a cured store stops firing and an uncured one surfaces as a
     * repeat `skipped` row a human must look at. */
@@ -116,11 +119,6 @@ object MaintenanceJob {
       .toDF(RebuildReportCols: _*)
     val p = policy.getOrElse(return empty)
     if (!probeable) return empty
-    val serving = IvfStore.currentRoot(spark, p.pointer)
-    require(ivfRoot.contains(serving),
-      s"rebuild policy monitors '$ivfRoot' but pointer '${p.pointer}' " +
-        s"serves '$serving' — evidence from one root must not swap another; " +
-        "pass ivfPointer= so the job monitors the serving root")
     // the worst breaching day per axis — tiny frames (one row per day)
     val driftHit = drift.select($"dt", $"drift_ratio").collect()
       .flatMap(r => Option(r.get(1)).map(v => (r.getString(0), r.getDouble(1))))
@@ -132,10 +130,17 @@ object MaintenanceJob {
       .map { case (dt, v) => ("recall", dt, v, p.recallMin) }
     val hits = driftHit.toSeq ++ recallHit.toSeq
     if (hits.isEmpty) return empty
-    val newRootTaken = scala.util.Try(
-      graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess
+    // safety rails evaluated ONLY on a breach, and every conflict
+    // degrades to a report row (cron totality) — in particular the
+    // monitored-root check: an operator who left both ivfRoot= and
+    // ivfPointer= in crontab would otherwise have every post-swap run
+    // DIE at this require, landing zero reports forever
+    val serving = IvfStore.currentRoot(spark, p.pointer)
     val action =
-      if (newRootTaken) "skipped-existing-newroot"
+      if (!ivfRoot.contains(serving)) "skipped-monitored-root-mismatch"
+      else if (scala.util.Try(
+          graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess)
+        "skipped-existing-newroot"
       else {
         IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)
         "rebuilt"

@@ -488,31 +488,69 @@ object IvfStore {
       seedSample: Option[Double] = None): (KMeans.Model, String) = {
     val oldRoot = currentRoot(spark, pointer)
     val model = rebuild(spark, oldRoot, newRoot, k, iters, seedSample)
+    // the write-window catch-up (scaladoc above) runs TWICE around
+    // the flip: the pre-flip pass folds in everything that landed
+    // during the (long) training+re-append phase while probes still
+    // serve the old root, so those days are never probe-invisible;
+    // the post-flip pass closes the sliver between the first pass and
+    // the pointer rename. What remains uncovered is a writer still
+    // appending to the stale path after the swap — see the contract
+    // above; one later catchUp(old, new) heals that too.
+    catchUp(spark, oldRoot, newRoot)
     publishRoot(spark, pointer, newRoot)
-    // the write-window catch-up (scaladoc above): days committed to
-    // the old root AFTER the rebuild snapshotted its day list would
-    // otherwise exist in neither serving snapshot post-flip. Running
-    // it after the flip shrinks the uncovered window to appends that
-    // land on the old root between this call and the writer noticing
-    // the pointer moved — writers that resolve the pointer per day
-    // (the ingestDay(ivfPointer=) path) have no window at all.
     catchUp(spark, oldRoot, newRoot)
     (model, oldRoot)
   }
 
-  /** Re-append to `newRoot` every day committed at `oldRoot` that
-    * `newRoot` lacks — the [[rebuildVia]] write-window closure, also
-    * callable standalone after a manual [[rebuild]] + swap. Compacted
-    * `merged-*` pseudo-days compare under their `rebuilt-*` alias
-    * (the name [[rebuild]] re-appends them under). Idempotent: the
-    * gap re-computes from marker state, so a crash mid-catch-up
-    * re-runs to completion. Returns the day names appended. */
+  /** Re-append to `newRoot` every day committed at `oldRoot` whose
+    * ROWS the target does not already hold — the [[rebuildVia]]
+    * write-window closure, also callable standalone after a manual
+    * [[rebuild]] + swap. Idempotent: the gap re-computes from marker
+    * state, so a crash mid-catch-up re-runs to completion. Returns
+    * the day names appended (under their target alias).
+    *
+    * Coverage is decided by CONTENT, not name alone — compaction on
+    * either root between the rebuild and this call renames where rows
+    * live, and a name-only diff would re-append rows the target
+    * already holds (silent duplicate vectors in every probe):
+    *  - a source `merged-*` pseudo-day compares under its
+    *    `rebuilt-*` alias (the name [[rebuild]] re-appends it under),
+    *    AND under the day list its marker carries — if the target
+    *    already holds every folded day (e.g. the source compacted
+    *    mid-rebuild, after the rebuild carried the days over
+    *    individually), it is covered and skipped;
+    *  - a plain source day counts as covered when the TARGET's own
+    *    compaction folded it (its name sits in a committed merged
+    *    marker's day list), not only when it is live by name;
+    *  - a source merged day the target holds only PARTIALLY cannot
+    *    be resolved automatically — re-appending duplicates the held
+    *    part, skipping loses the rest — so it throws, naming the
+    *    fresh-root remedy. */
   def catchUp(spark: SparkSession, oldRoot: String,
       newRoot: String): Seq[String] = {
     def alias(d: String): String = if (d.startsWith(MergedPrefix))
       s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
-    val have = committedDays(spark, newRoot).toSet
-    val gap = committedDays(spark, oldRoot).filterNot(d => have(alias(d)))
+    val (newNames, newReplaced) = MarkerProtocol.markerState(
+      fs(spark, newRoot), new Path(newRoot, MarkerDir))
+    // every name the target commits OR ever folded — rows exist for
+    // all of them (replaced days live on inside merged partitions)
+    val covered: Set[String] = newNames.toSet ++ newReplaced
+    val oldMarkers = new Path(oldRoot, MarkerDir)
+    val fOld = fs(spark, oldRoot)
+    val gap = committedDays(spark, oldRoot).filter { d =>
+      if (covered(d) || covered(alias(d))) false
+      else if (d.startsWith(MergedPrefix)) {
+        val listed = MarkerProtocol.readMarker(fOld, new Path(oldMarkers, d))
+        val hit = listed.count(covered)
+        if (hit == listed.size) false
+        else if (hit == 0) true
+        else throw new IllegalStateException(
+          s"catch-up cannot resolve source pseudo-day '$d': the target " +
+            s"already holds $hit of its ${listed.size} folded days — " +
+            "re-appending would duplicate those rows and skipping would " +
+            "lose the rest; rebuild into a fresh root instead")
+      } else true
+    }
     if (gap.isEmpty) return Nil
     val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
     require(leaves.nonEmpty,
@@ -663,23 +701,24 @@ object IvfStore {
         val cells = cellsFrame(spark, root, leaves.head.getPath, committed,
           dataSchema = Some(ds))
         // re-derive the argmin exactly as append did; a mismatch means
-        // the partition value and the geometry no longer agree
+        // the partition value and the geometry no longer agree. ONE
+        // vector-reading pass serves both deep counts: the recheck
+        // frame excludes exactly the rows [[KMeans.assign]]
+        // corrupt-drops (null/wrong-dim/non-finite — round 13), so
+        // unusable = total − usable, with the total a zero-column
+        // footer count rather than a second full vector scan
         val recheck = KMeans.assign(cells.withColumnRenamed("cell", "__stored"),
           cents, vecCol)
-        val bad = recheck.filter(col("cell") =!= col("__stored")).count()
-        // rows [[KMeans.assign]] corrupt-drops (null/wrong-dim/
-        // non-finite vector) are INVISIBLE to the recheck above —
-        // count them explicitly: append never writes them (round 13),
-        // so any present came from a restore/hand-copy, and in a probe
-        // their null/NaN distance is undefined under ranking (the
-        // probe core drops them defensively, but they waste scan bytes
-        // and the restore that brought them is worth investigating)
-        val n2 = aggregate(col(vecCol), lit(0.0),
-          (a, x) => a + x.cast("double") * x.cast("double"))
-        val unusable = cells.filter(col(vecCol).isNull ||
-          size(col(vecCol)) =!= cents.head.length ||
-          !coalesce(!isnan(n2) && n2 < lit(Double.PositiveInfinity),
-            lit(false))).count()
+        val aggRow = recheck.agg(count(lit(1)),
+          sum(when(col("cell") =!= col("__stored"), 1L).otherwise(0L)))
+          .collect()(0)
+        val (usable, bad) = (aggRow.getLong(0),
+          if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1))
+        // unusable rows came from a restore/hand-copy (append never
+        // writes them); probes skip them defensively — undefined
+        // distance — but they waste scan bytes and the restore that
+        // brought them is worth investigating
+        val unusable = cells.count() - usable
         if (unusable > 0) out += DedupStore.FsckFinding("warn",
           "unusable-vector", "cells", s"$unusable stored vectors are " +
             "null/wrong-dimension/non-finite — append corrupt-drops these, " +
@@ -789,12 +828,10 @@ object IvfStore {
       dataSchema = Some(dsch))
     // deterministic per-day sample: the hash-smallest usable ids (a
     // restored unusable vector must not become a query — its argmin
-    // is undefined); one narrow shuffle keyed by day
-    val n2 = aggregate(col(vecCol), lit(0.0),
-      (a, x) => a + x.cast("double") * x.cast("double"))
+    // is undefined; [[KMeans.usable]] is the ONE shared definition);
+    // one narrow shuffle keyed by day
     val sampled = cells
-      .filter(size(col(vecCol)) === cents.head.length &&
-        coalesce(!isnan(n2) && n2 < lit(Double.PositiveInfinity), lit(false)))
+      .filter(KMeans.usable(vecCol, cents.head.length))
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col("dt"))
           .orderBy(xxhash64(col(idCol)), col(idCol))))
@@ -826,8 +863,13 @@ object IvfStore {
         .map(qs => probe(spark, root, idCol, vecCol, qs, np, topK))
         .reduce(_ unionByName _)
     }
-    val exact = probeAll(cents.size)
-    val approx = probeAll(nprobe)
+    // per-arm DISTINCT (qid, id) before the join: stored ids may
+    // legally repeat across days (dup-identity is warn-level), and a
+    // duplicated id in both arms would otherwise match k×k rows —
+    // inflating q_recall on exactly the degraded stores whose rebuild
+    // trigger this metric feeds. Recall is a SET ratio.
+    val exact = probeAll(cents.size).select(col("qid"), col(idCol)).distinct()
+    val approx = probeAll(nprobe).select(col("qid"), col(idCol)).distinct()
     val hits = exact.as("e")
       .join(approx.as("a"),
         col(s"e.qid") === col(s"a.qid") &&

@@ -117,8 +117,14 @@ object KMeans {
     * cell is undefined (see [[sumSq]]) — all are cut HERE, visibly,
     * instead of surfacing as a null-cell NPE in the update step,
     * silently vanishing from a groupBy, or landing in an arbitrary
-    * cell that probes then scan in vain. */
-  private def usable(vecCol: String, dim: Int): Column = {
+    * cell that probes then scan in vain. Shared across the engine
+    * (round 13): [[IvfStore.recallReport]]'s query sampling and the
+    * q146 gate filter reuse THIS predicate, so a future change to
+    * what "usable" means (say, an overflow-to-Inf allowance) cannot
+    * silently diverge the write path, the monitors, and the oracle
+    * gate — the DuckDB oracles mirror it as
+    * `len(v) = dim AND no-null-element AND isfinite(list_sum(x²))`. */
+  private[graft] def usable(vecCol: String, dim: Int): Column = {
     val n2 = sumSq(vecCol)
     col(vecCol).isNotNull && size(col(vecCol)) === dim &&
       !isnan(n2) && n2 < lit(Double.PositiveInfinity)

@@ -536,11 +536,13 @@ object SimilarityQueries {
     "q146_ivf_store_probe",
     (s, d) => {
       import s.implicits._
-      val n2 = aggregate($"embedding", lit(0.0),
-        (a, x) => a + x.cast("double") * x.cast("double"))
+      // ONE shared usability predicate (KMeans.usable) on the engine
+      // side — the same filter the store's write path applies, so the
+      // two scopes are identical by construction, not by parallel
+      // maintenance; the oracle below mirrors it in SQL
       val e = T.embeddings(s, d)
-        .filter(size($"embedding") === Dim && $"vec_id".isNotNull &&
-          !isnan(n2) && n2 < lit(Double.PositiveInfinity))
+        .filter(graft.operators.KMeans.usable("embedding", Dim) &&
+          $"vec_id".isNotNull)
         .select($"vec_id", $"embedding")
       val qRows = e.filter($"vec_id" % 50 === 0).collect()
       require(qRows.length <= 100000,

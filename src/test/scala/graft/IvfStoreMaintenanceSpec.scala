@@ -356,6 +356,66 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(IvfStore.catchUp(spark, r1, r2) === Nil, "nothing left to heal")
   }
 
+  test("catchUp under compaction: coverage decided by content, not name — never duplicates, partial coverage refuses") {
+    val s = spark
+    import s.implicits._
+    val base = Files.createTempDirectory("ivfst-cucomp").toString
+    // the COMMITTED view (what probes read): raw dirs legitimately
+    // hold replaced-day copies until the next compact's sweep
+    def distinctIds(root: String): Unit = {
+      val days = IvfStore.committedDays(spark, root)
+      val stored = spark.read
+        .schema("vec_id LONG, embedding ARRAY<DOUBLE>, dt STRING, cell INT")
+        .parquet(s"$root/cells").filter($"dt".isin(days: _*))
+        .select($"vec_id").as[Long].collect().toSeq
+      assert(stored.size === stored.distinct.size,
+        s"duplicate vectors in $root: every probe would double-count")
+    }
+
+    // A: the SOURCE compacts between rebuild and catch-up — its merged
+    // pseudo-day holds days the target already carried by name, and a
+    // name-only diff would re-append them all (silent duplicates)
+    val (a1, a2) = (s"$base/a-old", s"$base/a-new")
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", a1,
+      k = 3, iters = 3)
+    (1 to 4).foreach(d => IvfStore.append(
+      vecs(mkRows(d * 100 until d * 100 + 20)), a1, f"2024-07-0$d%d"))
+    IvfStore.rebuild(spark, a1, a2, k = 3, iters = 3)
+    IvfStore.compact(spark, a1, keepDays = 1) // folds d1..d3 at the source
+    assert(IvfStore.catchUp(spark, a1, a2) === Nil,
+      "the folded days' rows are all covered in the target by name")
+    distinctIds(a2)
+
+    // B: the TARGET compacts too — a source day folded at the target
+    // must count as covered (re-append would crash on the replaced
+    // marker or duplicate after its sweep), while a genuinely new day
+    // still heals
+    IvfStore.compact(spark, a2, keepDays = 1)
+    IvfStore.append(vecs(mkRows(900 until 920)), a1, "2024-07-05")
+    assert(IvfStore.catchUp(spark, a1, a2) === Seq("2024-07-05"))
+    distinctIds(a2)
+    val qs = Seq(9200L -> centers(0).toArray)
+    assert(probeAll(a2, qs) === probeAll(a1, qs),
+      "both roots hold the same corpus after the heal")
+
+    // C: a source pseudo-day the target holds only PARTIALLY is
+    // unresolvable — re-appending duplicates the held part, skipping
+    // loses the rest — and must refuse loudly, naming the remedy
+    val (c1, c2) = (s"$base/c-old", s"$base/c-new")
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", c1,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 30)), c1, "2024-08-01")
+    IvfStore.append(vecs(mkRows(100 until 130)), c1, "2024-08-02")
+    IvfStore.rebuild(spark, c1, c2, k = 3, iters = 3) // carries d1, d2
+    IvfStore.append(vecs(mkRows(200 until 230)), c1, "2024-08-03")
+    IvfStore.compact(spark, c1, keepDays = 0) // folds d1..d3 at the source
+    val e = intercept[IllegalStateException] {
+      IvfStore.catchUp(spark, c1, c2)
+    }
+    assert(e.getMessage.contains("folded days") &&
+      e.getMessage.contains("fresh root"), e.getMessage)
+  }
+
   test("recallReport: drifted day's serving recall falls while its dist2 rises; same-regime day stays near 1") {
     // OWN rng: the midplane geometry below is calibrated against the
     // trained centroids' sampling asymmetry, so the fixture must not

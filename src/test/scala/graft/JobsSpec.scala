@@ -134,6 +134,11 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     assert(Jobs.resolveIvfRoot(spark,
       Map("ivfPointer" -> ptr, "ivfRoot" -> ivf)) === Some(ivf))
     assert(Jobs.resolveIvfRoot(spark, Map.empty) === None)
+    // the cron entry is typically installed BEFORE the first publish:
+    // an unpublished pointer must resolve to None (dedup maintenance
+    // still runs that night), not kill the job at argument parsing
+    assert(Jobs.resolveIvfRoot(spark,
+      Map("ivfPointer" -> s"$root/never-published")) === None)
   }
 
   test("rebuild policy: drift breach swaps the pointer with landed evidence; cured store stops firing; taken newRoot degrades to a skipped row") {
@@ -202,5 +207,33 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     val skipped = spark.read.parquet(s"$root/rep3/rebuild").collect()
     assert(skipped.forall(_.getAs[String]("action") === "skipped-existing-newroot"))
     assert(serving === ivf, "a skipped rebuild must not move the pointer")
+
+    // 4. armed policy + monitored root != serving root + NOTHING
+    // breached: the run must complete and land all reports (an
+    // operator who left both ivfRoot= and ivfPointer= in crontab
+    // after a swap hits this configuration every night)
+    val c4 = MaintenanceJob.run(spark, s"$root/stores",
+      Some(s"$root/ivf-v2"), s"$root/rep4", // healthy root monitored
+      nprobe = 1, queriesPerDay = 4,
+      rebuildPolicy = Some(MaintenanceJob.RebuildPolicy(
+        ptr, s"$root/ivf-v9", k = 2, iters = 3,
+        driftRatioMax = 3.0, recallMin = 0.0)))
+    assert(c4("rebuild") === 0L && c4.contains("drift"),
+      s"healthy-but-mismatched cron run must land reports, not die: $c4")
+
+    // 5. a BREACH whose evidence came from a root the pointer does not
+    // serve degrades to a mismatch row — never a swap, never a crash
+    IvfStore.publishRoot(spark, ptr, s"$root/ivf-v2")
+    val c5 = MaintenanceJob.run(spark, s"$root/stores",
+      Some(ivf), s"$root/rep5", // drifted root monitored, v2 serving
+      nprobe = 1, queriesPerDay = 4,
+      rebuildPolicy = Some(MaintenanceJob.RebuildPolicy(
+        ptr, s"$root/ivf-v9", k = 2, iters = 3,
+        driftRatioMax = 3.0, recallMin = 0.0)))
+    assert(c5("rebuild") >= 1)
+    val mm = spark.read.parquet(s"$root/rep5/rebuild").collect()
+    assert(mm.forall(_.getAs[String]("action") === "skipped-monitored-root-mismatch"), mm.mkString(";"))
+    assert(serving === s"$root/ivf-v2", "mismatch must never swap")
+    assert(!new java.io.File(s"$root/ivf-v9").exists())
   }
 }
