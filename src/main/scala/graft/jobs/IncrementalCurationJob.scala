@@ -200,9 +200,15 @@ object IncrementalCurationJob {
     * with the stream's own appends (single-writer contract), so the
     * trigger covers it here rather than leaving an operator to
     * interleave a batch entry point unsafely. */
+  /** `ivfRoot` is BY-NAME: the pointered streaming path resolves it
+    * with a SnapshotStore read (a small Spark job), which must only
+    * run on the one-in-`compactEvery` batch that actually compacts —
+    * an eager argument would tax every hot-path batch and a transient
+    * pointer-read failure would kill the stream for a value this
+    * method was about to discard. */
   private def maybeCompact(spark: SparkSession, root: String, batchId: Long,
       compactEvery: Int, keepDays: Int,
-      ivfRoot: Option[String] = None): Unit =
+      ivfRoot: => Option[String] = None): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       compactStores(spark, root, keepDays): Unit
       ivfRoot.foreach(ir =>

@@ -59,10 +59,19 @@ object Jobs {
   def resolveIvfRoot(spark: SparkSession,
       kv: Map[String, String]): Option[String] =
     kv.get("ivfRoot").orElse(kv.get("ivfPointer").flatMap { p =>
-      val r = scala.util.Try(graft.operators.IvfStore.currentRoot(spark, p))
-      if (r.isFailure) System.err.println(s"[maintenanceJob] pointer '$p' " +
-        "has no published root yet — skipping the ANN reports this run")
-      r.toOption
+      // ONLY the never-published case degrades to None — an FS outage
+      // or torn snapshot must stay loud, or an operator reads "no ANN
+      // reports tonight" as day-zero state while a degraded store
+      // goes unmonitored behind a swallowed permission error
+      try Some(graft.operators.IvfStore.currentRoot(spark, p))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null &&
+              e.getMessage.contains("no published IVF root") =>
+          System.err.println(s"[maintenanceJob] pointer '$p' has no " +
+            "published root yet — skipping the ANN reports this run")
+          None
+      }
     })
 
   def main(args: Array[String]): Unit = {

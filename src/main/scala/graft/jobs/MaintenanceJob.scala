@@ -130,21 +130,38 @@ object MaintenanceJob {
       .map { case (dt, v) => ("recall", dt, v, p.recallMin) }
     val hits = driftHit.toSeq ++ recallHit.toSeq
     if (hits.isEmpty) return empty
-    // safety rails evaluated ONLY on a breach, and every conflict
-    // degrades to a report row (cron totality) — in particular the
-    // monitored-root check: an operator who left both ivfRoot= and
-    // ivfPointer= in crontab would otherwise have every post-swap run
-    // DIE at this require, landing zero reports forever
-    val serving = IvfStore.currentRoot(spark, p.pointer)
-    val action =
-      if (!ivfRoot.contains(serving)) "skipped-monitored-root-mismatch"
-      else if (scala.util.Try(
-          graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess)
-        "skipped-existing-newroot"
-      else {
-        IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)
-        "rebuilt"
-      }
+    // safety rails evaluated ONLY on a breach, and EVERY outcome —
+    // conflicts and failures included — degrades to a report row
+    // (cron totality): the drift/recall evidence the job exists to
+    // land must never be destroyed by the reaction to it. In
+    // particular: an operator who left both ivfRoot= and ivfPointer=
+    // in crontab gets a nightly mismatch row after a swap (never a
+    // dead cron), an unpublished pointer gets its own row, and a
+    // rebuild that throws mid-flight (unwritable newRoot, a catchUp
+    // refusal) lands as failed-rebuild with the message.
+    val servingTry = scala.util.Try(IvfStore.currentRoot(spark, p.pointer))
+    // compare QUALIFIED paths, not raw strings — a trailing slash or
+    // scheme difference in crontab must not permanently skip rebuilds
+    def qual(s0: String): String = {
+      val hp = new org.apache.hadoop.fs.Path(s0)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .makeQualified(hp).toString
+    }
+    val (serving, action) = servingTry match {
+      case scala.util.Failure(_) => ("", "skipped-unpublished-pointer")
+      case scala.util.Success(sv) =>
+        if (!ivfRoot.map(qual).contains(qual(sv)))
+          (sv, "skipped-monitored-root-mismatch")
+        else if (scala.util.Try(
+            graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess)
+          (sv, "skipped-existing-newroot")
+        else scala.util.Try(
+            IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)) match {
+          case scala.util.Success(_) => (sv, "rebuilt")
+          case scala.util.Failure(e) =>
+            (sv, s"failed-rebuild: ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+        }
+    }
     hits.map { case (trig, dt, v, thr) =>
       (trig, dt, v, thr, serving, p.newRoot, action)
     }.toDF(RebuildReportCols: _*)

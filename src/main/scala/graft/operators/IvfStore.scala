@@ -346,8 +346,13 @@ object IvfStore {
           pmod(xxhash64(col(idName)), lit(filesPerCell)))
         .write.partitionBy("cell").parquet(outDir.toString)
     }
+    // transitive closure over BOTH pseudo-day kinds: a rebuilt-*
+    // marker carries its origin's day list since round 13 (legacy
+    // ones are empty — the name alone then stands in), and losing
+    // that lineage at the next tier-fold would blind catchUp's
+    // content-coverage check
     val content = mergeDays.flatMap { dd =>
-      if (dd.startsWith(MergedPrefix))
+      if (dd.startsWith(MergedPrefix) || dd.startsWith(RebuiltPrefix))
         dd +: MarkerProtocol.readMarker(f, new Path(s"$root/$MarkerDir", dd))
       else Seq(dd)
     }.distinct
@@ -408,9 +413,27 @@ object IvfStore {
         s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
       append(all.filter(col("dt") === d).drop("dt", "cell"),
         newRoot, target, idCol, vecCol)
+      carryMarkerLineage(spark, oldRoot, d, newRoot, target)
     }
     model
   }
+
+  /** Re-publish `target`'s marker at `newRoot` carrying the ORIGIN
+    * day list of `d`'s marker at `oldRoot` (pseudo-days only) — the
+    * lineage [[catchUp]]'s content-coverage check reads to decide
+    * whether a later compaction's fold is already covered. A plain
+    * day or a lineage-less legacy marker carries nothing (the name
+    * alone stands in, conservatively). */
+  private def carryMarkerLineage(spark: SparkSession, oldRoot: String,
+      d: String, newRoot: String, target: String): Unit =
+    if (d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix)) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val listed = MarkerProtocol.readMarker(fs(spark, oldRoot),
+        new Path(new Path(oldRoot, MarkerDir), d))
+      if (listed.nonEmpty)
+        MarkerProtocol.atomicMarker(conf, new Path(newRoot, MarkerDir),
+          target, listed.mkString("\n") + "\n")
+    }
 
   /** Schema of the pointer snapshot: one row, one column — the
     * current IVF root path. */
@@ -530,26 +553,49 @@ object IvfStore {
       newRoot: String): Seq[String] = {
     def alias(d: String): String = if (d.startsWith(MergedPrefix))
       s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
-    val (newNames, newReplaced) = MarkerProtocol.markerState(
-      fs(spark, newRoot), new Path(newRoot, MarkerDir))
-    // every name the target commits OR ever folded — rows exist for
-    // all of them (replaced days live on inside merged partitions)
-    val covered: Set[String] = newNames.toSet ++ newReplaced
+    def isPseudo(d: String): Boolean =
+      d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix)
+    val newMarkers = new Path(newRoot, MarkerDir)
     val oldMarkers = new Path(oldRoot, MarkerDir)
-    val fOld = fs(spark, oldRoot)
-    val gap = committedDays(spark, oldRoot).filter { d =>
-      if (covered(d) || covered(alias(d))) false
-      else if (d.startsWith(MergedPrefix)) {
+    val (fNew, fOld) = (fs(spark, newRoot), fs(spark, oldRoot))
+    val (newNames, newReplaced) = MarkerProtocol.markerState(fNew, newMarkers)
+    // NAME-level coverage: every name the target commits OR ever
+    // folded (replaced days live on inside merged partitions)
+    val coveredNames: Set[String] = newNames.toSet ++ newReplaced
+    // ORIGINAL-DAY-level coverage: pseudo-day markers carry their
+    // origin day lists (transitively, marker names included — both
+    // [[compact]] and [[rebuild]] write the lineage since round 13),
+    // so a day folded pre-rebuild and carried over as `rebuilt-*` is
+    // known to the target even though its NAME never committed there
+    val coveredDays: Set[String] =
+      newNames.flatMap { n =>
+        if (isPseudo(n))
+          MarkerProtocol.readMarker(fNew, new Path(newMarkers, n))
+        else Seq(n)
+      }.toSet.union(newReplaced).filterNot(isPseudo)
+    // the original days a source day's rows consist of; None = a
+    // lineage-less legacy marker (opaque — name coverage only)
+    def contentDays(d: String): Option[Set[String]] =
+      if (!isPseudo(d)) Some(Set(d))
+      else {
         val listed = MarkerProtocol.readMarker(fOld, new Path(oldMarkers, d))
-        val hit = listed.count(covered)
-        if (hit == listed.size) false
-        else if (hit == 0) true
-        else throw new IllegalStateException(
-          s"catch-up cannot resolve source pseudo-day '$d': the target " +
-            s"already holds $hit of its ${listed.size} folded days — " +
-            "re-appending would duplicate those rows and skipping would " +
-            "lose the rest; rebuild into a fresh root instead")
-      } else true
+          .filterNot(isPseudo)
+        if (listed.isEmpty) None else Some(listed.toSet)
+      }
+    val gap = committedDays(spark, oldRoot).filter { d =>
+      if (coveredNames(d) || coveredNames(alias(d))) false
+      else contentDays(d) match {
+        case Some(set) =>
+          val hit = set.count(coveredDays)
+          if (hit == set.size) false
+          else if (hit == 0) true
+          else throw new IllegalStateException(
+            s"catch-up cannot resolve source pseudo-day '$d': the target " +
+              s"already holds $hit of its ${set.size} folded days — " +
+              "re-appending would duplicate those rows and skipping would " +
+              "lose the rest; rebuild into a fresh root instead")
+        case None => true // opaque legacy pseudo-day: append as a unit
+      }
     }
     if (gap.isEmpty) return Nil
     val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
@@ -559,8 +605,11 @@ object IvfStore {
     val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
     val all = cellsFrame(spark, oldRoot, leaves.head.getPath, gap,
       dataSchema = Some(ds))
-    gap.foreach(d => append(all.filter(col("dt") === d).drop("dt", "cell"),
-      newRoot, alias(d), idCol, vecCol))
+    gap.foreach { d =>
+      append(all.filter(col("dt") === d).drop("dt", "cell"),
+        newRoot, alias(d), idCol, vecCol)
+      carryMarkerLineage(spark, oldRoot, d, newRoot, alias(d))
+    }
     gap.map(alias)
   }
 

@@ -414,6 +414,27 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     }
     assert(e.getMessage.contains("folded days") &&
       e.getMessage.contains("fresh root"), e.getMessage)
+
+    // D: lineage survives the rebuilt-* rename — a source that had
+    // already compacted BEFORE the rebuild, then tier-folds its
+    // merged day again afterwards, is still fully covered: the
+    // rebuilt marker carries its origin day list, so the fold's
+    // content resolves even though the folded names never committed
+    // at the target (a lineage-less check would refuse spuriously or
+    // re-append every folded day as duplicates)
+    val (d1r, d2r) = (s"$base/d-old", s"$base/d-new")
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", d1r,
+      k = 3, iters = 3)
+    (1 to 4).foreach(d => IvfStore.append(
+      vecs(mkRows(d * 100 until d * 100 + 20)), d1r, f"2024-09-0$d%d"))
+    IvfStore.compact(spark, d1r, keepDays = 2) // merged-X folds d1, d2
+    IvfStore.rebuild(spark, d1r, d2r, k = 3, iters = 3)
+    spark.conf.set("graft.store.maxMergedParts", "1")
+    try IvfStore.compact(spark, d1r, keepDays = 1) // tier-fold: merged-X + d3
+    finally spark.conf.unset("graft.store.maxMergedParts")
+    assert(IvfStore.catchUp(spark, d1r, d2r) === Nil,
+      "tier-folded source is fully covered via the carried lineage")
+    distinctIds(d2r)
   }
 
   test("recallReport: drifted day's serving recall falls while its dist2 rises; same-regime day stays near 1") {

@@ -161,8 +161,11 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     IvfStore.publishRoot(spark, ptr, ivf)
 
     def serving = IvfStore.currentRoot(spark, ptr)
+    // trailing slash on the monitored root: the rail must compare
+    // QUALIFIED paths, or a cosmetic crontab difference would skip
+    // every rebuild forever as a spurious mismatch
     def runWith(newRoot: String, out: String) = MaintenanceJob.run(
-      spark, s"$root/stores", Some(serving), out,
+      spark, s"$root/stores", Some(serving + "/"), out,
       nprobe = 1, queriesPerDay = 4,
       rebuildPolicy = Some(MaintenanceJob.RebuildPolicy(
         ptr, newRoot, k = 2, iters = 3,
