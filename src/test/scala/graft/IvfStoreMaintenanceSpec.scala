@@ -356,6 +356,27 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(IvfStore.catchUp(spark, r1, r2) === Nil, "nothing left to heal")
   }
 
+  test("recallReport on a dup-identity store: recall is a SET ratio, duplicates cannot inflate it") {
+    val root = Files.createTempDirectory("ivfst-duprecall").toString
+    def v(a: Double) = Array(a, 0.0, 0.0, 0.0)
+    val rows = vecs(Seq(1L -> v(0.0), 2L -> v(5.9)))
+    IvfStore.init(rows, "vec_id", "embedding", root, k = 2, iters = 2)
+    IvfStore.append(rows, root, "2024-07-01")
+    // the SAME ids again — dup-identity is a warn-level, legal state
+    // (fsck names it; probes return such ids twice)
+    IvfStore.append(rows, root, "2024-07-02")
+    val rep = IvfStore.recallReport(spark, root,
+        nprobe = 1, topK = 4, queriesPerDay = 99)
+      .collect().map(r => (r.getString(0), r.getDouble(4))).toMap
+    // every query's exact top-4 is {its own id, the other id} as a
+    // SET; nprobe=1 reaches only the query's own cell → recall is
+    // exactly 1/2. The pre-fix row-weighted join read 2/3 here (the
+    // duplicated matched id paired 2×2 join rows against one
+    // unmatched singleton), overstating the very metric the
+    // RebuildPolicy's recallMin watches on degraded stores.
+    assert(rep === Map("2024-07-01" -> 0.5, "2024-07-02" -> 0.5), rep.toString)
+  }
+
   test("catchUp under compaction: coverage decided by content, not name — never duplicates, partial coverage refuses") {
     val s = spark
     import s.implicits._
