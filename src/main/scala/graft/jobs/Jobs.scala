@@ -59,19 +59,17 @@ object Jobs {
   def resolveIvfRoot(spark: SparkSession,
       kv: Map[String, String]): Option[String] =
     kv.get("ivfRoot").orElse(kv.get("ivfPointer").flatMap { p =>
-      // ONLY the never-published case degrades to None — an FS outage
-      // or torn snapshot must stay loud, or an operator reads "no ANN
-      // reports tonight" as day-zero state while a degraded store
-      // goes unmonitored behind a swallowed permission error
-      try Some(graft.operators.IvfStore.currentRoot(spark, p))
-      catch {
-        case e: IllegalArgumentException
-            if e.getMessage != null &&
-              e.getMessage.contains("no published IVF root") =>
-          System.err.println(s"[maintenanceJob] pointer '$p' has no " +
-            "published root yet — skipping the ANN reports this run")
-          None
-      }
+      // ONLY the never-published case degrades to None — probed as a
+      // typed state check (no snapshot version on disk), never by
+      // matching an error-message substring. An FS outage or torn
+      // snapshot past this probe stays loud, or an operator would
+      // read "no ANN reports tonight" as day-zero state while a
+      // degraded store goes unmonitored behind a swallowed error.
+      if (graft.operators.SnapshotStore.currentVersion(spark, p).isEmpty) {
+        System.err.println(s"[maintenanceJob] pointer '$p' has no " +
+          "published root yet — skipping the ANN reports this run")
+        None
+      } else Some(graft.operators.IvfStore.currentRoot(spark, p))
     })
 
   def main(args: Array[String]): Unit = {

@@ -159,7 +159,15 @@ object MaintenanceJob {
             IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)) match {
           case scala.util.Success(_) => (sv, "rebuilt")
           case scala.util.Failure(e) =>
-            (sv, s"failed-rebuild: ${Option(e.getMessage).getOrElse(e.toString).take(300)}")
+            // a failure AFTER rebuildVia's internal flip (e.g. the
+            // post-flip catch-up refusing) leaves the pointer on the
+            // NEW root — the row must say where serving actually is,
+            // or the documented 'delete newRoot and re-run' recovery
+            // deletes the root the pointer now serves
+            val now = scala.util.Try(
+              IvfStore.currentRoot(spark, p.pointer)).getOrElse(sv)
+            (sv, s"failed-rebuild (pointer now serves: $now): " +
+              Option(e.getMessage).getOrElse(e.toString).take(300))
         }
     }
     hits.map { case (trig, dt, v, thr) =>

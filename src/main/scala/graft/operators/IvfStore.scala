@@ -86,6 +86,13 @@ object IvfStore {
     * recent days into early folding (outside their replay window). */
   private val RebuiltPrefix = "rebuilt-"
 
+  /** A pseudo-day: a partition holding OTHER days' rows under a
+    * protocol name — compaction's `merged-*` or a rebuild's
+    * `rebuilt-*` carry-over. ONE definition; the tier classifier,
+    * the lineage closure, and the coverage check all key on it. */
+  private def isPseudoDay(d: String): Boolean =
+    d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix)
+
   /** Seed-assignment baseline for [[driftReport]], committed at
     * [[init]]: "meanDist2 n" of the usable seed rows against the
     * freshly-trained centroids. */
@@ -179,8 +186,15 @@ object IvfStore {
 
   /** Assign `delta` against the frozen centroids and commit it as
     * `day`'s partitions (idempotent — see the re-append contract). */
+  /** `lineage`: origin day names this partition's rows consist of —
+    * written INTO the day's commit marker in the same atomic rename
+    * (rebuild/catchUp carry it for `rebuilt-*` pseudo-days so
+    * [[catchUp]]'s coverage check can resolve later folds; a separate
+    * post-commit content rewrite would leave a permanently opaque
+    * marker on a crash between the two). Empty for normal days. */
   def append(delta: DataFrame, root: String, day: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      lineage: Seq[String] = Nil): Unit = {
     MarkerProtocol.requireDayName(day)
     require(!day.startsWith(MergedPrefix),
       s"'$MergedPrefix' is reserved for compaction markers, got '$day'")
@@ -222,7 +236,8 @@ object IvfStore {
       .withColumn("dt", lit(day))
     PartitionedLayout.overwritePartitions(
       assigned, s"$root/cells", Seq("dt", "cell"))
-    MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), day)
+    MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), day,
+      if (lineage.isEmpty) "" else lineage.mkString("\n") + "\n")
   }
 
   /** L2 top-k per query over the `nprobe` nearest cells of every
@@ -300,8 +315,7 @@ object IvfStore {
     val all = committedDays(spark, root)
     // rebuilt-* pseudo-days count as the MERGED tier, never as
     // retention-window days (see [[RebuiltPrefix]])
-    val (alreadyMerged, realDays) = all.partition(d =>
-      d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix))
+    val (alreadyMerged, realDays) = all.partition(isPseudoDay)
     val newOld = realDays.dropRight(keepDays)
     val maxMergedParts = spark.conf.getOption("graft.store.maxMergedParts")
       .map(_.toInt).getOrElse(4)
@@ -352,7 +366,7 @@ object IvfStore {
     // that lineage at the next tier-fold would blind catchUp's
     // content-coverage check
     val content = mergeDays.flatMap { dd =>
-      if (dd.startsWith(MergedPrefix) || dd.startsWith(RebuiltPrefix))
+      if (isPseudoDay(dd))
         dd +: MarkerProtocol.readMarker(f, new Path(s"$root/$MarkerDir", dd))
       else Seq(dd)
     }.distinct
@@ -412,28 +426,21 @@ object IvfStore {
       val target = if (d.startsWith(MergedPrefix))
         s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
       append(all.filter(col("dt") === d).drop("dt", "cell"),
-        newRoot, target, idCol, vecCol)
-      carryMarkerLineage(spark, oldRoot, d, newRoot, target)
+        newRoot, target, idCol, vecCol,
+        lineage = markerLineage(spark, oldRoot, d))
     }
     model
   }
 
-  /** Re-publish `target`'s marker at `newRoot` carrying the ORIGIN
-    * day list of `d`'s marker at `oldRoot` (pseudo-days only) — the
-    * lineage [[catchUp]]'s content-coverage check reads to decide
-    * whether a later compaction's fold is already covered. A plain
-    * day or a lineage-less legacy marker carries nothing (the name
-    * alone stands in, conservatively). */
-  private def carryMarkerLineage(spark: SparkSession, oldRoot: String,
-      d: String, newRoot: String, target: String): Unit =
-    if (d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix)) {
-      val conf = spark.sparkContext.hadoopConfiguration
-      val listed = MarkerProtocol.readMarker(fs(spark, oldRoot),
-        new Path(new Path(oldRoot, MarkerDir), d))
-      if (listed.nonEmpty)
-        MarkerProtocol.atomicMarker(conf, new Path(newRoot, MarkerDir),
-          target, listed.mkString("\n") + "\n")
-    }
+  /** The ORIGIN day list `d`'s marker at `root` carries (pseudo-days
+    * only; empty for plain days and lineage-less legacy markers) —
+    * what rebuild/catch-up thread into the carried-over marker so
+    * [[catchUp]]'s coverage check can resolve later folds. */
+  private def markerLineage(spark: SparkSession, root: String,
+      d: String): Seq[String] =
+    if (!isPseudoDay(d)) Nil
+    else MarkerProtocol.readMarker(fs(spark, root),
+      new Path(new Path(root, MarkerDir), d))
 
   /** Schema of the pointer snapshot: one row, one column — the
     * current IVF root path. */
@@ -553,8 +560,6 @@ object IvfStore {
       newRoot: String): Seq[String] = {
     def alias(d: String): String = if (d.startsWith(MergedPrefix))
       s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
-    def isPseudo(d: String): Boolean =
-      d.startsWith(MergedPrefix) || d.startsWith(RebuiltPrefix)
     val newMarkers = new Path(newRoot, MarkerDir)
     val oldMarkers = new Path(oldRoot, MarkerDir)
     val (fNew, fOld) = (fs(spark, newRoot), fs(spark, oldRoot))
@@ -562,39 +567,42 @@ object IvfStore {
     // NAME-level coverage: every name the target commits OR ever
     // folded (replaced days live on inside merged partitions)
     val coveredNames: Set[String] = newNames.toSet ++ newReplaced
-    // ORIGINAL-DAY-level coverage: pseudo-day markers carry their
-    // origin day lists (transitively, marker names included — both
-    // [[compact]] and [[rebuild]] write the lineage since round 13),
-    // so a day folded pre-rebuild and carried over as `rebuilt-*` is
-    // known to the target even though its NAME never committed there
+    // DAY-level coverage: pseudo-day markers carry their origin day
+    // lists (both [[compact]] and [[rebuild]]/[[catchUp]] write the
+    // lineage since round 13), so a day folded pre-rebuild and
+    // carried over as `rebuilt-*` is known to the target even though
+    // its NAME never committed there
     val coveredDays: Set[String] =
       newNames.flatMap { n =>
-        if (isPseudo(n))
+        if (isPseudoDay(n))
           MarkerProtocol.readMarker(fNew, new Path(newMarkers, n))
         else Seq(n)
-      }.toSet.union(newReplaced).filterNot(isPseudo)
-    // the original days a source day's rows consist of; None = a
-    // lineage-less legacy marker (opaque — name coverage only)
-    def contentDays(d: String): Option[Set[String]] =
-      if (!isPseudo(d)) Some(Set(d))
-      else {
-        val listed = MarkerProtocol.readMarker(fOld, new Path(oldMarkers, d))
-          .filterNot(isPseudo)
-        if (listed.isEmpty) None else Some(listed.toSet)
-      }
+      }.toSet ++ newReplaced
+    // one coverage relation for any lineage UNIT — a plain day, or a
+    // pseudo-day entry a fold's list names (lineage lists keep marker
+    // names alongside their expanded days, so a lineage-less legacy
+    // `rebuilt-*` entry is still resolvable BY NAME)
+    def covered(u: String): Boolean =
+      coveredNames(u) || coveredNames(alias(u)) ||
+        coveredDays(u) || coveredDays(alias(u))
     val gap = committedDays(spark, oldRoot).filter { d =>
-      if (coveredNames(d) || coveredNames(alias(d))) false
-      else contentDays(d) match {
-        case Some(set) =>
-          val hit = set.count(coveredDays)
-          if (hit == set.size) false
-          else if (hit == 0) true
-          else throw new IllegalStateException(
-            s"catch-up cannot resolve source pseudo-day '$d': the target " +
-              s"already holds $hit of its ${set.size} folded days — " +
-              "re-appending would duplicate those rows and skipping would " +
-              "lose the rest; rebuild into a fresh root instead")
-        case None => true // opaque legacy pseudo-day: append as a unit
+      if (covered(d)) false
+      else if (!isPseudoDay(d)) true
+      else {
+        // every unit in the fold's lineage must resolve the SAME way:
+        // all covered -> skip; none -> append whole; mixed -> refuse
+        // (re-appending duplicates the held part, skipping loses the
+        // rest — the legacy-opaque-entry-inside-a-fold case lands
+        // here too, loudly, instead of silently choosing wrong)
+        val units = MarkerProtocol.readMarker(fOld, new Path(oldMarkers, d))
+        val hit = units.count(covered)
+        if (units.nonEmpty && hit == units.size) false
+        else if (hit == 0) true // incl. lineage-less legacy: one unit
+        else throw new IllegalStateException(
+          s"catch-up cannot resolve source pseudo-day '$d': the target " +
+            s"already holds $hit of its ${units.size} lineage units — " +
+            "re-appending would duplicate those rows and skipping would " +
+            "lose the rest; rebuild into a fresh root instead")
       }
     }
     if (gap.isEmpty) return Nil
@@ -607,8 +615,8 @@ object IvfStore {
       dataSchema = Some(ds))
     gap.foreach { d =>
       append(all.filter(col("dt") === d).drop("dt", "cell"),
-        newRoot, alias(d), idCol, vecCol)
-      carryMarkerLineage(spark, oldRoot, d, newRoot, alias(d))
+        newRoot, alias(d), idCol, vecCol,
+        lineage = markerLineage(spark, oldRoot, d))
     }
     gap.map(alias)
   }

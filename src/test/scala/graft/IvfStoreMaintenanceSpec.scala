@@ -433,7 +433,7 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val e = intercept[IllegalStateException] {
       IvfStore.catchUp(spark, c1, c2)
     }
-    assert(e.getMessage.contains("folded days") &&
+    assert(e.getMessage.contains("lineage units") &&
       e.getMessage.contains("fresh root"), e.getMessage)
 
     // D: lineage survives the rebuilt-* rename — a source that had
