@@ -101,12 +101,27 @@ object MaintenanceJob {
     * run's monitors read the fresh root (re-seeded drift baseline),
     * so a cured store stops firing and an uncured one surfaces as a
     * repeat `skipped` row a human must look at. */
+  /** `recallMin` sizing note: [[IvfStore.recallReport]]'s self-recall
+    * methodology FLOORS recall at `1/topK` (the query's own cell is
+    * always probed), so a threshold at or below that floor — 0.2 at
+    * the default topK = 5 — can NEVER fire; keep it strictly above. */
   final case class RebuildPolicy(pointer: String, newRoot: String,
       k: Int, iters: Int = 5, driftRatioMax: Double = 2.0,
       recallMin: Double = 0.8)
 
+  /** `action` is a CLOSED enum — `rebuilt`, `skipped-unpublished-
+    * pointer`, `skipped-monitored-root-mismatch`,
+    * `skipped-existing-newroot`, `failed-rebuild` — so dashboards can
+    * key alert rules on it with bounded cardinality (round 14,
+    * advice); the free-text facts ride their own columns:
+    * `serving_root` is where the pointer ACTUALLY serves after this
+    * run's action (on `failed-rebuild` that may be `new_root` — a
+    * post-flip catch-up failure — and the operator recovery differs;
+    * see [[IvfStore.rebuildVia]]'s phase-scoped contract), `error` is
+    * the truncated failure message (null unless `failed-rebuild`). */
   private val RebuildReportCols = Seq(
-    "trigger", "dt", "observed", "threshold", "old_root", "new_root", "action")
+    "trigger", "dt", "observed", "threshold", "old_root", "new_root",
+    "action", "serving_root", "error")
 
   /** Evaluate + (maybe) fire the policy; returns the landed report
     * rows. Empty frame (schema-stable) when no policy, nothing
@@ -115,7 +130,8 @@ object MaintenanceJob {
       ivfRoot: Option[String], probeable: Boolean,
       drift: DataFrame, recall: DataFrame): DataFrame = {
     import spark.implicits._
-    val empty = Seq.empty[(String, String, Double, Double, String, String, String)]
+    val empty = Seq.empty[(String, String, Double, Double, String, String,
+        String, String, Option[String])]
       .toDF(RebuildReportCols: _*)
     val p = policy.getOrElse(return empty)
     if (!probeable) return empty
@@ -147,31 +163,33 @@ object MaintenanceJob {
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .makeQualified(hp).toString
     }
-    val (serving, action) = servingTry match {
-      case scala.util.Failure(_) => ("", "skipped-unpublished-pointer")
+    val (serving, action, servingNow, error) = servingTry match {
+      case scala.util.Failure(_) =>
+        ("", "skipped-unpublished-pointer", "", Option.empty[String])
       case scala.util.Success(sv) =>
         if (!ivfRoot.map(qual).contains(qual(sv)))
-          (sv, "skipped-monitored-root-mismatch")
+          (sv, "skipped-monitored-root-mismatch", sv, Option.empty[String])
         else if (scala.util.Try(
             graft.operators.IvfIndex.open(spark, p.newRoot)).isSuccess)
-          (sv, "skipped-existing-newroot")
+          (sv, "skipped-existing-newroot", sv, Option.empty[String])
         else scala.util.Try(
             IvfStore.rebuildVia(spark, p.pointer, p.newRoot, p.k, p.iters)) match {
-          case scala.util.Success(_) => (sv, "rebuilt")
+          case scala.util.Success(_) =>
+            (sv, "rebuilt", p.newRoot, Option.empty[String])
           case scala.util.Failure(e) =>
-            // a failure AFTER rebuildVia's internal flip (e.g. the
+            // a failure AFTER rebuildVia's internal flip (the
             // post-flip catch-up refusing) leaves the pointer on the
-            // NEW root — the row must say where serving actually is,
-            // or the documented 'delete newRoot and re-run' recovery
+            // NEW root — serving_root must say where serving actually
+            // is, or the pre-flip 'delete newRoot and re-run' recovery
             // deletes the root the pointer now serves
             val now = scala.util.Try(
               IvfStore.currentRoot(spark, p.pointer)).getOrElse(sv)
-            (sv, s"failed-rebuild (pointer now serves: $now): " +
-              Option(e.getMessage).getOrElse(e.toString).take(300))
+            (sv, "failed-rebuild", now,
+              Some(Option(e.getMessage).getOrElse(e.toString).take(300)))
         }
     }
     hits.map { case (trig, dt, v, thr) =>
-      (trig, dt, v, thr, serving, p.newRoot, action)
+      (trig, dt, v, thr, serving, p.newRoot, action, servingNow, error)
     }.toDF(RebuildReportCols: _*)
   }
 

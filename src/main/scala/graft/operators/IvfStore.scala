@@ -398,16 +398,32 @@ object IvfStore {
     * `rebuilt-<original digest>` — same rows, same one-partition
     * granularity, probe-identically committed.
     *
-    * Cost: one training pass over the committed corpus (k-means at
-    * `iters`; train on a sample upstream if the archive is huge —
-    * pass `seedSample` to cap the training frame) plus one
-    * assignment + write pass per day. Returns the new model.
+    * Cost: the retrain is BOUNDED for archive scale (round 14 —
+    * formerly the one unbounded pass left in the maintenance loop):
+    * when the committed corpus exceeds `graft.ivf.maxTrainRows`
+    * (default 4M; `<= 0` disables), training runs on a DETERMINISTIC
+    * id-hash slice of ~that many rows (`xxhash64(id) % m == 0`, the
+    * store's seeding discipline — row-local, no sort, replayable),
+    * full-corpus below it. Training quality is all the sample
+    * affects: probe EXACTNESS is probe-side (the full-probe
+    * `nprobe = k` equality argument is independent of where the
+    * centroids sit), so a sampled-train root returns identical
+    * full-probe results — only pruning efficiency at `nprobe < k`
+    * varies, and a ~4M-row k-means sample saturates that long before
+    * the cap binds. Corpus bytes are still SCANNED once (the slice
+    * filter prunes flops, cache and shuffle, not the first read);
+    * k-means iteration cost drops from `iters·n·k·d` to
+    * `iters·cap·k·d`. An explicit `seedSample` fraction overrides
+    * the cap. Then one assignment + write pass per day. Returns the
+    * new model.
     *
     * NOT crash-resumable: a crash mid-rebuild leaves `newRoot`
     * initialized but partially appended, and a re-run refuses at
     * [[init]]. Recovery is safe and simple — DELETE `newRoot` and
     * re-run; the OLD root is the untouched source of truth
-    * throughout, and consumers are still pointed at it. */
+    * throughout, and consumers are still pointed at it. (That note is
+    * about THIS function; [[rebuildVia]] adds a post-flip phase with
+    * its own recovery — see its contract.) */
   def rebuild(spark: SparkSession, oldRoot: String, newRoot: String,
       k: Int, iters: Int = 5, seedSample: Option[Double] = None): KMeans.Model = {
     val days = committedDays(spark, oldRoot)
@@ -419,8 +435,19 @@ object IvfStore {
     val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
     val all = cellsFrame(spark, oldRoot, leaves.head.getPath, days,
       dataSchema = Some(ds))
-    val seed = seedSample.fold(all)(f => all.sample(withReplacement = false,
-      f, seed = 42L))
+    val seed = seedSample match {
+      case Some(f) => all.sample(withReplacement = false, f, seed = 42L)
+      case None =>
+        val cap = spark.conf.getOption("graft.ivf.maxTrainRows")
+          .map(_.toLong).getOrElse(4000000L)
+        // parquet count() is a footer/row-group pass, not a data scan
+        val n = if (cap > 0) all.count() else 0L
+        if (cap <= 0 || n <= cap) all
+        else {
+          val m = math.max(2L, (n + cap - 1) / cap)
+          all.filter(pmod(xxhash64(col(idCol)), lit(m)) === 0)
+        }
+    }
     val model = init(seed, idCol, vecCol, newRoot, k, iters)
     days.foreach { d =>
       val target = if (d.startsWith(MergedPrefix))
@@ -501,8 +528,20 @@ object IvfStore {
     * the pointer read the old root for the whole rebuild and the new
     * root from the flip onward — no pause, no torn read. Returns the
     * new model and the REPLACED root path (vacuum it once in-flight
-    * readers age out; this function never deletes it). On a rebuild
-    * crash the pointer is untouched — delete `newRoot` and re-run.
+    * readers age out; this function never deletes it).
+    *
+    * CRASH RECOVERY is phase-scoped (round 14, advice — the two
+    * phases have OPPOSITE remedies and a blanket note sent operators
+    * at the wrong one):
+    *  - PRE-FLIP failure (the rebuild itself, or the first catch-up):
+    *    the pointer is untouched and still serves `oldRoot` — delete
+    *    `newRoot` and re-run.
+    *  - POST-FLIP failure (the second catch-up, e.g. its
+    *    partial-coverage refusal): the pointer ALREADY serves
+    *    `newRoot` — deleting it now takes serving down. This function
+    *    rethrows such failures wrapped in an [[IllegalStateException]]
+    *    that says so; the remedy is to fix the cause and re-run
+    *    `catchUp(oldRoot, newRoot)` (idempotent), never to delete.
     *
     * WRITES have a narrower guarantee than probes: the rebuild
     * carries the days committed when it STARTED, and this call runs
@@ -528,9 +567,25 @@ object IvfStore {
     // above; one later catchUp(old, new) heals that too.
     catchUp(spark, oldRoot, newRoot)
     publishRoot(spark, pointer, newRoot)
-    catchUp(spark, oldRoot, newRoot)
+    postFlipCatchUp(spark, oldRoot, newRoot)
     (model, oldRoot)
   }
+
+  /** [[rebuildVia]]'s post-flip write-window closure. Failures here
+    * need the phase-scoped recovery note IN the exception — the
+    * pointer already flipped, so an operator following the pre-flip
+    * remedy (delete `newRoot`, re-run) would delete the LIVE serving
+    * root. */
+  private[graft] def postFlipCatchUp(spark: SparkSession, oldRoot: String,
+      newRoot: String): Unit =
+    try { catchUp(spark, oldRoot, newRoot): Unit }
+    catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+        s"rebuildVia: the pointer already serves '$newRoot' (the flip " +
+          "committed before this post-flip catch-up failed) — do NOT " +
+          s"delete it; fix the cause and re-run catchUp('$oldRoot', " +
+          s"'$newRoot'), which is idempotent, to close the write window", e)
+    }
 
   /** Re-append to `newRoot` every day committed at `oldRoot` whose
     * ROWS the target does not already hold — the [[rebuildVia]]
@@ -863,10 +918,16 @@ object IvfStore {
     * cadence, like fsck deep. Queries are SELF-INCLUDED (the vector
     * is in the store; exact rank 1 is itself) — the standard
     * self-recall methodology, identical for both probe arms, so it
-    * cancels in the ratio.
+    * cancels in the ratio. Self-inclusion FLOORS the metric at
+    * `1/topK`: the query's own cell is always probed (distance 0 is
+    * the argmin cell), so the self-hit lands in both arms and a
+    * CATASTROPHICALLY drifted day reads `1/topK` — not 0. Size any
+    * alarm threshold (e.g. [[graft.jobs.MaintenanceJob.RebuildPolicy]]
+    * `recallMin`) strictly ABOVE that floor or it can never fire at
+    * the default topK = 5 with thresholds ≤ 0.2.
     *
     * Output, dt-sorted and schema-stable:
-    * (dt, n_queries, nprobe, topk, recall) — recall in [0, 1]. */
+    * (dt, n_queries, nprobe, topk, recall) — recall in [1/topK, 1]. */
   def recallReport(spark: SparkSession, root: String, nprobe: Int,
       topK: Int = 5, queriesPerDay: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -879,6 +940,16 @@ object IvfStore {
     val leaves = leafFiles(fs(spark, root), root)
     require(leaves.nonEmpty, s"store at $root has committed days but no " +
       "indexed vectors — nothing to audit for recall")
+    // BOUND the driver collect BEFORE it happens (round 14, advice):
+    // the sample is at most days × queriesPerDay rows, both cheap
+    // metadata — a post-collect length check on a many-day store
+    // would OOM the driver before it could fire, which is exactly the
+    // maintenance cron this guard exists to protect
+    require(days.size.toLong * queriesPerDay <= 100000,
+      s"recall sample of up to ${days.size.toLong * queriesPerDay} queries " +
+        s"(${days.size} committed days × $queriesPerDay) is " +
+        "driver-collected — lower queriesPerDay or audit day ranges " +
+        "separately")
     val dsch = leafDataSchema(spark, leaves.head.getPath)
     val (idCol, vecCol) = (dsch.fieldNames(0), dsch.fieldNames(1))
     val cells = cellsFrame(spark, root, leaves.head.getPath, days,
@@ -895,9 +966,6 @@ object IvfStore {
       .filter(col("__rk") <= queriesPerDay)
       .select(col("dt"), col(vecCol).cast("array<double>").as("__v"))
       .collect()
-    require(sampled.length <= 100000,
-      s"recall sample of ${sampled.length} queries is driver-collected — " +
-        "lower queriesPerDay or audit day ranges separately")
     // synthetic qids: stored ids may legally repeat across days
     // (dup-identity is a warn, not an invariant) and must not alias
     val queries = sampled.zipWithIndex.map { case (r, i) =>

@@ -248,6 +248,80 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(probeAll(root, queries) === before)
   }
 
+  test("rebuild retrain is bounded: past graft.ivf.maxTrainRows a deterministic id-hash slice trains; full probes stay exact") {
+    // OWN rng (the recallReport-test rule): later fixtures calibrate
+    // against the shared stream's draw order, which this test must
+    // not consume from
+    val rnd = new scala.util.Random(29)
+    def around(cx: Double*): Array[Double] =
+      cx.toArray.map(_ + rnd.nextGaussian() * 0.3)
+    def mkRows(ids: Range): Seq[(Long, Array[Double])] =
+      ids.map(i => i.toLong -> around(centers(i % 3): _*))
+    val base = Files.createTempDirectory("ivfst-captrain").toString
+    val (r1, r2, r3) = (s"$base/old", s"$base/capped", s"$base/full")
+    IvfStore.init(vecs(mkRows(0 until 40)), "vec_id", "embedding", r1,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 120)), r1, "2024-06-01")
+    IvfStore.append(vecs(mkRows(200 until 320)), r1, "2024-06-02")
+    val queries = Seq(9001L -> centers(0).toArray, 9002L -> centers(2).toArray)
+    val before = probeAll(r1, queries)
+
+    // cap well below the 240-vector corpus: the retrain must slice
+    spark.conf.set("graft.ivf.maxTrainRows", "60")
+    try IvfStore.rebuild(spark, r1, r2, k = 3, iters = 3)
+    finally spark.conf.unset("graft.ivf.maxTrainRows")
+    // the seed baseline records how many rows actually trained — the
+    // slice is hash-uniform around the cap, never the full corpus
+    val trained = IvfStore.seedStats(spark, r2).get._2
+    assert(trained > 10 && trained < 120,
+      s"id-hash slice missed the cap window: trained on $trained of 240")
+    // training quality is ALL the sample affects — probe exactness is
+    // probe-side (q146's nprobe=k equality argument), so the
+    // sampled-train root must answer full probes bit-identically
+    assert(probeAll(r2, queries) === before,
+      "sampled-train rebuild changed a full-probe answer")
+    assert(IvfStore.committedDays(spark, r2) ===
+      IvfStore.committedDays(spark, r1))
+    assert(IvfStore.fsck(spark, r2, deep = true).isEmpty)
+
+    // cap disabled (<= 0): the full corpus trains, same exactness
+    spark.conf.set("graft.ivf.maxTrainRows", "0")
+    try IvfStore.rebuild(spark, r1, r3, k = 3, iters = 3)
+    finally spark.conf.unset("graft.ivf.maxTrainRows")
+    assert(IvfStore.seedStats(spark, r3).get._2 === 240L)
+    assert(probeAll(r3, queries) === before)
+  }
+
+  test("post-flip catch-up failure names the flipped pointer and forbids the pre-flip remedy") {
+    // the unresolvable-partial-coverage pair from the catchUp spec,
+    // reached through rebuildVia's POST-flip path: the wrap must say
+    // the pointer already serves the new root (deleting it — the
+    // pre-flip remedy — would take serving down). OWN rng: the shared
+    // stream's draw order calibrates later fixtures.
+    val rnd = new scala.util.Random(31)
+    def around(cx: Double*): Array[Double] =
+      cx.toArray.map(_ + rnd.nextGaussian() * 0.3)
+    def mkRows(ids: Range): Seq[(Long, Array[Double])] =
+      ids.map(i => i.toLong -> around(centers(i % 3): _*))
+    val base = Files.createTempDirectory("ivfst-postflip").toString
+    val (c1, c2) = (s"$base/old", s"$base/new")
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", c1,
+      k = 3, iters = 3)
+    IvfStore.append(vecs(mkRows(0 until 30)), c1, "2024-08-01")
+    IvfStore.append(vecs(mkRows(100 until 130)), c1, "2024-08-02")
+    IvfStore.rebuild(spark, c1, c2, k = 3, iters = 3) // carries d1, d2
+    IvfStore.append(vecs(mkRows(200 until 230)), c1, "2024-08-03")
+    IvfStore.compact(spark, c1, keepDays = 0) // partial-coverage state
+    val e = intercept[IllegalStateException] {
+      IvfStore.postFlipCatchUp(spark, c1, c2)
+    }
+    assert(e.getMessage.contains(s"already serves '$c2'") &&
+      e.getMessage.contains("do NOT delete"), e.getMessage)
+    assert(e.getCause != null &&
+      e.getCause.getMessage.contains("lineage units"),
+      "the underlying catch-up refusal must ride along as the cause")
+  }
+
   test("driftReport: same-regime days at ratio ~1, an off-regime day stands out; pre-baseline stores degrade to null") {
     val root = Files.createTempDirectory("ivfst-drift").toString
     val seed = mkRows(0 until 60)
@@ -514,6 +588,10 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     assert(r1 >= 0.85, s"same-regime day must serve near-full recall: $r1")
     assert(r2 < 0.75, s"drifted day's recall must decay at nprobe=1: $r2")
     assert(r1 - r2 > 0.25, s"recall gap must be visible: $r1 vs $r2")
+    // the self-inclusion FLOOR (documented in the scaladoc): the
+    // query's own cell is always probed, so even this drifted day
+    // cannot read below 1/topK — alarm thresholds must sit above it
+    assert(r2 >= 1.0 / 5, s"self-recall cannot dip below 1/topK: $r2")
     // the two axes agree on WHICH day drifted
     val drift = IvfStore.driftReport(spark, root).collect()
       .map(r => r.getString(0) -> r.getDouble(4)).toMap

@@ -183,6 +183,11 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
       row.head.getAs[Double]("observed") > 3.0 &&
       row.head.getAs[String]("old_root") === ivf &&
       row.head.getAs[String]("new_root") === s"$root/ivf-v2")
+    // the closed-enum companions: serving_root says where the pointer
+    // actually serves after the action, error is null off the failure
+    // path (dashboards key alert rules on the bounded action column)
+    assert(row.head.getAs[String]("serving_root") === s"$root/ivf-v2" &&
+      row.head.isNullAt(row.head.fieldIndex("error")))
     // serving answers survive the swap: full probe over the rebuilt
     // root returns the same ids the old root returns
     val q = Seq(9000L -> Array.fill(8)(50.0))
@@ -238,5 +243,23 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     assert(mm.forall(_.getAs[String]("action") === "skipped-monitored-root-mismatch"), mm.mkString(";"))
     assert(serving === s"$root/ivf-v2", "mismatch must never swap")
     assert(!new java.io.File(s"$root/ivf-v9").exists())
+
+    // 6. a rebuild that THROWS lands the closed enum 'failed-rebuild'
+    // with the message in its own error column and serving_root naming
+    // where the pointer actually is (here: untouched — pre-flip
+    // failure) — never a free-text action value, never a dead cron
+    IvfStore.publishRoot(spark, ptr, ivf) // drifted root serves again
+    val blocker = new java.io.File(s"$root/ivf-blocked")
+    assert(blocker.createNewFile(), "fixture: newRoot path occupied by a FILE")
+    val c6 = runWith(s"$root/ivf-blocked", s"$root/rep6")
+    assert(c6("rebuild") >= 1)
+    val failed = spark.read.parquet(s"$root/rep6/rebuild").collect()
+    assert(failed.forall(_.getAs[String]("action") === "failed-rebuild"),
+      failed.mkString(";"))
+    assert(failed.forall(r => Option(r.getAs[String]("error")).exists(_.nonEmpty)),
+      "the failure message must land in the error column")
+    assert(failed.forall(_.getAs[String]("serving_root") === ivf),
+      "pre-flip failure: the pointer still serves the old root")
+    assert(serving === ivf, "a failed rebuild must not move the pointer")
   }
 }

@@ -318,4 +318,106 @@ class StreamRecoverySpec extends AnyFunSuite with SparkSpec {
     assert(vecDocs === Seq(1L, 2L, 12L, 21L),
       s"vector store must hold each survivor exactly once, got $vecDocs")
   }
+
+  test("runStream(ivfRoot): torn IVF batch invisible until replay; restart converges to ingestDay batch parity") {
+    val s = spark
+    import s.implicits._
+    val in = Files.createTempDirectory("srec5-in").toString
+    val root = Files.createTempDirectory("srec5-root").toString
+    val ckpt = Files.createTempDirectory("srec5-ckpt").toString
+    val ivf = s"$root/ivf"
+
+    val vA = "1,0,0,0,0,0,0,0";    val twinA = "0.99,0.1,0,0,0,0,0,0"
+    val vB = "0,1,0,0,0,0,0,0";    val twinB = "0.1,0.99,0,0,0,0,0,0"
+    val vC = "0,0,1,0,0,0,0,0";    val vD = "0,0,0,1,0,0,0,0"
+    def emb(csv: String): Array[Float] =
+      csv.split(",").map(_.toFloat)
+    // frozen centroids are the caller's training decision — init once,
+    // shared verbatim with the batch-parity root below
+    def seedFrame = Seq((900L, emb(vA)), (901L, emb(vB)), (902L, emb(vC)))
+      .toDF("doc_id", "embedding")
+    graft.operators.IvfStore.init(seedFrame, "doc_id", "embedding", ivf,
+      k = 2, iters = 2)
+
+    val b0 = Seq(
+      s"1|alpha beta gamma delta epsilon zeta eta theta iota kappa|$vA",
+      s"2|one two three four five six seven eight nine ten eleven|$vB")
+    val b1 = Seq(
+      s"10|completely fresh wording covering the very same archived story again|$twinA",
+      s"12|an unrelated document about stream recovery for vector stores|$vC")
+    val b2 = Seq(
+      s"20|yet another new phrasing of the second archived article entirely|$twinB",
+      s"21|a closing fresh document with its own embedding direction|$vD")
+    writeInput(in, "e0.csv", b0)
+    writeInput(in, "e1.csv", b1)
+
+    def startQuery() = graft.jobs.IncrementalCurationJob.runStream(
+      spark.readStream.option("maxFilesPerTrigger", "1").text(in)
+        .select(
+          split($"value", "\\|").getItem(0).cast("long").as("doc_id"),
+          split($"value", "\\|").getItem(1).as("text"),
+          transform(split(split($"value", "\\|").getItem(2), ","),
+            x => x.cast("float")).as("embedding")),
+      root, ckpt, embeddingCol = Some("embedding"), ivfRoot = Some(ivf))
+
+    val q1 = startQuery()
+    try q1.processAllAvailable() finally stopAndDrain(q1)
+    assert(graft.operators.IvfStore.committedDays(spark, ivf) ===
+      Seq("batch-000000000", "batch-000000001"))
+
+    // crash image, one notch deeper than srec4's: the driver dies
+    // INSIDE batch 1's IVF append — the marker protocol retracts the
+    // day marker before touching partitions, so the torn state on
+    // disk is data (possibly partial) with NO marker. The day must be
+    // invisible to probes until the replay recommits it.
+    assert(hDelete(s"$ckpt/commits/1"))
+    assert(hDelete(s"$ivf/_committed/batch-000000001"))
+    assert(graft.operators.IvfStore.committedDays(spark, ivf) ===
+      Seq("batch-000000000"), "torn batch must be probe-invisible")
+    val qs = Seq(9000L -> Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0))
+    assert(graft.operators.IvfStore.probe(spark, ivf, "doc_id", "embedding",
+        qs, nprobe = 99, topK = 3).collect()
+        .map(_.getLong(1)).toSet === Set(1L, 2L),
+      "a probe during the outage must serve the committed days only")
+
+    writeInput(in, "e2.csv", b2)
+    val q2 = startQuery()
+    try q2.processAllAvailable() finally stopAndDrain(q2)
+
+    // the committed view (dt-filtered explicit-schema read — raw dirs
+    // may hold debris): one day per batch, each survivor exactly once
+    def ivfIds(r: String): Map[String, Seq[Long]] = {
+      val days = graft.operators.IvfStore.committedDays(spark, r)
+      spark.read
+        .schema("doc_id LONG, embedding ARRAY<FLOAT>, dt STRING, cell INT")
+        .parquet(s"$r/cells").filter($"dt".isin(days: _*))
+        .select($"dt", $"doc_id").as[(String, Long)].collect().toSeq
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    }
+    val streamed = ivfIds(ivf)
+    assert(streamed === Map(
+      "batch-000000000" -> Seq(1L, 2L),
+      "batch-000000001" -> Seq(12L),
+      "batch-000000002" -> Seq(21L)),
+      s"replayed IVF day must converge (marker recommitted, no dup vectors): $streamed")
+
+    // BATCH PARITY: the same three deltas through ingestDay against a
+    // fresh store + IVF root (same frozen seed) must land the same
+    // committed (day, id) content — the streaming path is the batch
+    // path per micro-batch, not a parallel implementation
+    val root2 = Files.createTempDirectory("srec5-root2").toString
+    val ivf2 = s"$root2/ivf"
+    graft.operators.IvfStore.init(seedFrame, "doc_id", "embedding", ivf2,
+      k = 2, iters = 2)
+    def frame(lines: Seq[String]) = lines
+      .map { l => val p = l.split("\\|"); (p(0).toLong, p(1), emb(p(2))) }
+      .toDF("doc_id", "text", "embedding")
+    Seq(b0, b1, b2).zipWithIndex.foreach { case (lines, i) =>
+      graft.jobs.IncrementalCurationJob.ingestDay(frame(lines), root2,
+        f"batch-$i%09d", stats = false, embeddingCol = Some("embedding"),
+        ivfRoot = Some(ivf2))
+    }
+    assert(ivfIds(ivf2) === streamed,
+      "streaming IVF co-append must match the batch ingestDay content")
+  }
 }
