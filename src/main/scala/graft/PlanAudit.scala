@@ -24,17 +24,42 @@ object PlanAudit {
     "q143_incremental_containment_dfguard",
     "q140_mm_phash_neardup", "q142_mm_phash_incremental",
     "q144_cos_incremental")
-  // q145/q146 are deliberately NOT snapshotted: both execute eagerly
-  // (the CC label loop / the store build) and their registered frames
-  // are checkpoint scans — the interesting plans are q44's pair join
-  // (snapshotted) and IvfIndex.probeCells' pruned scan
-  // (numFiles-asserted in IvfStoreSpec, which beats a plan string).
+  // q145/q146 are deliberately NOT snapshotted from the registry:
+  // both execute eagerly (the CC label loop / the store build) and
+  // their registered frames are checkpoint scans. q146's SERVING
+  // PROBE plan — the one a 100× reviewer needs frozen — is captured
+  // below from a store fixture instead (round 14; PlanShapeSpec pins
+  // the same shape: partition filters on both dims, broadcast pairs,
+  // map-side top-k before the single qid shuffle).
 
-  def main(args: Array[String]): Unit =
+  def main(args: Array[String]): Unit = {
+    def fmt(plan: String): String = plan
+      .replaceAll("[^\\x09\\x0A\\x20-\\x7E]+", "·")
+      .replaceAll("(·.{0,2}){8,}", "·<binary literal elided>·")
     graft.tools.AuditRunner.run({ (q, qe) =>
-      val plan = qe.explainString(org.apache.spark.sql.execution.FormattedMode)
       Seq(s"===== ${q.name}",
-        plan.replaceAll("[^\\x09\\x0A\\x20-\\x7E]+", "·")
-          .replaceAll("(·.{0,2}){8,}", "·<binary literal elided>·"))
-    }, names = snapshotSet)
+        fmt(qe.explainString(org.apache.spark.sql.execution.FormattedMode)))
+    }, names = snapshotSet, extra = { s =>
+      import s.implicits._
+      val root = "/tmp/graft-planaudit-ivf" // fixed path: stable snapshot text
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val rnd = new scala.util.Random(5)
+      def vec() = Array.fill(8)(rnd.nextGaussian())
+      val day1 = (0 until 60).map(i => i.toLong -> vec())
+        .toDF("vec_id", "embedding")
+      graft.operators.IvfStore.init(day1, "vec_id", "embedding", root,
+        k = 4, iters = 2)
+      graft.operators.IvfStore.append(day1, root, "2024-06-01")
+      graft.operators.IvfStore.append(
+        (200 until 260).map(i => i.toLong -> vec()).toDF("vec_id", "embedding"),
+        root, "2024-06-02")
+      val probe = graft.operators.IvfStore.probe(s, root, "vec_id",
+        "embedding", (0 until 3).map(i => (9000L + i) -> vec()),
+        nprobe = 2, topK = 5)
+      Seq("===== q146_ivf_store_probe (serving probe frame; store fixture)",
+        fmt(probe.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)))
+    })
+  }
 }

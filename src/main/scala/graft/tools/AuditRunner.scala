@@ -11,9 +11,14 @@ import org.apache.spark.sql.execution.QueryExecution
 private[graft] object AuditRunner {
   /** @param names non-empty → audit exactly these queries in the
     *        given order (PlanAudit's snapshot set); empty → the whole
-    *        registry. */
+    *        registry.
+    * @param extra sections to print AFTER the registry sweep, from
+    *        the same session — for plans the registry cannot snapshot
+    *        (PlanAudit's q146 probe fixture); failures print an ERR
+    *        line like a query failure. */
   def run(inspect: (graft.Q, QueryExecution) => Seq[String],
-      names: Seq[String] = Nil): Unit = {
+      names: Seq[String] = Nil,
+      extra: SparkSession => Seq[String] = _ => Nil): Unit = {
     val s = SparkSession.builder().master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -34,6 +39,8 @@ private[graft] object AuditRunner {
         inspect(q, q.fn(s, d).queryExecution).foreach(println)
       } catch { case e: Throwable => println(s"ERR $name: ${e.getMessage}") }
     }
+    try extra(s).foreach(println)
+    catch { case e: Throwable => println(s"ERR extra-sections: ${e.getMessage}") }
     s.stop()
   }
 }

@@ -278,6 +278,57 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF store probe (q146's serving shape): file-pruned scan on both partition dims, map-side top-k before the single qid shuffle") {
+    // the one headline plan the registry can't snapshot (q146's
+    // registered frame is an eager lifecycle) — pinned from a store
+    // fixture instead: this is the ANN SERVING shape, and at 100× the
+    // load-bearing properties are (a) the scan prunes at the FILE
+    // INDEX on both partition dims (uncommitted days and unprobed
+    // cells contribute zero files), (b) the scan side reaches the
+    // pair join with no exchange (pairs broadcast), (c) per-query
+    // top-k pre-limits map-side, so the ONLY data shuffle carries
+    // ≤ topK·partitions rows per query, never the probed cells
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("ps-ivf").toString + "/ivf"
+    val rnd = new scala.util.Random(5)
+    def vec() = Array.fill(8)(rnd.nextGaussian())
+    val day1 = (0 until 60).map(i => i.toLong -> vec())
+      .toDF("vec_id", "embedding")
+    graft.operators.IvfStore.init(day1, "vec_id", "embedding", root,
+      k = 4, iters = 2)
+    graft.operators.IvfStore.append(day1, root, "2024-06-01")
+    graft.operators.IvfStore.append(
+      (200 until 260).map(i => i.toLong -> vec()).toDF("vec_id", "embedding"),
+      root, "2024-06-02")
+    val p = graft.operators.IvfStore.probe(spark, root, "vec_id", "embedding",
+        (0 until 3).map(i => (9000L + i) -> vec()), nprobe = 2, topK = 5)
+      .queryExecution.explainString(FormattedMode)
+
+    // (a) both partition dims prune at the file index
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n$p"))
+    assert(pf.contains("dt#") && pf.contains("cell#") && pf.contains(" IN "),
+      s"probe scan must carry IN filters on dt AND cell: $pf")
+    // data schema pruned to id + vector — dt/cell never read as data
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<double>>"),
+      "probe scan lost its column pruning")
+    // (b) pairs broadcast; no exchange between the scan and the join
+    assert(p.contains("BroadcastHashJoin"), "pair join must broadcast")
+    // (c) partial+final WindowGroupLimit around the one qid shuffle
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-query top-k lost its map-side pre-limit")
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).mkString("\n")
+    val shuffles = tree.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(shuffles.size === 1,
+      s"probe must shuffle exactly once (qid top-k):\n$tree")
+    assert(p.contains("hashpartitioning(qid"),
+      "the single shuffle must be keyed by qid")
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
