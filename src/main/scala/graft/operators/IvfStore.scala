@@ -101,12 +101,29 @@ object IvfStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The store's data files (one glob; also the committed-but-empty
-    * sentinel for [[probe]]). */
+  /** The store's data files (one glob) — fsck's view: every leaf on
+    * disk, debris included. */
   private def leafFiles(f: org.apache.hadoop.fs.FileSystem,
       root: String): Seq[org.apache.hadoop.fs.FileStatus] =
     Option(f.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
       .map(_.toSeq).getOrElse(Nil)
+
+  /** [[leafFiles]] restricted to COMMITTED days — the view every
+    * SERVING/reader path must take (round 14, found by the sf1
+    * maintenance drill's concurrent prober): the raw glob also picks
+    * up replaced-day dirs awaiting the next compact's sweep, and a
+    * schema-footer read from one races that sweep — the probe dies on
+    * FileNotFound mid-maintenance. The reader grace period protects
+    * PLANNED scans (pruned to committed days); this keeps the
+    * schema-leaf pick and the emptiness sentinel inside the same
+    * committed set, whose files only a committed-day re-append ever
+    * touches (documented probe-unsafe already). */
+  private def committedLeafFiles(f: org.apache.hadoop.fs.FileSystem,
+      root: String, days: Seq[String]): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val ds = days.toSet
+    leafFiles(f, root).filter(st =>
+      ds(st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
+  }
 
   /** The store's data schema from one leaf file — the id column is
     * first and the vector column second by [[append]]'s write order;
@@ -130,7 +147,22 @@ object IvfStore {
     val schema = dataSchema.getOrElse(leafDataSchema(spark, leaf))
       .add("dt", org.apache.spark.sql.types.StringType)
       .add("cell", org.apache.spark.sql.types.IntegerType)
-    spark.read.schema(schema).parquet(s"$root/cells")
+    // list ONLY the committed days' dirs (round 14, the drill's race):
+    // a whole-`cells` listing also walks replaced-day debris awaiting
+    // the next compact's sweep, and the sweep deleting a dir
+    // mid-listing kills the reader — partition pruning protects the
+    // TASKS, not the listing. Explicit committed paths keep the
+    // listing O(committed days) and sweep-proof; basePath preserves
+    // both partition columns, and the dt filter stays on the scan
+    // (the PartitionFilters pin) for semantics.
+    val f = fs(spark, root)
+    val dirs = days.map(d => new Path(s"$root/cells/dt=$d"))
+      .filter(f.exists).map(_.toString)
+    if (dirs.isEmpty) // every committed day empty: typed empty frame
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    spark.read.schema(schema).option("basePath", s"$root/cells")
+      .parquet(dirs: _*)
       .filter(col("dt").isin(days: _*))
   }
 
@@ -252,7 +284,7 @@ object IvfStore {
     // loud guard for the committed-but-empty store (every appended row
     // unusable/empty): a bare parquet read over zero data files dies
     // in schema inference with a message that points nowhere
-    val leaves = leafFiles(fs(spark, root), root)
+    val leaves = committedLeafFiles(fs(spark, root), root, days)
     require(leaves.nonEmpty, s"store at $root has committed days but no " +
       "indexed vectors (every appended row was empty or unusable) — nothing to probe")
     val cells = cellsFrame(spark, root, leaves.head.getPath, days)
@@ -428,7 +460,7 @@ object IvfStore {
       k: Int, iters: Int = 5, seedSample: Option[Double] = None): KMeans.Model = {
     val days = committedDays(spark, oldRoot)
     require(days.nonEmpty, s"nothing to rebuild: no committed days at $oldRoot")
-    val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
+    val leaves = committedLeafFiles(fs(spark, oldRoot), oldRoot, days)
     require(leaves.nonEmpty,
       s"nothing to rebuild: no indexed vectors at $oldRoot")
     val ds = leafDataSchema(spark, leaves.head.getPath)
@@ -640,7 +672,8 @@ object IvfStore {
     def covered(u: String): Boolean =
       coveredNames(u) || coveredNames(alias(u)) ||
         coveredDays(u) || coveredDays(alias(u))
-    val gap = committedDays(spark, oldRoot).filter { d =>
+    val oldCommitted = committedDays(spark, oldRoot)
+    val gap = oldCommitted.filter { d =>
       if (covered(d)) false
       else if (!isPseudoDay(d)) true
       else {
@@ -661,7 +694,7 @@ object IvfStore {
       }
     }
     if (gap.isEmpty) return Nil
-    val leaves = leafFiles(fs(spark, oldRoot), oldRoot)
+    val leaves = committedLeafFiles(fs(spark, oldRoot), oldRoot, oldCommitted)
     require(leaves.nonEmpty,
       s"catch-up source $oldRoot has committed days but no data files")
     val ds = leafDataSchema(spark, leaves.head.getPath)
@@ -805,7 +838,9 @@ object IvfStore {
 
     if (deep && committed.nonEmpty &&
         scala.util.Try(IvfIndex.open(spark, root)).isSuccess) {
-      val leaves = leafFiles(f, root)
+      // schema leaf from the COMMITTED set — the deep scan reads only
+      // committed cells, and a debris leaf races a concurrent sweep
+      val leaves = committedLeafFiles(f, root, committed)
       if (leaves.nonEmpty) {
         val cents = IvfIndex.open(spark, root)
         val ds = leafDataSchema(spark, leaves.head.getPath)
@@ -888,9 +923,10 @@ object IvfStore {
     * maintenance jobs that must no-op on day-zero or all-unusable
     * roots instead of dying on a store that simply hasn't ingested
     * yet. */
-  def hasProbeableData(spark: SparkSession, root: String): Boolean =
-    committedDays(spark, root).nonEmpty &&
-      leafFiles(fs(spark, root), root).nonEmpty
+  def hasProbeableData(spark: SparkSession, root: String): Boolean = {
+    val days = committedDays(spark, root)
+    days.nonEmpty && committedLeafFiles(fs(spark, root), root, days).nonEmpty
+  }
 
   /** DAY-AWARE RECALL AXIS (round 13) — the third drift observable,
     * and the one a serving operator actually alarms on:
@@ -937,7 +973,7 @@ object IvfStore {
     val days = committedDays(spark, root)
     require(days.nonEmpty,
       s"no committed days at $root — nothing to audit for recall")
-    val leaves = leafFiles(fs(spark, root), root)
+    val leaves = committedLeafFiles(fs(spark, root), root, days)
     require(leaves.nonEmpty, s"store at $root has committed days but no " +
       "indexed vectors — nothing to audit for recall")
     // BOUND the driver collect BEFORE it happens (round 14, advice):
@@ -1016,7 +1052,7 @@ object IvfStore {
     val days = committedDays(spark, root)
     require(days.nonEmpty,
       s"no committed days at $root — nothing to audit for drift")
-    val leaves = leafFiles(fs(spark, root), root)
+    val leaves = committedLeafFiles(fs(spark, root), root, days)
     require(leaves.nonEmpty, s"store at $root has committed days but no " +
       "indexed vectors — nothing to audit for drift")
     val dsch = leafDataSchema(spark, leaves.head.getPath)

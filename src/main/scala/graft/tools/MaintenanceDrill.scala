@@ -1,0 +1,175 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.jobs.{IncrementalCurationJob, MaintenanceJob}
+import graft.operators.IvfStore
+
+/** The MAINTENANCE-CRON drill at the ~sf1 replica (round 14) — the
+  * full `--job=maintenanceJob` story run once at the scale every
+  * other sf1 number is recorded at, so the cron's cost is PRICED,
+  * not guessed:
+  *
+  *   1. build a 10-day IVF store from the replica's embeddings
+  *      (8 same-regime days + 2 days of a planted drifted regime),
+  *      publish the serving pointer;
+  *   2. time each monitor standalone (compact, fsck deep, drift,
+  *      recall — the run()'s internals) for the breakdown;
+  *   3. run the policy-armed maintenance pass
+  *      ([[MaintenanceJob.run]] — the same single code path
+  *      `--job=maintenanceJob` dispatches to) while a concurrent
+  *      prober hammers the pointer with FULL probes (nprobe = k —
+  *      exact, centroid-independent), asserting every answer before,
+  *      during, and after the evidence-gated rebuild + atomic flip is
+  *      bit-identical: "probes are never torn";
+  *   4. run the pass AGAIN on the cured store and assert the drift
+  *      monitor stopped firing (the rebuilt root's re-seeded baseline
+  *      absorbs the planted regime) — its wall time is the
+  *      steady-state nightly cron cost.
+  *
+  * Prints one JSON line per phase; SCALING.md holds the analyzed
+  * table. Usage:
+  *   SPARK_GRAFT_SF_DIR=/tmp/bigsf1 sbt "runMain graft.tools.MaintenanceDrill [workDir]"
+  */
+object MaintenanceDrill {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/bigsf1")
+    val work = args.headOption.getOrElse("/tmp/graft-mdrill")
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-maintenance-drill")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val hp = new org.apache.hadoop.fs.Path(work)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+    val (ivf, ptr, stores) = (s"$work/ivf", s"$work/ptr", s"$work/stores")
+    def j(phase: String, sec: Double, extra: String = ""): Unit =
+      println(f"""{"phase":"$phase","sec":$sec%.2f$extra}""")
+
+    // ---- 1. the store: 8 same-regime days + 2 planted drifted days
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val k = 64
+    val (_, tInit) = timed {
+      IvfStore.init(emb.filter(pmod(xxhash64($"vec_id"), lit(8)) === 0),
+        "vec_id", "embedding", ivf, k = k, iters = 4)
+    }
+    j("init(seed=1/8,k=64)", tInit)
+    val (_, tAppend) = timed {
+      (0 until 8).foreach { d =>
+        IvfStore.append(emb.filter(pmod(xxhash64($"vec_id"), lit(8)) === d),
+          ivf, f"2025-07-0${d + 1}%d")
+      }
+      // the drifted regime the frozen centroids never saw: every dim
+      // shifted far off the training manifold, fresh ids
+      (8 until 10).foreach { d =>
+        val drifted = emb.filter(pmod(xxhash64($"vec_id"), lit(8)) === (d - 8))
+          .select(($"vec_id" + lit(1000000000L)).as("vec_id"),
+            transform($"embedding", x => x + lit(30.0f)).as("embedding"))
+        IvfStore.append(drifted, ivf, f"2025-07-${d + 2}%02d")
+      }
+    }
+    j("append(10 days)", tAppend)
+    IvfStore.publishRoot(spark, ptr, ivf)
+    val total = emb.count() + 2 * (emb.count() / 8).min(emb.count())
+    println(s"""{"phase":"corpus","days":10,"k":$k,"rows_approx":$total}""")
+
+    // ---- 2. the monitors standalone (the run()'s internals, priced)
+    val (_, tCompact) = timed {
+      IncrementalCurationJob.compactStoresWithIvf(spark, stores, ivf,
+        keepDays = 7)
+    }
+    j("compact(stores+ivf,keep=7)", tCompact)
+    val (fk, tFsck) = timed {
+      IncrementalCurationJob.fsckStoresWithIvf(spark, stores, ivf,
+        deep = true)
+    }
+    j("fsck(deep)", tFsck, s""","findings":${fk.values.map(_.size).sum}""")
+    val (dr, tDrift) = timed { IvfStore.driftReport(spark, ivf).collect() }
+    j("driftReport", tDrift,
+      s""","max_ratio":${dr.flatMap(r => Option(r.get(4)).map(_ => r.getDouble(4))).max}""")
+    val (rc, tRecall) = timed {
+      IvfStore.recallReport(spark, ivf, nprobe = 8, topK = 5,
+        queriesPerDay = 16).collect()
+    }
+    j("recallReport(nprobe=8/64)", tRecall,
+      s""","min_recall":${rc.map(_.getDouble(4)).min}""")
+
+    // ---- 3. the policy-armed pass under concurrent serving
+    val queries = emb.orderBy(xxhash64($"vec_id")).limit(6)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toSeq
+    def fullProbe(): Seq[(Long, Long, Int)] =
+      IvfStore.probeVia(spark, ptr, "vec_id", "embedding", queries,
+        nprobe = k, topK = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+        .sortBy(x => (x._1, x._3)).toSeq
+    val expected = fullProbe()
+    @volatile var stop = false
+    @volatile var torn: Option[String] = None
+    val prober = new Thread(() => {
+      var n = 0
+      while (!stop && torn.isEmpty) {
+        // a probe that THROWS is a serving outage, same severity as a
+        // torn answer — a silently-dead prober thread would vacate
+        // the drill's central assertion (this caught the round-14
+        // replaced-dir/sweep race)
+        try {
+          val got = fullProbe()
+          if (got != expected) torn = Some(s"probe #$n diverged")
+        } catch {
+          case e: Throwable => torn = Some(s"probe #$n threw: ${e.getMessage}")
+        }
+        n += 1
+      }
+      println(s"""{"phase":"concurrent_probes","count":$n}""")
+    })
+    prober.start()
+    val policy = MaintenanceJob.RebuildPolicy(ptr, s"$work/ivf-v2", k = k,
+      iters = 5, driftRatioMax = 2.5, recallMin = 0.0)
+    val (c1, tRun1) = timed {
+      MaintenanceJob.run(spark, stores, Some(ivf), s"$work/reports1",
+        deep = true, nprobe = 8, topK = 5, queriesPerDay = 16,
+        rebuildPolicy = Some(policy))
+    }
+    stop = true; prober.join()
+    torn.foreach(t => sys.error(s"TORN PROBE: $t"))
+    require(IvfStore.currentRoot(spark, ptr) == s"$work/ivf-v2",
+      "the drift breach must have swapped the pointer")
+    require(fullProbe() == expected, "post-flip full probe changed")
+    val act = spark.read.parquet(s"$work/reports1/rebuild")
+      .select($"action").distinct().as[String].collect().toSeq
+    require(act == Seq("rebuilt"), s"expected a rebuilt row, got $act")
+    j("maintenanceJob(run1: monitors+rebuild+flip)", tRun1,
+      s""","rebuild_rows":${c1("rebuild")}""")
+
+    // ---- 4. the cured store: nightly steady-state cost, no re-fire
+    val (c2, tRun2) = timed {
+      MaintenanceJob.run(spark, stores, Some(s"$work/ivf-v2"),
+        s"$work/reports2", deep = true, nprobe = 8, topK = 5,
+        queriesPerDay = 16,
+        rebuildPolicy = Some(policy.copy(newRoot = s"$work/ivf-v3")))
+    }
+    require(c2("rebuild") == 0L,
+      s"cured store must stop firing: ${c2("rebuild")} rebuild rows")
+    val drift2 = spark.read.parquet(s"$work/reports2/drift")
+      .select($"drift_ratio").as[Option[Double]].collect().flatten
+    require(drift2.forall(_ < 2.5),
+      s"rebuilt baseline must absorb the planted regime: ${drift2.max}")
+    j("maintenanceJob(run2: cured steady-state)", tRun2,
+      s""","max_drift_ratio":${drift2.max}""")
+    println(s"""{"phase":"drill","ok":true}""")
+    spark.stop()
+  }
+}

@@ -322,6 +322,64 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
       "the underlying catch-up refusal must ride along as the cause")
   }
 
+  test("readers never touch replaced-day debris: probes/monitors survive the dirs a concurrent sweep is about to delete") {
+    // the round-14 sf1 drill's find: a probe concurrent with
+    // maintenance died on FileNotFound — the raw leaf glob picked its
+    // SCHEMA leaf from a replaced-day dir awaiting sweep (it sorts
+    // first), and the next compact deleted it mid-read. Deterministic
+    // stand-in for any mid-sweep state: corrupt the standing replaced
+    // dirs' files (garbage bytes) — a reader that touches them in ANY
+    // way (schema footer, listing, scan) dies; one that takes the
+    // committed view doesn't notice.
+    val rnd = new scala.util.Random(37)
+    def around(cx: Double*): Array[Double] =
+      cx.toArray.map(_ + rnd.nextGaussian() * 0.3)
+    def mkRows(ids: Range): Seq[(Long, Array[Double])] =
+      ids.map(i => i.toLong -> around(centers(i % 3): _*))
+    val root = Files.createTempDirectory("ivfst-debris").toString
+    IvfStore.init(vecs(mkRows(0 until 30)), "vec_id", "embedding", root,
+      k = 3, iters = 3)
+    (1 to 5).foreach(d => IvfStore.append(
+      vecs(mkRows(d * 100 until d * 100 + 20)), root, f"2024-06-0$d%d"))
+    // fold 01..03; their dirs STAND until the next compact's sweep
+    val rep = IvfStore.compact(spark, root, keepDays = 2)
+    assert(rep.mergedDay.isDefined && rep.awaitingSweep === 3)
+    val queries = Seq(9001L -> centers(0).toArray, 9002L -> centers(2).toArray)
+    val expected = probeAll(root, queries)
+
+    // poison every standing replaced-day file — dt=2024-06-01 sorts
+    // before the merged-* dir, so the OLD raw-glob schema leaf was
+    // exactly one of these
+    for (d <- 1 to 3) {
+      val parts = Option(hfs.globStatus(
+        new Path(s"$root/cells/dt=2024-06-0$d/cell=*/part-*")))
+        .getOrElse(Array.empty)
+      assert(parts.nonEmpty, s"replaced day 0$d should still stand")
+      parts.foreach { p =>
+        val o = hfs.create(p.getPath, true)
+        try o.write("not a parquet file".getBytes("UTF-8")) finally o.close()
+      }
+    }
+
+    // every reader path serves the committed view, untouched by the
+    // debris: probe, drift, recall, rebuild, catch-up, fsck deep
+    assert(probeAll(root, queries) === expected,
+      "probe touched replaced-day debris")
+    assert(IvfStore.driftReport(spark, root).collect().nonEmpty)
+    assert(IvfStore.recallReport(spark, root, nprobe = 1, queriesPerDay = 2)
+      .collect().nonEmpty)
+    assert(IvfStore.hasProbeableData(spark, root))
+    val rb = s"$root-rb"
+    IvfStore.rebuild(spark, root, rb, k = 3, iters = 2)
+    assert(probeAll(rb, queries) === expected,
+      "rebuild read replaced-day debris")
+    assert(IvfStore.catchUp(spark, root, rb) === Nil)
+    // fsck deep still audits clean on committed content (the debris
+    // shows up only as the protocol's awaiting-sweep transients)
+    assert(IvfStore.fsck(spark, root, deep = true)
+      .forall(_.check == "awaiting-sweep"))
+  }
+
   test("driftReport: same-regime days at ratio ~1, an off-regime day stands out; pre-baseline stores degrade to null") {
     val root = Files.createTempDirectory("ivfst-drift").toString
     val seed = mkRows(0 until 60)
