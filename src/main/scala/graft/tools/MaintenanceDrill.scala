@@ -71,10 +71,13 @@ object MaintenanceDrill {
           ivf, f"2025-07-0${d + 1}%d")
       }
       // the drifted regime the frozen centroids never saw: every dim
-      // shifted far off the training manifold, fresh ids
+      // shifted far off the training manifold. Fresh ids via the
+      // NEGATIVE mirror (-(id+1)) — the replica generator already
+      // occupies +k·10⁹ id spaces, so an additive offset would plant
+      // dup-identity warns into the drill's own fsck report
       (8 until 10).foreach { d =>
         val drifted = emb.filter(pmod(xxhash64($"vec_id"), lit(8)) === (d - 8))
-          .select(($"vec_id" + lit(1000000000L)).as("vec_id"),
+          .select((-$"vec_id" - lit(1L)).as("vec_id"),
             transform($"embedding", x => x + lit(30.0f)).as("embedding"))
         IvfStore.append(drifted, ivf, f"2025-07-${d + 2}%02d")
       }
@@ -151,6 +154,10 @@ object MaintenanceDrill {
     val act = spark.read.parquet(s"$work/reports1/rebuild")
       .select($"action").distinct().as[String].collect().toSeq
     require(act == Seq("rebuilt"), s"expected a rebuilt row, got $act")
+    val fsckBad = spark.read.parquet(s"$work/reports1/fsck")
+      .filter($"severity" =!= "info").count()
+    require(fsckBad == 0L,
+      s"post-maintenance audit must be clean of warns/errors: $fsckBad rows")
     j("maintenanceJob(run1: monitors+rebuild+flip)", tRun1,
       s""","rebuild_rows":${c1("rebuild")}""")
 

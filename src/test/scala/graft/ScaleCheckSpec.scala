@@ -294,18 +294,36 @@ class ScaleCheckSpec extends AnyFunSuite with SparkSpec {
         IvfStore.probe(spark, root, "vec_id", "embedding", queries,
           nprobe = 2, topK = 5).write.format("noop").mode("overwrite").save()
       }
+      // (3) round 14: the DRIFT MONITOR's exchange carries per-(dt,
+      // cell) PARTIALS (map-side combine), never the scanned rows —
+      // the maintenance cron's cost claim. Records bound ≈ days ×
+      // k × map partitions at any corpus size. Recorded round-14
+      // measurement: 20 → 37 records on ×10 data (ratio 1.9 — file
+      // count grows the map side, not rows).
+      val driftRecs = shuffleRecordsOfAction {
+        IvfStore.driftReport(spark, root)
+          .write.format("noop").mode("overwrite").save()
+      }
       val p = new org.apache.hadoop.fs.Path(root)
       p.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(p, true): Unit
-      recs
+      (recs, driftRecs)
     }
-    val ratio = probeShuffle(1).toDouble / math.max(probeShuffle(0), 1L)
-    info(f"ivf probe: x1 ${probeShuffle(0)}%d -> x10 ${probeShuffle(1)}%d " +
+    val ratio = probeShuffle(1)._1.toDouble / math.max(probeShuffle(0)._1, 1L)
+    info(f"ivf probe: x1 ${probeShuffle(0)._1}%d -> x10 ${probeShuffle(1)._1}%d " +
       f"shuffle records, ratio $ratio%.1f on 10x data (fixed |Q|=${queries.size}%d)")
     assert(ratio <= 12.0,
       f"fixed-query IVF probe shuffle grew x$ratio%.1f on 10x data " +
         "(> 12 = the linear floor; recorded 1.5) — the per-partition " +
         "top-k slice pruning was lost and the exchange now carries the " +
         "scanned rows; fix the plan, don't bump the bound")
+    val dRatio = probeShuffle(1)._2.toDouble / math.max(probeShuffle(0)._2, 1L)
+    info(f"ivf drift monitor: x1 ${probeShuffle(0)._2}%d -> x10 " +
+      f"${probeShuffle(1)._2}%d shuffle records, ratio $dRatio%.1f")
+    assert(dRatio <= 12.0,
+      f"driftReport shuffle grew x$dRatio%.1f on 10x data (> 12 = the " +
+        "linear floor) — the per-(dt,cell) partial aggregation was lost " +
+        "and the monitor now shuffles the corpus; fix the plan, don't " +
+        "bump the bound")
   }
 }
