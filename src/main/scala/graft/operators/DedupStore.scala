@@ -165,8 +165,13 @@ object DedupStore {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      PartitionedLayout.read(spark, s"$root/$table", schema)
-        .filter(col("dt").isin(days: _*)) // file-index prune: debris invisible
+      // explicit committed dirs, not a whole-table listing (round 14):
+      // replaced-day debris awaiting a compaction sweep must never
+      // enter the listing — a concurrent sweep deleting it mid-listing
+      // kills the ingest (the IvfStore drill's race, same class here);
+      // the dt filter stays on the scan as the partition-prune pin
+      PartitionedLayout.readDays(spark, s"$root/$table", schema, days)
+        .filter(col("dt").isin(days: _*))
   }
 
   /** Suppress `delta` against the committed store, append the

@@ -101,8 +101,8 @@ object IvfStore {
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** The store's data files (one glob) — fsck's view: every leaf on
-    * disk, debris included. */
+  /** Every data leaf on disk (one glob), debris included — only
+    * [[committedLeafFiles]] consumes it; no reader path may. */
   private def leafFiles(f: org.apache.hadoop.fs.FileSystem,
       root: String): Seq[org.apache.hadoop.fs.FileStatus] =
     Option(f.globStatus(new Path(s"$root/cells/dt=*/cell=*/part-*")))
@@ -147,22 +147,10 @@ object IvfStore {
     val schema = dataSchema.getOrElse(leafDataSchema(spark, leaf))
       .add("dt", org.apache.spark.sql.types.StringType)
       .add("cell", org.apache.spark.sql.types.IntegerType)
-    // list ONLY the committed days' dirs (round 14, the drill's race):
-    // a whole-`cells` listing also walks replaced-day debris awaiting
-    // the next compact's sweep, and the sweep deleting a dir
-    // mid-listing kills the reader — partition pruning protects the
-    // TASKS, not the listing. Explicit committed paths keep the
-    // listing O(committed days) and sweep-proof; basePath preserves
-    // both partition columns, and the dt filter stays on the scan
-    // (the PartitionFilters pin) for semantics.
-    val f = fs(spark, root)
-    val dirs = days.map(d => new Path(s"$root/cells/dt=$d"))
-      .filter(f.exists).map(_.toString)
-    if (dirs.isEmpty) // every committed day empty: typed empty frame
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    spark.read.schema(schema).option("basePath", s"$root/cells")
-      .parquet(dirs: _*)
+    // list ONLY the committed days' dirs (round 14, the drill's race —
+    // [[PartitionedLayout.readDays]] has the story); the dt filter
+    // stays on the scan (the PartitionFilters pin) for semantics
+    PartitionedLayout.readDays(spark, s"$root/cells", schema, days)
       .filter(col("dt").isin(days: _*))
   }
 

@@ -54,4 +54,27 @@ object PartitionedLayout {
     * directory-derived values, same names/types). */
   def read(spark: SparkSession, dir: String, schema: StructType): DataFrame =
     spark.read.schema(schema).parquet(dir)
+
+  /** [[read]] restricted to an explicit `dt=` partition-dir list — the
+    * view a reader of a COMPACTED store must take (round 14): a
+    * whole-`dir` listing also walks replaced-day debris awaiting the
+    * next compaction's sweep, and the sweep deleting such a dir
+    * mid-listing kills the reader with FileNotFound — partition
+    * pruning protects the TASKS, never the listing. Explicit paths
+    * keep the listing O(named days) and sweep-proof. Absent days
+    * (zero-survivor commits write no partition) drop out of the path
+    * list; an all-absent set degrades to the typed empty frame.
+    * `basePath` recovers the partition column(s) from the remaining
+    * path segments. */
+  def readDays(spark: SparkSession, dir: String, schema: StructType,
+      days: Seq[String]): DataFrame = {
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = days.map(d => new org.apache.hadoop.fs.Path(s"$dir/dt=$d"))
+      .filter(f.exists).map(_.toString)
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).option("basePath", dir).parquet(dirs: _*)
+  }
 }

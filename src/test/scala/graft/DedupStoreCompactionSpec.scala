@@ -333,6 +333,48 @@ class DedupStoreCompactionSpec extends AnyFunSuite with SparkSpec {
     assert(fast === Set(9001L, 9002L), s"got $fast")
   }
 
+  test("readers never touch replaced-day debris: ingest against a pending-sweep store survives poisoned standing dirs") {
+    // the round-14 IVF drill's race, pinned on the DEDUP side: after a
+    // fold, the replaced days' dirs stand until the next compact's
+    // sweep, and an ingest's store-side listing racing that sweep died
+    // on FileNotFound. readDays must list ONLY committed dirs — the
+    // deterministic stand-in for any mid-sweep state is garbage bytes
+    // in every standing replaced-day file: a reader that touches them
+    // in any way dies, the committed view doesn't notice.
+    val root = Files.createTempDirectory("dsc-debris").toString
+    val ctl = Files.createTempDirectory("dsc-debris-ctl").toString
+    simulateDays(root, 6)
+    simulateDays(ctl, 6)
+    val r = DedupStore.compact(spark, root, keepDays = 2)
+    assert(r.mergedDay.isDefined && r.daysMerged === 4)
+    val hfs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    var poisoned = 0
+    for (d <- 1 to 4) {
+      val parts = Option(hfs.globStatus(new org.apache.hadoop.fs.Path(
+        s"$root/*/dt=2024-01-0$d/part-*"))).getOrElse(Array.empty)
+      parts.foreach { p =>
+        val o = hfs.create(p.getPath, true)
+        try o.write("not a parquet file".getBytes("UTF-8")) finally o.close()
+        poisoned += 1
+      }
+    }
+    assert(poisoned > 0, "replaced-day dirs should still stand pre-sweep")
+
+    // day 7 probes the archive: a twin of a FOLDED day's doc must die
+    // through the merged partition, a fresh doc survives — identical
+    // verdicts to the debris-free control store
+    val day7 = docs(900L -> text(3),
+      901L -> (1 to 10).map(w => s"z7q$w").mkString(" "))
+    val got = ids(DedupStore.ingest(day7, root, "2024-01-07"))
+    val want = ids(DedupStore.ingest(day7, ctl, "2024-01-07"))
+    assert(got === want && got === Set(901L),
+      s"ingest over a pending-sweep store diverged: $got vs $want")
+    // the novelty report reads the postings/sets side — same rule
+    assert(DedupStore.noveltyReport(day7, root,
+        exceptDay = Some("2024-01-07")).collect().nonEmpty)
+  }
+
   test("normal ingests cannot use the reserved merged- day prefix") {
     val root = Files.createTempDirectory("dsc-r").toString
     val e = intercept[IllegalArgumentException] {
