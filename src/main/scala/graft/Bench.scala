@@ -272,7 +272,16 @@ object BenchReport {
     ("q143_incremental_containment_dfguard", "sf1", "r13", 9.92),
     ("q140_mm_phash_neardup", "sf1", "r13", 1.52),
     ("q142_mm_phash_incremental", "sf1", "r13", 1.42),
-    ("q111_token_budget_pack", "sf1", "r13", 0.82))
+    ("q111_token_budget_pack", "sf1", "r13", 0.82),
+    // r14: recorded against a box whose IN-SUITE totals ran ~x1.2-1.4
+    // over r13 UNIFORMLY (untouched TPC-H queries q01/q12/q26/q30 up
+    // 40-57% with zero code change) — these idle reps=7 pins are the
+    // like-for-like channel: q01/q12 sit at r13 in-suite levels idle,
+    // q118 (the round's store-read changes) is flat in-suite (x1.01)
+    ("q01_pricing_summary", "sf0.1", "r14", 0.34),
+    ("q12_star_join_revenue", "sf0.1", "r14", 0.51),
+    ("q118_incremental_containment", "sf0.1", "r14", 3.77),
+    ("q118_probe", "sf0.1", "r14", 2.15))
 
   /** The diagnostic channel: per-rep spread, min/median tables, the
     * contention probe, the idle-protocol pins, and the methodology
