@@ -604,6 +604,203 @@ object SimilarityQueries {
       WHERE rank <= 5"""),
     bench = true) // round 13: store-lifecycle timing tracked in BENCH_DETAIL
 
+  // ---------------------------------------------------------------
+  // Product quantization (q147/q148) — the MEMORY side of the 100 TB
+  // ANN story. IVF (q47/q146) bounds how many pairs a probe touches;
+  // PQ bounds what each touched pair costs: the corpus is encoded to
+  // m=8 codeword indices (8 ints vs 64 floats — 8× fewer cells, ~32×
+  // fewer bytes at byte codes), and scoring a pair is m lookups into
+  // a per-query table (ADC, Jégou et al. TPAMI 2011) instead of a
+  // dim-wide float kernel. The TRAINED path (per-subspace k-means)
+  // is [[graft.operators.ProductQuantizer]], spec-gated in PqSpec;
+  // these oracle twins fix the encode/ADC arithmetic itself with a
+  // deterministic SAMPLED codebook (the q47 IVF-centroid discipline:
+  // codewords = the vec_id % 25 = 3 slice, so DuckDB reproduces the
+  // exact codes, distances and ranks — no k-means in the oracle).
+  // ---------------------------------------------------------------
+
+  private val PqM = 8 // subspaces; subDim = Dim / PqM = 8
+
+  /** Exploded-subspace view shared by the q147/q148 Spark sides:
+    * (id, s ∈ 0..7, 8-wide subvector slice). */
+  private def pqSubs(df: org.apache.spark.sql.DataFrame, idAs: String,
+      subAs: String): org.apache.spark.sql.DataFrame = {
+    val subDim = Dim / PqM
+    df.select(col("vec_id").as(idAs),
+      posexplode(transform(sequence(lit(0), lit(PqM - 1)), sp =>
+        slice(col("embedding"), sp * lit(subDim) + lit(1), lit(subDim)))))
+      .withColumnRenamed("pos", "s").withColumnRenamed("col", subAs)
+  }
+
+  /** ADC top-5 candidate pairs (q_vec, vec_id, adc_d2), self excluded
+    * — the body both q147 and q148 rank from.
+    *
+    * Plan: the codeword slice is chunk-broadcast (it is % of the
+    * CORPUS, the q47 growth problem — chunks union before the argmin
+    * window so chunking never changes a code); encode is then ONE
+    * broadcast-hash join per chunk over the exploded corpus (row
+    * count n·m·|codebook chunk|, all map-side); the per-query lookup
+    * tables are |Q|·m·|codebook| rows built the same way; ADC itself
+    * is an equi-join on (s, code) — the shuffle carries n·m·|Q|
+    * slim rows into a (q_vec, vec_id) partial+final hash agg whose
+    * 8 subspace terms are summed in FIXED index order (a chain of
+    * one-row conditional sums, not a float-reorderable SUM), so the
+    * double is bit-identical in both engines. */
+  private def pqAdcPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val e = T.embeddings(s, d)
+      .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+      // usable vectors only, per SIDE and before any join — the q45
+      // scope rule; the oracles' n CTE mirrors it
+      .filter($"nrm" > 0 && !isnan($"nrm") &&
+        $"nrm" < lit(Double.PositiveInfinity))
+    val cwChunks = broadcastChunks(
+      pqSubs(e.filter($"vec_id" % 25 === 3), "cid", "csub"),
+      $"cid", "PQ codeword set")
+    def sub2 (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.operators.ProductQuantizer.d2(a, b)
+    // encode the corpus: per (vec_id, s) the argmin codeword; the
+    // rank window runs over the UNION of chunks (q47's rule)
+    val wCode = Window.partitionBy($"vec_id", $"s")
+      .orderBy($"d2c".asc, $"cid".asc)
+    val codes = cwChunks
+      .map(cw => pqSubs(e, "vec_id", "sub").join(cw, Seq("s"))
+        .select($"vec_id", $"s", $"cid", sub2($"sub", $"csub").as("d2c")))
+      .reduce(_ union _)
+      .withColumn("rn", row_number().over(wCode))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"s", $"cid")
+    // per-query subspace lookup tables (queries stay FLOAT — asymmetric)
+    val lut = cwChunks
+      .map(cw => pqSubs(e.filter($"vec_id" % 50 === 0), "q_vec", "qsub")
+        .join(cw, Seq("s"))
+        .select($"q_vec", $"s", $"cid", sub2($"qsub", $"csub").as("qd2")))
+      .reduce(_ union _)
+    // ADC: m lookups per (query, corpus row), summed in index order
+    val fixedOrderSum = (0 until PqM)
+      .map(k => sum(when($"s" === k, $"qd2"))).reduce(_ + _)
+    codes.join(lut, Seq("s", "cid"))
+      .filter($"vec_id" =!= $"q_vec")
+      .groupBy($"q_vec", $"vec_id")
+      .agg(fixedOrderSum.as("adc_d2"))
+  }
+
+  /** Oracle CTE prefix shared by q147/q148 — the same encode/LUT/ADC
+    * arithmetic in DuckDB (list folds are in-order left sums in both
+    * engines; the 8 subspace terms add as an explicit fixed chain). */
+  private lazy val pqOracleCtes: String = {
+    val sd = Dim / PqM
+    val fixedSum = (0 until PqM)
+      .map(k => s"sum(CASE WHEN c.s = $k THEN l.qd2 END)").mkString(" + ")
+    s"""WITH n AS (SELECT * FROM (SELECT vec_id, embedding,
+        sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)*x))) nrm
+        FROM embeddings) WHERE nrm > 0 AND isfinite(nrm)),
+      sp AS (SELECT unnest(range($PqM)) AS s),
+      cs AS (SELECT vec_id, s, list_slice(embedding, s*$sd+1, s*$sd+$sd) AS sub
+             FROM n CROSS JOIN sp),
+      cw AS (SELECT vec_id AS cid, s, sub AS csub FROM cs WHERE vec_id % 25 = 3),
+      ec AS (SELECT c.vec_id, c.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS d2
+             FROM cs c JOIN cw w USING (s)),
+      codes AS (SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2 ASC, cid ASC) rn FROM ec) WHERE rn = 1),
+      qsub AS (SELECT vec_id AS q_vec, s, sub AS qsub FROM cs WHERE vec_id % 50 = 0),
+      lut AS (SELECT q.q_vec, q.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS qd2
+             FROM qsub q JOIN cw w USING (s)),
+      adc AS (SELECT l.q_vec, c.vec_id, $fixedSum AS adc_d2
+             FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+             WHERE c.vec_id <> l.q_vec
+             GROUP BY l.q_vec, c.vec_id)"""
+  }
+
+  /** PQ/ADC top-5 per query — codes, lookup tables and ranks all
+    * reproduced exactly by the oracle (sampled codebook; see the
+    * family comment above). */
+  private val pqAdcTopK = Q(
+    "q147_pq_adc_topk",
+    (s, d) => {
+      import s.implicits._
+      pqAdcPairs(s, d)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"adc_d2".asc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+    },
+    Some(s"""$pqOracleCtes
+      SELECT q_vec, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+          ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""))
+
+  /** recall@5 of the PQ/ADC answer vs the EXACT L2 top-5 (same
+    * metric as the ADC estimate, so the recall isolates quantization
+    * error — the number an operator reads before shipping a codebook;
+    * the q126/q136 recall pattern).
+    *
+    * Honesty note: the SAMPLED codebook deliberately trades recall
+    * for oracle reproducibility — on the gate corpora (near-isotropic
+    * synthetic embeddings, m=8) it reads ~0.16 mean recall@5, and
+    * that LOW number is the correct answer both engines must agree
+    * on. Production recall comes from trained codebooks
+    * ([[graft.operators.ProductQuantizer.train]] — PqSpec pins
+    * recall 1.0 on separable data) and from re-ranking ADC
+    * candidates with float vectors, exactly as IVF recall is q126's
+    * measured number, not a constant. */
+  private val pqRecall = Q(
+    "q148_pq_recall",
+    (s, d) => {
+      import s.implicits._
+      val e = T.embeddings(s, d)
+        .select($"vec_id", $"embedding", Vectors.norm($"embedding").as("nrm"))
+        .filter($"nrm" > 0 && !isnan($"nrm") &&
+          $"nrm" < lit(Double.PositiveInfinity))
+      val qset = e.filter($"vec_id" % 50 === 0)
+        .select($"vec_id".as("q_vec"), $"embedding".as("q_emb"))
+      val exact = broadcastChunks(qset, $"q_vec", "PQ-recall query set")
+        .map(q => e.crossJoin(q)
+          .filter($"vec_id" =!= $"q_vec")
+          .select($"q_vec", $"vec_id",
+            graft.operators.ProductQuantizer.d2($"q_emb", $"embedding").as("l2")))
+        .reduce(_ union _)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"l2".asc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+        .select($"q_vec", $"vec_id")
+      val approx = pqAdcPairs(s, d)
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"q_vec").orderBy($"adc_d2".asc, $"vec_id".asc)))
+        .filter($"rank" <= 5)
+        .select($"q_vec", $"vec_id").withColumn("hit", lit(1L))
+      exact.join(approx, Seq("q_vec", "vec_id"), "left")
+        .groupBy($"q_vec")
+        .agg((sum(coalesce($"hit", lit(0L))).cast("double") / count(lit(1)))
+          .as("recall_pq"))
+    },
+    Some(s"""$pqOracleCtes,
+      pq5 AS (SELECT q_vec, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+          ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5),
+      exd AS (SELECT q.q_vec, n.vec_id,
+        list_sum(list_transform(range($Dim), i ->
+          (CAST(q.qe[i+1] AS DOUBLE) - CAST(n.embedding[i+1] AS DOUBLE))
+          * (CAST(q.qe[i+1] AS DOUBLE) - CAST(n.embedding[i+1] AS DOUBLE)))) AS l2
+        FROM n CROSS JOIN (SELECT vec_id q_vec, embedding qe FROM n
+          WHERE vec_id % 50 = 0) q
+        WHERE n.vec_id <> q.q_vec),
+      ex5 AS (SELECT q_vec, vec_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_vec
+          ORDER BY l2 ASC, vec_id ASC) rank FROM exd) WHERE rank <= 5)
+      SELECT e.q_vec,
+        CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / count(*) AS recall_pq
+      FROM ex5 e LEFT JOIN pq5 p USING (q_vec, vec_id)
+      GROUP BY e.q_vec"""))
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
-    annRecall, quantizedRecall, ivfStoreProbe)
+    annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall)
 }
