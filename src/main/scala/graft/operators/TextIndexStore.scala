@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Day-partitioned INVERTED INDEX with a BM25 top-k probe — ranked
+  * text retrieval as a store, the lexical twin of [[IvfStore]]
+  * (extension surface; the reference has no retrieval code — nearest
+  * is the popularity join, `transforms/SuspiciousIDs.java`).
+  *
+  * Why a store and not q68's query: q68 ranks by scanning the CORPUS
+  * (tokenize every document per question). A retrieval serving path
+  * inverts that once at ingest: postings keyed by word, so a probe
+  * reads |terms| posting lists, never the corpus. At 100 TB the
+  * probe's scan is `Σ df(term) · ~24 bytes` — megabytes for rare
+  * terms — plus one O(days) stats read; the corpus text is never
+  * touched after ingest.
+  *
+  * Layout under `root` (the [[DedupStore]]/[[IvfStore]] marker
+  * protocol — day marker commits atomically AFTER the partitions
+  * land; torn appends are invisible; re-running a day overwrites
+  * only that day's partitions then re-commits):
+  *  - `postings/dt=<day>/` — (word, doc_id, tf, dl): one row per
+  *    distinct (doc, word), `dl` DENORMALIZED into the posting
+  *    (the Lucene norms-inline trick) so scoring never joins a
+  *    per-doc table — +8 bytes per posting buys a probe that reads
+  *    postings and nothing else. Files are sorted by word within
+  *    each partition, so the probe's `word IN (…)` pushdown prunes
+  *    at parquet row-group stats on top of the dt file-index prune.
+  *  - `stats/dt=<day>/` — ONE row (n_docs, sum_dl): corpus-level
+  *    BM25 constants fold additively across days (exact bigint
+  *    sums), so the probe derives (N, avgdl) from an O(days) read
+  *    instead of re-scanning doc lengths.
+  *
+  * Tokenization is the engine's one word-split discipline
+  * (`word_counts` native expression / `split(trim(text), "\\s+")`
+  * length — the q67/q68 family), so index-built scores equal
+  * corpus-scan scores EXACTLY; q149 pins that equality against the
+  * DuckDB oracle through the full lifecycle. Null-id, null-text and
+  * BLANK docs (the F1 isBlank rlike — see [[append]]) corrupt-drop
+  * at append, counted out of the day's stats row too — visible in
+  * the returned count.
+  *
+  * BM25 (k1 = 1.2, b = 0.75 — the q68 constants): per matched term,
+  *   idf = ln(1 + (N − df + 0.5) / (df + 0.5))
+  *   tfc = tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+  * and a document's score sums its matched terms IN QUERY ORDER (a
+  * fixed chain of one-term conditional sums, not a float-reorderable
+  * SUM — bit-stable across engines and runs; the q147 discipline).
+  *
+  * Concurrency: appends of distinct days are independent (disjoint
+  * partitions, disjoint markers); probes read the committed view
+  * only ([[PartitionedLayout.readDays]] — no replaced-day debris,
+  * no listing race). Compaction is deliberately ABSENT in v1:
+  * postings days are purely additive (no cross-day suppression to
+  * re-resolve), so folding small days is an optimization with the
+  * [[MarkerProtocol.MergedPrefix]] protocol already reserved for it
+  * — `merged-*` day names are refused at append now so a later
+  * compact can't collide with a legacy day.
+  */
+object TextIndexStore {
+
+  val K1 = 1.2
+  val B = 0.75
+
+  private def fsOf(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def postingsSchema = StructType(Seq(
+    StructField("word", StringType), StructField("doc_id", LongType),
+    StructField("tf", LongType), StructField("dl", LongType),
+    StructField("dt", StringType)))
+
+  private def statsSchema = StructType(Seq(
+    StructField("n_docs", LongType), StructField("sum_dl", LongType),
+    StructField("dt", StringType)))
+
+  /** Committed (marker-visible) day names, sorted. */
+  def committedDays(spark: SparkSession, root: String): Seq[String] = {
+    val (names, replaced) = MarkerProtocol.markerState(
+      fsOf(spark, root), new Path(s"$root/markers"))
+    names.filterNot(replaced).sorted
+  }
+
+  /** Tokenize + index `docs` as `day`, commit the marker. Returns the
+    * number of INDEXED docs (≥1 token; null-text rows corrupt-drop).
+    * Idempotent: a re-run overwrites exactly this day's partitions
+    * (dynamic partition overwrite) and re-commits the marker. */
+  def append(docs: DataFrame, root: String, day: String,
+      idCol: String = "doc_id", textCol: String = "text"): Long = {
+    MarkerProtocol.requireDayName(day)
+    require(!day.startsWith(MarkerProtocol.MergedPrefix),
+      s"'${MarkerProtocol.MergedPrefix}' is reserved for compaction markers, got '$day'")
+    val spark = docs.sparkSession
+    graft.GraftExtensions.ensureRegistered(spark)
+    // one tokenize pass: postings carry dl inline (see layout note).
+    // Indexable = NOT blank — the F1 validity family's isBlank rlike,
+    // explicit because the engine's split discipline KEEPS empty
+    // tokens (q68 parity: '' tokenizes to one ''-word) and its trim
+    // is space-only (a tab-only doc survives trim ≠ ''), yet a
+    // whitespace-only doc carries nothing retrievable; q149's oracle
+    // scopes its docs0 CTE with the same anchored-regex predicate
+    val base = docs
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
+        !col(textCol).rlike("^\\s*$"))
+      .select(col(idCol).cast("long").as("doc_id"),
+        expr(s"word_counts($textCol)").as("wc"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl"))
+    val posted = base
+      .select(explode(col("wc")).as("w"), col("doc_id"), col("dl"))
+      .select(col("w.word").as("word"), col("doc_id"),
+        col("w.tf").cast("long").as("tf"), col("dl"), lit(day).as("dt"))
+      // word-sorted files: the probe's IN-filter prunes at row-group
+      // stats; doc_id secondary keeps the layout deterministic
+      .sortWithinPartitions(col("word"), col("doc_id"))
+    PartitionedLayout.overwritePartitions(posted, s"$root/postings", Seq("dt"))
+    val st = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"), lit(day).as("dt"))
+    PartitionedLayout.overwritePartitions(st, s"$root/stats", Seq("dt"))
+    MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+      new Path(s"$root/markers"), day)
+    val stRow = PartitionedLayout.readDays(spark, s"$root/stats", statsSchema,
+      Seq(day)).select(col("n_docs")).collect()
+    if (stRow.isEmpty) 0L else stRow.head.getLong(0)
+  }
+
+  /** (N, avgdl) from the committed per-day stats — exact bigint sums,
+    * one double division. O(committed days) bytes. */
+  def corpusStats(spark: SparkSession, root: String): (Long, Double) = {
+    val days = committedDays(spark, root)
+    val r = PartitionedLayout.readDays(spark, s"$root/stats", statsSchema, days)
+      .filter(col("dt").isin(days: _*))
+      .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
+    if (r.isNullAt(0) || r.getLong(0) == 0L) (0L, 0.0)
+    else (r.getLong(0), r.getLong(1).toDouble / r.getLong(0))
+  }
+
+  /** BM25 top-k over the committed index: reads the query terms'
+    * postings (dt file-index prune + word row-group prune; the
+    * corpus is never scanned) and the O(days) stats rows. Returns
+    * (doc_id, bm25, n_terms_hit, rank ≤ topK), ranked score DESC
+    * then doc_id ASC via a sort-limit (TakeOrderedAndProject —
+    * map-side partial top-k, no global window). Duplicate terms in
+    * `terms` are an error (each would double-count its postings). */
+  def topK(spark: SparkSession, root: String, terms: Seq[String],
+      topK: Int): DataFrame = {
+    require(terms.nonEmpty, "BM25 probe needs at least one term")
+    require(terms.distinct.length == terms.length,
+      s"duplicate probe terms would double-count: $terms")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val days = committedDays(spark, root)
+    val posts = PartitionedLayout.readDays(
+        spark, s"$root/postings", postingsSchema, days)
+      .filter(col("dt").isin(days: _*))
+      .filter(col("word").isInCollection(terms))
+    val (nDocs, avgdl) = corpusStats(spark, root)
+    if (nDocs == 0L)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("bm25", DoubleType), StructField("n_terms_hit", LongType),
+          StructField("rank", IntegerType, nullable = false))))
+    val dfq = posts.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val scoredTerms = posts.join(broadcast(dfq), "word")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df").cast("double") + 0.5)))
+      .withColumn("tfc", (col("tf").cast("double") * (K1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(1.0 - B) + col("dl").cast("double") / avgdl * B)))
+    // fixed-order per-term sum (the q147 discipline): each term's
+    // conditional sum aggregates ≤1 row per doc; the + chain adds in
+    // QUERY order — no float-reorderable multi-row SUM
+    val fixedSum: Column = terms
+      .map(t => coalesce(sum(when(col("word") === t, col("idf") * col("tfc"))),
+        lit(0.0)))
+      .reduce(_ + _)
+    scoredTerms
+      .groupBy(col("doc_id"))
+      .agg(fixedSum.as("bm25"), count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+  }
+}

@@ -991,10 +991,75 @@ object TextQueries {
           AS removed_words
       FROM documents d JOIN det ON d.doc_id = det.doc_id"""))
 
+  /** Full [[graft.operators.TextIndexStore]] lifecycle gate (the q146
+    * pattern): index the corpus as TWO day appends into a scratch
+    * store, then BM25-probe the committed index and require the
+    * answer to equal the oracle's one-shot corpus scan — proving the
+    * inverted layout (postings + inline dl + additive per-day stats)
+    * loses nothing against computing BM25 from the raw text. The
+    * probe itself reads ONLY the 3 query terms' postings (dt file
+    * prune + word row-group prune on word-sorted files) and the
+    * O(days) stats rows — the corpus text is never rescanned; that
+    * is the retrieval serving shape at 100 TB. Scores sum matched
+    * terms in query order (fixed conditional-sum chain in BOTH
+    * engines — the q147 bit-stability discipline), so the rank-20
+    * cut can never straddle a float reorder. */
+  private val bm25StoreTopK = Q(
+    "q149_bm25_store_topk",
+    (s, d) => {
+      import s.implicits._
+      val terms = Seq("the", "of", "and")
+      val docs = T.documents(s, d)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q149-textindex-").toString
+      try {
+        // pmod, not %: a negative doc_id must land in exactly one day
+        // (the q146 rule)
+        graft.operators.TextIndexStore.append(
+          docs.filter(pmod($"doc_id", lit(2)) === 0), root, "day-1"): Unit
+        graft.operators.TextIndexStore.append(
+          docs.filter(pmod($"doc_id", lit(2)) === 1), root, "day-2"): Unit
+        graft.operators.TextIndexStore.topK(s, root, terms, topK = 20)
+          .localCheckpoint() // materialize before the root vanishes
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(root)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      }
+    },
+    Some("""WITH docs0 AS (SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND NOT regexp_matches(text, '^\s*$')),
+      wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word
+             FROM docs0),
+      dl AS (SELECT doc_id, count(*) AS dl FROM wx GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM wx
+             WHERE word IN ('the', 'of', 'and') GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id, t.word,
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                 / (CAST(f.df AS DOUBLE) + 0.5)) AS idf,
+               (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                   + CAST(d.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs) * 0.75)) AS tfc
+             FROM tf t JOIN dl d USING (doc_id) JOIN dfq f USING (word)
+             CROSS JOIN st s),
+      ag AS (SELECT doc_id,
+               coalesce(sum(CASE WHEN word = 'the' THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN word = 'of' THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN word = 'and' THEN idf * tfc END), 0.0)
+                 AS bm25,
+               count(*) AS n_terms_hit
+             FROM sc GROUP BY doc_id)
+      SELECT doc_id, bm25, n_terms_hit, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) rank
+        FROM ag) WHERE rank <= 20"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
     heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
     stratifiedTopK, qualityCutCurve, compressionRatio, zipfProfile,
-    langIdConfusion, piiIncidence, templateStrip)
+    langIdConfusion, piiIncidence, templateStrip, bm25StoreTopK)
 }

@@ -114,6 +114,51 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     } finally { df.unpersist(); () }
   }
 
+  /** The 100 TB composition: IVF prunes WHICH rows a probe scans
+    * (cell partitions), PQ shrinks WHAT each scanned row costs
+    * (codes + ADC). On separable data the one-cell ADC answer must
+    * equal the full-corpus ADC answer while touching only the
+    * probed cell's rows. */
+  test("IVF cell pruning composes with ADC: one-cell probe = full answer on separable data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(13)
+    val centers = Seq(
+      Array.fill(8)(10.0), Array.fill(8)(-10.0),
+      Array.tabulate(8)(i => if (i % 2 == 0) 10.0 else -10.0),
+      Array.fill(8)(0.0))
+    val rows = for (b <- 0 until 4; i <- 0 until 30) yield
+      ((b * 30 + i).toLong,
+        centers(b).map(c => (c + rnd.nextDouble() - 0.5).toFloat).toSeq)
+    val df = rows.toDF("id", "v")
+      .selectExpr("id", "cast(v as array<float>) as v").cache()
+    try {
+      val cellModel = graft.operators.KMeans.train(df, "id", "v", k = 4, iters = 3)
+      val pq = PQ.train(df, "id", "v", dim = 8, m = 2, k = 4, iters = 3)
+      val coded = PQ.encode(
+        graft.operators.KMeans.assign(df, cellModel.centroids, "v"), pq, "v")
+        .cache()
+      val query = Seq((9000L, centers(2).map(_.toFloat).toSeq))
+        .toDF("q_id", "qv").selectExpr("q_id", "cast(qv as array<float>) as qv")
+      // the query's nearest cell, then ADC only within it
+      val qCell = graft.operators.KMeans
+        .assign(query.withColumnRenamed("qv", "v"), cellModel.centroids, "v")
+        .select($"cell").collect().head.getInt(0)
+      val oneCell = coded.filter($"cell" === qCell)
+      assert(oneCell.count() === 30L, "the probed cell must hold exactly its blob")
+      val pruned = PQ.adcTopK(oneCell, "id", "pq_codes", query, "q_id", "qv",
+        pq, topK = 10).select($"id", $"rank").collect()
+        .map(r => r.getInt(1) -> r.getLong(0)).toMap
+      val full = PQ.adcTopK(coded, "id", "pq_codes", query, "q_id", "qv",
+        pq, topK = 10).select($"id", $"rank").collect()
+        .map(r => r.getInt(1) -> r.getLong(0)).toMap
+      assert(pruned === full,
+        "cell pruning must not change the answer when the blob owns the cell")
+      assert(full.values.forall(id => id >= 60L && id < 90L),
+        "every hit comes from the query's blob")
+    } finally { df.unpersist(); () }
+  }
+
   test("train cap samples deterministically and still yields a usable model") {
     val rnd = new scala.util.Random(9)
     val df = vecDf((0 until 300).map(i =>

@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextIndexStore
+
+/** TextIndexStore: index-built BM25 equals the from-scratch formula,
+  * day appends are additive and idempotent, torn appends are
+  * invisible, degenerate docs corrupt-drop, and the probe reads the
+  * committed postings with dt partition filters + word pushdown. */
+class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
+
+  private val docs = Seq(
+    (1L, "the cat sat on the mat"), // the×2, dl 6
+    (2L, "of mice and men"),        // of, and, dl 4
+    (3L, "the quick brown fox"),    // the, dl 4
+    (4L, "lorem ipsum dolor"),      // no query terms, dl 3
+    (5L, "and and and the"))        // and×3, the, dl 4
+  private val terms = Seq("the", "of", "and")
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-textindex-$tag-").toString
+
+  /** The BM25 definition, straight from the scaladoc, on the tiny
+    * corpus — the independent arithmetic the index must reproduce. */
+  private def expectedScores: Map[Long, (Double, Long)] = {
+    val tf = Map( // (doc, term) -> tf
+      (1L, "the") -> 2L, (3L, "the") -> 1L, (5L, "the") -> 1L,
+      (2L, "of") -> 1L, (2L, "and") -> 1L, (5L, "and") -> 3L)
+    val dl = Map(1L -> 6L, 2L -> 4L, 3L -> 4L, 4L -> 3L, 5L -> 4L)
+    val n = 5.0
+    val avgdl = 21.0 / 5.0
+    val df = Map("the" -> 3L, "of" -> 1L, "and" -> 2L)
+    def idf(t: String) = math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5))
+    def tfc(f: Long, l: Long) =
+      (f * (TextIndexStore.K1 + 1.0)) /
+        (f + TextIndexStore.K1 * (1.0 - TextIndexStore.B +
+          l / avgdl * TextIndexStore.B))
+    dl.keys.flatMap { d =>
+      val hit = terms.filter(t => tf.contains((d, t)))
+      if (hit.isEmpty) None
+      else Some(d -> (
+        terms.map(t => tf.get((d, t)).map(f => idf(t) * tfc(f, dl(d))).getOrElse(0.0)).sum,
+        hit.size.toLong))
+    }.toMap
+  }
+
+  test("index-built BM25 equals the from-scratch formula; batch == incremental") {
+    val r1 = tmpRoot("inc"); val r2 = tmpRoot("batch")
+    assert(TextIndexStore.append(docsDf(docs.take(3)), r1, "day-1") === 3L)
+    assert(TextIndexStore.append(docsDf(docs.drop(3)), r1, "day-2") === 2L)
+    assert(TextIndexStore.append(docsDf(docs), r2, "all") === 5L)
+    val inc = TextIndexStore.topK(spark, r1, terms, topK = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getInt(3)))
+    val batch = TextIndexStore.topK(spark, r2, terms, topK = 10).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2), r.getInt(3)))
+    assert(inc.toSeq === batch.toSeq,
+      "a 2-day store must answer exactly like a 1-append store")
+    val got = inc.toMap
+    assert(got.keySet === expectedScores.keySet, "doc 4 has no query term")
+    for ((d, (score, hits)) <- expectedScores) {
+      assert(math.abs(got(d)._1 - score) < 1e-12, s"doc $d score")
+      assert(got(d)._2 === hits, s"doc $d n_terms_hit")
+    }
+    // ranks follow (score desc, doc_id asc)
+    val byRank = inc.sortBy(_._2._3).map(_._1).toSeq
+    val want = expectedScores.toSeq
+      .sortBy { case (d, (sc, _)) => (-sc, d) }.map(_._1)
+    assert(byRank === want)
+    assert(TextIndexStore.corpusStats(spark, r1) === ((5L, 4.2)))
+  }
+
+  test("re-running a day is idempotent; a torn append is invisible until re-committed") {
+    val r = tmpRoot("torn")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    val before = TextIndexStore.topK(spark, r, terms, 10).collect().toSeq
+    // re-run the same day: dynamic overwrite, not duplication
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    assert(TextIndexStore.corpusStats(spark, r)._1 === 3L)
+    assert(TextIndexStore.topK(spark, r, terms, 10).collect().toSeq === before)
+    // crash image: day-2's partitions land but its marker is deleted
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val fs = new Path(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(s"$r/markers/day-2"), false))
+    assert(TextIndexStore.committedDays(spark, r) === Seq("day-1"))
+    assert(TextIndexStore.topK(spark, r, terms, 10).collect().toSeq === before,
+      "uncommitted partitions must not score")
+    // replaying the append heals the crash
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    assert(TextIndexStore.corpusStats(spark, r)._1 === 5L)
+  }
+
+  test("degenerate docs corrupt-drop at append; empty store probes empty") {
+    val s = spark
+    import s.implicits._
+    val bad = Seq[(java.lang.Long, String)](
+      (null, "real text lost to a null id"),
+      (7L, null), (8L, ""), (9L, "   \t  "))
+      .toDF("doc_id", "text")
+    val r = tmpRoot("degen")
+    assert(TextIndexStore.append(bad, r, "day-1") === 0L,
+      "null-id, null-text and token-less docs must not index")
+    val empty = TextIndexStore.topK(spark, r, terms, 5)
+    assert(empty.collect().isEmpty)
+    assert(empty.schema.fieldNames.toSeq ===
+      Seq("doc_id", "bm25", "n_terms_hit", "rank"))
+    assert(TextIndexStore.corpusStats(spark, r) === ((0L, 0.0)))
+  }
+
+  test("probe refuses duplicate terms, empty terms, bad day names refused at append") {
+    val r = tmpRoot("args")
+    TextIndexStore.append(docsDf(docs), r, "day-1"): Unit
+    intercept[IllegalArgumentException] {
+      TextIndexStore.topK(spark, r, Seq("the", "the"), 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.topK(spark, r, Seq.empty, 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.append(docsDf(docs), r, "merged-1")
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.append(docsDf(docs), r, ".hidden")
+    }
+  }
+
+  test("probe plan: dt partition filters + word pushdown on the postings scan") {
+    val r = tmpRoot("plan")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val probe = TextIndexStore.topK(spark, r, terms, 5)
+    probe.collect(): Unit
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+        case r2: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r2.child)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+    val postingScans = scansOf(probe.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "word"))
+    assert(postingScans.nonEmpty, "no postings scan in the probe plan")
+    postingScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "dt filter must reach the file index (committed-day prune)")
+      assert(sc.metadata("PushedFilters").contains("In(word"),
+        s"word IN pushdown missing: ${sc.metadata("PushedFilters")}")
+    }
+  }
+}
