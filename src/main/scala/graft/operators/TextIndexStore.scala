@@ -53,12 +53,11 @@ import org.apache.spark.sql.types._
   * Concurrency: appends of distinct days are independent (disjoint
   * partitions, disjoint markers); probes read the committed view
   * only ([[PartitionedLayout.readDays]] — no replaced-day debris,
-  * no listing race). Compaction is deliberately ABSENT in v1:
-  * postings days are purely additive (no cross-day suppression to
-  * re-resolve), so folding small days is an optimization with the
-  * [[MarkerProtocol.MergedPrefix]] protocol already reserved for it
-  * — `merged-*` day names are refused at append now so a later
-  * compact can't collide with a legacy day.
+  * no listing race). [[compact]] folds aged day partitions under the
+  * [[DedupStore]] merged-marker protocol — simpler here because BOTH
+  * tables are purely additive (postings concatenate; stats rows
+  * re-sum to one), so the fold is a concatenate + re-sort, never a
+  * recompute.
   */
 object TextIndexStore {
 
@@ -94,7 +93,26 @@ object TextIndexStore {
     require(!day.startsWith(MarkerProtocol.MergedPrefix),
       s"'${MarkerProtocol.MergedPrefix}' is reserved for compaction markers, got '$day'")
     val spark = docs.sparkSession
+    // a day a committed compaction already folded can no longer be
+    // re-appended: its postings live on in the merged partition, so
+    // the re-run would commit a SECOND copy under the day name —
+    // doubled tf/df/stats in every probe (the IvfStore double-count
+    // flavor of DedupStore's requireNotCompacted)
+    val (_, replacedNow) = MarkerProtocol.markerState(
+      fsOf(spark, root), new Path(s"$root/markers"))
+    if (replacedNow.contains(day)) throw new IllegalStateException(
+      s"day '$day' of text index '$root' was already folded into a " +
+        "compacted partition; re-appending it would double-count its " +
+        "postings in every probe. Re-append is only supported inside " +
+        "compact()'s keepDays retention window — size keepDays to cover " +
+        "the longest replay horizon.")
     graft.GraftExtensions.ensureRegistered(spark)
+    // RE-APPEND crash discipline (the IvfStore round-12 rule):
+    // retract the day's marker BEFORE rewriting its partitions. A
+    // crash mid-overwrite must leave the day loudly UNCOMMITTED —
+    // with the old marker live through the rewrite window, probes
+    // would silently score a partial day.
+    fsOf(spark, root).delete(new Path(s"$root/markers/$day"), false): Unit
     // one tokenize pass: postings carry dl inline (see layout note).
     // Indexable = NOT blank — the F1 validity family's isBlank rlike,
     // explicit because the engine's split discipline KEEPS empty
@@ -184,5 +202,117 @@ object TextIndexStore {
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("bm25").desc, col("doc_id").asc)))
+  }
+
+  private val Tables = Seq("postings", "stats")
+
+  private def partFiles(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(s =>
+      s.isFile && s.getPath.getName.startsWith("part-"))
+
+  /** part-file count over the committed view — the [[compact]]
+    * before/after metric. */
+  def committedFileCount(spark: SparkSession, root: String): Int = {
+    val f = fsOf(spark, root)
+    val days = committedDays(spark, root)
+    Tables.map(t =>
+      days.map(dd => partFiles(f, new Path(s"$root/$t/dt=$dd")).size).sum).sum
+  }
+
+  /** Delete replaced-day partitions + markers, and uncommitted
+    * `merged-*` partition debris from a crashed prior attempt whose
+    * merge set changed before the retry (the [[DedupStore]] sweep,
+    * verbatim semantics). Runs at the START of every [[compact]] —
+    * never at the end: a reader that planned just before the merge
+    * marker landed may still be scanning the replaced files, so they
+    * stay as invisible garbage for one maintenance cadence. */
+  private def sweepReplaced(f: org.apache.hadoop.fs.FileSystem,
+      root: String): Unit = {
+    val (names, replaced) = MarkerProtocol.markerState(f, new Path(s"$root/markers"))
+    val present = names.toSet
+    replaced.intersect(present).foreach { dd =>
+      Tables.foreach(t => f.delete(new Path(s"$root/$t/dt=$dd"), true))
+      f.delete(new Path(s"$root/markers", dd), false): Unit
+    }
+    Tables.foreach { t =>
+      Option(f.globStatus(new Path(s"$root/$t/dt=${MarkerProtocol.MergedPrefix}*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath)
+        .filterNot(p => present.contains(p.getName.stripPrefix("dt=")))
+        .foreach(p => f.delete(p, true))
+    }
+  }
+
+  final case class CompactionReport(mergedDay: Option[String],
+      foldedDays: Int, filesBefore: Int, filesAfter: Int)
+
+  /** Fold all committed days older than the most recent `keepDays`
+    * real days into one consolidated partition per table — the
+    * [[DedupStore.compact]] protocol (tmp-invisible merged partition,
+    * ONE atomic marker whose content lists the replaced days
+    * transitively, sweep at the START of the next run as the reader
+    * grace period, deterministic digest-named merged day so crashed
+    * retries converge, merged-tier refold bounded by
+    * `graft.store.maxMergedParts`), with the fold itself trivial
+    * because both tables are additive: postings concatenate (re-
+    * sorted by word within the merged files so the probe's row-group
+    * pruning survives compaction), stats re-sum to ONE row. Probes
+    * are answer-identical before/during/after — the committed view
+    * always holds exactly one copy of every posting. */
+  def compact(spark: SparkSession, root: String, keepDays: Int = 7,
+      targetFileBytes: Long = 128L * 1024 * 1024): CompactionReport = {
+    require(keepDays >= 0, "keepDays must be >= 0")
+    val f = fsOf(spark, root)
+    sweepReplaced(f, root) // heal a prior crash between commit and sweep
+    val before = committedFileCount(spark, root)
+    val all = committedDays(spark, root)
+    // retention counts REAL days only (merged-* pseudo-days sort
+    // after date-named days and would eat the protected window)
+    val (alreadyMerged, realDays) =
+      all.partition(_.startsWith(MarkerProtocol.MergedPrefix))
+    val newOld = realDays.dropRight(keepDays)
+    val maxMergedParts = spark.conf.getOption("graft.store.maxMergedParts")
+      .map(_.toInt).getOrElse(4)
+    require(maxMergedParts >= 1, "graft.store.maxMergedParts must be >= 1")
+    val mergeDays =
+      if (alreadyMerged.size + 1 > maxMergedParts) alreadyMerged ++ newOld
+      else newOld
+    if (mergeDays.size < 2 || newOld.isEmpty)
+      return CompactionReport(None, 0, before, before)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(mergeDays.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(12)
+    val mergedDay = s"${MarkerProtocol.MergedPrefix}${mergeDays.size}d-$digest"
+    def foldTable(t: String)(merge: DataFrame => DataFrame): Unit = {
+      val dayDirs = mergeDays.map(dd => new Path(s"$root/$t/dt=$dd"))
+        .filter(dd => partFiles(f, dd).nonEmpty)
+      val outDir = new Path(s"$root/$t/dt=$mergedDay")
+      f.delete(outDir, true): Unit // debris from a crashed prior attempt
+      if (dayDirs.nonEmpty) {
+        val bytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
+        val shards = math.max(1L,
+          math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+        merge(spark.read.parquet(dayDirs.map(_.toString): _*))
+          .coalesce(shards)
+          .write.parquet(outDir.toString)
+      }
+    }
+    foldTable("postings")(_.sortWithinPartitions(col("word"), col("doc_id")))
+    foldTable("stats")(st =>
+      st.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+    // marker content = replaced names TRANSITIVELY (a folded merged-*
+    // contributes its own name plus every day its marker listed, so
+    // two-generation-old days stay protected from re-append)
+    val content = mergeDays.flatMap { dd =>
+      if (dd.startsWith(MarkerProtocol.MergedPrefix))
+        dd +: MarkerProtocol.readMarker(f, new Path(s"$root/markers", dd))
+      else Seq(dd)
+    }.distinct
+    MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+      new Path(s"$root/markers"), mergedDay, content.mkString("\n") + "\n")
+    CompactionReport(Some(mergedDay), mergeDays.size, before,
+      committedFileCount(spark, root))
   }
 }

@@ -133,6 +133,55 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("compact folds aged days probe-identically; refused re-append; crash debris swept") {
+    val r = tmpRoot("compact")
+    // 4 one-doc days + 1 recent day; keepDays=1 folds the first 4
+    docs.zipWithIndex.foreach { case (doc, i) =>
+      TextIndexStore.append(docsDf(Seq(doc)), r, f"2024-07-0${i + 1}%s"): Unit
+    }
+    val before = TextIndexStore.topK(spark, r, terms, 10).collect().toSeq
+    val filesBefore = TextIndexStore.committedFileCount(spark, r)
+    val rep = TextIndexStore.compact(spark, r, keepDays = 1)
+    assert(rep.foldedDays === 4)
+    assert(rep.mergedDay.exists(_.startsWith("merged-4d-")))
+    assert(rep.filesBefore === filesBefore)
+    assert(rep.filesAfter < filesBefore,
+      s"fold must shrink the committed file count: $rep")
+    assert(TextIndexStore.committedDays(spark, r) ===
+      Seq("2024-07-05", rep.mergedDay.get))
+    assert(TextIndexStore.topK(spark, r, terms, 10).collect().toSeq === before,
+      "the committed view must hold exactly one copy of every posting")
+    assert(TextIndexStore.corpusStats(spark, r) === ((5L, 4.2)))
+    // a folded day can no longer re-append (postings would double)
+    val ex = intercept[IllegalStateException] {
+      TextIndexStore.append(docsDf(docs.take(1)), r, "2024-07-01")
+    }
+    assert(ex.getMessage.contains("double-count"))
+    // replaced dirs survive as invisible garbage (reader grace
+    // period), then the NEXT compact's sweep deletes them
+    val fs = new Path(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$r/postings/dt=2024-07-01")),
+      "no sweep at fold time — grace period for in-flight readers")
+    TextIndexStore.compact(spark, r, keepDays = 1): Unit // no-op fold, sweeps
+    assert(!fs.exists(new Path(s"$r/postings/dt=2024-07-01")))
+    assert(!fs.exists(new Path(s"$r/markers/2024-07-01")))
+    assert(TextIndexStore.topK(spark, r, terms, 10).collect().toSeq === before)
+    // crash image: merged partitions written but the marker never
+    // landed → debris, invisible, swept by the next run
+    val rep2root = tmpRoot("crash")
+    docs.take(2).zipWithIndex.foreach { case (doc, i) =>
+      TextIndexStore.append(docsDf(Seq(doc)), rep2root, s"day-${i + 1}"): Unit
+    }
+    val fs2 = new Path(rep2root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs2.mkdirs(new Path(s"$rep2root/postings/dt=merged-2d-deadbeef0000"))
+    val beforeCrash = TextIndexStore.topK(spark, rep2root, terms, 10).collect().toSeq
+    TextIndexStore.compact(spark, rep2root, keepDays = 0): Unit
+    assert(!fs2.exists(new Path(s"$rep2root/postings/dt=merged-2d-deadbeef0000")),
+      "orphaned merged debris from a crashed attempt must be swept")
+    assert(TextIndexStore.topK(spark, rep2root, terms, 10).collect().toSeq
+      === beforeCrash)
+  }
+
   test("probe plan: dt partition filters + word pushdown on the postings scan") {
     val r = tmpRoot("plan")
     TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
