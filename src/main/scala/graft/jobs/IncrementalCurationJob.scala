@@ -98,7 +98,8 @@ object IncrementalCurationJob {
       compactEvery: Int = 64, keepDays: Int = 7,
       embeddingCol: Option[String] = None,
       ivfRoot: Option[String] = None,
-      ivfPointer: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
+      ivfPointer: Option[String] = None,
+      textIndexRoot: Option[String] = None): org.apache.spark.sql.streaming.StreamingQuery = {
     requireNoLegacyBatchDays(docs.sparkSession,
       (Seq("exact", "near", "contain") ++ embeddingCol.map(_ => "cos"))
         .map(s0 => s"$root/$s0"))
@@ -126,9 +127,10 @@ object IncrementalCurationJob {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         ingestDay(batch.toDF(), root, f"batch-$id%09d", cfg, containT,
           stats = false, embeddingCol = embeddingCol, ivfRoot = ivfRoot,
-          ivfPointer = ivfPointer)
+          ivfPointer = ivfPointer, textIndexRoot = textIndexRoot)
         maybeCompact(batch.sparkSession, root, id, compactEvery, keepDays,
-          ivfRoot = ivfTarget(batch.sparkSession))
+          ivfRoot = ivfTarget(batch.sparkSession),
+          textIndexRoot = textIndexRoot)
       }
       .start()
   }
@@ -208,11 +210,16 @@ object IncrementalCurationJob {
     * method was about to discard. */
   private def maybeCompact(spark: SparkSession, root: String, batchId: Long,
       compactEvery: Int, keepDays: Int,
-      ivfRoot: => Option[String] = None): Unit =
+      ivfRoot: => Option[String] = None,
+      textIndexRoot: Option[String] = None): Unit =
     if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
       compactStores(spark, root, keepDays): Unit
       ivfRoot.foreach(ir =>
         graft.operators.IvfStore.compact(spark, ir, keepDays): Unit)
+      // the text index accumulates one postings + one stats dir per
+      // micro-batch; same single-writer seam, same retention knob
+      textIndexRoot.foreach(tr =>
+        graft.operators.TextIndexStore.compact(spark, tr, keepDays): Unit)
     }
 
   /** Round-11 upgrade guard: round 10 widened the streaming store-day
@@ -357,6 +364,17 @@ object IncrementalCurationJob {
     * [[graft.operators.IvfStore.catchUp]] heals it. Explicit
     * `ivfRoot` wins when both are given.
     *
+    * `textIndexRoot` (round 14) is the RETRIEVAL co-append — the
+    * day's survivors become BM25-searchable
+    * ([[graft.operators.TextIndexStore.topK]]) the moment the day
+    * commits, the lexical twin of `ivfRoot`'s ANN-servability. No
+    * init is required (the inverted layout carries no trained state)
+    * and no pointer variant exists (no drift ⇒ no rebuild ⇒ no root
+    * swap to follow) — the two asymmetries vs the IVF path are
+    * features of the index, not gaps. Crash recovery composes the
+    * same way: the index's marker retract-then-rewrite keeps a torn
+    * co-append search-invisible, and the re-run converges.
+    *
     * Report/manifest accounting under composition: `curated` is
     * always the FINAL export count; `afterContain` carries the
     * post-containment count whenever any later stage runs (-1
@@ -373,7 +391,8 @@ object IncrementalCurationJob {
       embeddingCol: Option[String] = None,
       cosineT: Double = 0.9,
       ivfRoot: Option[String] = None,
-      ivfPointer: Option[String] = None): Report = {
+      ivfPointer: Option[String] = None,
+      textIndexRoot: Option[String] = None): Report = {
     val spark = delta.sparkSession
     import spark.implicits._
     graft.GraftExtensions.ensureRegistered(spark)
@@ -421,6 +440,18 @@ object IncrementalCurationJob {
       for (ec <- embeddingCol; ir <- ivfTarget())
         graft.operators.IvfStore.append(curated, ir, day,
           idCol = "doc_id", vecCol = ec)
+      // retrieval co-append (round 14): the day's SURVIVORS become
+      // BM25-searchable the moment the day commits — the lexical twin
+      // of the ANN co-append, with two simplifications earned by the
+      // index's statelessness: no init (there are no trained
+      // centroids; the inverted layout needs no training decision)
+      // and no pointer (no drift ⇒ no rebuild ⇒ no root to swap).
+      // Crash recovery composes identically: TextIndexStore.append
+      // retracts the day marker before rewriting, so a crash leaves
+      // the day search-invisible and the re-run converges.
+      for (tr <- textIndexRoot)
+        graft.operators.TextIndexStore.append(curated, tr, day,
+          idCol = "doc_id", textCol = "text"): Unit
       val outDir = s"$root/out/dt=$day"
       // re-runs may pack FEWER shards than a prior attempt; clear the
       // day dir so stale higher-numbered parts can't survive the

@@ -102,7 +102,8 @@ object Jobs {
           stats = kv.get("stats").forall(_.toBoolean),
           embeddingCol = kv.get("embeddingCol"),
           ivfRoot = kv.get("ivfRoot"),
-          ivfPointer = kv.get("ivfPointer"))
+          ivfPointer = kv.get("ivfPointer"),
+          textIndexRoot = kv.get("textIndexRoot"))
         println(report)
       case "curationReportJob" => // extension: data-quality dashboard
         val counts = CurationReportJob.run(spark, kv("input"), kv("output"))

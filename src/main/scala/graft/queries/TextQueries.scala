@@ -1008,22 +1008,45 @@ object TextQueries {
     "q149_bm25_store_topk",
     (s, d) => {
       import s.implicits._
-      val terms = Seq("the", "of", "and")
+      graft.GraftExtensions.ensureRegistered(s)
       val docs = T.documents(s, d)
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-q149-textindex-").toString
-      try {
-        // pmod, not %: a negative doc_id must land in exactly one day
-        // (the q146 rule)
-        graft.operators.TextIndexStore.append(
-          docs.filter(pmod($"doc_id", lit(2)) === 0), root, "day-1"): Unit
-        graft.operators.TextIndexStore.append(
-          docs.filter(pmod($"doc_id", lit(2)) === 1), root, "day-2"): Unit
-        graft.operators.TextIndexStore.topK(s, root, terms, topK = 20)
-          .localCheckpoint() // materialize before the root vanishes
-      } finally {
-        val p = new org.apache.hadoop.fs.Path(root)
-        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+      // probe terms = the corpus's top-3 words by total frequency
+      // (ties word asc) — DERIVED, not hardcoded, so the gate stays
+      // meaningful on any corpus (the ~sf1 replica's token mutation
+      // prefixes every word — a stopword literal would probe an empty
+      // posting list there). Exact integer counts → the rank is
+      // deterministic and the oracle's tw CTE reproduces it; the
+      // 3-row collect is the q146 driver-side query-shaping pattern.
+      // Scope = the index's own indexable predicate (see docs0).
+      val docs0 = docs.filter($"doc_id".isNotNull && $"text".isNotNull &&
+        !$"text".rlike("^\\s*$"))
+      val terms = docs0
+        .select(explode(expr("word_counts(text)")).as("w"))
+        .groupBy($"w.word".as("word")).agg(sum($"w.tf").as("n"))
+        .orderBy($"n".desc, $"word".asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      if (terms.isEmpty)
+        Seq.empty[(Long, Double, Long, Int)]
+          .toDF("doc_id", "bm25", "n_terms_hit", "rank")
+      else {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q149-textindex-").toString
+        try {
+          // pmod, not %: a negative doc_id must land in exactly one
+          // day (the q146 rule)
+          graft.operators.TextIndexStore.append(
+            docs.filter(pmod($"doc_id", lit(2)) === 0), root, "day-1"): Unit
+          graft.operators.TextIndexStore.append(
+            docs.filter(pmod($"doc_id", lit(2)) === 1), root, "day-2"): Unit
+          // terms arrive in frequency-rank order; topK's fixed-order
+          // per-term sum therefore adds in the SAME order as the
+          // oracle's trank CASE chain
+          graft.operators.TextIndexStore.topK(s, root, terms, topK = 20)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
       }
     },
     Some("""WITH docs0 AS (SELECT doc_id, text FROM documents
@@ -1031,12 +1054,16 @@ object TextQueries {
           AND NOT regexp_matches(text, '^\s*$')),
       wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word
              FROM docs0),
+      tw AS (SELECT word, trank FROM (
+               SELECT word, row_number() OVER
+                 (ORDER BY count(*) DESC, word ASC) AS trank
+               FROM wx GROUP BY word) WHERE trank <= 3),
       dl AS (SELECT doc_id, count(*) AS dl FROM wx GROUP BY 1),
       st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
       tf AS (SELECT doc_id, word, count(*) AS tf FROM wx
-             WHERE word IN ('the', 'of', 'and') GROUP BY 1, 2),
+             WHERE word IN (SELECT word FROM tw) GROUP BY 1, 2),
       dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
-      sc AS (SELECT t.doc_id, t.word,
+      sc AS (SELECT t.doc_id, w.trank,
                ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
                  / (CAST(f.df AS DOUBLE) + 0.5)) AS idf,
                (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
@@ -1044,11 +1071,11 @@ object TextQueries {
                    + CAST(d.dl AS DOUBLE)
                      / (CAST(s.sum_dl AS DOUBLE) / s.n_docs) * 0.75)) AS tfc
              FROM tf t JOIN dl d USING (doc_id) JOIN dfq f USING (word)
-             CROSS JOIN st s),
+             JOIN tw w USING (word) CROSS JOIN st s),
       ag AS (SELECT doc_id,
-               coalesce(sum(CASE WHEN word = 'the' THEN idf * tfc END), 0.0)
-               + coalesce(sum(CASE WHEN word = 'of' THEN idf * tfc END), 0.0)
-               + coalesce(sum(CASE WHEN word = 'and' THEN idf * tfc END), 0.0)
+               coalesce(sum(CASE WHEN trank = 1 THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN trank = 2 THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN trank = 3 THEN idf * tfc END), 0.0)
                  AS bm25,
                count(*) AS n_terms_hit
              FROM sc GROUP BY doc_id)

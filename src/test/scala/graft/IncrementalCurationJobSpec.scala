@@ -132,6 +132,37 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("runStream(textIndexRoot): a streamed corpus is BM25-searchable as each micro-batch commits") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val root = Files.createTempDirectory("icur-stream-tix").toString
+    val ckpt = Files.createTempDirectory("icur-ckpt-tix").toString
+    val tix = s"$root/tix"
+    val in = MemoryStream[(Long, String)]
+    val q = graft.jobs.IncrementalCurationJob.runStream(
+      in.toDF().toDF("doc_id", "text"), root, ckpt,
+      textIndexRoot = Some(tix))
+    def hits(terms: Seq[String]): Set[Long] =
+      graft.operators.TextIndexStore.topK(spark, tix, terms, topK = 50)
+        .select($"doc_id").as[Long].collect().toSet
+    try {
+      in.addData((1L, archived), (2L, other))
+      q.processAllAvailable()
+      assert(hits(Seq("riverbank")) === Set(1L),
+        "batch-0 survivors searchable the moment the batch commits")
+      in.addData((10L, archived), // exact copy — cut, never indexed
+        (14L, "a brand new unique document about gardening tulips and rich soil beds"))
+      q.processAllAvailable()
+      assert(hits(Seq("riverbank")) === Set(1L))
+      assert(hits(Seq("tulips")) === Set(14L))
+      assert(graft.operators.TextIndexStore.committedDays(s, tix)
+        === Seq("batch-000000000", "batch-000000001"))
+      assert(graft.operators.TextIndexStore.corpusStats(s, tix)._1 === 3L)
+    } finally q.stop()
+  }
+
   test("runStream(ivfPointer): a mid-stream rebuild swap redirects the next micro-batch, no restart") {
     val s = spark
     import s.implicits._
@@ -377,6 +408,53 @@ class IncrementalCurationJobSpec extends AnyFunSuite with SparkSpec {
     assert(audits.keySet === Set("exact", "near", "contain", "phash", "cos", "ivf"))
     assert(audits("ivf").forall(_.severity == "info"),
       s"healthy pipeline-fed IVF store must audit clean: ${audits("ivf")}")
+  }
+
+  test("textIndexRoot: survivors are BM25-searchable same-day, suppressed docs never index, crash recovers") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("icur-tix").toString
+    val tix = s"$root/tix"
+    def hits(terms: Seq[String]): Set[Long] =
+      graft.operators.TextIndexStore.topK(spark, tix, terms, topK = 50)
+        .select($"doc_id").as[Long].collect().toSet
+
+    // day 1: both docs survive and are searchable the moment the day
+    // commits — no init step exists for the text index (stateless)
+    val r1 = IncrementalCurationJob.ingestDay(
+      docs(1L -> archived, 2L -> other), root, "d1",
+      textIndexRoot = Some(tix))
+    assert(r1.curated === 2)
+    assert(graft.operators.TextIndexStore.committedDays(spark, tix) === Seq("d1"))
+    assert(hits(Seq("riverbank")) === Set(1L))
+    assert(hits(Seq("shuffle")) === Set(2L))
+
+    // day 2: 10 is an exact dup of archived doc 1 — cut by the exact
+    // stage, so it must never reach the index; 14 is fresh
+    val day2 = docs(10L -> archived,
+      14L -> "a brand new unique document about gardening tulips and rich soil beds")
+    val r2 = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      textIndexRoot = Some(tix))
+    assert(r2.curated === 1, s"exact dup must be cut: $r2")
+    assert(hits(Seq("riverbank")) === Set(1L),
+      "the suppressed dup must never index — one copy of the archived text")
+    assert(hits(Seq("tulips")) === Set(14L))
+
+    // crash image across the marker namespaces: dedup stores
+    // committed d2, the index marker did not (append retracts first)
+    val hfs = new org.apache.hadoop.fs.Path(tix)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new org.apache.hadoop.fs.Path(s"$tix/markers/d2"), false))
+    assert(hits(Seq("tulips")) === Set.empty,
+      "uncommitted index day must be search-invisible")
+    // documented recovery: re-run the day; dedup re-ingests converge
+    // and the index re-append rewrites the day exactly once
+    val r2again = IncrementalCurationJob.ingestDay(day2, root, "d2",
+      textIndexRoot = Some(tix))
+    assert(r2again === r2)
+    assert(hits(Seq("tulips")) === Set(14L))
+    assert(graft.operators.TextIndexStore.corpusStats(spark, tix)._1 === 3L,
+      "exactly the three curated survivors are indexed")
   }
 
   test("ivfPointer: each day resolves the published root, so a rebuild swap redirects the next ingest automatically") {
