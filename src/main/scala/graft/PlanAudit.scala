@@ -23,7 +23,8 @@ object PlanAudit {
     "q116_containment_dedup", "q118_incremental_containment",
     "q143_incremental_containment_dfguard",
     "q140_mm_phash_neardup", "q142_mm_phash_incremental",
-    "q144_cos_incremental")
+    "q144_cos_incremental",
+    "q147_pq_adc_topk", "q148_pq_recall")
   // q145/q146 are deliberately NOT snapshotted from the registry:
   // both execute eagerly (the CC label loop / the store build) and
   // their registered frames are checkpoint scans. q146's SERVING
@@ -57,8 +58,25 @@ object PlanAudit {
       val probe = graft.operators.IvfStore.probe(s, root, "vec_id",
         "embedding", (0 until 3).map(i => (9000L + i) -> vec()),
         nprobe = 2, topK = 5)
+      // q149's registered frame is the same eager-lifecycle shape as
+      // q146's — snapshot the SERVING PROBE from a fixture instead
+      // (dt prune + word-IN pushdown is the shape a reviewer needs)
+      val tixRoot = "/tmp/graft-planaudit-tix"
+      val tp = new org.apache.hadoop.fs.Path(tixRoot)
+      tp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(tp, true)
+      graft.operators.TextIndexStore.append(
+        Seq((1L, "alpha beta gamma"), (2L, "alpha delta epsilon"))
+          .toDF("doc_id", "text"), tixRoot, "2024-06-01"): Unit
+      graft.operators.TextIndexStore.append(
+        Seq((3L, "beta beta zeta")).toDF("doc_id", "text"),
+        tixRoot, "2024-06-02"): Unit
+      val bm25Probe = graft.operators.TextIndexStore.topK(
+        s, tixRoot, Seq("alpha", "beta"), topK = 5)
       Seq("===== q146_ivf_store_probe (serving probe frame; store fixture)",
         fmt(probe.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== q149_bm25_store_topk (serving probe frame; store fixture)",
+        fmt(bm25Probe.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)))
     })
   }
