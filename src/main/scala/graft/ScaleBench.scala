@@ -108,7 +108,18 @@ object ScaleBench {
     // round 11: the third-decade (~sf10) family runs — incremental
     // containment + the multimodal phash pipeline
     "q118_incremental_containment", "q139_mm_phash_sig",
-    "q140_mm_phash_neardup", "q142_mm_phash_incremental")
+    "q140_mm_phash_neardup", "q142_mm_phash_incremental",
+    // round 14: the text-index lifecycle (append is the linear
+    // tokenize pass; the probe reads the 3 derived terms' postings).
+    // q147/q148 are EXCLUDED for the q44-oracle reason: their sampled
+    // codebook is a corpus slice (vec_id % 25), so encode work grows
+    // n²/25 BY CONSTRUCTION — measured ratio 14.6 on ×10 data, the
+    // honest cost of a DuckDB-reproducible codebook, not of PQ. The
+    // production path (ProductQuantizer.train) fixes |codebook|, so
+    // encode/ADC are linear in the corpus; PLANS.md pins the bounded
+    // rank exchange (WindowGroupLimit) that keeps the probe's only
+    // shuffle at ≤ |Q|·topK·partitions rows.
+    "q149_bm25_store_topk")
 
   private def time(spark: SparkSession, name: String, d: String): Double = {
     val t0 = System.nanoTime
