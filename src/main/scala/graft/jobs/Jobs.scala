@@ -130,7 +130,8 @@ object Jobs {
           nprobe = kv.get("nprobe").map(_.toInt).getOrElse(8),
           topK = kv.get("topK").map(_.toInt).getOrElse(5),
           queriesPerDay = kv.get("queriesPerDay").map(_.toInt).getOrElse(16),
-          rebuildPolicy = policy)
+          rebuildPolicy = policy,
+          textIndexRoot = kv.get("textIndexRoot"))
         println(counts.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(" "))
       case "mixtureJob" => // extension: epoch assembly (MixtureJob)
         val cfg = MixtureJob.Config(

@@ -13,10 +13,15 @@ import graft.operators.{DedupStore, IvfStore}
   * the corpus dashboard —
   *
   *   compaction   per-store [[DedupStore.compact]] /
-  *                [[IvfStore.compact]] outcome (what folded, the
-  *                small-files metric before/after, un-swept victims)
+  *                [[IvfStore.compact]] /
+  *                [[graft.operators.TextIndexStore.compact]] outcome
+  *                (what folded, the small-files metric before/after,
+  *                un-swept victims)
   *   fsck         every [[DedupStore.FsckFinding]] across the five
-  *                dedup roots (+ the IVF root, keyed "ivf")
+  *                dedup roots (+ the IVF root keyed "ivf", + the
+  *                retrieval root keyed "text_index" — which carries
+  *                NO monitors: no trained state to drift, no recall
+  *                arm, so compact + fsck is its whole story)
   *   drift        [[IvfStore.driftReport]] — per-day dist² vs the
   *                seed baseline + cell-occupancy axis
   *   recall       [[IvfStore.recallReport]] — per-day recall@topK at
@@ -58,7 +63,9 @@ object MaintenanceJob {
     * report predates the field). */
   private def compactionFrame(spark: SparkSession,
       dedup: Map[String, DedupStore.CompactionReport],
-      ivf: Option[IvfStore.CompactionReport]): DataFrame = {
+      ivf: Option[IvfStore.CompactionReport],
+      textIndex: Option[graft.operators.TextIndexStore.CompactionReport] = None)
+      : DataFrame = {
     import spark.implicits._
     val dd = dedup.toSeq.sortBy(_._1).map { case (s0, r) =>
       (s0, r.mergedDay, r.daysMerged, "files",
@@ -67,7 +74,10 @@ object MaintenanceJob {
     val iv = ivf.toSeq.map(r =>
       ("ivf", r.mergedDay, r.foldedDays, "day_dirs",
         r.dayDirsBefore, r.dayDirsAfter, Some(r.awaitingSweep)))
-    (dd ++ iv).toDF("store", "merged_day", "folded_days", "units",
+    val tx = textIndex.toSeq.map(r =>
+      ("text_index", r.mergedDay, r.foldedDays, "files",
+        r.filesBefore, r.filesAfter, Option.empty[Int]))
+    (dd ++ iv ++ tx).toDF("store", "merged_day", "folded_days", "units",
       "before", "after", "awaiting_sweep")
   }
 
@@ -197,7 +207,8 @@ object MaintenanceJob {
       outDir: String, keepDays: Int = 7, deep: Boolean = false,
       nprobe: Int = 8, topK: Int = 5,
       queriesPerDay: Int = 16,
-      rebuildPolicy: Option[RebuildPolicy] = None): Map[String, Long] = {
+      rebuildPolicy: Option[RebuildPolicy] = None,
+      textIndexRoot: Option[String] = None): Map[String, Long] = {
     import spark.implicits._
 
     // 1. compact (sweeps prior runs' replaced debris first, per store)
@@ -209,13 +220,24 @@ object MaintenanceJob {
       case None =>
         (IncrementalCurationJob.compactStores(spark, root, keepDays), None)
     }
+    // the retrieval co-append's root (round 14): one more additive
+    // store in the same sweep; it carries no monitors — no trained
+    // state to drift, no recall arm to compare — so compact + fsck
+    // IS its whole maintenance story
+    val txComp = textIndexRoot
+      .filter(tr => new org.apache.hadoop.fs.Path(tr)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(tr)))
+      .map(tr => graft.operators.TextIndexStore.compact(spark, tr, keepDays))
 
     // 2. audit the post-maintenance state
-    val findings = ivfRoot match {
+    val findings0 = ivfRoot match {
       case Some(ir) =>
         IncrementalCurationJob.fsckStoresWithIvf(spark, root, ir, deep)
       case None => IncrementalCurationJob.fsckStores(spark, root, deep)
     }
+    val findings = findings0 ++ textIndexRoot.map(tr =>
+      "text_index" -> graft.operators.TextIndexStore.fsck(spark, tr, deep))
 
     // 3-4. the ANN monitors — empty schema-stable frames when the IVF
     // root has nothing probeable yet (day zero / all-unusable), so the
@@ -242,7 +264,7 @@ object MaintenanceJob {
       driftC, recallC)
 
     val reports: Seq[(String, DataFrame)] = Seq(
-      "compaction" -> compactionFrame(spark, dedupComp, ivfComp),
+      "compaction" -> compactionFrame(spark, dedupComp, ivfComp, txComp),
       "fsck" -> findingsFrame(spark, findings),
       "drift" -> driftC,
       "recall" -> recallC,

@@ -315,4 +315,158 @@ object TextIndexStore {
     CompactionReport(Some(mergedDay), mergeDays.size, before,
       committedFileCount(spark, root))
   }
+
+  /** Integrity audit — the [[DedupStore.fsck]] invariants over this
+    * store's layout, report-only, reusing the same
+    * [[DedupStore.FsckFinding]] severity contract so the maintenance
+    * cron lands ONE findings schema across every store kind.
+    *
+    * Shallow (default, metadata only): crashed-commit tmp markers,
+    * empty / double-claiming merged markers, day names the delete
+    * paths cannot address, orphan partitions (write landed, marker
+    * did not), uncommitted merged debris, and sweep-grace transients.
+    * One layout-specific check: a committed day with POSTINGS but no
+    * STATS partition is an `error` — the probe would score that day's
+    * postings while N/avgdl exclude it, skewing every idf/tfc. (The
+    * reverse — stats without postings — is the legitimate shape of a
+    * zero-doc day and is NOT flagged.)
+    *
+    * Deep adds the denormalization recount: per committed day,
+    * re-derive (n_docs, sum_dl) from the postings (distinct doc_id;
+    * one inline `dl` per doc) and compare to the day's stats row —
+    * the invariant the probe's constants depend on. One
+    * committed-postings scan. */
+  def fsck(spark: SparkSession, root: String,
+      deep: Boolean = false): Seq[DedupStore.FsckFinding] = {
+    val f = fsOf(spark, root)
+    val out = scala.collection.mutable.ArrayBuffer.empty[DedupStore.FsckFinding]
+    val markerDir = new Path(s"$root/markers")
+    val (names, replaced) = MarkerProtocol.markerState(f, markerDir)
+    val live = names.filterNot(replaced).toSet
+    val committed = committedDays(spark, root)
+
+    if (f.exists(markerDir))
+      f.listStatus(markerDir).toSeq.map(_.getPath.getName)
+        .filter(n => n.startsWith(".") && n.endsWith(".tmp"))
+        .foreach(n => out += DedupStore.FsckFinding("warn", "tmp-marker", n,
+          "crashed commit left a temp marker; the day never published — " +
+            "re-append it (idempotent) or delete the file"))
+
+    val liveMerged = names.filter(n =>
+      n.startsWith(MarkerProtocol.MergedPrefix) && live(n))
+    val contents = liveMerged
+      .map(m => m -> MarkerProtocol.readMarker(f, new Path(markerDir, m))).toMap
+    contents.foreach { case (m, c) =>
+      if (c.isEmpty) out += DedupStore.FsckFinding(
+        "error", "empty-merged-marker", m,
+        "committed compaction marker replaces no days — compact() never " +
+          "writes one; remove it and audit how it appeared")
+    }
+    contents.toSeq
+      .flatMap { case (m, c) =>
+        c.filterNot(_.startsWith(MarkerProtocol.MergedPrefix)).map(_ -> m) }
+      .groupBy(_._1).filter(_._2.size > 1)
+      .foreach { case (d, ms) =>
+        out += DedupStore.FsckFinding("error", "double-merged", d,
+          s"day claimed by ${ms.size} live compaction markers " +
+            s"(${ms.map(_._2).sorted.mkString(", ")}) — its postings are " +
+            "duplicated across merged partitions and every probe " +
+            "double-counts them") }
+
+    names.filterNot(_.startsWith(MarkerProtocol.MergedPrefix))
+      .filterNot(n =>
+        scala.util.Try(MarkerProtocol.requireDayName(n)).isSuccess)
+      .foreach(n => out += DedupStore.FsckFinding("warn", "invalid-day-name", n,
+        "marker name outside [A-Za-z0-9._-]+ — partition-dir encoding " +
+          "diverges from the literal dt=DAY paths the store deletes by"))
+
+    val everNamed = names.toSet ++ replaced
+    def dtNames(t: String): Seq[String] = {
+      val dir = new Path(s"$root/$t")
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("dt="))
+        .map(_.stripPrefix("dt="))
+    }
+    Tables.foreach { t =>
+      dtNames(t).sorted.foreach { d =>
+        if (!everNamed.contains(d)) {
+          if (d.startsWith(MarkerProtocol.MergedPrefix))
+            out += DedupStore.FsckFinding("info", "merged-debris", s"$t/dt=$d",
+              "uncommitted merged partition (crashed compact); the next " +
+                "compact() sweeps it")
+          else
+            out += DedupStore.FsckFinding("warn", "orphan-partition", s"$t/dt=$d",
+              "partition with no marker (crash between table write and " +
+                "publish): invisible to probes — re-append the day or " +
+                "delete the directory")
+        } else if (replaced.contains(d))
+          out += DedupStore.FsckFinding("info", "awaiting-sweep", s"$t/dt=$d",
+            "replaced by a committed compaction; swept at the next " +
+              "compact() after the reader grace period")
+      }
+    }
+    names.filter(replaced.contains).foreach(n =>
+      out += DedupStore.FsckFinding("info", "awaiting-sweep", s"markers/$n",
+        "replaced day's marker inside the sweep grace period"))
+
+    // layout-specific: scored postings must be inside N/avgdl's scope
+    val statDays = dtNames("stats").filter(d =>
+      partFiles(f, new Path(s"$root/stats/dt=$d")).nonEmpty).toSet
+    committed.filter(d =>
+        partFiles(f, new Path(s"$root/postings/dt=$d")).nonEmpty)
+      .filterNot(statDays.contains)
+      .foreach(d => out += DedupStore.FsckFinding("error", "postings-without-stats",
+        s"postings/dt=$d",
+        "committed day has postings but no stats row — probes score its " +
+          "postings while N/avgdl exclude it, skewing every idf/tfc; " +
+          "re-append the day"))
+
+    if (deep && committed.nonEmpty) {
+      val posts = PartitionedLayout.readDays(
+        spark, s"$root/postings", postingsSchema, committed)
+      // per (day, doc): the inline dl must be ONE value across the
+      // doc's postings (the denormalization invariant), then the
+      // per-day rollup must equal the stats row
+      val perDoc = posts.groupBy(col("dt"), col("doc_id"))
+        .agg(min(col("dl")).as("dl_min"), max(col("dl")).as("dl_max"))
+      perDoc.filter(col("dl_min") =!= col("dl_max"))
+        .select(col("dt"), col("doc_id")).collect().foreach(r =>
+          out += DedupStore.FsckFinding("error", "inconsistent-inline-dl",
+            s"dt=${r.getString(0)}/doc_id=${r.getLong(1)}",
+            "a doc's postings disagree on its inline doc length — " +
+              "hand-edited partition; re-append the day"))
+      val recount = perDoc.groupBy(col("dt"))
+        .agg(count(lit(1)).as("n2"), sum(col("dl_max")).as("dl2"))
+      val stats = PartitionedLayout.readDays(
+        spark, s"$root/stats", statsSchema, committed)
+      stats.join(recount, Seq("dt"), "full_outer")
+        .collect().foreach { r =>
+          val dt = r.getAs[String]("dt")
+          val (n1, d1) = (Option(r.getAs[java.lang.Long]("n_docs")),
+            Option(r.getAs[java.lang.Long]("sum_dl")))
+          val n2 = Option(r.getAs[java.lang.Long]("n2"))
+          val d2v = Option(r.getAs[java.lang.Long]("dl2"))
+          val nOk = (n1.map(_.toLong), n2.map(_.toLong)) match {
+            case (Some(a), Some(b)) => a == b
+            case (Some(a), None) => a == 0L // zero-doc day: no postings
+            case _ => false
+          }
+          val dlOk = (d1.map(_.toLong), d2v.map(_.toLong)) match {
+            case (Some(a), Some(b)) => a == b
+            case (None, None) => true // zero-doc day: null sum, no postings
+            case _ => false
+          }
+          if (!nOk || !dlOk)
+            out += DedupStore.FsckFinding("error", "stats-recount-mismatch",
+              s"dt=$dt",
+              s"stats row (n_docs=${n1.orNull}, sum_dl=${d1.orNull}) != " +
+                s"postings recount (n_docs=${n2.orNull}, " +
+                s"sum_dl=${d2v.orNull}) — re-append the day")
+        }
+    }
+
+    val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)
+    out.sortBy(fi => (rank(fi.severity), fi.check, fi.subject)).toSeq
+  }
 }

@@ -141,6 +141,72 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
       Map("ivfPointer" -> s"$root/never-published")) === None)
   }
 
+  test("maintenanceJob(textIndexRoot): the retrieval store joins the compaction sweep and the fsck report") {
+    import graft.jobs.{IncrementalCurationJob, MaintenanceJob}
+    import graft.operators.TextIndexStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mj-tix").toString
+    val tix = s"$root/tix"
+    def docs(ids: (Long, String)*) = ids.toSeq.toDF("doc_id", "text")
+    IncrementalCurationJob.ingestDay(docs(
+      1L -> "a perfectly ordinary sentence with enough distinct words to shingle and rank normally today"),
+      s"$root/stores", "2024-01-01", textIndexRoot = Some(tix))
+    IncrementalCurationJob.ingestDay(docs(
+      2L -> "completely different content about distributed query engines and shuffle plans today"),
+      s"$root/stores", "2024-01-02", textIndexRoot = Some(tix))
+    IncrementalCurationJob.ingestDay(docs(
+      3L -> "fresh material covering storage compaction markers and probe pruning behavior"),
+      s"$root/stores", "2024-01-03", textIndexRoot = Some(tix))
+    val before = TextIndexStore.topK(spark, tix, Seq("today"), 10)
+      .collect().toSeq
+
+    val counts = MaintenanceJob.run(spark, s"$root/stores", None,
+      s"$root/reports", keepDays = 1, deep = true,
+      textIndexRoot = Some(tix))
+    val comp = spark.read.parquet(s"$root/reports/compaction")
+      .filter($"store" === "text_index").collect()
+    assert(comp.length === 1)
+    assert(comp.head.getAs[Int]("folded_days") === 2,
+      s"3 real days at keepDays=1 must fold 2: ${comp.head}")
+    // keepDays=1 folded every store, so the protocol's awaiting-sweep
+    // info transients are EXPECTED; healthy = nothing above info, and
+    // the text_index rows prove the store rides the same report
+    val fsck1 = spark.read.parquet(s"$root/reports/fsck")
+    assert(fsck1.filter($"severity" =!= "info").count() === 0L,
+      "healthy store (deep recount included) audits clean above info: " +
+        fsck1.collect().mkString("; "))
+    assert(fsck1.filter($"store" === "text_index").count() > 0,
+      "the folded text index must land its grace-period transients")
+    assert(TextIndexStore.topK(spark, tix, Seq("today"), 10).collect().toSeq
+      === before, "maintenance must be probe-invisible")
+
+    // plant a crashed-commit tmp marker + an orphan partition; the
+    // next cron firing reports both, keyed to the store
+    val f = new org.apache.hadoop.fs.Path(tix)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.create(new org.apache.hadoop.fs.Path(s"$tix/markers/.2024-01-09.tmp"),
+      true).close()
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$tix/postings/dt=2024-01-08"))
+    val counts2 = MaintenanceJob.run(spark, s"$root/stores", None,
+      s"$root/reports2", keepDays = 1, deep = true,
+      textIndexRoot = Some(tix))
+    val fsck2 = spark.read.parquet(s"$root/reports2/fsck")
+      .filter($"store" === "text_index")
+      .select($"check").as[String].collect().toSet
+    assert(fsck2 === Set("tmp-marker", "orphan-partition"),
+      s"planted faults must land keyed to the store: $fsck2; " +
+        s"counts: $counts2")
+
+    // day-zero totality: an absent text-index root no-ops (the cron
+    // is typically installed before the first co-append)
+    val zc = MaintenanceJob.run(spark, s"$root/stores", None,
+      s"$root/reports3", textIndexRoot = Some(s"$root/never-created"))
+    assert(spark.read.parquet(s"$root/reports3/compaction")
+      .filter($"store" === "text_index").count() === 0L)
+    assert(zc("fsck") === 0L)
+  }
+
   test("rebuild policy: drift breach swaps the pointer with landed evidence; cured store stops firing; taken newRoot degrades to a skipped row") {
     import graft.jobs.MaintenanceJob
     import graft.operators.IvfStore

@@ -182,6 +182,34 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       === beforeCrash)
   }
 
+  test("fsck: clean store audits empty; planted faults land typed findings") {
+    val s = spark
+    import s.implicits._
+    val r = tmpRoot("fsck")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "2024-07-01"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "2024-07-02"): Unit
+    assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty,
+      "freshly appended store must audit clean, deep recount included")
+    val fs = new Path(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fault 1: a committed day loses its stats partition — probes
+    // would score its postings outside N/avgdl's scope
+    fs.delete(new Path(s"$r/stats/dt=2024-07-02"), true)
+    val f1 = TextIndexStore.fsck(spark, r)
+    assert(f1.exists(x => x.severity == "error" &&
+      x.check == "postings-without-stats" && x.subject.contains("2024-07-02")),
+      s"$f1")
+    // fault 2: a hand-restored stats partition with wrong numbers —
+    // only the deep recount can see it
+    Seq((99L, 9999L, "2024-07-02")).toDF("n_docs", "sum_dl", "dt")
+      .write.parquet(s"$r/stats/dt=2024-07-02")
+    assert(TextIndexStore.fsck(spark, r).forall(_.severity != "error"),
+      "shallow pass cannot see a numeric lie")
+    val f2 = TextIndexStore.fsck(spark, r, deep = true)
+    assert(f2.exists(x => x.severity == "error" &&
+      x.check == "stats-recount-mismatch" && x.subject == "dt=2024-07-02"),
+      s"$f2")
+  }
+
   test("probe plan: dt partition filters + word pushdown on the postings scan") {
     val r = tmpRoot("plan")
     TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
