@@ -179,14 +179,24 @@ object ProductQuantizer {
     val chunks = graft.queries.SimilarityQueries.broadcastChunks(
       qLut, col(qIdCol), "PQ ADC query set")
     val scored = chunks.map { q =>
-      corpus.select(col(idCol), col(codesCol)).crossJoin(q)
+      // hand-made corpora guard: a NULL / wrong-width code array
+      // nulls the fold — and a null distance would rank FIRST in the
+      // asc window (Spark sorts nulls first), so corrupt rows are
+      // dropped here, the engine's corrupt-drop seam discipline
+      corpus.select(col(idCol), col(codesCol))
+        .filter(col(codesCol).isNotNull && size(col(codesCol)) === model.m)
+        .crossJoin(q)
         .select(col(qIdCol), col(idCol),
           aggregate(
+            // try_element_at: an out-of-range code (hand-made corpus)
+            // must null the score — ANSI element_at would kill the
+            // whole probe job for one corrupt row
             zip_with(col(codesCol), col("__pq_lut"),
-              (code, row) => element_at(row, code + 1)),
+              (code, row) => try_element_at(row, code + 1)),
             lit(0.0), (acc, x) => acc + x).as("adc_d2"))
     }.reduce(_ union _)
     scored
+      .filter(col("adc_d2").isNotNull) // out-of-range code → null lookup
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(qIdCol))
           .orderBy(col("adc_d2").asc, col(idCol).asc)))

@@ -123,9 +123,15 @@ object TextIndexStore {
     val base = docs
       .filter(col(idCol).isNotNull && col(textCol).isNotNull &&
         !col(textCol).rlike("^\\s*$"))
-      .select(col(idCol).cast("long").as("doc_id"),
+      // try_cast, not cast: under ANSI a malformed id would kill the
+      // whole append job; the corrupt-drop contract wants the ROW cut
+      .select(expr(s"try_cast(`$idCol` AS BIGINT)").as("doc_id"),
         expr(s"word_counts($textCol)").as("wc"),
         size(split(trim(col(textCol)), "\\s+")).cast("long").as("dl"))
+      // an id that fails the cast nulls AFTER the isNotNull check
+      // above — corrupt-drop it here, not as a null-keyed posting
+      // every probe would join against
+      .filter(col("doc_id").isNotNull)
     val posted = base
       .select(explode(col("wc")).as("w"), col("doc_id"), col("dl"))
       .select(col("w.word").as("word"), col("doc_id"),
@@ -294,8 +300,12 @@ object TextIndexStore {
         val bytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
         val shards = math.max(1L,
           math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
-        merge(spark.read.parquet(dayDirs.map(_.toString): _*))
-          .coalesce(shards)
+        // coalesce BEFORE merge: postings' merge step re-sorts by
+        // word within partitions, and a coalesce AFTER it would
+        // concatenate sorted runs back into unsorted files — losing
+        // the row-group pruning the sort exists for
+        merge(spark.read.parquet(dayDirs.map(_.toString): _*)
+            .coalesce(shards))
           .write.parquet(outDir.toString)
       }
     }

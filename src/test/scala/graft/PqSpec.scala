@@ -199,5 +199,21 @@ class PqSpec extends AnyFunSuite with SparkSpec {
     assert(top.select($"q_id").distinct().count() === 20L,
       "corrupt queries drop; no NaN query ranks")
     assert(top.filter(isnan($"adc_d2")).count() === 0L)
+    // hand-made corpora: a NULL / wrong-width / out-of-range code
+    // array must corrupt-drop, never claim rank 1 via a null distance
+    // (Spark sorts nulls FIRST in an asc window)
+    val sabotaged = coded.select($"id", $"pq_codes")
+      .unionByName(Seq(
+        (500L, null.asInstanceOf[Seq[Int]]),
+        (501L, Seq(0)),            // wrong width
+        (502L, Seq(99, 99)))       // out-of-range codes → null lookups
+        .toDF("id", "pq_codes"))
+    val top2 = PQ.adcTopK(sabotaged, "id", "pq_codes",
+      df.limit(1).withColumnRenamed("id", "q_id").withColumnRenamed("v", "qv"),
+      "q_id", "qv", model, topK = 3)
+    val got2 = top2.select($"id").as[Long].collect().toSet
+    assert(got2.intersect(Set(500L, 501L, 502L)).isEmpty,
+      s"sabotaged rows must never rank: $got2")
+    assert(top2.filter($"adc_d2".isNull).count() === 0L)
   }
 }

@@ -114,6 +114,14 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(empty.schema.fieldNames.toSeq ===
       Seq("doc_id", "bm25", "n_terms_hit", "rank"))
     assert(TextIndexStore.corpusStats(spark, r) === ((0L, 0.0)))
+    // an id that fails the long cast nulls AFTER the isNotNull check
+    // — it must corrupt-drop, not index as a null-keyed posting
+    val stringIds = Seq(("abc", "real words here"), ("7", "more real words"))
+      .toDF("doc_id", "text")
+    val r2 = tmpRoot("strid")
+    assert(TextIndexStore.append(stringIds, r2, "day-1") === 1L)
+    assert(TextIndexStore.topK(spark, r2, Seq("real"), 5)
+      .select($"doc_id").as[Long].collect().toSeq === Seq(7L))
   }
 
   test("probe refuses duplicate terms, empty terms, bad day names refused at append") {
@@ -152,6 +160,17 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TextIndexStore.topK(spark, r, terms, 10).collect().toSeq === before,
       "the committed view must hold exactly one copy of every posting")
     assert(TextIndexStore.corpusStats(spark, r) === ((5L, 4.2)))
+    // the merged postings files must stay word-sorted — the row-group
+    // prune under the word-IN pushdown survives compaction (the sort
+    // runs AFTER the coalesce, or concatenated runs lose it)
+    val mergedDir = new java.io.File(s"$r/postings/dt=${rep.mergedDay.get}")
+    val partList = mergedDir.listFiles().filter(_.getName.startsWith("part-"))
+    assert(partList.nonEmpty)
+    partList.foreach { pf =>
+      val words = spark.read.parquet(pf.getAbsolutePath)
+        .select("word").collect().map(_.getString(0)).toSeq
+      assert(words === words.sorted, s"merged file ${pf.getName} lost its word sort")
+    }
     // a folded day can no longer re-append (postings would double)
     val ex = intercept[IllegalStateException] {
       TextIndexStore.append(docsDf(docs.take(1)), r, "2024-07-01")
