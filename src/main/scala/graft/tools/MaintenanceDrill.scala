@@ -28,6 +28,14 @@ import graft.operators.IvfStore
   *      absorbs the planted regime) — its wall time is the
   *      steady-state nightly cron cost.
   *
+  * Round 14 (cont.): a 10-day [[graft.operators.TextIndexStore]]
+  * rides the same two passes — run 1 FOLDS its aged days while a
+  * concurrent BM25 prober asserts bit-identical answers (scores
+  * included: same postings, same stats, fixed-order sums), run 2
+  * SWEEPS the replaced postings dirs under a fresh prober — the
+  * listing-vs-sweep race class the IVF drill caught in round 14,
+  * exercised on the new store's committed-view readers.
+  *
   * Prints one JSON line per phase; SCALING.md holds the analyzed
   * table. Usage:
   *   SPARK_GRAFT_SF_DIR=/tmp/bigsf1 sbt "runMain graft.tools.MaintenanceDrill [workDir]"
@@ -87,6 +95,36 @@ object MaintenanceDrill {
     val total = emb.count() + 2 * (emb.count() / 8).min(emb.count())
     println(s"""{"phase":"corpus","days":10,"k":$k,"rows_approx":$total}""")
 
+    // ---- 1b. the retrieval store (round 14): 10 day-sharded appends
+    // of the replica's documents; probed CONCURRENTLY with the same
+    // maintenance pass that folds it (run 1) and sweeps it (run 2)
+    val tix = s"$work/tix"
+    val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text")
+    val (_, tTix) = timed {
+      (0 until 10).foreach { d =>
+        graft.operators.TextIndexStore.append(
+          docsAll.filter(pmod(xxhash64($"doc_id"), lit(10)) === d),
+          tix, f"2025-07-${d + 1}%02d"): Unit
+      }
+    }
+    j("textIndex.append(10 days)", tTix)
+    // probe terms derived from the corpus (the q149 rule — the
+    // replica's token mutation leaves no stopword literals)
+    graft.GraftExtensions.ensureRegistered(spark)
+    val tixTerms = docsAll
+      .filter($"doc_id".isNotNull && $"text".isNotNull &&
+        !$"text".rlike("^\\s*$"))
+      .select(explode(expr("word_counts(text)")).as("w"))
+      .groupBy($"w.word".as("word")).agg(sum($"w.tf").as("n"))
+      .orderBy($"n".desc, $"word".asc).limit(3)
+      .collect().map(_.getString(0)).toSeq
+    def tixProbe(): Seq[(Long, Double, Long, Int)] =
+      graft.operators.TextIndexStore.topK(spark, tix, tixTerms, topK = 20)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+        .sortBy(_._4).toSeq
+
     // ---- 2. the monitors standalone (the run()'s internals, priced)
     val (_, tCompact) = timed {
       IncrementalCurationJob.compactStoresWithIvf(spark, stores, ivf,
@@ -119,6 +157,7 @@ object MaintenanceDrill {
         .map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
         .sortBy(x => (x._1, x._3)).toSeq
     val expected = fullProbe()
+    val expectedTix = tixProbe()
     @volatile var stop = false
     @volatile var torn: Option[String] = None
     val prober = new Thread(() => {
@@ -138,16 +177,42 @@ object MaintenanceDrill {
       }
       println(s"""{"phase":"concurrent_probes","count":$n}""")
     })
-    prober.start()
+    // the BM25 prober: compaction folds postings days mid-pass; every
+    // answer (scores included — same postings, same stats, fixed-sum
+    // order) must stay bit-identical, and a FileNotFound from a
+    // sweep racing a listing is the same outage class the IVF drill
+    // caught in round 14
+    @volatile var tornTix: Option[String] = None
+    val tixProber = new Thread(() => {
+      var n = 0
+      while (!stop && tornTix.isEmpty) {
+        try {
+          val got = tixProbe()
+          if (got != expectedTix) tornTix = Some(s"bm25 probe #$n diverged")
+        } catch {
+          case e: Throwable =>
+            tornTix = Some(s"bm25 probe #$n threw: ${e.getMessage}")
+        }
+        n += 1
+      }
+      println(s"""{"phase":"concurrent_bm25_probes","count":$n}""")
+    })
+    prober.start(); tixProber.start()
     val policy = MaintenanceJob.RebuildPolicy(ptr, s"$work/ivf-v2", k = k,
       iters = 5, driftRatioMax = 2.5, recallMin = 0.0)
     val (c1, tRun1) = timed {
       MaintenanceJob.run(spark, stores, Some(ivf), s"$work/reports1",
         deep = true, nprobe = 8, topK = 5, queriesPerDay = 16,
-        rebuildPolicy = Some(policy))
+        rebuildPolicy = Some(policy), textIndexRoot = Some(tix))
     }
-    stop = true; prober.join()
+    stop = true; prober.join(); tixProber.join()
     torn.foreach(t => sys.error(s"TORN PROBE: $t"))
+    tornTix.foreach(t => sys.error(s"TORN BM25 PROBE: $t"))
+    require(tixProbe() == expectedTix, "post-fold BM25 probe changed")
+    val tixComp = spark.read.parquet(s"$work/reports1/compaction")
+      .filter($"store" === "text_index").collect()
+    require(tixComp.length == 1 && tixComp.head.getAs[Int]("folded_days") == 3,
+      s"10 text-index days at keepDays=7 must fold 3: ${tixComp.toSeq}")
     require(IvfStore.currentRoot(spark, ptr) == s"$work/ivf-v2",
       "the drift breach must have swapped the pointer")
     require(fullProbe() == expected, "post-flip full probe changed")
@@ -161,13 +226,35 @@ object MaintenanceDrill {
     j("maintenanceJob(run1: monitors+rebuild+flip)", tRun1,
       s""","rebuild_rows":${c1("rebuild")}""")
 
-    // ---- 4. the cured store: nightly steady-state cost, no re-fire
+    // ---- 4. the cured store: nightly steady-state cost, no re-fire;
+    // the text index rides along — THIS run's sweep deletes the
+    // replaced postings days while a fresh prober is live
+    @volatile var stop2 = false
+    @volatile var tornTix2: Option[String] = None
+    val tixProber2 = new Thread(() => {
+      var n = 0
+      while (!stop2 && tornTix2.isEmpty) {
+        try {
+          if (tixProbe() != expectedTix) tornTix2 = Some(s"bm25 probe #$n diverged")
+        } catch {
+          case e: Throwable =>
+            tornTix2 = Some(s"bm25 probe #$n threw: ${e.getMessage}")
+        }
+        n += 1
+      }
+      println(s"""{"phase":"concurrent_bm25_probes_sweep","count":$n}""")
+    })
+    tixProber2.start()
     val (c2, tRun2) = timed {
       MaintenanceJob.run(spark, stores, Some(s"$work/ivf-v2"),
         s"$work/reports2", deep = true, nprobe = 8, topK = 5,
         queriesPerDay = 16,
-        rebuildPolicy = Some(policy.copy(newRoot = s"$work/ivf-v3")))
+        rebuildPolicy = Some(policy.copy(newRoot = s"$work/ivf-v3")),
+        textIndexRoot = Some(tix))
     }
+    stop2 = true; tixProber2.join()
+    tornTix2.foreach(t => sys.error(s"TORN BM25 PROBE (sweep run): $t"))
+    require(tixProbe() == expectedTix, "post-sweep BM25 probe changed")
     require(c2("rebuild") == 0L,
       s"cured store must stop firing: ${c2("rebuild")} rebuild rows")
     val drift2 = spark.read.parquet(s"$work/reports2/drift")
