@@ -310,8 +310,13 @@ object TextIndexStore {
       }
     }
     foldTable("postings")(_.sortWithinPartitions(col("word"), col("doc_id")))
+    // n_docs coalesces to 0: a fold of only zero-doc days must write
+    // the (0, null) shape append uses for an empty day, not
+    // (null, null) — the deep fsck recount keys its zero-doc
+    // exemption on n_docs = 0
     foldTable("stats")(st =>
-      st.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl")))
+      st.agg(coalesce(sum(col("n_docs")), lit(0L)).as("n_docs"),
+        sum(col("sum_dl")).as("sum_dl")))
     // marker content = replaced names TRANSITIVELY (a folded merged-*
     // contributes its own name plus every day its marker listed, so
     // two-generation-old days stay protected from re-append)

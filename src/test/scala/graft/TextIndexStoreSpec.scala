@@ -201,6 +201,23 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       === beforeCrash)
   }
 
+  test("a fold of only zero-doc days keeps the (0, null) stats shape; deep fsck stays clean") {
+    val s = spark
+    import s.implicits._
+    val r = tmpRoot("zerofold")
+    // three committed zero-doc days (blank corpora), then one real day
+    val blank = Seq((1L, "   ")).toDF("doc_id", "text")
+    for (d <- 1 to 3)
+      assert(TextIndexStore.append(blank, r, s"2024-07-0$d") === 0L)
+    TextIndexStore.append(docsDf(docs), r, "2024-07-04"): Unit
+    val rep = TextIndexStore.compact(spark, r, keepDays = 1)
+    assert(rep.foldedDays === 3)
+    assert(TextIndexStore.corpusStats(spark, r) === ((5L, 4.2)))
+    assert(TextIndexStore.fsck(spark, r, deep = true)
+      .forall(_.severity == "info"),
+      s"${TextIndexStore.fsck(spark, r, deep = true)}")
+  }
+
   test("fsck: clean store audits empty; planted faults land typed findings") {
     val s = spark
     import s.implicits._
