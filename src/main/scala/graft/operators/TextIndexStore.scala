@@ -112,7 +112,19 @@ object TextIndexStore {
     // crash mid-overwrite must leave the day loudly UNCOMMITTED —
     // with the old marker live through the rewrite window, probes
     // would silently score a partial day.
-    fsOf(spark, root).delete(new Path(s"$root/markers/$day"), false): Unit
+    val f = fsOf(spark, root)
+    f.delete(new Path(s"$root/markers/$day"), false): Unit
+    // clear the day's prior partitions BEFORE the rewrite (round 15,
+    // advice — the [[IvfStore.append]] pre-delete, same reason):
+    // dynamic partition overwrite replaces nothing for a frame that
+    // carries no rows in a partition, so a corrected replay whose
+    // docs ALL corrupt-drop would leave the prior run's postings
+    // standing and re-commit the marker over them with a (0, null)
+    // stats row — probes would score ghost postings that N/avgdl
+    // exclude (exactly the skew the postings-without-stats fsck
+    // class describes)
+    f.delete(new Path(s"$root/postings/dt=$day"), true): Unit
+    f.delete(new Path(s"$root/stats/dt=$day"), true): Unit
     // one tokenize pass: postings carry dl inline (see layout note).
     // Indexable = NOT blank — the F1 validity family's isBlank rlike,
     // explicit because the engine's split discipline KEEPS empty
@@ -152,8 +164,17 @@ object TextIndexStore {
 
   /** (N, avgdl) from the committed per-day stats — exact bigint sums,
     * one double division. O(committed days) bytes. */
-  def corpusStats(spark: SparkSession, root: String): (Long, Double) = {
-    val days = committedDays(spark, root)
+  def corpusStats(spark: SparkSession, root: String): (Long, Double) =
+    corpusStats(spark, root, committedDays(spark, root))
+
+  /** [[corpusStats]] over an EXPLICIT committed-day list — the probe
+    * passes the day set it resolved ONCE (round 15, advice): resolving
+    * the committed view twice inside one probe let an append commit
+    * between the two reads, transiently scoring one view's postings
+    * against a newer view's (N, avgdl) and skewing every idf/tfc. One
+    * probe, one committed snapshot. */
+  def corpusStats(spark: SparkSession, root: String,
+      days: Seq[String]): (Long, Double) = {
     val r = PartitionedLayout.readDays(spark, s"$root/stats", statsSchema, days)
       .filter(col("dt").isin(days: _*))
       .agg(sum(col("n_docs")), sum(col("sum_dl"))).collect().head
@@ -179,7 +200,9 @@ object TextIndexStore {
         spark, s"$root/postings", postingsSchema, days)
       .filter(col("dt").isin(days: _*))
       .filter(col("word").isInCollection(terms))
-    val (nDocs, avgdl) = corpusStats(spark, root)
+    // stats from the SAME committed snapshot as the postings scan —
+    // never re-resolve the day list mid-probe (see the overload)
+    val (nDocs, avgdl) = corpusStats(spark, root, days)
     if (nDocs == 0L)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],

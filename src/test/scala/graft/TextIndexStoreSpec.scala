@@ -124,6 +124,34 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       .select($"doc_id").as[Long].collect().toSeq === Seq(7L))
   }
 
+  test("re-running a day whose docs ALL corrupt-drop clears its prior postings") {
+    val s = spark
+    import s.implicits._
+    val r = tmpRoot("empty-replay")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val day1Only = TextIndexStore.topK(spark, r, terms, 10).collect()
+      .map(r0 => r0.getLong(0)).toSet.intersect(Set(1L, 2L, 3L))
+    assert(day1Only === Set(1L, 2L, 3L), "sanity: day-1 docs score before the replay")
+    // corrected replay: every day-1 doc turns out blank/invalid — the
+    // re-append must RETRACT the day's postings, not leave the prior
+    // run's standing under a (0, null) stats row (ghost postings that
+    // N/avgdl exclude — the advice's exact skew)
+    val allBad = Seq[(java.lang.Long, String)](
+      (1L, null), (2L, ""), (3L, " \t "))
+      .toDF("doc_id", "text")
+    assert(TextIndexStore.append(allBad, r, "day-1") === 0L)
+    assert(TextIndexStore.corpusStats(spark, r) === ((2L, 3.5)),
+      "stats must cover only day-2's two docs")
+    val after = TextIndexStore.topK(spark, r, terms, 10).collect()
+      .map(_.getLong(0)).toSet
+    assert(after.intersect(Set(1L, 2L, 3L)).isEmpty,
+      "retracted day-1 postings must not score")
+    assert(TextIndexStore.fsck(spark, r, deep = true)
+      .forall(_.severity != "error"),
+      s"${TextIndexStore.fsck(spark, r, deep = true)}")
+  }
+
   test("probe refuses duplicate terms, empty terms, bad day names refused at append") {
     val r = tmpRoot("args")
     TextIndexStore.append(docsDf(docs), r, "day-1"): Unit
