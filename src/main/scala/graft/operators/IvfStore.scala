@@ -98,6 +98,12 @@ object IvfStore {
     * freshly-trained centroids. */
   private val SeedStats = "_SEED_STATS.txt"
 
+  /** Committed PQ codebooks ([[enablePq]]) — the marker that flips the
+    * store into PQ-encoded serving. Format: line 1 `dim m`, then one
+    * line per codeword `s:v1,v2,...` (subspaces in order, codewords in
+    * codebook order — the order IS the encode tie-break). */
+  private val PqMarker = "_PQ_CODEBOOKS.txt"
+
   private def fs(spark: SparkSession, root: String) =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -251,11 +257,17 @@ object IvfStore {
     // vacates a cell leaves the old cell's vectors committed
     val dayDir = new Path(s"$root/cells/dt=$day")
     fsys.delete(dayDir, true)
+    fsys.delete(new Path(s"$root/codes/dt=$day"), true)
     val assigned = KMeans.assign(delta, cents, vecCol)
       .select(col(idCol), col(vecCol), col("cell"))
       .withColumn("dt", lit(day))
     PartitionedLayout.overwritePartitions(
       assigned, s"$root/cells", Seq("dt", "cell"))
+    // PQ-enabled store: encode the day inline (from the just-written
+    // cells, so codes always match what the store serves), BEFORE the
+    // marker — one commit covers both tables, torn appends leave both
+    // invisible ([[enablePq]]'s layout contract)
+    pqModel(spark, root).foreach(m => writeCodesDay(spark, root, day, m))
     MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), day,
       if (lineage.isEmpty) "" else lineage.mkString("\n") + "\n")
   }
@@ -278,6 +290,289 @@ object IvfStore {
     val cells = cellsFrame(spark, root, leaves.head.getPath, days)
     IvfIndex.probeCells(cells, idCol, vecCol, queries, cents, nprobe, topK)
   }
+
+  // -----------------------------------------------------------------
+  // PQ-ENCODED SERVING (round 15) — [[ProductQuantizer]] moved from a
+  // frame-level operator INTO the store layout, so the 32× byte claim
+  // its scaladoc makes is true where it matters: the probe's SCAN.
+  //
+  // A sibling `codes/dt=<day>/cell=<N>/` table mirrors the cells
+  // partitioning exactly — one row per stored vector, (id, pq_codes:
+  // array<int>[m]) — and commits under the SAME day marker as the
+  // cells write (the TextIndexStore postings+stats discipline: the
+  // marker lands atomically AFTER both tables; a torn append leaves
+  // both invisible). [[adcProbe]] then reads CODE bytes, never vector
+  // bytes: cell pruning at the file index is unchanged (both tables
+  // share the dt/cell dims), but each scanned row costs m ints
+  // instead of dim floats and each (query, row) score is m lookups
+  // instead of a dim-wide float kernel. The float vectors stay in
+  // `cells` as the system of record — [[adcProbe]]'s optional
+  // `rerank` re-scores only the top-R ADC candidates against them
+  // (≤ |Q|·R rows, a broadcast join, never a corpus scan).
+  // -----------------------------------------------------------------
+
+  /** The committed PQ model, or None for a float-serving store. */
+  def pqModel(spark: SparkSession, root: String): Option[PqModel] = {
+    val p = new Path(root, PqMarker)
+    val f = fs(spark, root)
+    if (!f.exists(p)) None
+    else {
+      val lines = MarkerProtocol.readMarker(f, p)
+      val head = lines.head.split("\\s+")
+      val (dim, m) = (head(0).toInt, head(1).toInt)
+      val bySub = lines.tail.map { ln =>
+        val Array(s, vs) = ln.split(":", 2)
+        s.toInt -> vs.split(",").toSeq.map(_.toDouble)
+      }
+      val books = (0 until m).map(s => bySub.filter(_._1 == s).map(_._2))
+      Some(PqModel(dim, m, books))
+    }
+  }
+
+  private def commitPqModel(spark: SparkSession, root: String,
+      model: PqModel): Unit = {
+    val body = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
+      book.map(cw => s"$s:${cw.mkString(",")}")
+    }.mkString("\n")
+    MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+      new Path(root), PqMarker, s"${model.dim} ${model.m}\n$body")
+  }
+
+  /** Flip the store into PQ-encoded serving: backfill `codes/` for
+    * every committed day, then commit `model` — marker LAST, so a
+    * crash mid-backfill leaves the store loudly un-enabled (re-run;
+    * the backfill is idempotent) and [[adcProbe]] never reads a torn
+    * code set. Every subsequent [[append]] encodes its day inline.
+    *
+    * Refuses a root already serving PQ: re-quantizing in place would
+    * mutate codes under live probes — like re-training centroids, the
+    * remedy is a fresh-root [[rebuild]] (which carries codebooks) or
+    * a new root + [[enablePq]] + pointer flip. Returns the number of
+    * days backfilled. Single writer, like every store mutation. */
+  def enablePq(spark: SparkSession, root: String, model: PqModel): Int = {
+    require(pqModel(spark, root).isEmpty,
+      s"refusing to re-quantize '$root' in place: it already serves PQ " +
+        "codes, and rewriting them would tear concurrent ADC probes — " +
+        "rebuild into a FRESH root (codebooks carry over) and swap consumers")
+    val cents = IvfIndex.open(spark, root) // uninitialized root refuses here
+    require(cents.head.length == model.dim,
+      s"PQ model dim ${model.dim} != stored vector dim ${cents.head.length}")
+    val done = backfillCodes(spark, root, Some(model))
+    commitPqModel(spark, root, model)
+    done.size
+  }
+
+  /** [[enablePq]] with a TRAINED model: per-subspace k-means over the
+    * committed corpus, bounded by `graft.pq.maxTrainRows` (the
+    * [[rebuild]] bounded-retrain discipline — [[ProductQuantizer.train]]
+    * owns the deterministic hash sample). */
+  def enablePq(spark: SparkSession, root: String, m: Int, k: Int,
+      iters: Int): Int = {
+    val days = committedDays(spark, root)
+    val leaves = committedLeafFiles(fs(spark, root), root, days)
+    require(leaves.nonEmpty,
+      s"cannot train PQ codebooks at $root: no indexed vectors")
+    val ds = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
+    val dim = IvfIndex.open(spark, root).head.length
+    val all = cellsFrame(spark, root, leaves.head.getPath, days,
+      dataSchema = Some(ds))
+    enablePq(spark, root,
+      ProductQuantizer.train(all, idCol, vecCol, dim, m, k, iters))
+  }
+
+  /** Encode the committed days whose `codes/` partitions are missing
+    * (all of them at [[enablePq]] time; the repair verb for a day
+    * appended by a pre-PQ writer afterwards). Idempotent — a re-run
+    * pre-deletes and rewrites each missing day. Returns the days
+    * encoded. Reads the day's cells BACK from disk (not the caller's
+    * delta), so codes always match exactly what the store serves. */
+  def backfillCodes(spark: SparkSession, root: String,
+      modelOverride: Option[PqModel] = None): Seq[String] = {
+    val model = modelOverride.orElse(pqModel(spark, root)).getOrElse(
+      throw new IllegalStateException(
+        s"no PQ codebooks at $root — enablePq first"))
+    val f = fs(spark, root)
+    val days = committedDays(spark, root)
+    val missing = days.filter(d => dayHasFiles(f, root, "cells", d) &&
+      !dayHasFiles(f, root, "codes", d))
+    missing.foreach(d => writeCodesDay(spark, root, d, model))
+    missing
+  }
+
+  private def dayHasFiles(f: org.apache.hadoop.fs.FileSystem, root: String,
+      table: String, day: String): Boolean =
+    Option(f.globStatus(new Path(s"$root/$table/dt=$day/cell=*/part-*")))
+      .exists(_.nonEmpty)
+
+  /** One day's codes from its on-disk cells — shared by [[append]]'s
+    * inline encode and [[backfillCodes]]. No-op for an empty day. */
+  private def writeCodesDay(spark: SparkSession, root: String, day: String,
+      model: PqModel): Unit = {
+    val f = fs(spark, root)
+    f.delete(new Path(s"$root/codes/dt=$day"), true): Unit
+    val leaves = Option(f.globStatus(
+        new Path(s"$root/cells/dt=$day/cell=*/part-*")))
+      .map(_.toSeq).getOrElse(Nil)
+    if (leaves.isEmpty) return
+    val ds = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
+    val dayCells = cellsFrame(spark, root, leaves.head.getPath, Seq(day),
+      dataSchema = Some(ds))
+    val coded = ProductQuantizer.encode(dayCells, model, vecCol)
+      .select(col(idCol), col("pq_codes"), col("dt"), col("cell"))
+    PartitionedLayout.overwritePartitions(coded, s"$root/codes",
+      Seq("dt", "cell"))
+  }
+
+  /** ADC top-k over the committed CODES — [[probe]]'s serving shape
+    * with the PQ memory story made real in the scan: the probed
+    * cells' code files are read (dt AND cell partition pruning, m
+    * ints per row), each (query, row) pair costs m lookups into a
+    * per-query table built driver-side, and the float vectors are
+    * touched only when `rerank > 0` — then just for the top-`rerank`
+    * ADC candidates per query (a broadcast join of ≤ |Q|·rerank rows
+    * against the pruned cells, never a corpus scan).
+    *
+    * ADC distance is the EXACT L2 to the code's reconstruction (the
+    * PqSpec identity), so a full probe (`nprobe = k`) is exact
+    * brute-force over the reconstructed committed corpus — the q150
+    * oracle gate's argument, mirroring q146's for the float probe.
+    *
+    * Returns (qid, <id>, adc_d2, rank) — or (qid, <id>, dist2, rank)
+    * with EXACT float distances when `rerank >= topK` re-scores. */
+  def adcProbe(spark: SparkSession, root: String, idCol: String,
+      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int,
+      rerank: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(nprobe >= 1 && topK >= 1, "nprobe/topK must be >= 1")
+    require(rerank <= 0 || rerank >= topK,
+      s"rerank=$rerank must be >= topK=$topK (it is the ADC candidate " +
+        "pool the exact re-score ranks from)")
+    val model = pqModel(spark, root).getOrElse(throw new IllegalStateException(
+      s"store at $root has no committed PQ codebooks — enablePq first, " +
+        "or use probe() for float serving"))
+    val cents = IvfIndex.open(spark, root)
+    val days = committedDays(spark, root)
+    require(days.nonEmpty,
+      s"no committed days at $root — append at least one day before probing")
+    val f = fs(spark, root)
+    // coverage: a day appended by a pre-PQ writer has cells but no
+    // codes — serving a probe that silently skips it would lose its
+    // vectors from every answer; refuse loudly with the repair verb
+    val uncovered = days.filter(d => dayHasFiles(f, root, "cells", d) &&
+      !dayHasFiles(f, root, "codes", d))
+    require(uncovered.isEmpty,
+      s"committed days ${uncovered.mkString(", ")} at $root have no PQ " +
+        "codes (appended by a pre-PQ writer?) — run backfillCodes first")
+    val codeLeaves = Option(f.globStatus(
+        new Path(s"$root/codes/dt=*/cell=*/part-*")))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(st => days.contains(
+        st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
+    require(codeLeaves.nonEmpty, s"store at $root has committed days but " +
+      "no encoded vectors (every appended row was empty or unusable) — " +
+      "nothing to probe")
+    // the probeCells broadcast guard, verbatim — the (query, cell)
+    // pair frame is what the broadcast carries
+    val cap = BroadcastGuard.cap(spark)
+    require(queries.size.toLong * math.min(nprobe, cents.size) <= cap,
+      s"probe batch of ${queries.size} queries x $nprobe cells exceeds " +
+        s"the broadcast cap ($cap rows; conf graft.maxBroadcastRows) — " +
+        "shard the query batch across probe calls")
+    // driver-side per-query work: probed cells (|Q|·k·d flops, the
+    // probeCells shape) plus the ADC lookup table (m × |book| subspace
+    // distances — the same sequential left-fold arithmetic as the
+    // column-side d2, so ADC scores are bit-identical to
+    // [[ProductQuantizer.adcTopK]]'s)
+    def l2d2(a: Array[Double], b: Seq[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val pairs = for {
+      (qid, qv) <- queries
+      _ = require(qv != null && qv.length == model.dim,
+        s"query $qid has ${if (qv == null) "no" else s"${qv.length}-dim"} " +
+          s"vector; the store serves dim ${model.dim}")
+      lut = (0 until model.m).map(s => model.codebooks(s).map(cw =>
+        l2d2(qv.slice(s * model.subDim, (s + 1) * model.subDim), cw)))
+      cell <- cents.indices
+        .sortBy(i => (l2d2(qv, cents(i).toSeq), i)).take(nprobe)
+    } yield (qid, lut, cell)
+    val pairsDf = pairs.toDF("qid", "__pq_lut", "cell")
+    val probedCells = pairs.map(_._3).distinct
+    val csch = leafDataSchema(spark, codeLeaves.head.getPath)
+      .add("dt", org.apache.spark.sql.types.StringType)
+      .add("cell", org.apache.spark.sql.types.IntegerType)
+    val rowId = csch.fieldNames(0)
+    val codes = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
+      .filter(col("dt").isin(days: _*))
+      .filter(col("cell").isin(probedCells: _*))
+      // corrupt-drop hand-restored junk (the adcTopK seam rule): a
+      // null/wrong-width code array nulls the fold, and a null
+      // distance would rank FIRST under asc nulls-first
+      .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
+    val adc = codes.join(broadcast(pairsDf), "cell")
+      .select(col("qid"), col(rowId), col("dt"), col("cell"),
+        aggregate(
+          // try_element_at: an out-of-range code (hand-made corpus)
+          // nulls the score instead of killing the probe under ANSI
+          zip_with(col("pq_codes"), col("__pq_lut"),
+            (code, row) => try_element_at(row, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+      .filter(col("adc_d2").isNotNull)
+    val pool = math.max(topK, rerank)
+    val ranked = adc.withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("adc_d2").asc, col(rowId).asc)))
+      .filter(col("rank") <= pool)
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= topK)
+        .select(col("qid"), col(rowId), col("adc_d2"), col("rank"))
+    else {
+      // exact re-score of the ADC candidate pool: join the ≤ |Q|·R
+      // candidates back to their float vectors by (dt, cell, id) —
+      // the scan is still pruned to committed days + probed cells,
+      // and the candidate side broadcasts
+      val cands = ranked.select(col("qid"), col(rowId), col("dt"), col("cell"))
+      val vecLeaves = committedLeafFiles(f, root, days)
+      val vsch = leafDataSchema(spark, vecLeaves.head.getPath)
+      val vecCol = vsch.fieldNames(1)
+      val cells = cellsFrame(spark, root, vecLeaves.head.getPath, days,
+        dataSchema = Some(vsch))
+        .filter(col("cell").isin(probedCells: _*))
+      val qVecs = queries.map { case (qid, qv) => (qid, qv.toSeq) }
+        .toDF("qid", "__q_emb")
+      val exactD2 = aggregate(
+        zip_with(col(vecCol), col("__q_emb"),
+          (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
+        lit(0.0), (acc, x) => acc + x)
+      cells.join(broadcast(cands),
+          cells(rowId) === cands(rowId) && cells("dt") === cands("dt") &&
+            cells("cell") === cands("cell"))
+        .select(cands("qid"), cells(rowId), cells(vecCol), cells("dt"))
+        .join(broadcast(qVecs), "qid")
+        .withColumn("dist2", exactD2)
+        .filter(col("dist2").isNotNull && !isnan(col("dist2")) &&
+          col("dist2") < lit(Double.PositiveInfinity))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("qid"))
+            .orderBy(col("dist2").asc, col(rowId).asc)))
+        .filter(col("rank") <= topK)
+        .select(col("qid"), col(rowId), col("dist2"), col("rank"))
+    }
+  }
+
+  /** [[adcProbe]] resolved through the serving pointer — the PQ twin
+    * of [[probeVia]]; [[rebuildVia]] carries codebooks, so a pointer
+    * flip is invisible to ADC serving too. */
+  def adcProbeVia(spark: SparkSession, pointer: String, idCol: String,
+      queries: Seq[(Long, Array[Double])], nprobe: Int, topK: Int,
+      rerank: Int = 0): DataFrame =
+    adcProbe(spark, currentRoot(spark, pointer), idCol, queries, nprobe,
+      topK, rerank)
 
   /** What a [[compact]] run did: the committed merged pseudo-day (None
     * when nothing qualified), how many days it folded, and the
@@ -351,35 +646,42 @@ object IvfStore {
       .digest(mergeDays.mkString(",").getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
     val mergedDay = s"$MergedPrefix${mergeDays.size}d-$digest"
-    val outDir = new Path(s"$root/cells/dt=$mergedDay")
-    f.delete(outDir, true): Unit // debris from a crashed prior attempt
-    val srcDirs = mergeDays.map(dd => new Path(s"$root/cells/dt=$dd"))
-      .filter(dd => Option(f.globStatus(new Path(dd, "cell=*/part-*")))
-        .exists(_.nonEmpty))
-    if (srcDirs.nonEmpty) {
-      val k = IvfIndex.open(spark, root).size
-      val leaves = srcDirs.flatMap(dd =>
-        f.globStatus(new Path(dd, "cell=*/part-*")).toSeq)
-      val bytes = leaves.map(_.getLen).sum
-      val filesPerCell = math.max(1L,
-        math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong).toInt
-      // explicit schema (see [[cellsFrame]] — no partition inference);
-      // basePath keeps the cell partition column in the multi-dir read
-      val schema = leafDataSchema(spark, leaves.head.getPath)
-        .add("dt", org.apache.spark.sql.types.StringType)
-        .add("cell", org.apache.spark.sql.types.IntegerType)
-      val merged = spark.read.schema(schema)
-        .option("basePath", s"$root/cells")
-        .parquet(srcDirs.map(_.toString): _*)
-        .drop("dt")
-      // first data column is the id by [[append]]'s write order — the
-      // salt spreads a hot cell over filesPerCell files
-      val idName = merged.schema.fieldNames.head
-      merged
-        .repartition(k * filesPerCell, col("cell"),
-          pmod(xxhash64(col(idName)), lit(filesPerCell)))
-        .write.partitionBy("cell").parquet(outDir.toString)
+    // fold BOTH cell-partitioned tables under the one merged day —
+    // the codes sibling ([[enablePq]]) follows cells through every
+    // layout transition, or compacted days would lose ADC serving
+    def foldCellTable(table: String): Unit = {
+      val outDir = new Path(s"$root/$table/dt=$mergedDay")
+      f.delete(outDir, true): Unit // debris from a crashed prior attempt
+      val srcDirs = mergeDays.map(dd => new Path(s"$root/$table/dt=$dd"))
+        .filter(dd => Option(f.globStatus(new Path(dd, "cell=*/part-*")))
+          .exists(_.nonEmpty))
+      if (srcDirs.nonEmpty) {
+        val k = IvfIndex.open(spark, root).size
+        val leaves = srcDirs.flatMap(dd =>
+          f.globStatus(new Path(dd, "cell=*/part-*")).toSeq)
+        val bytes = leaves.map(_.getLen).sum
+        val filesPerCell = math.max(1L,
+          math.ceil(bytes.toDouble / (k.toLong * targetFileBytes)).toLong).toInt
+        // explicit schema (see [[cellsFrame]] — no partition inference);
+        // basePath keeps the cell partition column in the multi-dir read
+        val schema = leafDataSchema(spark, leaves.head.getPath)
+          .add("dt", org.apache.spark.sql.types.StringType)
+          .add("cell", org.apache.spark.sql.types.IntegerType)
+        val merged = spark.read.schema(schema)
+          .option("basePath", s"$root/$table")
+          .parquet(srcDirs.map(_.toString): _*)
+          .drop("dt")
+        // first data column is the id by [[append]]'s write order — the
+        // salt spreads a hot cell over filesPerCell files
+        val idName = merged.schema.fieldNames.head
+        merged
+          .repartition(k * filesPerCell, col("cell"),
+            pmod(xxhash64(col(idName)), lit(filesPerCell)))
+          .write.partitionBy("cell").parquet(outDir.toString)
+      }
     }
+    foldCellTable("cells")
+    if (f.exists(new Path(s"$root/codes"))) foldCellTable("codes")
     // transitive closure over BOTH pseudo-day kinds: a rebuilt-*
     // marker carries its origin's day list since round 13 (legacy
     // ones are empty — the name alone then stands in), and losing
@@ -469,6 +771,12 @@ object IvfStore {
         }
     }
     val model = init(seed, idCol, vecCol, newRoot, k, iters)
+    // PQ codebooks CARRY OVER (they quantize raw vectors — independent
+    // of the re-trained cell geometry), committed before the appends
+    // so every re-appended day encodes inline and the new root serves
+    // ADC from its first probe. Re-TRAINING the codebooks is a
+    // separate decision (fresh root + enablePq(m, k, iters)).
+    pqModel(spark, oldRoot).foreach(commitPqModel(spark, newRoot, _))
     days.foreach { d =>
       val target = if (d.startsWith(MergedPrefix))
         s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
@@ -707,13 +1015,16 @@ object IvfStore {
     val (names, replaced) = MarkerProtocol.markerState(f, markerDir)
     replaced.foreach { dd =>
       f.delete(new Path(s"$root/cells/dt=$dd"), true)
+      f.delete(new Path(s"$root/codes/dt=$dd"), true)
       f.delete(new Path(markerDir, dd), false)
     }
-    Option(f.globStatus(new Path(s"$root/cells/dt=$MergedPrefix*")))
-      .getOrElse(Array.empty)
-      .map(_.getPath.getName.stripPrefix("dt="))
-      .filterNot(names.contains)
-      .foreach(dd => f.delete(new Path(s"$root/cells/dt=$dd"), true))
+    Seq("cells", "codes").foreach { t =>
+      Option(f.globStatus(new Path(s"$root/$t/dt=$MergedPrefix*")))
+        .getOrElse(Array.empty)
+        .map(_.getPath.getName.stripPrefix("dt="))
+        .filterNot(names.contains)
+        .foreach(dd => f.delete(new Path(s"$root/$t/dt=$dd"), true))
+    }
   }
 
   /** STORE INTEGRITY AUDIT — [[DedupStore.fsck]]'s discipline for the
@@ -798,23 +1109,25 @@ object IvfStore {
           "paths cannot address its partitions"))
 
     val everNamed = names.toSet ++ replaced
-    val dtDirs = Option(f.globStatus(new Path(s"$root/cells/dt=*")))
-      .getOrElse(Array.empty).toSeq
-      .map(_.getPath.getName.stripPrefix("dt="))
-    dtDirs.sorted.foreach { d =>
-      if (!everNamed.contains(d)) {
-        if (d.startsWith(MergedPrefix))
-          out += DedupStore.FsckFinding("info", "merged-debris", s"cells/dt=$d",
-            "uncommitted merged partition (crashed compact); the next " +
-              "compact() sweeps it")
-        else
-          out += DedupStore.FsckFinding("warn", "orphan-partition", s"cells/dt=$d",
-            "partition with no marker (crash between write and publish): " +
-              "invisible to probes — re-append the day or delete the dir")
-      } else if (replaced.contains(d))
-        out += DedupStore.FsckFinding("info", "awaiting-sweep", s"cells/dt=$d",
-          "replaced by a committed compaction; swept at the next compact() " +
-            "after the reader grace period")
+    Seq("cells", "codes").foreach { t =>
+      val dtDirs = Option(f.globStatus(new Path(s"$root/$t/dt=*")))
+        .getOrElse(Array.empty).toSeq
+        .map(_.getPath.getName.stripPrefix("dt="))
+      dtDirs.sorted.foreach { d =>
+        if (!everNamed.contains(d)) {
+          if (d.startsWith(MergedPrefix))
+            out += DedupStore.FsckFinding("info", "merged-debris", s"$t/dt=$d",
+              "uncommitted merged partition (crashed compact); the next " +
+                "compact() sweeps it")
+          else
+            out += DedupStore.FsckFinding("warn", "orphan-partition", s"$t/dt=$d",
+              "partition with no marker (crash between write and publish): " +
+                "invisible to probes — re-append the day or delete the dir")
+        } else if (replaced.contains(d))
+          out += DedupStore.FsckFinding("info", "awaiting-sweep", s"$t/dt=$d",
+            "replaced by a committed compaction; swept at the next compact() " +
+              "after the reader grace period")
+      }
     }
     committed
       .filter(d => Option(f.globStatus(new Path(s"$root/cells/dt=$d/cell=*/part-*")))
@@ -823,6 +1136,17 @@ object IvfStore {
         "committed day with zero data files (every appended row was " +
           "unusable) — harmless to probes, but the feed produced nothing " +
           "indexable that day"))
+    // PQ coverage (round 15): a committed day with cells but no codes
+    // under a PQ-enabled store — every adcProbe refuses until repaired
+    // (a pre-PQ writer appended it, or a hand-restore dropped codes)
+    val pqm = pqModel(spark, root)
+    if (pqm.isDefined)
+      committed.filter(d => dayHasFiles(f, root, "cells", d) &&
+          !dayHasFiles(f, root, "codes", d))
+        .foreach(d => out += DedupStore.FsckFinding("error", "codes-missing",
+          s"codes/dt=$d",
+          "committed day has cells but no PQ codes — adcProbe refuses the " +
+            "whole store until repaired; run backfillCodes"))
 
     if (deep && committed.nonEmpty &&
         scala.util.Try(IvfIndex.open(spark, root)).isSuccess) {
@@ -872,6 +1196,49 @@ object IvfStore {
             "append does not dedup (curation suppresses upstream), but on a " +
             "stable-id corpus suspect restored partitions; probes return " +
             "these ids twice")
+        // PQ deep recount (round 15): stored codes must equal a fresh
+        // encode of the stored vectors against the committed codebooks
+        // — the invariant every ADC distance depends on (the
+        // cell-mismatch check's quantization twin). One codes scan
+        // joined to the cells pass above's frame.
+        pqm.foreach { model =>
+          val codeLeaves = Option(f.globStatus(
+              new Path(s"$root/codes/dt=*/cell=*/part-*")))
+            .map(_.toSeq).getOrElse(Nil)
+            .filter(st => committed.contains(
+              st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
+          if (codeLeaves.nonEmpty) {
+            val csch = leafDataSchema(spark, codeLeaves.head.getPath)
+              .add("dt", org.apache.spark.sql.types.StringType)
+              .add("cell", org.apache.spark.sql.types.IntegerType)
+            val stored = PartitionedLayout
+              .readDays(spark, s"$root/codes", csch, committed)
+              .filter(col("dt").isin(committed: _*))
+              .withColumnRenamed("pq_codes", "__stored")
+            val expected = ProductQuantizer.encode(cells, model, vecCol)
+              .select(col(idCol), col("dt"), col("cell"),
+                col("pq_codes").as("__expect"))
+            val r = expected.join(stored, Seq(idCol, "dt", "cell"), "left")
+              .agg(
+                sum(when(col("__stored").isNull, 1L).otherwise(0L)),
+                sum(when(col("__stored").isNotNull &&
+                  col("__stored") =!= col("__expect"), 1L).otherwise(0L)))
+              .collect()(0)
+            val (miss, bad2) = (if (r.isNullAt(0)) 0L else r.getLong(0),
+              if (r.isNullAt(1)) 0L else r.getLong(1))
+            if (miss > 0) out += DedupStore.FsckFinding("error",
+              "codes-missing-rows", "codes", s"$miss stored vectors have " +
+                "no PQ code row — ADC probes silently lose them; run " +
+                "backfillCodes on the affected days (after deleting their " +
+                "codes partitions) or rebuild")
+            if (bad2 > 0) out += DedupStore.FsckFinding("error",
+              "code-mismatch", "codes", s"$bad2 stored codes differ from a " +
+                "fresh encode against the committed codebooks — codebooks " +
+                "and codes diverged (hand-replaced _PQ_CODEBOOKS.txt or restored " +
+                "codes partitions?); every ADC distance over them is wrong " +
+                "— rebuild into a fresh root")
+          }
+        }
       }
     }
     val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)

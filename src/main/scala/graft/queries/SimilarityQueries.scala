@@ -801,6 +801,110 @@ object SimilarityQueries {
       FROM ex5 e LEFT JOIN pq5 p USING (q_vec, vec_id)
       GROUP BY e.q_vec"""))
 
+  /** ORACLE-GATED PQ-ENCODED STORE SERVING (round 15) — the
+    * CORRECTNESS row for [[graft.operators.IvfStore.adcProbe]]: the
+    * q146 lifecycle (init + enablePq + two appended days into a
+    * scratch root) probed through the CODES table at `nprobe = k`.
+    * Full-probe ADC is EXACT brute force over the reconstructed
+    * committed corpus (ADC distance ≡ L2 to the reconstruction — the
+    * PqSpec identity; full probe excludes no cell — the q146
+    * argument), so a DuckDB oracle that re-derives the codes, the
+    * per-query lookup tables and the ADC sums must match bit-for-bit.
+    * What equality proves: encode-at-append writes the argmin code of
+    * every committed vector, codebooks round-trip the marker, the
+    * probe's LUT + m-lookup fold reproduce exact ADC semantics, and
+    * the codes table covers exactly the committed corpus. What it
+    * does NOT grade: recall at nprobe < k (q148's territory) and
+    * trained-codebook quality (PqSpec).
+    *
+    * Codebooks are the q147 deterministic SAMPLE (`vec_id % 25 = 3`
+    * subvectors, cid-ordered so encode's ties-to-first = the oracle's
+    * cid-ASC tie-break) — no k-means in the oracle; the trained path
+    * is [[graft.operators.IvfStore.enablePq]]'s other overload,
+    * spec-gated in IvfStorePqSpec. */
+  private val ivfAdcProbe = Q(
+    "q150_ivf_adc_probe",
+    (s, d) => {
+      import s.implicits._
+      val sd = Dim / PqM
+      val e = T.embeddings(s, d)
+        .filter(graft.operators.KMeans.usable("embedding", Dim) &&
+          $"vec_id".isNotNull)
+        .select($"vec_id", $"embedding")
+      val cwRows = e.filter($"vec_id" % 25 === 3).collect().sortBy(_.getLong(0))
+      val qRows = e.filter($"vec_id" % 50 === 0).collect()
+      require(cwRows.length.max(qRows.length) <= 100000,
+        s"q150 driver-side sets (${cwRows.length} codewords, " +
+          s"${qRows.length} queries) — shard past the serving-batch shape")
+      if (cwRows.isEmpty || qRows.isEmpty)
+        // no codewords (the oracle's codes CTE is empty) or no
+        // queries: the empty answer in both engines
+        Seq.empty[(Long, Long, Double, Int)].toDF("qid", "vec_id", "adc_d2", "rank")
+      else {
+        val books = (0 until PqM).map { sIdx =>
+          cwRows.toSeq.map(r => r.getSeq[Float](1).map(_.toDouble)
+            .slice(sIdx * sd, (sIdx + 1) * sd).toSeq)
+        }
+        val model = graft.operators.PqModel(Dim, PqM, books)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q150-ivfpq-").toString
+        try {
+          graft.operators.IvfStore.init(e, "vec_id", "embedding", root,
+            k = 8, iters = 3)
+          graft.operators.IvfStore.enablePq(s, root, model): Unit
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 0), root, "day-1")
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
+          val queries = qRows.map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
+          val shard = math.max(1, (graft.operators.BroadcastGuard.cap(s) / 8).toInt)
+          queries.grouped(shard)
+            .map(qs0 => graft.operators.IvfStore.adcProbe(s, root,
+              "vec_id", qs0, nprobe = 8, topK = 5))
+            .reduce(_ unionByName _)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
+      }
+    },
+    Some {
+      val sd = Dim / PqM
+      val fixedSum = (0 until PqM)
+        .map(k => s"sum(CASE WHEN c.s = $k THEN l.qd2 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      sp AS (SELECT unnest(range($PqM)) AS s),
+      cs AS (SELECT vec_id, s, list_slice(embedding, s*$sd+1, s*$sd+$sd) AS sub
+             FROM e CROSS JOIN sp),
+      cw AS (SELECT vec_id AS cid, s, sub AS csub FROM cs WHERE vec_id % 25 = 3),
+      ec AS (SELECT c.vec_id, c.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS d2
+             FROM cs c JOIN cw w USING (s)),
+      codes AS (SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2 ASC, cid ASC) rn FROM ec) WHERE rn = 1),
+      qsub AS (SELECT vec_id AS qid, s, sub AS qsub FROM cs WHERE vec_id % 50 = 0),
+      lut AS (SELECT q.qid, q.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS qd2
+             FROM qsub q JOIN cw w USING (s)),
+      adc AS (SELECT l.qid, c.vec_id, $fixedSum AS adc_d2
+             FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+             GROUP BY l.qid, c.vec_id)
+      SELECT qid, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""
+    })
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
-    annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall)
+    annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall, ivfAdcProbe)
 }

@@ -1,0 +1,276 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{IvfIndex, IvfStore, ProductQuantizer}
+
+/** PQ-ENCODED SERVING inside [[IvfStore]] (round 15): codes live as a
+  * sibling cell-partitioned table, commit under the day marker,
+  * follow cells through compaction/rebuild, and [[IvfStore.adcProbe]]
+  * reads CODE bytes — never vector bytes — unless re-ranking. */
+class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
+
+  private val Dim = 4
+  private val M = 2 // subspaces; subDim = 2
+  private val rnd = new scala.util.Random(47)
+  private val centers =
+    Seq(Seq(10.0, 0, 0, 0), Seq(0.0, 10, 0, 0), Seq(0.0, 0, 10, 0))
+  private def around(cx: Seq[Double]): Array[Double] =
+    cx.toArray.map(_ + rnd.nextGaussian() * 0.3)
+  private def mkRows(ids: Range): Seq[(Long, Array[Double])] =
+    ids.map(i => i.toLong -> around(centers(i % 3)))
+  private def vecs(rows: Seq[(Long, Array[Double])]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  private def l2d2(a: Array[Double], b: Seq[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  private def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansOf(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => scansOf(r.child)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansOf)
+    }
+
+  /** Driver-side ADC oracle: encode exactly as [[ProductQuantizer
+    * .encode]] (argmin per subspace, ties to the FIRST codeword) and
+    * score exactly as the probe's LUT fold (per-subspace d2 summed in
+    * subspace order) — the same IEEE op order, so equality is exact. */
+  private def expectAdc(model: graft.operators.PqModel,
+      corpus: Seq[(Long, Array[Double])], q: Array[Double],
+      topK: Int): Seq[(Long, Double)] = {
+    val sd = model.subDim
+    def codeOf(v: Array[Double], s: Int): Int = {
+      val ds = model.codebooks(s).map(cw => l2d2(v.slice(s * sd, (s + 1) * sd), cw))
+      ds.indexOf(ds.min)
+    }
+    corpus.map { case (id, v) =>
+      var t = 0.0
+      for (s <- 0 until model.m)
+        t += l2d2(q.slice(s * sd, (s + 1) * sd), model.codebooks(s)(codeOf(v, s)))
+      (id, t)
+    }.sortBy { case (id, d2) => (d2, id) }.take(topK)
+  }
+
+  test("enablePq backfills committed days, append encodes inline, full ADC probe is exact over reconstructions, rerank returns float-exact results") {
+    val root = Files.createTempDirectory("ivfpq").toString
+    val day1 = mkRows(0 until 30)
+    val day2 = mkRows(100 until 130)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 4)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    assert(IvfStore.pqModel(spark, root).isEmpty)
+    // enablePq AFTER a committed day: that day backfills
+    assert(IvfStore.enablePq(spark, root, m = M, k = 4, iters = 3) === 1)
+    // a later append encodes inline — no backfill step
+    IvfStore.append(vecs(day2), root, "2024-07-02")
+    for (d <- Seq("2024-07-01", "2024-07-02"))
+      assert(new java.io.File(s"$root/codes/dt=$d").isDirectory, s"codes for $d")
+    val model = IvfStore.pqModel(spark, root).get
+    assert(model.dim === Dim && model.m === M,
+      "codebooks must round-trip through the marker")
+
+    val queries = Seq(1000L -> centers(0).toArray, 1001L -> centers(2).toArray)
+    // full probe (nprobe >= k): ADC top-k == brute force over the
+    // reconstructed committed corpus, bit-exactly (the q150 argument)
+    val adc = IvfStore.adcProbe(spark, root, "vec_id", queries,
+      nprobe = 99, topK = 4)
+    assert(adc.schema.fieldNames.toSeq === Seq("qid", "vec_id", "adc_d2", "rank"))
+    val got = adc.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    for ((qid, qv) <- queries) {
+      val expect = expectAdc(model, day1 ++ day2, qv, 4).zipWithIndex
+        .map { case ((id, d2), i) => (qid, id, d2, i + 1) }
+      assert(got(qid).sortBy(_._4).toSeq === expect, s"query $qid")
+    }
+
+    // rerank over a pool covering the whole corpus == the exact float
+    // probe (same distances, same ranks, same schema semantics)
+    val rer = IvfStore.adcProbe(spark, root, "vec_id", queries,
+      nprobe = 99, topK = 4, rerank = day1.size + day2.size)
+    val flt = IvfStore.probe(spark, root, "vec_id", "embedding", queries,
+      nprobe = 99, topK = 4)
+    assert(rer.schema.fieldNames.toSeq === Seq("qid", "vec_id", "dist2", "rank"))
+    assert(rer.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq ===
+      flt.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq,
+      "exact re-rank must reproduce the float probe")
+
+    // a rerank pool smaller than topK is a contract error
+    intercept[IllegalArgumentException] {
+      IvfStore.adcProbe(spark, root, "vec_id", queries, 99, topK = 4, rerank = 2)
+    }
+    // re-quantizing in place refuses (fresh-root discipline)
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.enablePq(spark, root, m = M, k = 2, iters = 2)
+    }
+    assert(e.getMessage.contains("FRESH root"), e.getMessage)
+  }
+
+  test("ADC probe scan reads code bytes only: scan schema + numFiles pinned; rerank touches vectors only for the candidate pool") {
+    val root = Files.createTempDirectory("ivfpq-plan").toString
+    val day1 = mkRows(0 until 40)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 4)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.append(vecs(mkRows(100 until 140)), root, "2024-07-02")
+    IvfStore.enablePq(spark, root, m = M, k = 4, iters = 3): Unit
+    val cents = IvfIndex.open(spark, root)
+    val q = centers(1).toArray
+    val probedCell = cents.indices.minBy(i => (l2d2(q, cents(i).toSeq), i))
+
+    val adc = IvfStore.adcProbe(spark, root, "vec_id", Seq(5000L -> q),
+      nprobe = 1, topK = 3)
+    adc.collect()
+    val scans = scansOf(adc.queryExecution.executedPlan)
+    // the ONE data scan reads the codes table: id + pq_codes, never
+    // the vector column — the 32x byte claim, in the scan schema
+    assert(scans.nonEmpty)
+    scans.foreach { sc =>
+      assert(!sc.output.exists(_.name == "embedding"),
+        s"ADC probe scanned vector bytes: ${sc.output.map(_.name)}")
+    }
+    val codeScan = scans.filter(_.output.exists(_.name == "pq_codes"))
+    assert(codeScan.size === 1, s"expected one codes scan, got ${scans.size}")
+    assert(codeScan.head.partitionFilters.nonEmpty,
+      "dt/cell filters must reach the file index")
+    def filesIn(day: String, c: Int): Int = {
+      val d = new java.io.File(s"$root/codes/dt=$day/cell=$c")
+      if (!d.isDirectory) 0 else d.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val expectFiles =
+      Seq("2024-07-01", "2024-07-02").map(filesIn(_, probedCell)).sum
+    assert(codeScan.head.metrics("numFiles").value === expectFiles.toLong,
+      s"scan read ${codeScan.head.metrics("numFiles").value} files, " +
+        s"probed day-cells hold $expectFiles code files")
+
+    // rerank: the vector scan appears, but broadcast-joined to the
+    // bounded candidate pool and still cell-pruned
+    val rer = IvfStore.adcProbe(spark, root, "vec_id", Seq(5000L -> q),
+      nprobe = 1, topK = 3, rerank = 5)
+    rer.collect()
+    val rscans = scansOf(rer.queryExecution.executedPlan)
+    val vecScans = rscans.filter(_.output.exists(_.name == "embedding"))
+    assert(vecScans.nonEmpty, "rerank must read the float vectors")
+    vecScans.foreach(sc => assert(sc.partitionFilters.nonEmpty,
+      "rerank's vector scan must stay partition-pruned"))
+  }
+
+  test("coverage refusal names backfillCodes; fsck lands codes-missing; backfill repairs") {
+    val root = Files.createTempDirectory("ivfpq-cover").toString
+    val day1 = mkRows(0 until 20); val day2 = mkRows(100 until 120)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    IvfStore.append(vecs(day2), root, "2024-07-02")
+    val queries = Seq(1L -> centers(0).toArray)
+    val before = IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // simulate a pre-PQ writer: the day's codes vanish
+    val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(new Path(s"$root/codes/dt=2024-07-02"), true))
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+    }
+    assert(e.getMessage.contains("backfillCodes"), e.getMessage)
+    val f1 = IvfStore.fsck(spark, root)
+    assert(f1.exists(x => x.severity == "error" && x.check == "codes-missing" &&
+      x.subject.contains("2024-07-02")), s"$f1")
+    assert(IvfStore.backfillCodes(spark, root) === Seq("2024-07-02"))
+    assert(IvfStore.fsck(spark, root, deep = true).forall(_.severity != "error"))
+    assert(IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq === before,
+      "backfill must restore the exact pre-fault answers")
+  }
+
+  test("compaction folds codes with cells: ADC answers identical across fold + sweep") {
+    val root = Files.createTempDirectory("ivfpq-compact").toString
+    val days = (1 to 4).map(i => f"2024-07-0$i%d" -> mkRows(i * 100 until i * 100 + 15))
+    IvfStore.init(vecs(days.head._2), "vec_id", "embedding", root, k = 3, iters = 3)
+    days.foreach { case (d, rows) => IvfStore.append(vecs(rows), root, d) }
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    val queries = Seq(1L -> centers(0).toArray, 2L -> centers(1).toArray)
+    val before = IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val rep = IvfStore.compact(spark, root, keepDays = 1)
+    assert(rep.mergedDay.isDefined && rep.foldedDays === 3)
+    assert(new java.io.File(s"$root/codes/dt=${rep.mergedDay.get}").isDirectory,
+      "compaction must fold the codes table under the same merged day")
+    assert(IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      === before, "fold must be ADC-answer-invariant")
+    IvfStore.compact(spark, root, keepDays = 1): Unit // sweep run
+    assert(!new java.io.File(s"$root/codes/dt=2024-07-01").exists(),
+      "sweep must clear replaced codes dirs too")
+    assert(IvfStore.adcProbe(spark, root, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      === before, "sweep must be ADC-answer-invariant")
+    assert(IvfStore.fsck(spark, root, deep = true).forall(_.severity != "error"))
+  }
+
+  test("rebuildVia carries codebooks: adcProbeVia serves identically across the flip") {
+    val root = Files.createTempDirectory("ivfpq-rebuild").toString
+    val pointer = Files.createTempDirectory("ivfpq-ptr").toString
+    val day1 = mkRows(0 until 25)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    IvfStore.publishRoot(spark, pointer, root): Unit
+    val queries = Seq(9L -> centers(2).toArray)
+    val before = IvfStore.adcProbeVia(spark, pointer, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    val newRoot = Files.createTempDirectory("ivfpq-newroot").toString + "/r"
+    IvfStore.rebuildVia(spark, pointer, newRoot, k = 3, iters = 3): Unit
+    assert(IvfStore.currentRoot(spark, pointer) === newRoot)
+    assert(IvfStore.pqModel(spark, newRoot).isDefined,
+      "rebuild must carry the PQ codebooks into the new root")
+    assert(IvfStore.adcProbeVia(spark, pointer, "vec_id", queries, 99, 5)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq === before,
+      "full ADC probe is geometry-independent — identical across the flip")
+    assert(IvfStore.fsck(spark, newRoot, deep = true).forall(_.severity != "error"))
+  }
+
+  test("deep fsck catches tampered codes: code-mismatch and codes-missing-rows") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivfpq-fsck").toString
+    val day1 = mkRows(0 until 20)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 2, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    assert(IvfStore.fsck(spark, root, deep = true).forall(_.severity != "error"))
+    // tamper: drop one code row and corrupt another, in one cell dir
+    val cellDir = new java.io.File(s"$root/codes/dt=2024-07-01")
+      .listFiles().filter(_.getName.startsWith("cell=")).head
+    val cellPath = cellDir.getAbsolutePath
+    val rows = spark.read.parquet(cellPath)
+      .select($"vec_id", $"pq_codes").as[(Long, Seq[Int])].collect().toSeq
+    assert(rows.size >= 2, "need at least two rows to tamper with")
+    val tampered = rows.tail // drop one row
+      .map { case (id, cs) => (id, cs.updated(0, (cs.head + 1) % 3)) } // corrupt all
+    val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new Path(cellPath), true): Unit
+    tampered.toDF("vec_id", "pq_codes").write.parquet(cellPath)
+    val deep = IvfStore.fsck(spark, root, deep = true)
+    assert(deep.exists(x => x.severity == "error" && x.check == "codes-missing-rows"),
+      s"$deep")
+    assert(deep.exists(x => x.severity == "error" && x.check == "code-mismatch"),
+      s"$deep")
+    // shallow stays quiet (metadata looks fine) — the lie is numeric
+    assert(IvfStore.fsck(spark, root).forall(_.severity != "error"))
+  }
+}

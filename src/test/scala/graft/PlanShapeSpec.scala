@@ -329,6 +329,54 @@ class PlanShapeSpec extends AnyFunSuite with SparkSpec {
       "the single shuffle must be keyed by qid")
   }
 
+  test("IVF ADC probe (q150's serving shape): code-bytes-only file-pruned scan, broadcast LUT join, map-side top-k") {
+    // the PQ twin of the q146 pin: same serving skeleton, but the
+    // scanned table is CODES — at 100× the load-bearing property is
+    // that the scan's ReadSchema carries m ints per row instead of
+    // dim floats (the 32× byte claim, visible in the plan), with the
+    // same dual partition-dim file pruning and single qid exchange
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("ps-ivfadc").toString + "/ivf"
+    val rnd = new scala.util.Random(6)
+    def vec() = Array.fill(8)(rnd.nextGaussian())
+    val day1 = (0 until 60).map(i => i.toLong -> vec())
+      .toDF("vec_id", "embedding")
+    graft.operators.IvfStore.init(day1, "vec_id", "embedding", root,
+      k = 4, iters = 2)
+    graft.operators.IvfStore.append(day1, root, "2024-06-01")
+    graft.operators.IvfStore.enablePq(spark, root, m = 2, k = 4, iters = 2): Unit
+    graft.operators.IvfStore.append(
+      (200 until 260).map(i => i.toLong -> vec()).toDF("vec_id", "embedding"),
+      root, "2024-06-02")
+    val p = graft.operators.IvfStore.adcProbe(spark, root, "vec_id",
+        (0 until 3).map(i => (9000L + i) -> vec()), nprobe = 2, topK = 5)
+      .queryExecution.explainString(FormattedMode)
+
+    val pf = p.linesIterator.find(_.trim.startsWith("PartitionFilters:"))
+      .getOrElse(fail(s"no PartitionFilters line in:\n$p"))
+    assert(pf.contains("dt#") && pf.contains("cell#") && pf.contains(" IN "),
+      s"ADC scan must carry IN filters on dt AND cell: $pf")
+    // the scan reads CODE bytes: id + m-int codes, never the vector
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,pq_codes:array<int>>"),
+      "ADC probe scan must read codes only:\n" +
+        p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n"))
+    assert(!p.contains("embedding"),
+      "ADC probe plan must never touch the vector column")
+    assert(p.contains("BroadcastHashJoin"), "LUT pair join must broadcast")
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-query top-k lost its map-side pre-limit")
+    val tree = p.linesIterator.takeWhile(l => !l.startsWith("(1)")).mkString("\n")
+    val shuffles = tree.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(shuffles.size === 1,
+      s"ADC probe must shuffle exactly once (qid top-k):\n$tree")
+    assert(p.contains("hashpartitioning(qid"),
+      "the single shuffle must be keyed by qid")
+  }
+
   test("q05: the three distinct-count branches share one cached projection") {
     val p = plan("q05_distinct_counts")
     // count in the plan TREE only — the details section re-prints the
