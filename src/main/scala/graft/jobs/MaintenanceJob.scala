@@ -30,6 +30,10 @@ import graft.operators.{DedupStore, IvfStore}
   *                (which threshold which day breached, and whether
   *                the serving pointer was swapped) — empty when no
   *                policy is configured or nothing breached
+  *   retire       [[IvfStore.retireRoots]] outcomes for the policy's
+  *                pointer — roots a flip replaced, marked this run or
+  *                deleted after the one-cadence grace; empty without
+  *                a policy (no pointer to walk)
   *
   * ORDER: compact first, then audit — the audit then describes the
   * post-maintenance state (a pre-compact fsck would flag the very
@@ -208,7 +212,8 @@ object MaintenanceJob {
       nprobe: Int = 8, topK: Int = 5,
       queriesPerDay: Int = 16,
       rebuildPolicy: Option[RebuildPolicy] = None,
-      textIndexRoot: Option[String] = None): Map[String, Long] = {
+      textIndexRoot: Option[String] = None,
+      retireKeepRoots: Int = 2): Map[String, Long] = {
     import spark.implicits._
 
     // 1. compact (sweeps prior runs' replaced debris first, per store)
@@ -263,12 +268,25 @@ object MaintenanceJob {
     val rebuilt = rebuildFrame(spark, rebuildPolicy, ivfRoot, probeable,
       driftC, recallC)
 
+    // 5. retire flipped-away serving roots (round 15) — runs AFTER the
+    // rebuild step so a root this run's own flip replaced gets MARKED
+    // now and deleted at the NEXT run (the two-phase grace is the
+    // in-flight-reader protection; [[IvfStore.retireRoots]]). Totality:
+    // no pointer / never-published pointer → the empty report.
+    val retired = rebuildPolicy.map(p =>
+        scala.util.Try(IvfStore.retireRoots(spark, p.pointer, retireKeepRoots))
+          .getOrElse(Nil))
+      .getOrElse(Nil)
+    val retiredDf = retired.map(r => (r.root, r.action))
+      .toDF("root", "action")
+
     val reports: Seq[(String, DataFrame)] = Seq(
       "compaction" -> compactionFrame(spark, dedupComp, ivfComp, txComp),
       "fsck" -> findingsFrame(spark, findings),
       "drift" -> driftC,
       "recall" -> recallC,
-      "rebuild" -> rebuilt)
+      "rebuild" -> rebuilt,
+      "retire" -> retiredDf)
     reports.map { case (name, df) =>
       val out = df.cache()
       try {

@@ -110,6 +110,20 @@ object SnapshotStore {
     commit(merge(current, delta), root)
   }
 
+  /** POINTED-LINEAGE versions (≤ current), oldest first — the commit
+    * history a consumer can walk ([[IvfStore.retireRoots]] reads the
+    * root-swap history through this). Empty when never committed. */
+  private[operators] def pointedVersions(spark: SparkSession,
+      root: String): Seq[Long] =
+    currentVersion(spark, root) match {
+      case None => Nil
+      case Some(c) => versionsOnDisk(spark, root).filter(_ <= c).sorted
+    }
+
+  /** The immutable directory a version's snapshot lives in. */
+  private[operators] def versionDir(root: String, v: Long): String =
+    s"$root/${VerFmt.format(v)}"
+
   /** Delete orphaned versions and all but the newest `keep` pointed
     * lineage versions; never deletes the pointer target.
     *

@@ -751,4 +751,62 @@ class IvfStoreMaintenanceSpec extends AnyFunSuite with SparkSpec {
     val mean = IvfStore.driftReport(spark, root).collect().head.getDouble(2)
     assert(!mean.isNaN && !mean.isInfinite)
   }
+
+  test("retireRoots: two-phase grace deletes a flipped-away root; rollback unmarks; retained lineage and current never deleted") {
+    val base = Files.createTempDirectory("ivfst-retire").toString
+    val (r1, r2, r3, ptr) =
+      (s"$base/root-1", s"$base/root-2", s"$base/root-3", s"$base/ptr")
+    val day1 = mkRows(0 until 30)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", r1, k = 3, iters = 3)
+    IvfStore.append(vecs(day1), r1, "2024-07-01")
+    IvfStore.publishRoot(spark, ptr, r1)
+    IvfStore.rebuildVia(spark, ptr, r2, k = 3, iters = 3): Unit
+    val queries = Seq(9001L -> centers(0).toArray)
+    // an in-flight reader that resolved the pointer PRE-flip: its
+    // root must stay readable through the whole grace cadence
+    val preFlipRoot = r1
+    def probeOld() = IvfStore.probe(spark, preFlipRoot, "vec_id",
+      "embedding", queries, nprobe = 99, topK = 5).collect()
+    val expected = probeOld().map(_.getLong(1)).toSeq
+
+    // run 1 (keepRoots=1): r1 leaves the retained set -> MARKED only
+    val run1 = IvfStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(run1 === Seq(IvfStore.RetiredRoot(
+      hfs.makeQualified(new Path(r1)).toString, "marked")))
+    assert(new java.io.File(s"$r1/cells").isDirectory,
+      "marking must not delete — the grace window is the point")
+    assert(probeOld().map(_.getLong(1)).toSeq === expected,
+      "pre-flip reader broken inside the grace window")
+
+    // run 2: the mark stands, r1 still outside the retained set -> gone
+    val run2 = IvfStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(run2.map(_.action) === Seq("deleted"))
+    assert(!new java.io.File(r1).exists(), "grace elapsed — root retired")
+    // serving is unaffected (the pointer never referenced r1 again)
+    assert(IvfStore.probeVia(spark, ptr, "vec_id", "embedding", queries,
+      nprobe = 99, topK = 5).collect().nonEmpty)
+    // steady state: nothing to mark, nothing to delete
+    assert(IvfStore.retireRoots(spark, ptr, keepRoots = 1) === Nil)
+
+    // rollback safety: r2 marked, then the pointer flips BACK to it
+    // before the next run — the mark must clear, never delete
+    IvfStore.rebuildVia(spark, ptr, r3, k = 3, iters = 3): Unit
+    val m1 = IvfStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(m1.map(_.action) === Seq("marked"))
+    IvfStore.publishRoot(spark, ptr, r2) // rollback: r2 serves again
+    val m2 = IvfStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(m2.exists(r => r.action == "unmarked" &&
+      r.root == hfs.makeQualified(new Path(r2)).toString),
+      s"rolled-back root must be unmarked, not deleted: $m2")
+    assert(new java.io.File(s"$r2/cells").isDirectory,
+      "rollback target deleted — serving is down")
+    // r3 (now replaced by the rollback) enters its own grace window
+    assert(m2.exists(r => r.action == "marked" &&
+      r.root == hfs.makeQualified(new Path(r3)).toString), s"$m2")
+    // keepRoots=2 retains both lineage roots: no candidates at all
+    // (the mark from the keepRoots=1 pass clears as a rollback)
+    val wide = IvfStore.retireRoots(spark, ptr, keepRoots = 2)
+    assert(wide.forall(_.action == "unmarked"), s"$wide")
+    assert(new java.io.File(s"$r3/cells").isDirectory)
+  }
 }

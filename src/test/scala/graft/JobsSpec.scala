@@ -328,4 +328,52 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
       "pre-flip failure: the pointer still serves the old root")
     assert(serving === ivf, "a failed rebuild must not move the pointer")
   }
+
+  test("maintenanceJob retire report: a flipped-away root is marked, survives its grace cadence for in-flight readers, then is deleted") {
+    import graft.jobs.MaintenanceJob
+    import graft.operators.IvfStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mj-retire").toString
+    val (oldIvf, ptr) = (s"$root/ivf-old", s"$root/ptr")
+    val rnd = new scala.util.Random(9)
+    val day1 = (0 until 24).map(i => (i.toLong,
+      Array.fill(8)(rnd.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    IvfStore.init(day1, "vec_id", "embedding", oldIvf, k = 2, iters = 3)
+    IvfStore.append(day1, oldIvf, "2024-01-01")
+    IvfStore.publishRoot(spark, ptr, oldIvf)
+    // the evidence-gated flip already happened (a prior cron night)
+    IvfStore.rebuildVia(spark, ptr, s"$root/ivf-new", k = 2, iters = 3): Unit
+    def serving = IvfStore.currentRoot(spark, ptr)
+    assert(serving === s"$root/ivf-new")
+    val q = Seq(7000L -> Array.fill(8)(0.0))
+    def probeOld() = IvfStore.probe(spark, oldIvf, "vec_id", "embedding",
+      q, nprobe = 99, topK = 3).collect().map(_.getLong(1)).toSeq
+    val preFlip = probeOld() // an in-flight reader's resolved root
+    // a HEALTHY policy (nothing breaches): the retire step still runs
+    def runJob(out: String) = MaintenanceJob.run(spark, s"$root/stores",
+      Some(serving), out, nprobe = 1, queriesPerDay = 4,
+      rebuildPolicy = Some(MaintenanceJob.RebuildPolicy(
+        ptr, s"$root/ivf-unused", k = 2, iters = 3,
+        driftRatioMax = 1e9, recallMin = 0.0)),
+      retireKeepRoots = 1)
+    val c1 = runJob(s"$root/rep1")
+    assert(c1("retire") === 1L && c1("rebuild") === 0L, s"$c1")
+    val r1 = spark.read.parquet(s"$root/rep1/retire").collect()
+    assert(r1.length === 1 && r1.head.getAs[String]("action") === "marked" &&
+      r1.head.getAs[String]("root").endsWith("ivf-old"), r1.mkString(";"))
+    assert(probeOld() === preFlip,
+      "in-flight pre-flip reader must survive the grace cadence")
+    val c2 = runJob(s"$root/rep2")
+    assert(c2("retire") === 1L)
+    val r2 = spark.read.parquet(s"$root/rep2/retire").collect()
+    assert(r2.length === 1 && r2.head.getAs[String]("action") === "deleted",
+      r2.mkString(";"))
+    assert(!new java.io.File(oldIvf).exists(), "grace elapsed — root retired")
+    // serving never referenced the retired root again
+    assert(IvfStore.probeVia(spark, ptr, "vec_id", "embedding", q,
+      nprobe = 99, topK = 3).collect().nonEmpty)
+    val c3 = runJob(s"$root/rep3")
+    assert(c3("retire") === 0L, "steady state: nothing to mark or delete")
+  }
 }
