@@ -241,6 +241,20 @@ object TextIndexStore {
     else f.listStatus(dir).toSeq.filter(s =>
       s.isFile && s.getPath.getName.startsWith("part-"))
 
+  /** Deterministic digest of a day's on-disk state across both
+    * tables — the deep-audit watermark's change detector. Every write
+    * path lands fresh part- names (UUID'd) and the fold changes the
+    * listing wholesale, so names+lengths move on any mutation. */
+  private def dayFingerprint(f: org.apache.hadoop.fs.FileSystem,
+      root: String, day: String): String = {
+    val body = Tables.flatMap { t =>
+      partFiles(f, new Path(s"$root/$t/dt=$day"))
+        .map(st => s"$t/${st.getPath.getName}:${st.getLen}")
+    }.sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** part-file count over the committed view — the [[compact]]
     * before/after metric. */
   def committedFileCount(spark: SparkSession, root: String): Int = {
@@ -372,10 +386,22 @@ object TextIndexStore {
     * Deep adds the denormalization recount: per committed day,
     * re-derive (n_docs, sum_dl) from the postings (distinct doc_id;
     * one inline `dl` per doc) and compare to the day's stats row —
-    * the invariant the probe's constants depend on. One
-    * committed-postings scan. */
+    * the invariant the probe's constants depend on.
+    *
+    * The recount is DAY-SCOPED by an audit watermark (round 15 —
+    * formerly one full committed-postings scan per audit, an
+    * archive-scan per cron tick at 100 TB): each day that recounts
+    * CLEAN commits `_audit/<day>` whose content fingerprints the
+    * day's on-disk files (names + lengths, both tables), and the next
+    * deep audit recounts only days whose fingerprint moved or whose
+    * watermark is absent — i.e. days appended, re-appended or
+    * compacted since their last clean audit. A day that recounts
+    * DIRTY keeps no watermark, so it re-checks every audit until
+    * repaired. `force = true` is the full recount on demand.
+    * Steady-state deep cost: the new days' postings, not the
+    * archive's. */
   def fsck(spark: SparkSession, root: String,
-      deep: Boolean = false): Seq[DedupStore.FsckFinding] = {
+      deep: Boolean = false, force: Boolean = false): Seq[DedupStore.FsckFinding] = {
     val f = fsOf(spark, root)
     val out = scala.collection.mutable.ArrayBuffer.empty[DedupStore.FsckFinding]
     val markerDir = new Path(s"$root/markers")
@@ -461,47 +487,87 @@ object TextIndexStore {
           "re-append the day"))
 
     if (deep && committed.nonEmpty) {
-      val posts = PartitionedLayout.readDays(
-        spark, s"$root/postings", postingsSchema, committed)
-      // per (day, doc): the inline dl must be ONE value across the
-      // doc's postings (the denormalization invariant), then the
-      // per-day rollup must equal the stats row
-      val perDoc = posts.groupBy(col("dt"), col("doc_id"))
-        .agg(min(col("dl")).as("dl_min"), max(col("dl")).as("dl_max"))
-      perDoc.filter(col("dl_min") =!= col("dl_max"))
-        .select(col("dt"), col("doc_id")).collect().foreach(r =>
-          out += DedupStore.FsckFinding("error", "inconsistent-inline-dl",
-            s"dt=${r.getString(0)}/doc_id=${r.getLong(1)}",
-            "a doc's postings disagree on its inline doc length — " +
-              "hand-edited partition; re-append the day"))
-      val recount = perDoc.groupBy(col("dt"))
-        .agg(count(lit(1)).as("n2"), sum(col("dl_max")).as("dl2"))
-      val stats = PartitionedLayout.readDays(
-        spark, s"$root/stats", statsSchema, committed)
-      stats.join(recount, Seq("dt"), "full_outer")
-        .collect().foreach { r =>
-          val dt = r.getAs[String]("dt")
-          val (n1, d1) = (Option(r.getAs[java.lang.Long]("n_docs")),
-            Option(r.getAs[java.lang.Long]("sum_dl")))
-          val n2 = Option(r.getAs[java.lang.Long]("n2"))
-          val d2v = Option(r.getAs[java.lang.Long]("dl2"))
-          val nOk = (n1.map(_.toLong), n2.map(_.toLong)) match {
-            case (Some(a), Some(b)) => a == b
-            case (Some(a), None) => a == 0L // zero-doc day: no postings
-            case _ => false
+      val auditDir = new Path(s"$root/_audit")
+      val fps = committed.map(d => d -> dayFingerprint(f, root, d)).toMap
+      val watermarks: Map[String, String] =
+        if (!f.exists(auditDir)) Map.empty
+        else f.listStatus(auditDir).toSeq.map(_.getPath)
+          .filterNot(_.getName.startsWith("."))
+          .map(p => p.getName ->
+            MarkerProtocol.readMarker(f, p).headOption.getOrElse("")).toMap
+      // housekeeping: a watermark whose day left the committed set
+      // (replaced by compaction, retracted by a crashed re-append) is
+      // meaningless — drop it so a later same-named day re-audits
+      watermarks.keys.filterNot(committed.contains)
+        .foreach(d => f.delete(new Path(auditDir, d), false))
+      val toRecount =
+        if (force) committed
+        else committed.filter(d => !watermarks.get(d).contains(fps(d)))
+      val dirtyDays = scala.collection.mutable.Set.empty[String]
+      if (toRecount.nonEmpty) {
+        val posts = PartitionedLayout.readDays(
+          spark, s"$root/postings", postingsSchema, toRecount)
+          .filter(col("dt").isin(toRecount: _*))
+        // per (day, doc): the inline dl must be ONE value across the
+        // doc's postings (the denormalization invariant), then the
+        // per-day rollup must equal the stats row. Cached: BOTH deep
+        // checks fold this frame, and without the cache each collect
+        // would re-scan the recounted days' postings
+        val perDoc = posts.groupBy(col("dt"), col("doc_id"))
+          .agg(min(col("dl")).as("dl_min"), max(col("dl")).as("dl_max"))
+          .persist()
+        try {
+        perDoc.filter(col("dl_min") =!= col("dl_max"))
+          .select(col("dt"), col("doc_id")).collect().foreach { r =>
+            dirtyDays += r.getString(0)
+            out += DedupStore.FsckFinding("error", "inconsistent-inline-dl",
+              s"dt=${r.getString(0)}/doc_id=${r.getLong(1)}",
+              "a doc's postings disagree on its inline doc length — " +
+                "hand-edited partition; re-append the day")
           }
-          val dlOk = (d1.map(_.toLong), d2v.map(_.toLong)) match {
-            case (Some(a), Some(b)) => a == b
-            case (None, None) => true // zero-doc day: null sum, no postings
-            case _ => false
+        val recount = perDoc.groupBy(col("dt"))
+          .agg(count(lit(1)).as("n2"), sum(col("dl_max")).as("dl2"))
+        val stats = PartitionedLayout.readDays(
+          spark, s"$root/stats", statsSchema, toRecount)
+          .filter(col("dt").isin(toRecount: _*))
+        stats.join(recount, Seq("dt"), "full_outer")
+          .collect().foreach { r =>
+            val dt = r.getAs[String]("dt")
+            val (n1, d1) = (Option(r.getAs[java.lang.Long]("n_docs")),
+              Option(r.getAs[java.lang.Long]("sum_dl")))
+            val n2 = Option(r.getAs[java.lang.Long]("n2"))
+            val d2v = Option(r.getAs[java.lang.Long]("dl2"))
+            val nOk = (n1.map(_.toLong), n2.map(_.toLong)) match {
+              case (Some(a), Some(b)) => a == b
+              case (Some(a), None) => a == 0L // zero-doc day: no postings
+              case _ => false
+            }
+            val dlOk = (d1.map(_.toLong), d2v.map(_.toLong)) match {
+              case (Some(a), Some(b)) => a == b
+              case (None, None) => true // zero-doc day: null sum, no postings
+              case _ => false
+            }
+            if (!nOk || !dlOk) {
+              dirtyDays += dt
+              out += DedupStore.FsckFinding("error", "stats-recount-mismatch",
+                s"dt=$dt",
+                s"stats row (n_docs=${n1.orNull}, sum_dl=${d1.orNull}) != " +
+                  s"postings recount (n_docs=${n2.orNull}, " +
+                  s"sum_dl=${d2v.orNull}) — re-append the day")
+            }
           }
-          if (!nOk || !dlOk)
-            out += DedupStore.FsckFinding("error", "stats-recount-mismatch",
-              s"dt=$dt",
-              s"stats row (n_docs=${n1.orNull}, sum_dl=${d1.orNull}) != " +
-                s"postings recount (n_docs=${n2.orNull}, " +
-                s"sum_dl=${d2v.orNull}) — re-append the day")
+        } finally { perDoc.unpersist(); () }
+        // a clean recount commits the day's watermark (fingerprint at
+        // audit time — a later rewrite moves it and re-audits); a
+        // dirty one keeps none, so the fault re-surfaces every audit
+        // until repaired
+        toRecount.foreach { d =>
+          if (dirtyDays.contains(d))
+            f.delete(new Path(auditDir, d), false): Unit
+          else MarkerProtocol.atomicMarker(
+            spark.sparkContext.hadoopConfiguration, auditDir, d, fps(d))
         }
+      }
     }
 
     val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)

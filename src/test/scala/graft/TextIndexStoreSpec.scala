@@ -274,6 +274,118 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       s"$f2")
   }
 
+  private def scansIn(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansIn(q.plan)
+      case r2: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        scansIn(r2.child)
+      // the deep audit caches its shared rollup — the file scan lives
+      // INSIDE the InMemoryRelation's cached plan
+      case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        scansIn(im.relation.cachedPlan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scansIn)
+    }
+
+  /** Total `numFiles` across every postings scan `body` executes —
+    * the deep audit's actual read volume, captured off the query
+    * execution listener (PLANNED paths, not plan strings). A scan
+    * NODE counts once however many queries reference it through a
+    * cache (the cache populates on the first execution; later reads
+    * re-see the same node, not a new scan). */
+  private def postingsFilesRead(root: String)(body: => Unit): Long = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean])
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        scansIn(qe.executedPlan).foreach { sc =>
+          if (seen.add(sc) && sc.relation.location.rootPaths.exists(
+              _.toString.contains(s"$root/postings")))
+            total.addAndGet(sc.metrics("numFiles").value): Unit
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      body
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
+    } finally spark.listenerManager.unregister(qel)
+    total.get()
+  }
+
+  private def postingsFileCount(root: String, day: String): Long =
+    Option(new java.io.File(s"$root/postings/dt=$day").listFiles())
+      .map(_.count(_.getName.startsWith("part-")).toLong).getOrElse(0L)
+
+  test("deep fsck is day-scoped: only days modified since their clean audit re-read; dirty days re-surface; force recounts all") {
+    val r = tmpRoot("watermark")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val (f1Day1, f1Day2) = (postingsFileCount(r, "day-1"), postingsFileCount(r, "day-2"))
+    // audit 1: no watermarks yet — both days recount
+    val read1 = postingsFilesRead(r) {
+      assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty)
+    }
+    assert(read1 === f1Day1 + f1Day2, s"first audit reads everything: $read1")
+    // audit 2: nothing changed — ZERO postings files re-read
+    val read2 = postingsFilesRead(r) {
+      assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty)
+    }
+    assert(read2 === 0L, s"untouched days must not be re-read: $read2")
+    // a re-appended day moves its fingerprint — ONLY it recounts
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val f2Day2 = postingsFileCount(r, "day-2")
+    val read3 = postingsFilesRead(r) {
+      assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty)
+    }
+    assert(read3 === f2Day2,
+      s"only the modified day recounts: read $read3, day-2 holds $f2Day2")
+    // a numeric lie in day-1's stats changes its fingerprint too
+    // (fresh part files) — it re-audits and lands the error
+    val s = spark
+    import s.implicits._
+    val fs = new Path(r).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(s"$r/stats/dt=day-1"), true): Unit
+    Seq((99L, 9999L, "day-1")).toDF("n_docs", "sum_dl", "dt")
+      .write.parquet(s"$r/stats/dt=day-1")
+    val d1 = TextIndexStore.fsck(spark, r, deep = true)
+    assert(d1.exists(x => x.check == "stats-recount-mismatch" &&
+      x.subject == "dt=day-1"), s"$d1")
+    // dirty day keeps NO watermark: the SAME fault re-surfaces at the
+    // next audit even though its files did not move again
+    val read5 = postingsFilesRead(r) {
+      val d2 = TextIndexStore.fsck(spark, r, deep = true)
+      assert(d2.exists(_.check == "stats-recount-mismatch"), s"$d2")
+    }
+    assert(read5 === f1Day1, "a dirty day must re-check every audit")
+    // repair by re-append → clean audit, watermark restored
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty)
+    assert(postingsFilesRead(r) {
+      assert(TextIndexStore.fsck(spark, r, deep = true).isEmpty)
+    } === 0L)
+    // force: the full recount on demand
+    val readF = postingsFilesRead(r) {
+      assert(TextIndexStore.fsck(spark, r, deep = true, force = true).isEmpty)
+    }
+    assert(readF === postingsFileCount(r, "day-1") + f2Day2,
+      s"force must recount the whole committed set: $readF")
+    // compaction rewrites where rows live: the merged day audits as a
+    // NEW day, replaced days' watermarks are housekept away
+    TextIndexStore.compact(spark, r, keepDays = 0): Unit
+    assert(TextIndexStore.fsck(spark, r, deep = true)
+      .forall(_.severity == "info"))
+    assert(!fs.exists(new Path(s"$r/_audit/day-1")),
+      "watermark of a folded day must be housekept away")
+  }
+
   test("probe plan: dt partition filters + word pushdown on the postings scan") {
     val r = tmpRoot("plan")
     TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
