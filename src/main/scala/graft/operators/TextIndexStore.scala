@@ -233,6 +233,84 @@ object TextIndexStore {
           .orderBy(col("bm25").desc, col("doc_id").asc)))
   }
 
+  /** BATCHED BM25 (round 15) — N queries, ONE postings scan. A
+    * serving workload issues many term-sets; N [[topK]] calls re-plan,
+    * re-read the stats and re-scan the index N times. This reads the
+    * UNION of all queries' terms once and fans it out:
+    *
+    *  - one postings scan filtered to the union (same dt file prune +
+    *    word row-group pushdown as the single probe — the plan's ONLY
+    *    parquet scan node, spec-pinned);
+    *  - `df` per word via a count window OVER the scan (no self-join,
+    *    no second scan — partitioned by word, the same key the
+    *    single probe's df aggregate shuffles on);
+    *  - per-(query, doc) scoring through a broadcast (qid, word, pos)
+    *    join, summed in QUERY ORDER — contributions fold sorted by
+    *    the term's position in ITS query, so each score is
+    *    bit-identical to the single call's fixed conditional-sum
+    *    chain (adding a matched term's value to the chain's 0.0
+    *    placeholders is IEEE-exact for the positive BM25 terms);
+    *  - per-qid top-k via rank-window ≤ topK — the q146
+    *    partial/final WindowGroupLimit shape, so the one qid exchange
+    *    carries ≤ topK·partitions candidates per query.
+    *
+    * Per query this costs what one [[topK]] costs on its own terms;
+    * across the batch the scan, the stats read and the planning are
+    * paid once. Returns (qid, doc_id, bm25, n_terms_hit, rank ≤ topK)
+    * — per qid exactly the rows the single call returns. Duplicate
+    * qids and duplicate terms within a query are errors (the single
+    * probe's double-count rule, batched). */
+  def topKBatch(spark: SparkSession, root: String,
+      queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(queries.nonEmpty, "batch probe needs at least one query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      s"duplicate qids in the batch: ${queries.map(_._1)}")
+    queries.foreach { case (qid, ts) =>
+      require(ts.nonEmpty, s"query $qid has no terms")
+      require(ts.distinct.length == ts.length,
+        s"duplicate probe terms in query $qid would double-count: $ts")
+    }
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val days = committedDays(spark, root)
+    val (nDocs, avgdl) = corpusStats(spark, root, days)
+    if (nDocs == 0L)
+      return Seq.empty[(Long, Long, Double, Long, Int)]
+        .toDF("qid", "doc_id", "bm25", "n_terms_hit", "rank")
+    val allTerms = queries.flatMap(_._2).distinct
+    val posts = PartitionedLayout.readDays(
+        spark, s"$root/postings", postingsSchema, days)
+      .filter(col("dt").isin(days: _*))
+      .filter(col("word").isInCollection(allTerms))
+    val qterms = queries.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, t, i) }
+    }.toDF("qid", "word", "pos")
+    val scored = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df").cast("double") + 0.5)))
+      .withColumn("tfc", (col("tf").cast("double") * (K1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(1.0 - B) + col("dl").cast("double") / avgdl * B)))
+      .join(broadcast(qterms), "word")
+    scored
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(
+        // fixed-order sum: contributions sorted by the term's position
+        // in the query, folded sequentially from 0.0 — the single
+        // call's chain order, not a float-reorderable SUM
+        aggregate(
+          array_sort(collect_list(struct(col("pos"),
+            (col("idf") * col("tfc")).as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= topK)
+  }
+
   private val Tables = Seq("postings", "stats")
 
   private def partFiles(f: org.apache.hadoop.fs.FileSystem,

@@ -386,6 +386,58 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       "watermark of a folded day must be housekept away")
   }
 
+  test("topKBatch: per qid exactly the single call's rows, bit-equal scores, ONE postings scan for the whole batch") {
+    val r = tmpRoot("batchprobe")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val queries = Seq(
+      10L -> Seq("the", "of"),
+      20L -> Seq("and"),
+      30L -> Seq("the", "and", "of"),
+      40L -> Seq("zzz-no-such-term"))
+    val batch = TextIndexStore.topKBatch(spark, r, queries, topK = 10)
+    batch.collect(): Unit
+    val got = batch.collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getDouble(2), x.getLong(3), x.getInt(4))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._4).toSeq).toMap
+    for ((qid, terms) <- queries) {
+      val single = TextIndexStore.topK(spark, r, terms, topK = 10).collect()
+        .map(x => (x.getLong(0), x.getDouble(1), x.getLong(2), x.getInt(3)))
+        .sortBy(_._4).toSeq
+      assert(got.getOrElse(qid, Seq.empty) === single,
+        s"batch answer for query $qid diverged from the single call")
+    }
+    // the whole batch reads the postings ONCE: a single parquet scan
+    // node in the executed plan (df comes from a window over the same
+    // scan, never a second read)
+    val scans = scansIn(batch.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(
+        _.toString.contains(s"$r/postings")))
+    assert(scans.size === 1,
+      s"batch probe must scan the postings exactly once, got ${scans.size}")
+    assert(scans.head.partitionFilters.nonEmpty,
+      "dt filter must reach the file index")
+    assert(scans.head.metadata("PushedFilters").contains("In(word"),
+      s"union-of-terms pushdown missing: ${scans.head.metadata("PushedFilters")}")
+    // per-qid top-k keeps the q146 map-side pre-limit shape
+    val explained = batch.queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert("WindowGroupLimit".r.findAllIn(explained).size >= 2,
+      "per-qid top-k lost its partial/final WindowGroupLimit")
+    // contract errors: duplicate qids, duplicate terms inside a query
+    intercept[IllegalArgumentException] {
+      TextIndexStore.topKBatch(spark, r, Seq(1L -> Seq("a"), 1L -> Seq("b")), 5)
+    }
+    intercept[IllegalArgumentException] {
+      TextIndexStore.topKBatch(spark, r, Seq(1L -> Seq("the", "the")), 5)
+    }
+    // empty store: the typed empty frame
+    val r2 = tmpRoot("batchempty")
+    val empty = TextIndexStore.topKBatch(spark, r2, queries, 5)
+    assert(empty.collect().isEmpty && empty.schema.fieldNames.toSeq ===
+      Seq("qid", "doc_id", "bm25", "n_terms_hit", "rank"))
+  }
+
   test("probe plan: dt partition filters + word pushdown on the postings scan") {
     val r = tmpRoot("plan")
     TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
