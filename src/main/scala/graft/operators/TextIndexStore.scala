@@ -313,6 +313,119 @@ object TextIndexStore {
 
   private val Tables = Seq("postings", "stats")
 
+  // -----------------------------------------------------------------
+  // POINTERED ROOT (round 15) — the [[IvfStore.publishRoot]] pattern
+  // for the retrieval store, needed the day its tokenization
+  // discipline changes: reindexing under a new tokenizer cannot
+  // mutate a live root (probes would mix postings from two word
+  // disciplines mid-rewrite), so the swap is a fresh root + atomic
+  // pointer flip, with probes resolving through the pointer.
+  //
+  // One deliberate difference from the IVF twin: the index holds
+  // POSTINGS, not documents, so a catch-up cannot re-derive a day the
+  // new tokenizer way — only the caller can re-ingest it from source.
+  // [[rebuildVia]] therefore takes the caller's `reingest` function
+  // and drives it through the same two catch-up passes around the
+  // flip; [[missingDays]] is the gap oracle both passes share.
+  // Coverage is decided at ORIGIN-day granularity ([[originDays]]):
+  // compaction renames where postings live, but a merged marker's
+  // content lists the origin days transitively, so the diff is exact
+  // across fold generations on either root.
+  // -----------------------------------------------------------------
+
+  private def pointerSchema = StructType(Seq(
+    StructField("text_index_root", StringType, nullable = false)))
+
+  /** Publish `root` as the pointer's current serving root — one
+    * atomic [[SnapshotStore.commit]]; readers resolve old or new,
+    * never a torn in-between. Refuses a path with no store at it (a
+    * typo'd crontab would otherwise take serving down at the NEXT
+    * probe, far from the operator who made it). */
+  def publishRoot(spark: SparkSession, pointer: String, root: String): Long = {
+    require(fsOf(spark, root).exists(new Path(s"$root/markers")),
+      s"refusing to publish $root: no text index there (no markers dir) — " +
+        "append at least one day first")
+    import spark.implicits._
+    SnapshotStore.commit(Seq(root).toDF("text_index_root"), pointer)
+  }
+
+  /** The root the pointer currently publishes; loud on an unpublished
+    * pointer, naming the fix. */
+  def currentRoot(spark: SparkSession, pointer: String): String = {
+    val rows = SnapshotStore.read(spark, pointer, pointerSchema).collect()
+    require(rows.nonEmpty, s"no published text-index root at pointer " +
+      s"'$pointer' — publishRoot(root) it before probing through the pointer")
+    rows.head.getString(0)
+  }
+
+  /** [[topK]] / [[topKBatch]] resolved through the pointer — the
+    * consumer-side calls that make [[rebuildVia]]'s swap invisible. */
+  def topKVia(spark: SparkSession, pointer: String, terms: Seq[String],
+      topK: Int): DataFrame =
+    this.topK(spark, currentRoot(spark, pointer), terms, topK)
+
+  def topKBatchVia(spark: SparkSession, pointer: String,
+      queries: Seq[(Long, Seq[String])], topK: Int): DataFrame =
+    topKBatch(spark, currentRoot(spark, pointer), queries, topK)
+
+  /** ORIGIN day names the root's committed view covers: committed
+    * plain days plus every day a live merged marker's (transitive)
+    * content lists. The unit [[missingDays]] diffs on — exact across
+    * compaction on either side, because folds carry their lineage. */
+  def originDays(spark: SparkSession, root: String): Set[String] = {
+    val f = fsOf(spark, root)
+    val (names, replaced) = MarkerProtocol.markerState(f, new Path(s"$root/markers"))
+    names.filterNot(_.startsWith(MarkerProtocol.MergedPrefix)).toSet ++
+      replaced.filterNot(_.startsWith(MarkerProtocol.MergedPrefix))
+  }
+
+  /** Origin days committed at `oldRoot` that `newRoot` does not cover
+    * yet — what a reindex still has to re-ingest from source. */
+  def missingDays(spark: SparkSession, oldRoot: String,
+      newRoot: String): Seq[String] =
+    (originDays(spark, oldRoot) -- originDays(spark, newRoot)).toSeq.sorted
+
+  /** ZERO-DOWNTIME REINDEX: drive the caller's `reingest(targetRoot,
+    * days)` — which must re-ingest those origin days FROM SOURCE into
+    * the target (the new tokenizer's [[append]]s) — through the
+    * [[IvfStore.rebuildVia]] protocol: a pre-flip pass over the
+    * current gap while probes still serve the old root, the atomic
+    * pointer flip, then a post-flip pass closing the write window
+    * (days appended to the OLD root mid-reindex re-enter
+    * [[missingDays]] and are re-ingested). Returns the replaced root
+    * (retire it once in-flight readers age out — the
+    * [[IvfStore.retireRoots]] discipline; this never deletes it).
+    *
+    * CRASH/FAILURE recovery is phase-scoped, like the IVF twin:
+    * pre-flip failure leaves the pointer serving the old root —
+    * delete `newRoot` and re-run; post-flip failure (wrapped in an
+    * [[IllegalStateException]] saying so) means the pointer ALREADY
+    * serves `newRoot` — never delete it; fix the cause and re-run
+    * `reingest(newRoot, missingDays(old, new))` until the gap is
+    * empty (idempotent: [[append]] re-runs overwrite cleanly). A
+    * post-flip gap the reingest did not close throws the same way. */
+  def rebuildVia(spark: SparkSession, pointer: String, newRoot: String)(
+      reingest: (String, Seq[String]) => Unit): String = {
+    val oldRoot = currentRoot(spark, pointer)
+    val gap1 = missingDays(spark, oldRoot, newRoot)
+    if (gap1.nonEmpty) reingest(newRoot, gap1)
+    publishRoot(spark, pointer, newRoot): Unit
+    try {
+      val gap2 = missingDays(spark, oldRoot, newRoot)
+      if (gap2.nonEmpty) reingest(newRoot, gap2)
+      val left = missingDays(spark, oldRoot, newRoot)
+      if (left.nonEmpty) throw new IllegalStateException(
+        s"reingest left origin days uncovered: ${left.mkString(", ")}")
+      oldRoot
+    } catch {
+      case scala.util.control.NonFatal(e) => throw new IllegalStateException(
+        s"rebuildVia: the pointer already serves '$newRoot' (the flip " +
+          "committed before this post-flip catch-up failed) — do NOT " +
+          s"delete it; fix the cause and re-run reingest('$newRoot', " +
+          s"missingDays('$oldRoot', '$newRoot')) until the gap is empty", e)
+    }
+  }
+
   private def partFiles(f: org.apache.hadoop.fs.FileSystem,
       dir: Path): Seq[org.apache.hadoop.fs.FileStatus] =
     if (!f.exists(dir)) Nil

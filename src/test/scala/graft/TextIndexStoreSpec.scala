@@ -438,6 +438,97 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       Seq("qid", "doc_id", "bm25", "n_terms_hit", "rank"))
   }
 
+  test("pointered root: probes serve the OLD root through a live reindex, flip atomically, write-window day re-ingested under the new tokenizer") {
+    val s = spark
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-ti-ptr-").toString
+    val (oldRoot, newRoot, ptr) = (s"$base/old", s"$base/new", s"$base/ptr")
+    // the SOURCE of truth a reindex re-tokenizes from (grows mid-rebuild)
+    val source = scala.collection.mutable.Map(
+      "day-1" -> docs.take(3), "day-2" -> docs.drop(3))
+    source.foreach { case (d, rows) =>
+      TextIndexStore.append(docsDf(rows), oldRoot, d): Unit }
+    TextIndexStore.publishRoot(spark, ptr, oldRoot): Unit
+    assert(TextIndexStore.currentRoot(spark, ptr) === oldRoot)
+    val e0 = intercept[IllegalArgumentException] {
+      TextIndexStore.currentRoot(spark, s"$base/nowhere") }
+    assert(e0.getMessage.contains("publishRoot"), e0.getMessage)
+    def probePtr() = TextIndexStore.topKVia(spark, ptr, terms, 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getInt(3))).sortBy(_._3).toSeq
+    val oldAnswer = probePtr()
+
+    // the NEW tokenization discipline: uppercase text (so new-root
+    // postings differ detectably — 'the' matches nothing there)
+    def reingestUpper(target: String, days: Seq[String]): Unit =
+      days.foreach { d =>
+        TextIndexStore.append(
+          docsDf(source(d)).withColumn("text", upper($"text")),
+          target, d): Unit
+      }
+    var midRebuildChecked = false
+    val replaced = TextIndexStore.rebuildVia(spark, ptr, newRoot) {
+      (target, days) =>
+        if (!midRebuildChecked) {
+          midRebuildChecked = true
+          // mid-rebuild: the pointer still serves the OLD root
+          assert(probePtr() === oldAnswer, "probe diverged mid-reindex")
+          // and a writer lands one more day on the OLD root (the
+          // write window) — the post-flip pass must re-ingest it
+          source("day-3") = Seq((6L, "the final day arrives"))
+          TextIndexStore.append(docsDf(source("day-3")), oldRoot, "day-3"): Unit
+        }
+        reingestUpper(target, days)
+    }
+    assert(replaced === oldRoot)
+    assert(TextIndexStore.currentRoot(spark, ptr) === newRoot)
+    assert(TextIndexStore.committedDays(spark, newRoot).toSet ===
+      Set("day-1", "day-2", "day-3"),
+      "write-window day must land in the new root")
+    assert(TextIndexStore.missingDays(spark, oldRoot, newRoot) === Nil)
+    // the flip changed the tokenization: lowercase terms now miss,
+    // and the new root answers exactly like a batch-built reference
+    assert(probePtr().isEmpty, "uppercase reindex must not match 'the'")
+    val reference = s"$base/ref"
+    (source - "x").toSeq.sortBy(_._1).foreach { case (d, rows) =>
+      TextIndexStore.append(docsDf(rows).withColumn("text", upper($"text")),
+        reference, d): Unit }
+    val want = TextIndexStore.topK(spark, reference, terms.map(_.toUpperCase), 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(3)))
+      .sortBy(_._3).toSeq
+    assert(TextIndexStore.topKVia(spark, ptr, terms.map(_.toUpperCase), 10)
+      .collect().map(x => (x.getLong(0), x.getDouble(1), x.getInt(3)))
+      .sortBy(_._3).toSeq === want,
+      "pointer must serve the reindexed postings bit-identically")
+    // the old root is now retirable: serving never references it
+    val fs = new Path(oldRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new Path(oldRoot), true))
+    assert(TextIndexStore.topKVia(spark, ptr, terms.map(_.toUpperCase), 10)
+      .collect().nonEmpty)
+
+    // a reingest that produces NOTHING fails PRE-flip (publishRoot
+    // refuses a rootless path) — the pointer must not move
+    val e1 = intercept[IllegalArgumentException] {
+      TextIndexStore.rebuildVia(spark, ptr, s"$base/nothing") { (_, _) => () }
+    }
+    assert(e1.getMessage.contains("no text index there"), e1.getMessage)
+    assert(TextIndexStore.currentRoot(spark, ptr) === newRoot)
+
+    // a PARTIAL reingest flips but leaves a post-flip gap: the wrap
+    // names the phase-scoped recovery (never delete the serving root)
+    val badNew = s"$base/bad"
+    val eb = intercept[IllegalStateException] {
+      TextIndexStore.rebuildVia(spark, ptr, badNew) {
+        (t, days) => reingestUpper(t, days.take(1))
+      }
+    }
+    assert(eb.getMessage.contains("do NOT delete"), eb.getMessage)
+    assert(TextIndexStore.currentRoot(spark, ptr) === badNew,
+      "post-flip failure: the pointer already serves the new root")
+    // the documented remedy closes the gap
+    reingestUpper(badNew, TextIndexStore.missingDays(spark, newRoot, badNew))
+    assert(TextIndexStore.missingDays(spark, newRoot, badNew) === Nil)
+  }
+
   test("probe plan: dt partition filters + word pushdown on the postings scan") {
     val r = tmpRoot("plan")
     TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
