@@ -25,13 +25,14 @@ object PlanAudit {
     "q140_mm_phash_neardup", "q142_mm_phash_incremental",
     "q144_cos_incremental",
     "q147_pq_adc_topk", "q148_pq_recall")
-  // q145/q146 are deliberately NOT snapshotted from the registry:
-  // both execute eagerly (the CC label loop / the store build) and
-  // their registered frames are checkpoint scans. q146's SERVING
-  // PROBE plan — the one a 100× reviewer needs frozen — is captured
-  // below from a store fixture instead (round 14; PlanShapeSpec pins
-  // the same shape: partition filters on both dims, broadcast pairs,
-  // map-side top-k before the single qid shuffle).
+  // q145/q146/q149/q150 are deliberately NOT snapshotted from the
+  // registry: each executes eagerly (the CC label loop / the store
+  // lifecycles) and their registered frames are checkpoint scans. The
+  // SERVING PROBE plans — the ones a 100× reviewer needs frozen — are
+  // captured below from store fixtures instead (PlanShapeSpec pins
+  // the same shapes: partition filters on both dims, broadcast pairs
+  // / LUTs, map-side top-k before the single qid shuffle, and for the
+  // ADC probe a code-bytes-only ReadSchema).
 
   def main(args: Array[String]): Unit = {
     def fmt(plan: String): String = plan
@@ -72,11 +73,26 @@ object PlanAudit {
         tixRoot, "2024-06-02"): Unit
       val bm25Probe = graft.operators.TextIndexStore.topK(
         s, tixRoot, Seq("alpha", "beta"), topK = 5)
+      // round 15: the ADC serving probe (q150's shape) and the batched
+      // BM25 probe — the two new serving paths a 100× reviewer needs
+      // frozen (code-bytes-only scan / one scan for N queries)
+      graft.operators.IvfStore.enablePq(s, root, m = 2, k = 4, iters = 2): Unit
+      val adcProbe = graft.operators.IvfStore.adcProbe(s, root, "vec_id",
+        (0 until 3).map(i => (9000L + i) -> vec()), nprobe = 2, topK = 5)
+      val bm25Batch = graft.operators.TextIndexStore.topKBatch(
+        s, tixRoot, Seq(10L -> Seq("alpha", "beta"), 20L -> Seq("zeta")),
+        topK = 5)
       Seq("===== q146_ivf_store_probe (serving probe frame; store fixture)",
         fmt(probe.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)),
         "===== q149_bm25_store_topk (serving probe frame; store fixture)",
         fmt(bm25Probe.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== q150_ivf_adc_probe (ADC serving frame; store fixture)",
+        fmt(adcProbe.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== topKBatch (batched BM25 serving frame; store fixture)",
+        fmt(bm25Batch.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)))
     })
   }

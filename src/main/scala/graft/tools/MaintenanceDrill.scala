@@ -91,6 +91,14 @@ object MaintenanceDrill {
       }
     }
     j("append(10 days)", tAppend)
+    // round 15: flip the store into PQ-encoded serving — the timed
+    // backfill encodes all 10 committed days, which is exactly what
+    // encode-at-append costs spread across the feed (same arithmetic,
+    // same write shape; ~1/10th of this per daily append)
+    val (_, tPq) = timed {
+      IvfStore.enablePq(spark, ivf, m = 8, k = 64, iters = 4)
+    }
+    j("enablePq(train m=8 k=64 + backfill 10 days)", tPq)
     IvfStore.publishRoot(spark, ptr, ivf)
     val total = emb.count() + 2 * (emb.count() / 8).min(emb.count())
     println(s"""{"phase":"corpus","days":10,"k":$k,"rows_approx":$total}""")
@@ -158,6 +166,17 @@ object MaintenanceDrill {
         .sortBy(x => (x._1, x._3)).toSeq
     val expected = fullProbe()
     val expectedTix = tixProbe()
+    // the ADC serving arm (round 15): full-probe ADC is exact over
+    // reconstructions and codebooks carry through rebuildVia, so its
+    // answers too must be bit-identical before/during/after the flip
+    def adcProbe(): Seq[(Long, Long, Double, Int)] =
+      IvfStore.adcProbeVia(spark, ptr, "vec_id", queries,
+        nprobe = k, topK = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    val (expectedAdc, tAdc) = timed { adcProbe() }
+    val (_, tFloat) = timed { fullProbe() }
+    j("adcProbe(full, 6 queries)", tAdc, f""","float_probe_sec":$tFloat%.2f""")
     @volatile var stop = false
     @volatile var torn: Option[String] = None
     val prober = new Thread(() => {
@@ -197,17 +216,42 @@ object MaintenanceDrill {
       }
       println(s"""{"phase":"concurrent_bm25_probes","count":$n}""")
     })
-    prober.start(); tixProber.start()
+    @volatile var tornAdc: Option[String] = None
+    val adcProber = new Thread(() => {
+      var n = 0
+      while (!stop && tornAdc.isEmpty) {
+        try {
+          if (adcProbe() != expectedAdc) tornAdc = Some(s"adc probe #$n diverged")
+        } catch {
+          case e: Throwable => tornAdc = Some(s"adc probe #$n threw: ${e.getMessage}")
+        }
+        n += 1
+      }
+      println(s"""{"phase":"concurrent_adc_probes","count":$n}""")
+    })
+    prober.start(); tixProber.start(); adcProber.start()
     val policy = MaintenanceJob.RebuildPolicy(ptr, s"$work/ivf-v2", k = k,
       iters = 5, driftRatioMax = 2.5, recallMin = 0.0)
     val (c1, tRun1) = timed {
       MaintenanceJob.run(spark, stores, Some(ivf), s"$work/reports1",
         deep = true, nprobe = 8, topK = 5, queriesPerDay = 16,
-        rebuildPolicy = Some(policy), textIndexRoot = Some(tix))
+        rebuildPolicy = Some(policy), textIndexRoot = Some(tix),
+        retireKeepRoots = 1)
     }
-    stop = true; prober.join(); tixProber.join()
+    stop = true; prober.join(); tixProber.join(); adcProber.join()
     torn.foreach(t => sys.error(s"TORN PROBE: $t"))
     tornTix.foreach(t => sys.error(s"TORN BM25 PROBE: $t"))
+    tornAdc.foreach(t => sys.error(s"TORN ADC PROBE: $t"))
+    require(adcProbe() == expectedAdc,
+      "post-flip ADC probe changed (codebooks must carry through rebuild)")
+    // retire (round 15, keepRoots=1): run 1 only MARKS the root its
+    // own flip replaced — the grace window for in-flight readers
+    val ret1 = spark.read.parquet(s"$work/reports1/retire").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    require(ret1.map(_._2) == Seq("marked") && ret1.head._1.endsWith("/ivf"),
+      s"run 1 must mark the flipped-away root, got $ret1")
+    require(new java.io.File(s"$ivf/cells").isDirectory,
+      "marked root must survive its grace cadence")
     require(tixProbe() == expectedTix, "post-fold BM25 probe changed")
     val tixComp = spark.read.parquet(s"$work/reports1/compaction")
       .filter($"store" === "text_index").collect()
@@ -250,13 +294,28 @@ object MaintenanceDrill {
         s"$work/reports2", deep = true, nprobe = 8, topK = 5,
         queriesPerDay = 16,
         rebuildPolicy = Some(policy.copy(newRoot = s"$work/ivf-v3")),
-        textIndexRoot = Some(tix))
+        textIndexRoot = Some(tix), retireKeepRoots = 1)
     }
     stop2 = true; tixProber2.join()
     tornTix2.foreach(t => sys.error(s"TORN BM25 PROBE (sweep run): $t"))
     require(tixProbe() == expectedTix, "post-sweep BM25 probe changed")
     require(c2("rebuild") == 0L,
       s"cured store must stop firing: ${c2("rebuild")} rebuild rows")
+    // retire phase 2: grace elapsed — the replaced root is deleted,
+    // serving (through the pointer, on the rebuilt root) unaffected
+    val ret2 = spark.read.parquet(s"$work/reports2/retire").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    require(ret2.map(_._2) == Seq("deleted"),
+      s"run 2 must delete the marked root, got $ret2")
+    require(!new java.io.File(ivf).exists(), "retired root still on disk")
+    require(adcProbe() == expectedAdc && fullProbe() == expected,
+      "serving must not depend on the retired root")
+    // day-scoped deep fsck (round 15): nothing moved since run 2's
+    // audit — a third deep audit recounts ZERO text-index days
+    val (_, tFsck3) = timed {
+      graft.operators.TextIndexStore.fsck(spark, tix, deep = true)
+    }
+    j("textIndex.fsck(deep, watermarked re-audit)", tFsck3)
     val drift2 = spark.read.parquet(s"$work/reports2/drift")
       .select($"drift_ratio").as[Option[Double]].collect().flatten
     require(drift2.forall(_ < 2.5),
