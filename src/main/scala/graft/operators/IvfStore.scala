@@ -1146,8 +1146,25 @@ object IvfStore {
     *    wiring suppresses upstream), but on a stable-id corpus it
     *    usually means restored/hand-copied partitions, and probes
     *    will return the id twice. */
+  /** Deep is DAY-SCOPED by an audit watermark (round 15 — the
+    * [[TextIndexStore.fsck]] discipline): the vector-reading recounts
+    * (cell-mismatch, unusable-vector, and the PQ codes recount) are
+    * per-day invariants, so a day that recounted CLEAN commits
+    * `_audit/<day>` fingerprinting its on-disk files (cells + codes,
+    * names + lengths) AND the geometry (centroids + codebooks marker
+    * contents — a hand-replaced _CENTROIDS.txt stales every
+    * watermark and forces the full recount it needs); later audits
+    * recount only moved-or-unwatermarked days, dirty days re-surface
+    * every audit, `force = true` recounts all. `dup-identity` is the
+    * one genuinely CROSS-day deep invariant (a key on two days) and
+    * stays global every audit — it reads only the slim id column.
+    * (The same split does NOT fit [[DedupStore.fsck]]'s deep checks:
+    * dup-identity and the df/postings recounts there are all
+    * cross-day folds, so day-scoping them would be unsound — its
+    * deep pass stays a priced full scan by design.) */
   def fsck(spark: SparkSession, root: String,
-      deep: Boolean = false): Seq[DedupStore.FsckFinding] = {
+      deep: Boolean = false,
+      force: Boolean = false): Seq[DedupStore.FsckFinding] = {
     val f = fs(spark, root)
     val markerDir = new Path(root, MarkerDir)
     val out = scala.collection.mutable.ArrayBuffer.empty[DedupStore.FsckFinding]
@@ -1239,87 +1256,155 @@ object IvfStore {
         val cents = IvfIndex.open(spark, root)
         val ds = leafDataSchema(spark, leaves.head.getPath)
         val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
-        val cells = cellsFrame(spark, root, leaves.head.getPath, committed,
+        // GLOBAL deep invariant, every audit: dup-identity is a
+        // cross-day property, so no watermark may skip it — but it
+        // reads only the slim id column (column-pruned scan)
+        val allCells = cellsFrame(spark, root, leaves.head.getPath, committed,
           dataSchema = Some(ds))
-        // re-derive the argmin exactly as append did; a mismatch means
-        // the partition value and the geometry no longer agree. ONE
-        // vector-reading pass serves both deep counts: the recheck
-        // frame excludes exactly the rows [[KMeans.assign]]
-        // corrupt-drops (null/wrong-dim/non-finite — round 13), so
-        // unusable = total − usable, with the total a zero-column
-        // footer count rather than a second full vector scan
-        val recheck = KMeans.assign(cells.withColumnRenamed("cell", "__stored"),
-          cents, vecCol)
-        val aggRow = recheck.agg(count(lit(1)),
-          sum(when(col("cell") =!= col("__stored"), 1L).otherwise(0L)))
-          .collect()(0)
-        val (usable, bad) = (aggRow.getLong(0),
-          if (aggRow.isNullAt(1)) 0L else aggRow.getLong(1))
-        // unusable rows came from a restore/hand-copy (append never
-        // writes them); probes skip them defensively — undefined
-        // distance — but they waste scan bytes and the restore that
-        // brought them is worth investigating
-        val unusable = cells.count() - usable
-        if (unusable > 0) out += DedupStore.FsckFinding("warn",
-          "unusable-vector", "cells", s"$unusable stored vectors are " +
-            "null/wrong-dimension/non-finite — append corrupt-drops these, " +
-            "so they came from a restore or hand-copy; probes skip them " +
-            "(undefined distance), they only waste scan bytes — rewrite " +
-            "the affected days or rebuild")
-        if (bad > 0) out += DedupStore.FsckFinding("error", "cell-mismatch",
-          "cells", s"$bad vectors stored under a cell that is not their " +
-            "argmin against the committed centroids — probes at nprobe < k " +
-            "silently lose them; centroids and partitions diverged (restored " +
-            "from a different root?) — rebuild into a fresh root")
-        val dups = cells.groupBy(col(idCol)).count()
+        val dups = allCells.groupBy(col(idCol)).count()
           .filter(col("count") > 1).count()
         if (dups > 0) out += DedupStore.FsckFinding("warn", "dup-identity",
           s"cells.$idCol", s"$dups ids committed on more than one day — " +
             "append does not dedup (curation suppresses upstream), but on a " +
             "stable-id corpus suspect restored partitions; probes return " +
             "these ids twice")
-        // PQ deep recount (round 15): stored codes must equal a fresh
-        // encode of the stored vectors against the committed codebooks
-        // — the invariant every ADC distance depends on (the
-        // cell-mismatch check's quantization twin). One codes scan
-        // joined to the cells pass above's frame.
-        pqm.foreach { model =>
-          val codeLeaves = Option(f.globStatus(
-              new Path(s"$root/codes/dt=*/cell=*/part-*")))
-            .map(_.toSeq).getOrElse(Nil)
-            .filter(st => committed.contains(
-              st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
-          if (codeLeaves.nonEmpty) {
-            val csch = leafDataSchema(spark, codeLeaves.head.getPath)
-              .add("dt", org.apache.spark.sql.types.StringType)
-              .add("cell", org.apache.spark.sql.types.IntegerType)
-            val stored = PartitionedLayout
-              .readDays(spark, s"$root/codes", csch, committed)
-              .filter(col("dt").isin(committed: _*))
-              .withColumnRenamed("pq_codes", "__stored")
-            val expected = ProductQuantizer.encode(cells, model, vecCol)
-              .select(col(idCol), col("dt"), col("cell"),
-                col("pq_codes").as("__expect"))
-            val r = expected.join(stored, Seq(idCol, "dt", "cell"), "left")
-              .agg(
-                sum(when(col("__stored").isNull, 1L).otherwise(0L)),
-                sum(when(col("__stored").isNotNull &&
-                  col("__stored") =!= col("__expect"), 1L).otherwise(0L)))
-              .collect()(0)
-            val (miss, bad2) = (if (r.isNullAt(0)) 0L else r.getLong(0),
-              if (r.isNullAt(1)) 0L else r.getLong(1))
-            if (miss > 0) out += DedupStore.FsckFinding("error",
-              "codes-missing-rows", "codes", s"$miss stored vectors have " +
-                "no PQ code row — ADC probes silently lose them; run " +
-                "backfillCodes on the affected days (after deleting their " +
-                "codes partitions) or rebuild")
-            if (bad2 > 0) out += DedupStore.FsckFinding("error",
-              "code-mismatch", "codes", s"$bad2 stored codes differ from a " +
-                "fresh encode against the committed codebooks — codebooks " +
-                "and codes diverged (hand-replaced _PQ_CODEBOOKS.txt or restored " +
-                "codes partitions?); every ADC distance over them is wrong " +
-                "— rebuild into a fresh root")
+        // DAY-SCOPED recounts under the audit watermark (scaladoc)
+        val auditDir = new Path(root, "_audit")
+        val geom = {
+          val cBytes = MarkerProtocol.readMarker(f, new Path(root,
+            "_CENTROIDS.txt")).mkString("\n")
+          val pBytes = if (pqm.isDefined)
+            MarkerProtocol.readMarker(f, new Path(root, PqMarker)).mkString("\n")
+            else ""
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(s"$cBytes|$pBytes".getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.take(16)
+        }
+        def dayFp(d: String): String = {
+          val body = Seq("cells", "codes").flatMap { t =>
+            Option(f.globStatus(new Path(s"$root/$t/dt=$d/cell=*/part-*")))
+              .map(_.toSeq).getOrElse(Nil)
+              .map(st => s"$t/${st.getPath.getParent.getName}/" +
+                s"${st.getPath.getName}:${st.getLen}")
+          }.sorted.mkString("\n")
+          java.security.MessageDigest.getInstance("MD5")
+            .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString +
+            s":$geom"
+        }
+        val fps = committed.map(d => d -> dayFp(d)).toMap
+        val watermarks: Map[String, String] =
+          if (!f.exists(auditDir)) Map.empty
+          else f.listStatus(auditDir).toSeq.map(_.getPath)
+            .filterNot(_.getName.startsWith("."))
+            .map(p => p.getName ->
+              MarkerProtocol.readMarker(f, p).headOption.getOrElse("")).toMap
+        watermarks.keys.filterNot(committed.contains)
+          .foreach(d => f.delete(new Path(auditDir, d), false))
+        val toRecount =
+          if (force) committed
+          else committed.filter(d => !watermarks.get(d).contains(fps(d)))
+        if (toRecount.nonEmpty) {
+          val cells = cellsFrame(spark, root, leaves.head.getPath, toRecount,
+            dataSchema = Some(ds)).persist()
+          try {
+          // re-derive the argmin exactly as append did; a mismatch
+          // means the partition value and the geometry no longer
+          // agree. The recheck frame excludes exactly the rows
+          // [[KMeans.assign]] corrupt-drops (null/wrong-dim/
+          // non-finite), so unusable = total − usable per day; the
+          // cached frame serves this pass AND the PQ re-encode below
+          val recheck = KMeans.assign(
+            cells.withColumnRenamed("cell", "__stored"), cents, vecCol)
+          val perDay = recheck.groupBy(col("dt")).agg(
+              count(lit(1)).as("__usable"),
+              sum(when(col("cell") =!= col("__stored"), 1L).otherwise(0L))
+                .as("__bad"))
+            .join(cells.groupBy(col("dt")).agg(count(lit(1)).as("__n")),
+              Seq("dt"), "full_outer")
+            .collect()
+            .map(r => r.getAs[String]("dt") -> (
+              Option(r.getAs[java.lang.Long]("__n")).map(_.toLong).getOrElse(0L) -
+                Option(r.getAs[java.lang.Long]("__usable")).map(_.toLong).getOrElse(0L),
+              Option(r.getAs[java.lang.Long]("__bad")).map(_.toLong).getOrElse(0L)))
+            .toMap
+          val dirtyDays = scala.collection.mutable.Set.empty[String]
+          val unusable = perDay.values.map(_._1).sum
+          val bad = perDay.values.map(_._2).sum
+          perDay.foreach { case (d, (u, b)) =>
+            if (u > 0 || b > 0) dirtyDays += d }
+          // unusable rows came from a restore/hand-copy (append never
+          // writes them); probes skip them defensively — undefined
+          // distance — but they waste scan bytes and the restore that
+          // brought them is worth investigating
+          if (unusable > 0) out += DedupStore.FsckFinding("warn",
+            "unusable-vector", "cells", s"$unusable stored vectors are " +
+              "null/wrong-dimension/non-finite — append corrupt-drops these, " +
+              "so they came from a restore or hand-copy; probes skip them " +
+              "(undefined distance), they only waste scan bytes — rewrite " +
+              "the affected days or rebuild")
+          if (bad > 0) out += DedupStore.FsckFinding("error", "cell-mismatch",
+            "cells", s"$bad vectors stored under a cell that is not their " +
+              "argmin against the committed centroids — probes at nprobe < k " +
+              "silently lose them; centroids and partitions diverged (restored " +
+              "from a different root?) — rebuild into a fresh root")
+          // PQ deep recount (round 15): stored codes must equal a fresh
+          // encode of the stored vectors against the committed
+          // codebooks — the invariant every ADC distance depends on
+          // (the cell-mismatch check's quantization twin)
+          pqm.foreach { model =>
+            val codeLeaves = Option(f.globStatus(
+                new Path(s"$root/codes/dt=*/cell=*/part-*")))
+              .map(_.toSeq).getOrElse(Nil)
+              .filter(st => toRecount.contains(
+                st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
+            if (codeLeaves.nonEmpty) {
+              val csch = leafDataSchema(spark, codeLeaves.head.getPath)
+                .add("dt", org.apache.spark.sql.types.StringType)
+                .add("cell", org.apache.spark.sql.types.IntegerType)
+              val stored = PartitionedLayout
+                .readDays(spark, s"$root/codes", csch, toRecount)
+                .filter(col("dt").isin(toRecount: _*))
+                .withColumnRenamed("pq_codes", "__stored")
+              val expected = ProductQuantizer.encode(cells, model, vecCol)
+                .select(col(idCol), col("dt"), col("cell"),
+                  col("pq_codes").as("__expect"))
+              val perDayPq = expected
+                .join(stored, Seq(idCol, "dt", "cell"), "left")
+                .groupBy(col("dt")).agg(
+                  sum(when(col("__stored").isNull, 1L).otherwise(0L)).as("__m"),
+                  sum(when(col("__stored").isNotNull &&
+                    col("__stored") =!= col("__expect"), 1L).otherwise(0L))
+                    .as("__b"))
+                .collect()
+                .map(r => r.getAs[String]("dt") -> (
+                  if (r.isNullAt(1)) 0L else r.getLong(1),
+                  if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
+              perDayPq.foreach { case (d, (m, b)) =>
+                if (m > 0 || b > 0) dirtyDays += d }
+              val miss = perDayPq.values.map(_._1).sum
+              val bad2 = perDayPq.values.map(_._2).sum
+              if (miss > 0) out += DedupStore.FsckFinding("error",
+                "codes-missing-rows", "codes", s"$miss stored vectors have " +
+                  "no PQ code row — ADC probes silently lose them; run " +
+                  "backfillCodes on the affected days (after deleting their " +
+                  "codes partitions) or rebuild")
+              if (bad2 > 0) out += DedupStore.FsckFinding("error",
+                "code-mismatch", "codes", s"$bad2 stored codes differ from a " +
+                  "fresh encode against the committed codebooks — codebooks " +
+                  "and codes diverged (hand-replaced _PQ_CODEBOOKS.txt or " +
+                  "restored codes partitions?); every ADC distance over " +
+                  "them is wrong — rebuild into a fresh root")
+            }
           }
+          // clean days watermark at their audit-time fingerprint;
+          // dirty days keep none and re-surface every audit
+          toRecount.foreach { d =>
+            if (dirtyDays.contains(d))
+              f.delete(new Path(auditDir, d), false): Unit
+            else MarkerProtocol.atomicMarker(
+              spark.sparkContext.hadoopConfiguration, auditDir, d, fps(d))
+          }
+          } finally { cells.unpersist(); () }
         }
       }
     }

@@ -244,6 +244,124 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
     assert(IvfStore.fsck(spark, newRoot, deep = true).forall(_.severity != "error"))
   }
 
+  /** numFiles over scans of `table` whose output includes `outCol` —
+    * the day-scoped audit's read-volume probe (cached plans walked,
+    * scan nodes deduped by identity). */
+  private def filesRead(root: String, table: String, outCol: String)(
+      body: => Unit): Long = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean])
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(im.relation.cachedPlan)
+        case fs: FileSourceScanExec => Seq(fs)
+        case other => other.children.flatMap(walk)
+      }
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        walk(qe.executedPlan).foreach { sc =>
+          if (seen.add(sc) &&
+              sc.relation.location.rootPaths.exists(
+                _.toString.contains(s"$root/$table")) &&
+              sc.output.exists(_.name == outCol))
+            total.addAndGet(sc.metrics("numFiles").value): Unit
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      body
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
+    } finally spark.listenerManager.unregister(qel)
+    total.get()
+  }
+
+  test("deep fsck is day-scoped: an unchanged store re-reads no vector or code bytes; a re-appended day re-audits alone; geometry change stales everything") {
+    val root = Files.createTempDirectory("ivfpq-watermark").toString
+    val day1 = mkRows(0 until 20); val day2 = mkRows(100 until 120)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 2, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.append(vecs(day2), root, "2024-07-02")
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    def vecFiles(day: String): Long =
+      Option(new java.io.File(s"$root/cells/dt=$day").listFiles())
+        .map(_.filter(_.isDirectory).map(d =>
+          d.listFiles().count(_.getName.startsWith("part-")).toLong).sum)
+        .getOrElse(0L)
+    val all = vecFiles("2024-07-01") + vecFiles("2024-07-02")
+    // audit 1: no watermarks — the vector recount reads every cell file
+    val read1 = filesRead(root, "cells", "embedding") {
+      assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    }
+    assert(read1 === all, s"first audit reads everything: $read1 vs $all")
+    // audit 2: nothing moved — ZERO vector bytes and ZERO code bytes
+    // re-read (the slim id-only dup scan is the only cells access)
+    var codesRead = -1L
+    val read2 = filesRead(root, "cells", "embedding") {
+      codesRead = filesRead(root, "codes", "pq_codes") {
+        assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+      }
+    }
+    assert(read2 === 0L, s"unchanged days must not re-read vectors: $read2")
+    assert(codesRead === 0L, s"unchanged days must not re-read codes: $codesRead")
+    // a re-appended day re-audits ALONE
+    IvfStore.append(vecs(day2), root, "2024-07-02")
+    val read3 = filesRead(root, "cells", "embedding") {
+      assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    }
+    assert(read3 === vecFiles("2024-07-02"),
+      s"only the re-appended day recounts: $read3")
+    // force recounts the whole committed set
+    val readF = filesRead(root, "cells", "embedding") {
+      assert(IvfStore.fsck(spark, root, deep = true, force = true).isEmpty)
+    }
+    assert(readF === vecFiles("2024-07-01") + vecFiles("2024-07-02"))
+    // a DIRTY day keeps no watermark: plant a cell-mismatch by moving
+    // one cell dir's rows under the other cell (argmin no longer
+    // matches the partition value), audit twice — both find it
+    val d1 = new java.io.File(s"$root/cells/dt=2024-07-01")
+    val cellDirs = d1.listFiles().filter(_.getName.startsWith("cell=")).sortBy(_.getName)
+    assert(cellDirs.length === 2, "fixture needs both cells populated")
+    val (src, dst) = (cellDirs(0), cellDirs(1))
+    src.listFiles().filter(_.getName.startsWith("part-")).foreach { pf =>
+      assert(pf.renameTo(new java.io.File(dst, "moved-" + pf.getName)))
+    }
+    // parquet part files are self-contained; renaming keeps rows readable
+    new java.io.File(dst, "moved-_SUCCESS").delete(): Unit
+    val deep1 = IvfStore.fsck(spark, root, deep = true)
+    assert(deep1.exists(x => x.check == "cell-mismatch"), s"$deep1")
+    val deep2 = IvfStore.fsck(spark, root, deep = true)
+    assert(deep2.exists(x => x.check == "cell-mismatch"),
+      s"dirty day must re-surface every audit: $deep2")
+    // geometry change stales EVERY watermark: repair the layout, let
+    // the store audit clean, then hand-replace the centroids — the
+    // next audit must do a full recount and flag the divergence
+    dst.listFiles().filter(_.getName.startsWith("moved-part-")).foreach { pf =>
+      assert(pf.renameTo(new java.io.File(src, pf.getName.stripPrefix("moved-"))))
+    }
+    assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    val marker = new Path(s"$root/_CENTROIDS.txt")
+    val fsys = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val swapped = graft.operators.IvfIndex.open(spark, root).reverse
+    val outS = fsys.create(marker, true)
+    try outS.write(swapped.map(_.mkString(",")).mkString("\n").getBytes("UTF-8"))
+    finally outS.close()
+    val deep3 = IvfStore.fsck(spark, root, deep = true)
+    assert(deep3.exists(x => x.check == "cell-mismatch"),
+      s"hand-replaced centroids must fail the full re-audit: $deep3")
+  }
+
   test("deep fsck catches tampered codes: code-mismatch and codes-missing-rows") {
     val s = spark
     import s.implicits._
