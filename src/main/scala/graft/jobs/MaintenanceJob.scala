@@ -26,14 +26,29 @@ import graft.operators.{DedupStore, IvfStore}
   *                seed baseline + cell-occupancy axis
   *   recall       [[IvfStore.recallReport]] — per-day recall@topK at
   *                the serving `nprobe` vs the exact full probe
+  *   adc_recall   [[IvfStore.adcRecallReport]] (round 16) — the same
+  *                per-day recall for the ADC SERVING path of a
+  *                PQ-enabled root, one row block per (nprobe, rerank)
+  *                arm (always `(nprobe, 0)`; `adcRerank >= topK` adds
+  *                a re-ranked arm) — the acceptance number an
+  *                operator reads before/after flipping `enablePq` on;
+  *                empty schema-stable for float-serving roots
   *   rebuild      what the opt-in [[RebuildPolicy]] decided this run
   *                (which threshold which day breached, and whether
   *                the serving pointer was swapped) — empty when no
   *                policy is configured or nothing breached
-  *   retire       [[IvfStore.retireRoots]] outcomes for the policy's
-  *                pointer — roots a flip replaced, marked this run or
-  *                deleted after the one-cadence grace; empty without
-  *                a policy (no pointer to walk)
+  *   retire       [[graft.operators.SnapshotStore.retireRoots]]
+  *                outcomes for BOTH serving pointers (round 16) — the
+  *                policy's IVF pointer and the opt-in
+  *                `textIndexPointer` — roots a flip/reindex replaced,
+  *                marked this run or deleted after the one-cadence
+  *                grace, one row per outcome with the owning store
+  *                named; empty for pointers not configured or never
+  *                published. A retirement FAILURE (a failed root
+  *                delete, a torn pointer read) lands as its own
+  *                `failed: …` row instead of being swallowed (round
+  *                16, advice): retirement silently stopping is
+  *                exactly the disk leak this step exists to close.
   *
   * ORDER: compact first, then audit — the audit then describes the
   * post-maintenance state (a pre-compact fsck would flag the very
@@ -213,7 +228,9 @@ object MaintenanceJob {
       queriesPerDay: Int = 16,
       rebuildPolicy: Option[RebuildPolicy] = None,
       textIndexRoot: Option[String] = None,
-      retireKeepRoots: Int = 2): Map[String, Long] = {
+      retireKeepRoots: Int = 2,
+      textIndexPointer: Option[String] = None,
+      adcRerank: Int = 0): Map[String, Long] = {
     import spark.implicits._
 
     // 1. compact (sweeps prior runs' replaced debris first, per store)
@@ -257,6 +274,18 @@ object MaintenanceJob {
       .map(IvfStore.recallReport(spark, _, nprobe, topK, queriesPerDay))
       .getOrElse(Seq.empty[(String, Long, Int, Int, Double)]
         .toDF("dt", "n_queries", "nprobe", "topk", "recall"))
+    // the ADC serving arm (round 16): only meaningful when the root
+    // serves PQ codes; composed from adcProbe, so the landed number
+    // and the serving path cannot diverge (the q126 rule)
+    val adcRecall = ivfRoot
+      .filter(ir => probeable && IvfStore.pqModel(spark, ir).isDefined)
+      .map { ir =>
+        val arms = Seq((nprobe, 0)) ++
+          (if (adcRerank >= topK) Seq((nprobe, adcRerank)) else Nil)
+        IvfStore.adcRecallReport(spark, ir, arms, topK, queriesPerDay)
+      }
+      .getOrElse(Seq.empty[(String, Long, Int, Int, Int, Double)]
+        .toDF("dt", "n_queries", "nprobe", "rerank", "topk", "recall"))
 
     // trigger evaluation MATERIALIZES drift/recall (collect) — cache
     // so the landed parquet re-reads the cache, not the store twice;
@@ -268,23 +297,40 @@ object MaintenanceJob {
     val rebuilt = rebuildFrame(spark, rebuildPolicy, ivfRoot, probeable,
       driftC, recallC)
 
-    // 5. retire flipped-away serving roots (round 15) — runs AFTER the
-    // rebuild step so a root this run's own flip replaced gets MARKED
-    // now and deleted at the NEXT run (the two-phase grace is the
-    // in-flight-reader protection; [[IvfStore.retireRoots]]). Totality:
-    // no pointer / never-published pointer → the empty report.
-    val retired = rebuildPolicy.map(p =>
-        scala.util.Try(IvfStore.retireRoots(spark, p.pointer, retireKeepRoots))
-          .getOrElse(Nil))
-      .getOrElse(Nil)
-    val retiredDf = retired.map(r => (r.root, r.action))
-      .toDF("root", "action")
+    // 5. retire flipped-away serving roots (round 15; both pointer
+    // families since round 16) — runs AFTER the rebuild step so a root
+    // this run's own flip replaced gets MARKED now and deleted at the
+    // NEXT run (the two-phase grace is the in-flight-reader
+    // protection; [[graft.operators.SnapshotStore.retireRoots]]).
+    // Totality is PER CAUSE, not blanket (round 16, advice — the old
+    // Try(...).getOrElse(Nil) collapsed a failed delete into the same
+    // empty report as "no pointer published", so retirement could
+    // silently stop and leak disk with no signal): an unpublished
+    // pointer is the expected day-zero state and lands the empty
+    // report; a genuine retireRoots failure lands a `failed: …` row.
+    def retireOne(store: String, pointer: String)
+        : Seq[(String, String, String)] =
+      if (graft.operators.SnapshotStore.currentVersion(spark, pointer).isEmpty)
+        Nil // never published — nothing to walk, the day-zero no-op
+      else scala.util.Try(
+          graft.operators.SnapshotStore.retireRoots(
+            spark, pointer, retireKeepRoots)) match {
+        case scala.util.Success(rs) => rs.map(r => (r.root, r.action, store))
+        case scala.util.Failure(e) => Seq((pointer,
+          s"failed: ${Option(e.getMessage).getOrElse(e.toString).take(300)}",
+          store))
+      }
+    val retired =
+      rebuildPolicy.toSeq.flatMap(p => retireOne("ivf", p.pointer)) ++
+        textIndexPointer.toSeq.flatMap(retireOne("text_index", _))
+    val retiredDf = retired.toDF("root", "action", "store")
 
     val reports: Seq[(String, DataFrame)] = Seq(
       "compaction" -> compactionFrame(spark, dedupComp, ivfComp, txComp),
       "fsck" -> findingsFrame(spark, findings),
       "drift" -> driftC,
       "recall" -> recallC,
+      "adc_recall" -> adcRecall,
       "rebuild" -> rebuilt,
       "retire" -> retiredDf)
     reports.map { case (name, df) =>

@@ -894,8 +894,8 @@ object DedupStore {
     *    counts claiming survivors that do not exist; the df guard
     *    would over-count occupancy.
     *
-    * Deep (`deep = true`) — full store scans; run at maintenance
-    * cadence, e.g. right before [[compact]]:
+    * Deep (`deep = true`) — run at maintenance cadence, e.g. right
+    * before [[compact]]:
     *  - `dup-identity` (error for `digests.fp`, warn for `sets.id` /
     *    `sigs.doc_id` / `vecs.vec_id`): an identity key committed
     *    twice across the committed view. Exact ingest suppresses BY
@@ -913,10 +913,27 @@ object DedupStore {
     *    shingle set differs from the `sets`-derived one (same
     *    completeness precondition).
     *
+    * The deep checks are all CROSS-day folds (a dup spans days; a
+    * shingle's df sums over days), so they cannot be skipped per
+    * day — but they CAN be scoped per day (round 16, closing the
+    * verdict's asymmetry with the TextIndexStore/IvfStore watermark
+    * discipline): each check re-examines only the keys/shingles that
+    * touch days whose on-disk fingerprint (file names + lengths, all
+    * tables) moved since their last clean audit, via a changed-day ×
+    * archive SEMI-JOIN — the q118 one-sided shape; the archive
+    * contributes only its slim key column to the join, and when NO
+    * day moved the deep pass reads ZERO data files. Soundness is
+    * inductive from the first (watermark-less, full) audit: any row
+    * that can change a cross-day answer lives in a day whose files
+    * moved, and a day implicated in a finding loses its watermark —
+    * including the UNCHANGED partner day of a cross-day dup — so
+    * faults re-surface every audit until repaired. `force = true` is
+    * the full recount on demand.
+    *
     * Returns findings worst-first; an empty result is a clean bill.
     * A healthy store mid-lifecycle returns only `info` rows. */
   def fsck(spark: SparkSession, root: String,
-      deep: Boolean = false): Seq[FsckFinding] = {
+      deep: Boolean = false, force: Boolean = false): Seq[FsckFinding] = {
     val f = fs(spark, root)
     val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
     val markerDir = new Path(root, MarkerDir)
@@ -1000,28 +1017,64 @@ object DedupStore {
       }
     }
 
-    if (deep) out ++= fsckDeep(spark, root, f, tables, committed)
+    if (deep) out ++= fsckDeep(spark, root, f, tables, committed, force)
 
     val rank = Map("error" -> 0, "warn" -> 1, "info" -> 2)
     out.sortBy(fi => (rank(fi.severity), fi.check, fi.subject)).toSeq
   }
 
-  /** The full-scan half of [[fsck]]: identity uniqueness across the
-    * committed view and acceleration-table recounts. */
+  /** The data-reading half of [[fsck]]: identity uniqueness across
+    * the committed view and acceleration-table recounts — DAY-SCOPED
+    * by the `_audit/<day>` fingerprint watermark (round 16; see the
+    * [[fsck]] scaladoc for the soundness argument). When no committed
+    * day's files moved since their last clean audit, this reads ZERO
+    * data files. */
   private def fsckDeep(spark: SparkSession, root: String,
       f: org.apache.hadoop.fs.FileSystem, tables: Seq[String],
-      committed: Seq[String]): Seq[FsckFinding] = {
+      committed: Seq[String], force: Boolean): Seq[FsckFinding] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
-    // committed view of one table as the union of its day dirs — no
-    // partition-type inference (date-shaped day names would infer a
-    // DateType dt), no schema template needed (absent days just drop
-    // out of the path list)
-    def readDays(t: String): Option[DataFrame] = {
-      val dirs = committed.map(d => new Path(s"$root/$t/dt=$d"))
-        .filter(dd => partFiles(f, dd).nonEmpty)
-      if (dirs.isEmpty) None
-      else Some(spark.read.parquet(dirs.map(_.toString): _*))
+    if (committed.isEmpty) return Nil
+    val auditDir = new Path(root, "_audit")
+    def dayFp(d: String): String = {
+      val body = tables.flatMap { t =>
+        partFiles(f, new Path(s"$root/$t/dt=$d"))
+          .map(st => s"$t/${st.getPath.getName}:${st.getLen}")
+      }.sorted.mkString("\n")
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    val fps = committed.map(d => d -> dayFp(d)).toMap
+    val watermarks: Map[String, String] =
+      if (!f.exists(auditDir)) Map.empty
+      else f.listStatus(auditDir).toSeq.map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+        .map(p => p.getName ->
+          readMarker(f, p).headOption.getOrElse("")).toMap
+    // housekeeping: a watermark whose day left the committed set is
+    // meaningless — drop it so a later same-named day re-audits
+    watermarks.keys.filterNot(committed.contains)
+      .foreach(d => f.delete(new Path(auditDir, d), false))
+    val toRecount =
+      if (force) committed
+      else committed.filter(d => !watermarks.get(d).contains(fps(d)))
+    if (toRecount.isEmpty) return Nil
+    val dirtyDays = scala.collection.mutable.Set.empty[String]
+
+    // committed view of one table over an explicit day list, with the
+    // day carried as a literal column (per-day reads — no
+    // partition-type inference, the fsckDeep rule, and the finding's
+    // day attribution needs the origin day anyway)
+    def readDaysCols(t: String, days: Seq[String],
+        cols: Seq[String]): Option[DataFrame] = {
+      val dirs = days.map(d => d -> new Path(s"$root/$t/dt=$d"))
+        .filter { case (_, dd) => partFiles(f, dd).nonEmpty }
+      if (dirs.isEmpty) None
+      else Some(dirs.map { case (d, dd) =>
+        spark.read.parquet(dd.toString)
+          .select(cols.map(col): _*).withColumn("__dt", lit(d))
+      }.reduce(_ unionByName _))
+    }
+
     // severity split (round 12): only the EXACT store suppresses BY
     // KEY (digests.fp is the identity the ingest anti-joins on), so a
     // duplicate fp is impossible under healthy operation — error. The
@@ -1030,16 +1083,35 @@ object DedupStore {
     // cosine threshold legitimately commits the same key on two days,
     // so a duplicate there is suspicious (most corpora assign stable
     // ids to stable content) but not proof of tampering — warn.
+    //
+    // Day scope: only keys PRESENT in a recounted day are re-checked
+    // (archive semi-joined on the slim key column); every day holding
+    // a flagged key — recounted or not — is dirtied, so a cross-day
+    // dup's unchanged partner re-audits next time too.
     def dupCheck(table: String, key: String, severity: String,
         clause: String): Unit =
-      if (tables.contains(table)) readDays(table).foreach { df =>
-        val dups = df.groupBy(col(key)).count()
-          .filter(col("count") > 1).count()
-        if (dups > 0) out += FsckFinding(severity, "dup-identity",
-          s"$table.$key",
-          s"$dups keys committed more than once across the committed " +
-            s"view — $clause")
-      }
+      if (tables.contains(table))
+        (readDaysCols(table, committed, Seq(key)),
+            readDaysCols(table, toRecount, Seq(key))) match {
+          case (Some(all), Some(changed)) =>
+            val dupKeys = all
+              .join(changed.select(col(key)).distinct(), Seq(key), "left_semi")
+              .groupBy(col(key)).count().filter(col("count") > 1)
+              .select(col(key)).persist()
+            try {
+              val dups = dupKeys.count()
+              if (dups > 0) {
+                out += FsckFinding(severity, "dup-identity",
+                  s"$table.$key",
+                  s"$dups keys committed more than once across the committed " +
+                    s"view — $clause")
+                all.join(dupKeys, Seq(key), "left_semi")
+                  .select(col("__dt")).distinct()
+                  .collect().foreach(r => dirtyDays += r.getString(0))
+              }
+            } finally { dupKeys.unpersist(); () }
+          case _ => ()
+        }
     dupCheck("digests", "fp", "error",
       "exact ingest suppresses by this key, so this is impossible under " +
         "healthy operation; suspect restored or hand-copied partitions")
@@ -1051,40 +1123,79 @@ object DedupStore {
     dupCheck("sigs", "doc_id", "warn", simClause)
     dupCheck("vecs", "vec_id", "warn", simClause)
 
+    // the shingles whose cross-day answers a recounted day can move:
+    // everything in its sets (explode) plus everything its own accel
+    // partitions claim — the semi-join key set for both recounts
+    def changedShingles(accelTable: String): Option[DataFrame] = {
+      val fromSets = readDaysCols("sets", toRecount, Seq("hset"))
+        .map(_.select(explode(col("hset")).as("sh")))
+      val fromAccel = readDaysCols(accelTable, toRecount, Seq("sh"))
+        .map(_.select(col("sh")))
+      (fromSets.toSeq ++ fromAccel.toSeq)
+        .reduceOption(_ unionByName _).map(_.distinct())
+    }
+
     if (tables.contains("df") && tables.contains("sets") &&
         accelComplete(spark, root, "df", None))
-      (readDays("sets"), readDays("df")) match {
-        case (Some(sets), Some(dfT)) =>
-          val expect = sets.select(explode(col("hset")).as("sh"))
-            .groupBy(col("sh")).agg(count(lit(1)).as("e"))
-          val got = dfT.groupBy(col("sh")).agg(sum(col("cnt")).as("g"))
-          val bad = expect.join(got, Seq("sh"), "full_outer")
-            .filter(coalesce(col("e"), lit(0L)) =!=
-              coalesce(col("g"), lit(0L))).count()
-          if (bad > 0) out += FsckFinding("error", "df-mismatch", "df",
-            s"$bad shingles whose committed df count disagrees with a " +
-              "recount from the committed sets — the containment guard " +
-              "reads wrong occupancy; delete the df partitions (readers " +
-              "fall back) and let compact() rebuild them")
+      (readDaysCols("sets", committed, Seq("hset")),
+          readDaysCols("df", committed, Seq("sh", "cnt")),
+          changedShingles("df")) match {
+        case (Some(sets), Some(dfT), Some(chg0)) =>
+          val chg = chg0.persist()
+          try {
+            val expect = sets.select(explode(col("hset")).as("sh"))
+              .join(chg, Seq("sh"), "left_semi")
+              .groupBy(col("sh")).agg(count(lit(1)).as("e"))
+            val got = dfT.join(chg, Seq("sh"), "left_semi")
+              .groupBy(col("sh")).agg(sum(col("cnt")).as("g"))
+            val bad = expect.join(got, Seq("sh"), "full_outer")
+              .filter(coalesce(col("e"), lit(0L)) =!=
+                coalesce(col("g"), lit(0L))).count()
+            if (bad > 0) {
+              out += FsckFinding("error", "df-mismatch", "df",
+                s"$bad shingles whose committed df count disagrees with a " +
+                  "recount from the committed sets — the containment guard " +
+                  "reads wrong occupancy; delete the df partitions (readers " +
+                  "fall back) and let compact() rebuild them")
+              dirtyDays ++= toRecount // coarse: repair moves fingerprints
+            }
+          } finally { chg.unpersist(); () }
         case _ => ()
       }
 
     if (tables.contains("postings") && tables.contains("sets") &&
         accelComplete(spark, root, "postings", None))
-      (readDays("sets"), readDays("postings")) match {
-        case (Some(sets), Some(post)) =>
-          val expect = sets.select(explode(col("hset")).as("sh")).distinct()
-          val got = post.select(col("sh")).distinct()
-          val missing = expect.join(got, Seq("sh"), "left_anti").count()
-          val extra = got.join(expect, Seq("sh"), "left_anti").count()
-          if (missing + extra > 0)
-            out += FsckFinding("error", "postings-mismatch", "postings",
-              s"$missing shingles missing / $extra extra vs the committed " +
-                "sets — noveltyReport's fast path mis-scores; delete the " +
-                "postings partitions (readers fall back) and let " +
-                "compact() rebuild coverage")
+      (readDaysCols("sets", committed, Seq("hset")),
+          readDaysCols("postings", committed, Seq("sh")),
+          changedShingles("postings")) match {
+        case (Some(sets), Some(post), Some(chg0)) =>
+          val chg = chg0.persist()
+          try {
+            val expect = sets.select(explode(col("hset")).as("sh"))
+              .join(chg, Seq("sh"), "left_semi").distinct()
+            val got = post.select(col("sh"))
+              .join(chg, Seq("sh"), "left_semi").distinct()
+            val missing = expect.join(got, Seq("sh"), "left_anti").count()
+            val extra = got.join(expect, Seq("sh"), "left_anti").count()
+            if (missing + extra > 0) {
+              out += FsckFinding("error", "postings-mismatch", "postings",
+                s"$missing shingles missing / $extra extra vs the committed " +
+                  "sets — noveltyReport's fast path mis-scores; delete the " +
+                  "postings partitions (readers fall back) and let " +
+                  "compact() rebuild coverage")
+              dirtyDays ++= toRecount
+            }
+          } finally { chg.unpersist(); () }
         case _ => ()
       }
+
+    // dirty days lose their watermark wherever they sit (a cross-day
+    // dup's partner may not have been recounted this audit); clean
+    // recounted days watermark at their audit-time fingerprint
+    dirtyDays.foreach(d => f.delete(new Path(auditDir, d), false))
+    toRecount.filterNot(dirtyDays.contains).foreach(d =>
+      MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+        auditDir, d, fps(d)))
     out.toSeq
   }
 

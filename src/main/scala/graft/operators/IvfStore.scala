@@ -99,9 +99,12 @@ object IvfStore {
   private val SeedStats = "_SEED_STATS.txt"
 
   /** Committed PQ codebooks ([[enablePq]]) — the marker that flips the
-    * store into PQ-encoded serving. Format: line 1 `dim m`, then one
-    * line per codeword `s:v1,v2,...` (subspaces in order, codewords in
-    * codebook order — the order IS the encode tie-break). */
+    * store into PQ-encoded serving. Format: line 1 `dim m` (raw-vector
+    * codes) or `dim m residual` (round 16 — codes quantize the
+    * RESIDUAL `vec − assigned-cell centroid`, the standard IVF-ADC
+    * form), then one line per codeword `s:v1,v2,...` (subspaces in
+    * order, codewords in codebook order — the order IS the encode
+    * tie-break). */
   private val PqMarker = "_PQ_CODEBOOKS.txt"
 
   private def fs(spark: SparkSession, root: String) =
@@ -188,6 +191,28 @@ object IvfStore {
     model
   }
 
+  /** [[init]] with CALLER-SUPPLIED centroids — the bring-your-own-
+    * geometry form (round 16): an externally trained quantizer, a
+    * replayed centroid set from another root, or a DETERMINISTIC set
+    * an oracle can re-derive (q151 seeds cells this way so DuckDB can
+    * reproduce the argmin assignment that residual codes depend on).
+    * Same freeze/refusal contract as [[init]]; no seed baseline is
+    * recorded, so [[driftReport]]'s baseline columns read null (the
+    * pre-baseline-store shape) until a rebuild re-seeds one. */
+  def initWithCentroids(spark: SparkSession, root: String,
+      centroids: Seq[Array[Double]]): Unit = {
+    require(centroids.nonEmpty, "centroid set must be non-empty")
+    require(centroids.forall(_.length == centroids.head.length),
+      "centroids must share one dimension")
+    require(scala.util.Try(IvfIndex.open(spark, root)).isFailure &&
+        committedDays(spark, root).isEmpty,
+      s"refusing to re-initialize '$root': it already holds a committed " +
+        "centroid set or committed days, and re-training in place would " +
+        "silently invalidate every stored cell assignment — rebuild into a " +
+        "FRESH root and swap consumers")
+    IvfIndex.commitCentroids(spark, root, centroids)
+  }
+
   /** The init-time seed baseline (mean assignment dist², seed row
     * count), or None for a store initialized before the feature. */
   def seedStats(spark: SparkSession, root: String): Option[(Double, Long)] = {
@@ -267,7 +292,8 @@ object IvfStore {
     // cells, so codes always match what the store serves), BEFORE the
     // marker — one commit covers both tables, torn appends leave both
     // invisible ([[enablePq]]'s layout contract)
-    pqModel(spark, root).foreach(m => writeCodesDay(spark, root, day, m))
+    pqState(spark, root).foreach { case (m, res) =>
+      writeCodesDay(spark, root, day, m, res) }
     MarkerProtocol.atomicMarker(conf, new Path(root, MarkerDir), day,
       if (lineage.isEmpty) "" else lineage.mkString("\n") + "\n")
   }
@@ -312,7 +338,20 @@ object IvfStore {
   // -----------------------------------------------------------------
 
   /** The committed PQ model, or None for a float-serving store. */
-  def pqModel(spark: SparkSession, root: String): Option[PqModel] = {
+  def pqModel(spark: SparkSession, root: String): Option[PqModel] =
+    pqState(spark, root).map(_._1)
+
+  /** True when the committed codes quantize RESIDUALS (vec −
+    * assigned-cell centroid — true IVF-ADC, round 16); false for raw
+    * codes (round 15's format) or a float-serving store. */
+  def pqResidual(spark: SparkSession, root: String): Boolean =
+    pqState(spark, root).exists(_._2)
+
+  /** (model, residual?) from the committed marker — ONE read feeding
+    * both accessors and every internal consumer; the two facts must
+    * never come from different marker snapshots. */
+  private def pqState(spark: SparkSession,
+      root: String): Option[(PqModel, Boolean)] = {
     val p = new Path(root, PqMarker)
     val f = fs(spark, root)
     if (!f.exists(p)) None
@@ -320,36 +359,60 @@ object IvfStore {
       val lines = MarkerProtocol.readMarker(f, p)
       val head = lines.head.split("\\s+")
       val (dim, m) = (head(0).toInt, head(1).toInt)
+      val residual = head.lift(2).contains("residual")
       val bySub = lines.tail.map { ln =>
         val Array(s, vs) = ln.split(":", 2)
         s.toInt -> vs.split(",").toSeq.map(_.toDouble)
       }
       val books = (0 until m).map(s => bySub.filter(_._1 == s).map(_._2))
-      Some(PqModel(dim, m, books))
+      Some((PqModel(dim, m, books), residual))
     }
   }
 
   private def commitPqModel(spark: SparkSession, root: String,
-      model: PqModel): Unit = {
+      model: PqModel, residual: Boolean): Unit = {
     val body = model.codebooks.zipWithIndex.flatMap { case (book, s) =>
       book.map(cw => s"$s:${cw.mkString(",")}")
     }.mkString("\n")
+    val head = s"${model.dim} ${model.m}${if (residual) " residual" else ""}"
     MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
-      new Path(root), PqMarker, s"${model.dim} ${model.m}\n$body")
+      new Path(root), PqMarker, s"$head\n$body")
   }
 
-  /** Flip the store into PQ-encoded serving: backfill `codes/` for
+  /** Flip the store into PQ-encoded serving: encode `codes/` for
     * every committed day, then commit `model` — marker LAST, so a
-    * crash mid-backfill leaves the store loudly un-enabled (re-run;
-    * the backfill is idempotent) and [[adcProbe]] never reads a torn
-    * code set. Every subsequent [[append]] encodes its day inline.
+    * crash mid-backfill leaves the store loudly un-enabled (re-run)
+    * and [[adcProbe]] never reads a torn code set. Every subsequent
+    * [[append]] encodes its day inline.
+    *
+    * The backfill FORCE-ENCODES every committed day — the whole
+    * `codes/` table is deleted first (round 16, advice): a fill-only-
+    * missing-days re-run after a mid-backfill crash could commit THIS
+    * call's codebooks over days the crashed attempt encoded with a
+    * DIFFERENT model (a trained overload over a corpus that gained a
+    * day in between, or an operator retry with different k/iters) —
+    * adcProbe would then serve silently wrong ADC distances until a
+    * deep fsck flagged the mismatch. Deleting codes/ makes the
+    * committed marker match every code row by construction, for any
+    * crash/retry interleaving.
+    *
+    * `residual = true` (round 16) commits the standard IVF-ADC form:
+    * codes quantize `vec − assigned-cell centroid`, which concentrates
+    * the quantizer's dynamic range into the within-cell spread and is
+    * the published accuracy step at the same m bytes (Jégou et al.
+    * TPAMI 2011, §IV — see PAPERS.md). [[adcProbe]] shifts its lookup
+    * tables per (query, probed cell) to match; ADC distances remain
+    * EXACT distances to the reconstruction `centroid + decoded
+    * residual`, so the full-probe-equals-brute-force gate argument
+    * carries over verbatim (q151's oracle).
     *
     * Refuses a root already serving PQ: re-quantizing in place would
     * mutate codes under live probes — like re-training centroids, the
     * remedy is a fresh-root [[rebuild]] (which carries codebooks) or
     * a new root + [[enablePq]] + pointer flip. Returns the number of
-    * days backfilled. Single writer, like every store mutation. */
-  def enablePq(spark: SparkSession, root: String, model: PqModel): Int = {
+    * days encoded. Single writer, like every store mutation. */
+  def enablePq(spark: SparkSession, root: String, model: PqModel,
+      residual: Boolean): Int = {
     require(pqModel(spark, root).isEmpty,
       s"refusing to re-quantize '$root' in place: it already serves PQ " +
         "codes, and rewriting them would tear concurrent ADC probes — " +
@@ -357,46 +420,67 @@ object IvfStore {
     val cents = IvfIndex.open(spark, root) // uninitialized root refuses here
     require(cents.head.length == model.dim,
       s"PQ model dim ${model.dim} != stored vector dim ${cents.head.length}")
-    val done = backfillCodes(spark, root, Some(model))
-    commitPqModel(spark, root, model)
+    fs(spark, root).delete(new Path(s"$root/codes"), true): Unit
+    val done = backfillCodes(spark, root, Some((model, residual)))
+    commitPqModel(spark, root, model, residual)
     done.size
   }
 
   /** [[enablePq]] with a TRAINED model: per-subspace k-means over the
-    * committed corpus, bounded by `graft.pq.maxTrainRows` (the
-    * [[rebuild]] bounded-retrain discipline — [[ProductQuantizer.train]]
-    * owns the deterministic hash sample). */
+    * committed corpus — over the RESIDUALS when `residual = true`
+    * (training must see the distribution it will encode), raw vectors
+    * otherwise — bounded by `graft.pq.maxTrainRows` (the [[rebuild]]
+    * bounded-retrain discipline — [[ProductQuantizer.train]] owns the
+    * deterministic hash sample). */
   def enablePq(spark: SparkSession, root: String, m: Int, k: Int,
-      iters: Int): Int = {
+      iters: Int, residual: Boolean = false): Int = {
     val days = committedDays(spark, root)
     val leaves = committedLeafFiles(fs(spark, root), root, days)
     require(leaves.nonEmpty,
       s"cannot train PQ codebooks at $root: no indexed vectors")
     val ds = leafDataSchema(spark, leaves.head.getPath)
     val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
-    val dim = IvfIndex.open(spark, root).head.length
+    val cents = IvfIndex.open(spark, root)
+    val dim = cents.head.length
     val all = cellsFrame(spark, root, leaves.head.getPath, days,
       dataSchema = Some(ds))
+    val (trainFrame, trainCol) =
+      if (!residual) (all, vecCol)
+      else (all.withColumn("__res", residualCol(cents, vecCol)), "__res")
     enablePq(spark, root,
-      ProductQuantizer.train(all, idCol, vecCol, dim, m, k, iters))
+      ProductQuantizer.train(trainFrame, idCol, trainCol, dim, m, k, iters),
+      residual)
+  }
+
+  /** `vec − assigned-cell centroid` as a column — the quantity
+    * residual-mode codes quantize. try_element_at: a hand-restored
+    * out-of-range `cell` nulls the residual (and [[KMeans.usable]]
+    * then corrupt-drops the row at the encode seam) instead of
+    * killing the job under ANSI — the [[driftReport]] bounded-index
+    * rule. */
+  private def residualCol(cents: Seq[Array[Double]], vecCol: String): Column = {
+    val centArr = array(cents.map(c => lit(c)): _*)
+    zip_with(col(vecCol), try_element_at(centArr, col("cell") + 1),
+      (x, y) => x.cast("double") - y)
   }
 
   /** Encode the committed days whose `codes/` partitions are missing
-    * (all of them at [[enablePq]] time; the repair verb for a day
-    * appended by a pre-PQ writer afterwards). Idempotent — a re-run
-    * pre-deletes and rewrites each missing day. Returns the days
-    * encoded. Reads the day's cells BACK from disk (not the caller's
-    * delta), so codes always match exactly what the store serves. */
+    * (all of them at [[enablePq]] time, which pre-deletes the table;
+    * the repair verb for a day appended by a pre-PQ writer
+    * afterwards). Idempotent — a re-run pre-deletes and rewrites each
+    * missing day. Returns the days encoded. Reads the day's cells
+    * BACK from disk (not the caller's delta), so codes always match
+    * exactly what the store serves. */
   def backfillCodes(spark: SparkSession, root: String,
-      modelOverride: Option[PqModel] = None): Seq[String] = {
-    val model = modelOverride.orElse(pqModel(spark, root)).getOrElse(
-      throw new IllegalStateException(
+      stateOverride: Option[(PqModel, Boolean)] = None): Seq[String] = {
+    val (model, residual) = stateOverride.orElse(pqState(spark, root))
+      .getOrElse(throw new IllegalStateException(
         s"no PQ codebooks at $root — enablePq first"))
     val f = fs(spark, root)
     val days = committedDays(spark, root)
     val missing = days.filter(d => dayHasFiles(f, root, "cells", d) &&
       !dayHasFiles(f, root, "codes", d))
-    missing.foreach(d => writeCodesDay(spark, root, d, model))
+    missing.foreach(d => writeCodesDay(spark, root, d, model, residual))
     missing
   }
 
@@ -406,9 +490,12 @@ object IvfStore {
       .exists(_.nonEmpty)
 
   /** One day's codes from its on-disk cells — shared by [[append]]'s
-    * inline encode and [[backfillCodes]]. No-op for an empty day. */
+    * inline encode and [[backfillCodes]]. No-op for an empty day.
+    * Residual mode encodes `vec − assigned-cell centroid` (see
+    * [[enablePq]]); a row whose residual is undefined (out-of-range
+    * restored cell) corrupt-drops at the encode seam. */
   private def writeCodesDay(spark: SparkSession, root: String, day: String,
-      model: PqModel): Unit = {
+      model: PqModel, residual: Boolean): Unit = {
     val f = fs(spark, root)
     f.delete(new Path(s"$root/codes/dt=$day"), true): Unit
     val leaves = Option(f.globStatus(
@@ -419,7 +506,11 @@ object IvfStore {
     val (idCol, vecCol) = (ds.fieldNames(0), ds.fieldNames(1))
     val dayCells = cellsFrame(spark, root, leaves.head.getPath, Seq(day),
       dataSchema = Some(ds))
-    val coded = ProductQuantizer.encode(dayCells, model, vecCol)
+    val (src, encCol) =
+      if (!residual) (dayCells, vecCol)
+      else (dayCells.withColumn("__res",
+        residualCol(IvfIndex.open(spark, root), vecCol)), "__res")
+    val coded = ProductQuantizer.encode(src, model, encCol)
       .select(col(idCol), col("pq_codes"), col("dt"), col("cell"))
     PartitionedLayout.overwritePartitions(coded, s"$root/codes",
       Seq("dt", "cell"))
@@ -435,9 +526,24 @@ object IvfStore {
     * against the pruned cells, never a corpus scan).
     *
     * ADC distance is the EXACT L2 to the code's reconstruction (the
-    * PqSpec identity), so a full probe (`nprobe = k`) is exact
-    * brute-force over the reconstructed committed corpus — the q150
-    * oracle gate's argument, mirroring q146's for the float probe.
+    * PqSpec identity; under residual codes the reconstruction is
+    * `centroid + decoded residual` and the lookup tables are built
+    * from `query − centroid` per probed cell), so a full probe
+    * (`nprobe = k`) is exact brute-force over the reconstructed
+    * committed corpus — the q150/q151 oracle gates' argument,
+    * mirroring q146's for the float probe.
+    *
+    * BATCH SHAPE (round 16): the (query, cell) pair frame rides a
+    * broadcast, so the batch is chunked INTERNALLY under
+    * `graft.maxBroadcastRows` — whole queries per chunk, per-chunk
+    * ADC frames unioned BEFORE the one rank window (chunk-count-
+    * invariant: the window partitions by qid and chunks are disjoint
+    * by qid) — instead of making callers shard (the round-15 shape
+    * q150 hand-chunked around). Batches past `graft.maxProbeBatch`
+    * refuse loudly — that much driver-resident query state belongs in
+    * a table. `idCol` must name the store's actual id column (the
+    * first data column by [[append]]'s write order) — a mismatch
+    * refuses instead of being silently ignored (round 16, advice).
     *
     * Returns (qid, <id>, adc_d2, rank) — or (qid, <id>, dist2, rank)
     * with EXACT float distances when `rerank >= topK` re-scores. */
@@ -450,9 +556,10 @@ object IvfStore {
     require(rerank <= 0 || rerank >= topK,
       s"rerank=$rerank must be >= topK=$topK (it is the ADC candidate " +
         "pool the exact re-score ranks from)")
-    val model = pqModel(spark, root).getOrElse(throw new IllegalStateException(
-      s"store at $root has no committed PQ codebooks — enablePq first, " +
-        "or use probe() for float serving"))
+    val (model, residual) = pqState(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"store at $root has no committed PQ codebooks — enablePq first, " +
+          "or use probe() for float serving"))
     val cents = IvfIndex.open(spark, root)
     val days = committedDays(spark, root)
     require(days.nonEmpty,
@@ -474,55 +581,80 @@ object IvfStore {
     require(codeLeaves.nonEmpty, s"store at $root has committed days but " +
       "no encoded vectors (every appended row was empty or unusable) — " +
       "nothing to probe")
-    // the probeCells broadcast guard, verbatim — the (query, cell)
-    // pair frame is what the broadcast carries
-    val cap = BroadcastGuard.cap(spark)
-    require(queries.size.toLong * math.min(nprobe, cents.size) <= cap,
-      s"probe batch of ${queries.size} queries x $nprobe cells exceeds " +
-        s"the broadcast cap ($cap rows; conf graft.maxBroadcastRows) — " +
-        "shard the query batch across probe calls")
+    val batchCap = BroadcastGuard.probeBatchCap(spark)
+    require(queries.size <= batchCap,
+      s"probe batch of ${queries.size} queries exceeds the probe-batch " +
+        s"cap ($batchCap; conf graft.maxProbeBatch) — a driver-side query " +
+        "list this size belongs in a table; join it against the store")
+    val csch = leafDataSchema(spark, codeLeaves.head.getPath)
+      .add("dt", org.apache.spark.sql.types.StringType)
+      .add("cell", org.apache.spark.sql.types.IntegerType)
+    val rowId = csch.fieldNames(0)
+    require(rowId == idCol,
+      s"idCol '$idCol' is not this store's id column '$rowId' (the first " +
+        "data column by append's write order) — a silently-ignored " +
+        "mismatch would mislabel every returned id")
     // driver-side per-query work: probed cells (|Q|·k·d flops, the
     // probeCells shape) plus the ADC lookup table (m × |book| subspace
     // distances — the same sequential left-fold arithmetic as the
     // column-side d2, so ADC scores are bit-identical to
-    // [[ProductQuantizer.adcTopK]]'s)
+    // [[ProductQuantizer.adcTopK]]'s). Residual mode shifts the LUT
+    // per (query, probed cell): the table is built from q − centroid,
+    // so Σ lut[code] = ||(q − c) − r̂||² = ||q − (c + r̂)||² — still an
+    // exact distance to the reconstruction.
     def l2d2(a: Array[Double], b: Seq[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < b.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val pairs = for {
-      (qid, qv) <- queries
-      _ = require(qv != null && qv.length == model.dim,
+    def lutOf(v: Array[Double]): Seq[Seq[Double]] =
+      (0 until model.m).map(s => model.codebooks(s).map(cw =>
+        l2d2(v.slice(s * model.subDim, (s + 1) * model.subDim), cw)))
+    queries.foreach { case (qid, qv) =>
+      require(qv != null && qv.length == model.dim,
         s"query $qid has ${if (qv == null) "no" else s"${qv.length}-dim"} " +
           s"vector; the store serves dim ${model.dim}")
-      lut = (0 until model.m).map(s => model.codebooks(s).map(cw =>
-        l2d2(qv.slice(s * model.subDim, (s + 1) * model.subDim), cw)))
-      cell <- cents.indices
-        .sortBy(i => (l2d2(qv, cents(i).toSeq), i)).take(nprobe)
-    } yield (qid, lut, cell)
-    val pairsDf = pairs.toDF("qid", "__pq_lut", "cell")
-    val probedCells = pairs.map(_._3).distinct
-    val csch = leafDataSchema(spark, codeLeaves.head.getPath)
-      .add("dt", org.apache.spark.sql.types.StringType)
-      .add("cell", org.apache.spark.sql.types.IntegerType)
-    val rowId = csch.fieldNames(0)
-    val codes = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
-      .filter(col("dt").isin(days: _*))
-      .filter(col("cell").isin(probedCells: _*))
-      // corrupt-drop hand-restored junk (the adcTopK seam rule): a
-      // null/wrong-width code array nulls the fold, and a null
-      // distance would rank FIRST under asc nulls-first
-      .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
-    val adc = codes.join(broadcast(pairsDf), "cell")
-      .select(col("qid"), col(rowId), col("dt"), col("cell"),
-        aggregate(
-          // try_element_at: an out-of-range code (hand-made corpus)
-          // nulls the score instead of killing the probe under ANSI
-          zip_with(col("pq_codes"), col("__pq_lut"),
-            (code, row) => try_element_at(row, code + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_d2"))
-      .filter(col("adc_d2").isNotNull)
+    }
+    val probedByQ = queries.map { case (qid, qv) =>
+      (qid, qv, cents.indices
+        .sortBy(i => (l2d2(qv, cents(i).toSeq), i)).take(nprobe))
+    }
+    val allProbed = probedByQ.flatMap(_._3).distinct
+    // internal chunking under the broadcast cap — each chunk's pair
+    // frame is ≤ cap rows; LUTs are built per chunk so peak driver
+    // allocation follows the chunk, not the batch
+    val cap = BroadcastGuard.cap(spark)
+    val chunks = BroadcastGuard.greedyChunks(probedByQ, cap)(
+      _._3.size.toLong)
+    val adc = chunks.map { ch =>
+      val pairs = ch.flatMap { case (qid, qv, probed) =>
+        if (!residual) {
+          val lut = lutOf(qv) // one LUT per query, shared across cells
+          probed.map(c => (qid, lut, c))
+        } else probed.map { c =>
+          val qEff = Array.tabulate(qv.length)(i => qv(i) - cents(c)(i))
+          (qid, lutOf(qEff), c)
+        }
+      }
+      val pairsDf = pairs.toDF("qid", "__pq_lut", "cell")
+      val probedCells = pairs.map(_._3).distinct
+      val codes = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
+        .filter(col("dt").isin(days: _*))
+        .filter(col("cell").isin(probedCells: _*))
+        // corrupt-drop hand-restored junk (the adcTopK seam rule): a
+        // null/wrong-width code array nulls the fold, and a null
+        // distance would rank FIRST under asc nulls-first
+        .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
+      codes.join(broadcast(pairsDf), "cell")
+        .select(col("qid"), col(rowId), col("dt"), col("cell"),
+          aggregate(
+            // try_element_at: an out-of-range code (hand-made corpus)
+            // nulls the score instead of killing the probe under ANSI
+            zip_with(col("pq_codes"), col("__pq_lut"),
+              (code, row) => try_element_at(row, code + 1)),
+            lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+        .filter(col("adc_d2").isNotNull)
+    }.reduce(_ unionByName _)
     val pool = math.max(topK, rerank)
     val ranked = adc.withColumn("rank", row_number().over(
         Window.partitionBy(col("qid"))
@@ -534,27 +666,39 @@ object IvfStore {
     else {
       // exact re-score of the ADC candidate pool: join the ≤ |Q|·R
       // candidates back to their float vectors by (dt, cell, id) —
-      // the scan is still pruned to committed days + probed cells,
-      // and the candidate side broadcasts
+      // the scan is still pruned to committed days + probed cells.
+      // The candidate/query sides broadcast; both are |Q|-bounded
+      // driver products, so they chunk by qid hash under the same cap
+      // (rows known without a count job: |Q|·pool and |Q|)
       val cands = ranked.select(col("qid"), col(rowId), col("dt"), col("cell"))
       val vecLeaves = committedLeafFiles(f, root, days)
       val vsch = leafDataSchema(spark, vecLeaves.head.getPath)
       val vecCol = vsch.fieldNames(1)
       val cells = cellsFrame(spark, root, vecLeaves.head.getPath, days,
         dataSchema = Some(vsch))
-        .filter(col("cell").isin(probedCells: _*))
+        .filter(col("cell").isin(allProbed: _*))
       val qVecs = queries.map { case (qid, qv) => (qid, qv.toSeq) }
         .toDF("qid", "__q_emb")
+      val nCandChunks = math.max(1L,
+        (queries.size.toLong * pool + cap - 1) / cap).toInt
       val exactD2 = aggregate(
         zip_with(col(vecCol), col("__q_emb"),
           (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
         lit(0.0), (acc, x) => acc + x)
-      cells.join(broadcast(cands),
-          cells(rowId) === cands(rowId) && cells("dt") === cands("dt") &&
-            cells("cell") === cands("cell"))
-        .select(cands("qid"), cells(rowId), cells(vecCol), cells("dt"))
-        .join(broadcast(qVecs), "qid")
-        .withColumn("dist2", exactD2)
+      (0 until nCandChunks).map { i =>
+        val candsCh =
+          if (nCandChunks == 1) cands
+          else cands.filter(pmod(xxhash64(col("qid")), lit(nCandChunks)) === i)
+        val qVecsCh =
+          if (nCandChunks == 1) qVecs
+          else qVecs.filter(pmod(xxhash64(col("qid")), lit(nCandChunks)) === i)
+        cells.join(broadcast(candsCh),
+            cells(rowId) === candsCh(rowId) && cells("dt") === candsCh("dt") &&
+              cells("cell") === candsCh("cell"))
+          .select(candsCh("qid"), cells(rowId), cells(vecCol), cells("dt"))
+          .join(broadcast(qVecsCh), "qid")
+          .withColumn("dist2", exactD2)
+      }.reduce(_ unionByName _)
         .filter(col("dist2").isNotNull && !isnan(col("dist2")) &&
           col("dist2") < lit(Double.PositiveInfinity))
         .withColumn("rank", row_number().over(
@@ -574,87 +718,26 @@ object IvfStore {
     adcProbe(spark, currentRoot(spark, pointer), idCol, queries, nprobe,
       topK, rerank)
 
-  /** One [[retireRoots]] outcome: `marked` (first sighting — grace
-    * window opened), `deleted` (grace elapsed, directory removed),
-    * `unmarked` (a previously-marked root re-entered the retained
-    * lineage — a pointer rollback; never delete it). */
-  final case class RetiredRoot(root: String, action: String)
+  /** One [[retireRoots]] outcome — see [[SnapshotStore.RetiredRoot]]
+    * (round 16: retirement lifted to the pointer protocol, where it
+    * belongs — both this store's pointer and [[TextIndexStore]]'s are
+    * SnapshotStores whose first snapshot column is the root path, and
+    * round 15's IVF-only implementation left every text-index
+    * `rebuildVia` leaking a full flipped-away index copy forever). */
+  type RetiredRoot = SnapshotStore.RetiredRoot
+  val RetiredRoot: SnapshotStore.RetiredRoot.type = SnapshotStore.RetiredRoot
 
-  /** RETIREMENT of replaced serving roots (round 15) — the missing
-    * end of [[rebuildVia]]'s "vacuum it at leisure": nothing ever
-    * deleted flipped-away roots, so every evidence-gated rebuild
-    * doubled store disk until an operator hand-deleted. This walks
-    * the pointer's committed lineage and deletes roots absent from
-    * the newest `keepRoots` DISTINCT lineage roots — with the store
-    * family's two-phase grace instead of a clock (the
-    * [[compact]]/TfRecordStreamSink sweep-at-the-NEXT-run rule): a
-    * retirement candidate is first MARKED (`$pointer/_retire/<digest>`,
-    * content = the root path); only a run that finds the mark already
-    * standing deletes the directory. In-flight probes that resolved
-    * the pointer pre-flip read the old root's intact files through
-    * the whole grace cadence (maintenance runs are the cadence — the
-    * drill's concurrent-probe pattern is the spec for this).
-    *
-    * Safety rails: the CURRENT root is never a candidate regardless
-    * of `keepRoots`; a marked root that re-enters the retained
-    * lineage (pointer rollback) is un-marked, never deleted; phase-2
-    * deletion re-checks candidacy from the mark's own content, so it
-    * stays correct even after [[SnapshotStore.vacuum]] trims the
-    * pointer versions that first named the root. Idempotent — a
-    * crash between delete and unmark re-deletes a path that no
-    * longer exists (a no-op) and clears the mark. */
+  /** RETIREMENT of replaced serving roots (round 15; generic form in
+    * [[SnapshotStore.retireRoots]] since round 16) — the missing end
+    * of [[rebuildVia]]'s "vacuum it at leisure": walks the pointer's
+    * committed lineage and deletes roots absent from the newest
+    * `keepRoots` DISTINCT lineage roots, with the store family's
+    * two-phase mark-then-delete grace. The full contract (grace
+    * cadence, rollback unmark, vacuum-safe phase-2 re-check) lives on
+    * the SnapshotStore method. */
   def retireRoots(spark: SparkSession, pointer: String,
-      keepRoots: Int = 2): Seq[RetiredRoot] = {
-    require(keepRoots >= 1, "keepRoots must be >= 1")
-    val conf = spark.sparkContext.hadoopConfiguration
-    def qual(s0: String): String = {
-      val hp = new Path(s0)
-      hp.getFileSystem(conf).makeQualified(hp).toString
-    }
-    // lineage roots, NEWEST first, distinct by qualified path
-    val lineage = SnapshotStore.pointedVersions(spark, pointer).reverse
-      .flatMap { v =>
-        val rows = spark.read.schema(PointerSchema)
-          .parquet(SnapshotStore.versionDir(pointer, v)).collect()
-        rows.headOption.map(r => qual(r.getString(0)))
-      }.distinct
-    if (lineage.isEmpty) return Nil
-    val retained = lineage.take(keepRoots).toSet + lineage.head // head = current
-    val markDir = new Path(pointer, "_retire")
-    val f = markDir.getFileSystem(conf)
-    val marks: Map[String, String] = // digest -> marked root path
-      if (!f.exists(markDir)) Map.empty
-      else f.listStatus(markDir).toSeq.map(_.getPath)
-        .filterNot(_.getName.startsWith("."))
-        .flatMap(p => MarkerProtocol.readMarker(f, p).headOption
-          .map(p.getName -> _)).toMap
-    def digest(r: String): String = java.security.MessageDigest
-      .getInstance("MD5").digest(r.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString.take(16)
-    val out = scala.collection.mutable.ArrayBuffer.empty[RetiredRoot]
-    // phase 2 first: standing marks whose root is STILL outside the
-    // retained set delete now; rolled-back ones un-mark
-    marks.foreach { case (dg, r) =>
-      val q = qual(r)
-      if (retained.contains(q)) {
-        f.delete(new Path(markDir, dg), false): Unit
-        out += RetiredRoot(r, "unmarked")
-      } else {
-        f.delete(new Path(q), true): Unit
-        f.delete(new Path(markDir, dg), false): Unit
-        out += RetiredRoot(r, "deleted")
-      }
-    }
-    // phase 1: newly-seen candidates open their grace window
-    lineage.drop(keepRoots).filterNot(retained.contains).foreach { r =>
-      val dg = digest(r)
-      if (!marks.contains(dg) && f.exists(new Path(r))) {
-        MarkerProtocol.atomicMarker(conf, markDir, dg, r + "\n")
-        out += RetiredRoot(r, "marked")
-      }
-    }
-    out.toSeq
-  }
+      keepRoots: Int = 2): Seq[RetiredRoot] =
+    SnapshotStore.retireRoots(spark, pointer, keepRoots)
 
   /** What a [[compact]] run did: the committed merged pseudo-day (None
     * when nothing qualified), how many days it folded, and the
@@ -853,12 +936,17 @@ object IvfStore {
         }
     }
     val model = init(seed, idCol, vecCol, newRoot, k, iters)
-    // PQ codebooks CARRY OVER (they quantize raw vectors — independent
-    // of the re-trained cell geometry), committed before the appends
-    // so every re-appended day encodes inline and the new root serves
-    // ADC from its first probe. Re-TRAINING the codebooks is a
-    // separate decision (fresh root + enablePq(m, k, iters)).
-    pqModel(spark, oldRoot).foreach(commitPqModel(spark, newRoot, _))
+    // PQ codebooks CARRY OVER, committed before the appends so every
+    // re-appended day encodes inline and the new root serves ADC from
+    // its first probe. Raw codebooks are independent of the re-trained
+    // cell geometry; RESIDUAL codebooks are not (residuals are taken
+    // against the NEW centroids), but correctness carries regardless —
+    // codes are re-derived per day against the new geometry and ADC
+    // stays exact-to-reconstruction; only quantizer FIT can drift,
+    // which adcRecallReport measures and a fresh enablePq(m, k, iters,
+    // residual) re-trains when the evidence says so.
+    pqState(spark, oldRoot).foreach { case (m, res) =>
+      commitPqModel(spark, newRoot, m, res) }
     days.foreach { d =>
       val target = if (d.startsWith(MergedPrefix))
         s"$RebuiltPrefix${d.stripPrefix(MergedPrefix)}" else d
@@ -1238,7 +1326,7 @@ object IvfStore {
     // PQ coverage (round 15): a committed day with cells but no codes
     // under a PQ-enabled store — every adcProbe refuses until repaired
     // (a pre-PQ writer appended it, or a hand-restore dropped codes)
-    val pqm = pqModel(spark, root)
+    val pqm = pqState(spark, root)
     if (pqm.isDefined)
       committed.filter(d => dayHasFiles(f, root, "cells", d) &&
           !dayHasFiles(f, root, "codes", d))
@@ -1350,8 +1438,14 @@ object IvfStore {
           // PQ deep recount (round 15): stored codes must equal a fresh
           // encode of the stored vectors against the committed
           // codebooks — the invariant every ADC distance depends on
-          // (the cell-mismatch check's quantization twin)
-          pqm.foreach { model =>
+          // (the cell-mismatch check's quantization twin). Residual
+          // stores re-encode the residual, exactly as writeCodesDay
+          // does. FULL OUTER (round 16, advice): a left join hid EXTRA
+          // code rows — a restored/hand-copied codes partition carrying
+          // ids absent from cells, which a rerank-less adcProbe (codes
+          // table only) would happily return as ghost answers while the
+          // day earned a clean watermark.
+          pqm.foreach { case (model, residualEnc) =>
             val codeLeaves = Option(f.globStatus(
                 new Path(s"$root/codes/dt=*/cell=*/part-*")))
               .map(_.toSeq).getOrElse(Nil)
@@ -1365,24 +1459,34 @@ object IvfStore {
                 .readDays(spark, s"$root/codes", csch, toRecount)
                 .filter(col("dt").isin(toRecount: _*))
                 .withColumnRenamed("pq_codes", "__stored")
-              val expected = ProductQuantizer.encode(cells, model, vecCol)
+              val (encSrc, encCol) =
+                if (!residualEnc) (cells, vecCol)
+                else (cells.withColumn("__res", residualCol(cents, vecCol)),
+                  "__res")
+              val expected = ProductQuantizer.encode(encSrc, model, encCol)
                 .select(col(idCol), col("dt"), col("cell"),
                   col("pq_codes").as("__expect"))
               val perDayPq = expected
-                .join(stored, Seq(idCol, "dt", "cell"), "left")
+                .join(stored, Seq(idCol, "dt", "cell"), "full_outer")
                 .groupBy(col("dt")).agg(
-                  sum(when(col("__stored").isNull, 1L).otherwise(0L)).as("__m"),
+                  sum(when(col("__stored").isNull &&
+                    col("__expect").isNotNull, 1L).otherwise(0L)).as("__m"),
                   sum(when(col("__stored").isNotNull &&
+                    col("__expect").isNotNull &&
                     col("__stored") =!= col("__expect"), 1L).otherwise(0L))
-                    .as("__b"))
+                    .as("__b"),
+                  sum(when(col("__expect").isNull, 1L).otherwise(0L))
+                    .as("__o"))
                 .collect()
                 .map(r => r.getAs[String]("dt") -> (
                   if (r.isNullAt(1)) 0L else r.getLong(1),
-                  if (r.isNullAt(2)) 0L else r.getLong(2))).toMap
-              perDayPq.foreach { case (d, (m, b)) =>
-                if (m > 0 || b > 0) dirtyDays += d }
+                  if (r.isNullAt(2)) 0L else r.getLong(2),
+                  if (r.isNullAt(3)) 0L else r.getLong(3))).toMap
+              perDayPq.foreach { case (d, (m, b, o)) =>
+                if (m > 0 || b > 0 || o > 0) dirtyDays += d }
               val miss = perDayPq.values.map(_._1).sum
               val bad2 = perDayPq.values.map(_._2).sum
+              val orph = perDayPq.values.map(_._3).sum
               if (miss > 0) out += DedupStore.FsckFinding("error",
                 "codes-missing-rows", "codes", s"$miss stored vectors have " +
                   "no PQ code row — ADC probes silently lose them; run " +
@@ -1394,6 +1498,12 @@ object IvfStore {
                   "and codes diverged (hand-replaced _PQ_CODEBOOKS.txt or " +
                   "restored codes partitions?); every ADC distance over " +
                   "them is wrong — rebuild into a fresh root")
+              if (orph > 0) out += DedupStore.FsckFinding("error",
+                "codes-orphan-rows", "codes", s"$orph stored code rows have " +
+                  "no matching vector in cells — restored/hand-copied codes " +
+                  "partitions; a rerank-less adcProbe returns these ghost " +
+                  "ids in answers — delete the affected codes partitions " +
+                  "and backfillCodes, or rebuild")
             }
           }
           // clean days watermark at their audit-time fingerprint;
@@ -1567,6 +1677,112 @@ object IvfStore {
       .select(col("dt"), col("n_queries"), col("nprobe"), col("topk"),
         col("recall"))
       .orderBy(col("dt"))
+  }
+
+  /** ADC SERVING RECALL (round 16) — the store-level acceptance number
+    * [[recallReport]] could not give a PQ-enabled store: that report
+    * grades the FLOAT probe, but a store that flipped [[enablePq]] on
+    * serves [[adcProbe]], and the question its operator asks before
+    * the flip is "what recall do I buy at (nprobe, rerank)?" — the
+    * quantizer's loss and the re-rank's repair, measured together.
+    *
+    * Same methodology as [[recallReport]] (the q126 rule — the report
+    * is COMPOSED FROM the serving path, so the two cannot diverge):
+    * per committed day, the deterministic hash-smallest usable stored
+    * vectors become self-included queries; TRUTH is the exact float
+    * full probe (`nprobe = k` — global exact top-k by the q146
+    * argument, independent of ADC entirely); each requested
+    * `(nprobe, rerank)` arm runs [[adcProbe]] verbatim and scores
+    * `|adc ∩ exact| / topK` per query as a SET ratio (per-arm
+    * DISTINCT (qid, id) — dup-identity days must not inflate recall).
+    *
+    * Reading the rows: `rerank ≥ topK` isolates CANDIDATE loss (the
+    * exact re-score fixes every ranking error inside the ADC pool, so
+    * a miss means the true neighbor never entered the pool — raise
+    * rerank or nprobe); `rerank = 0` adds pure quantization-ranking
+    * error on top (the honest no-rerank serving number). At
+    * `nprobe = k` with rerank ≥ corpus the answer is exact by
+    * construction (recall 1.0 — the spec's identity row). Cost: one
+    * float full probe + one ADC probe per arm over days·queriesPerDay
+    * sampled queries (all internally sharded) — maintenance cadence.
+    *
+    * Output, schema-stable, (nprobe, rerank, dt)-sorted:
+    * (dt, n_queries, nprobe, rerank, topk, recall). */
+  def adcRecallReport(spark: SparkSession, root: String,
+      arms: Seq[(Int, Int)], topK: Int = 5,
+      queriesPerDay: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(arms.nonEmpty, "at least one (nprobe, rerank) arm")
+    arms.foreach { case (np, rr) =>
+      require(np >= 1 && (rr <= 0 || rr >= topK),
+        s"arm (nprobe=$np, rerank=$rr) invalid: nprobe >= 1 and rerank " +
+          s"either 0 (ADC-ranked) or >= topK=$topK (the re-score pool)")
+    }
+    require(topK >= 1 && queriesPerDay >= 1,
+      "topK/queriesPerDay must be >= 1")
+    require(pqModel(spark, root).isDefined,
+      s"store at $root has no committed PQ codebooks — adcRecallReport " +
+        "grades ADC serving; use recallReport for the float probe")
+    val cents = IvfIndex.open(spark, root)
+    val days = committedDays(spark, root)
+    require(days.nonEmpty,
+      s"no committed days at $root — nothing to audit for ADC recall")
+    val leaves = committedLeafFiles(fs(spark, root), root, days)
+    require(leaves.nonEmpty, s"store at $root has committed days but no " +
+      "indexed vectors — nothing to audit for ADC recall")
+    // the recallReport driver-collect bound, verbatim
+    require(days.size.toLong * queriesPerDay <= 100000,
+      s"recall sample of up to ${days.size.toLong * queriesPerDay} queries " +
+        s"(${days.size} committed days × $queriesPerDay) is " +
+        "driver-collected — lower queriesPerDay or audit day ranges " +
+        "separately")
+    val dsch = leafDataSchema(spark, leaves.head.getPath)
+    val (idCol, vecCol) = (dsch.fieldNames(0), dsch.fieldNames(1))
+    val cells = cellsFrame(spark, root, leaves.head.getPath, days,
+      dataSchema = Some(dsch))
+    val sampled = cells
+      .filter(KMeans.usable(vecCol, cents.head.length))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("dt"))
+          .orderBy(xxhash64(col(idCol)), col(idCol))))
+      .filter(col("__rk") <= queriesPerDay)
+      .select(col("dt"), col(vecCol).cast("array<double>").as("__v"))
+      .collect()
+    if (sampled.isEmpty)
+      return Seq.empty[(String, Long, Int, Int, Int, Double)]
+        .toDF("dt", "n_queries", "nprobe", "rerank", "topk", "recall")
+    val queries = sampled.zipWithIndex.map { case (r, i) =>
+      i.toLong -> r.getSeq[Double](1).toArray }.toSeq
+    val qidDayDf = sampled.zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getString(0)) }.toSeq
+      .toDF("qid", "dt_q")
+    // truth: the exact float full probe, sharded under the broadcast
+    // cap (per-query top-k is shard-independent)
+    val perCall = math.max(1L, BroadcastGuard.cap(spark) / cents.size).toInt
+    val exact = queries.grouped(perCall)
+      .map(qs => probe(spark, root, idCol, vecCol, qs, cents.size, topK))
+      .reduce(_ unionByName _)
+      .select(col("qid"), col(idCol)).distinct()
+    arms.map { case (np, rr) =>
+      val approx = adcProbe(spark, root, idCol, queries, np, topK, rr)
+        .select(col("qid"), col(idCol)).distinct()
+      exact.as("e")
+        .join(approx.as("a"),
+          col("e.qid") === col("a.qid") &&
+            col(s"e.$idCol") === col(s"a.$idCol"), "left")
+        .groupBy(col("e.qid").as("qid"))
+        .agg((count(col(s"a.$idCol")) / count(lit(1))).as("q_recall"))
+        .join(broadcast(qidDayDf), Seq("qid"))
+        .groupBy(col("dt_q").as("dt"))
+        .agg(count(lit(1)).as("n_queries"), avg(col("q_recall")).as("recall"))
+        .withColumn("nprobe", lit(np))
+        .withColumn("rerank", lit(rr))
+        .withColumn("topk", lit(topK))
+        .select(col("dt"), col("n_queries"), col("nprobe"), col("rerank"),
+          col("topk"), col("recall"))
+    }.reduce(_ unionByName _)
+      .orderBy(col("nprobe"), col("rerank"), col("dt"))
   }
 
   def driftReport(spark: SparkSession, root: String): DataFrame = {

@@ -124,6 +124,96 @@ object SnapshotStore {
   private[operators] def versionDir(root: String, v: Long): String =
     s"$root/${VerFmt.format(v)}"
 
+  /** One [[retireRoots]] outcome: `marked` (first sighting — grace
+    * window opened), `deleted` (grace elapsed, directory removed),
+    * `unmarked` (a previously-marked root re-entered the retained
+    * lineage — a pointer rollback; never delete it). */
+  final case class RetiredRoot(root: String, action: String)
+
+  /** RETIREMENT of replaced serving roots — the missing end of the
+    * pointer-flip rebuild pattern ("vacuum the old root at leisure"):
+    * nothing ever deleted flipped-away roots, so every evidence-gated
+    * rebuild doubled store disk until an operator hand-deleted. Round
+    * 15 built this for the IVF pointer; round 16 lifts it HERE because
+    * it is a property of the POINTER PROTOCOL, not of any one store:
+    * every serving pointer in the engine is a [[SnapshotStore]] whose
+    * snapshots carry the current root path as their FIRST (string)
+    * column — [[IvfStore.publishRoot]]'s `ivf_root`,
+    * [[TextIndexStore.publishRoot]]'s `text_index_root` (+ the
+    * discipline note column, which retirement ignores). This walks the
+    * pointer's committed lineage and deletes roots absent from the
+    * newest `keepRoots` DISTINCT lineage roots — with the store
+    * family's two-phase grace instead of a clock (the sweep-at-the-
+    * NEXT-run rule): a retirement candidate is first MARKED
+    * (`$pointer/_retire/<digest>`, content = the root path); only a
+    * run that finds the mark already standing deletes the directory.
+    * In-flight probes that resolved the pointer pre-flip read the old
+    * root's intact files through the whole grace cadence (maintenance
+    * runs are the cadence).
+    *
+    * Safety rails: the CURRENT root is never a candidate regardless
+    * of `keepRoots`; a marked root that re-enters the retained
+    * lineage (pointer rollback) is un-marked, never deleted; phase-2
+    * deletion re-checks candidacy from the mark's own content, so it
+    * stays correct even after [[vacuum]] trims the pointer versions
+    * that first named the root. Idempotent — a crash between delete
+    * and unmark re-deletes a path that no longer exists (a no-op)
+    * and clears the mark. */
+  def retireRoots(spark: SparkSession, pointer: String,
+      keepRoots: Int = 2): Seq[RetiredRoot] = {
+    require(keepRoots >= 1, "keepRoots must be >= 1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def qual(s0: String): String = {
+      val hp = new Path(s0)
+      hp.getFileSystem(conf).makeQualified(hp).toString
+    }
+    // lineage roots, NEWEST first, distinct by qualified path. The
+    // snapshot's FIRST column is the root path by the pointer-payload
+    // convention above; the parquet footer self-describes the schema,
+    // so no per-store schema threading is needed here.
+    val lineage = pointedVersions(spark, pointer).reverse
+      .flatMap { v =>
+        val rows = spark.read.parquet(versionDir(pointer, v)).collect()
+        rows.headOption.map(r => qual(r.getString(0)))
+      }.distinct
+    if (lineage.isEmpty) return Nil
+    val retained = lineage.take(keepRoots).toSet + lineage.head // head = current
+    val markDir = new Path(pointer, "_retire")
+    val f = markDir.getFileSystem(conf)
+    val marks: Map[String, String] = // digest -> marked root path
+      if (!f.exists(markDir)) Map.empty
+      else f.listStatus(markDir).toSeq.map(_.getPath)
+        .filterNot(_.getName.startsWith("."))
+        .flatMap(p => MarkerProtocol.readMarker(f, p).headOption
+          .map(p.getName -> _)).toMap
+    def digest(r: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(r.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(16)
+    val out = scala.collection.mutable.ArrayBuffer.empty[RetiredRoot]
+    // phase 2 first: standing marks whose root is STILL outside the
+    // retained set delete now; rolled-back ones un-mark
+    marks.foreach { case (dg, r) =>
+      val q = qual(r)
+      if (retained.contains(q)) {
+        f.delete(new Path(markDir, dg), false): Unit
+        out += RetiredRoot(r, "unmarked")
+      } else {
+        f.delete(new Path(q), true): Unit
+        f.delete(new Path(markDir, dg), false): Unit
+        out += RetiredRoot(r, "deleted")
+      }
+    }
+    // phase 1: newly-seen candidates open their grace window
+    lineage.drop(keepRoots).filterNot(retained.contains).foreach { r =>
+      val dg = digest(r)
+      if (!marks.contains(dg) && f.exists(new Path(r))) {
+        MarkerProtocol.atomicMarker(conf, markDir, dg, r + "\n")
+        out += RetiredRoot(r, "marked")
+      }
+    }
+    out.toSeq
+  }
+
   /** Delete orphaned versions and all but the newest `keep` pointed
     * lineage versions; never deletes the pointer target.
     *

@@ -259,11 +259,34 @@ object TextIndexStore {
     * paid once. Returns (qid, doc_id, bm25, n_terms_hit, rank ≤ topK)
     * — per qid exactly the rows the single call returns. Duplicate
     * qids and duplicate terms within a query are errors (the single
-    * probe's double-count rule, batched). */
+    * probe's double-count rule, batched).
+    *
+    * Bit-identity PRECONDITION (round 16, advice): "per qid exactly
+    * the single call's rows" is bit-exact on the DOUBLE when each
+    * (term, doc_id) matches at most ONE posting row — the committed
+    * view of any corpus whose doc ids are day-unique, which is what
+    * [[append]]'s one-day-one-shard ingest produces. A doc_id
+    * committed on MULTIPLE days (legal — the dup-identity fsck class)
+    * carries >1 posting per term, and the two paths then fold that
+    * term's contributions in different orders (the single probe's
+    * unordered per-term SUM vs this batch's (pos, value)-sorted
+    * chain), so scores can differ in the last ulp and reorder ties.
+    * Ranks and hit sets are unaffected beyond such ulp ties.
+    *
+    * BROADCAST GUARD (round 16 — the [[graft.operators
+    * .BroadcastGuard]] discipline the ADC twin already had): the
+    * (qid, word, pos) frame is driver-built and broadcast, so the
+    * batch is chunked internally — greedy groups of whole queries
+    * whose term rows fit `graft.maxBroadcastRows` — and the per-chunk
+    * answers union (per-qid results are chunk-independent: df is a
+    * property of the postings, not of the batch). One chunk keeps the
+    * single-scan plan the spec pins; an over-cap batch trades it for
+    * one scan per chunk instead of a driver OOM. Batches past
+    * `graft.maxProbeBatch` (default 100k queries) refuse loudly —
+    * that is a workload for a query-table join, not a driver-side
+    * probe list. */
   def topKBatch(spark: SparkSession, root: String,
       queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import spark.implicits._
     require(queries.nonEmpty, "batch probe needs at least one query")
     require(queries.map(_._1).distinct.length == queries.length,
       s"duplicate qids in the batch: ${queries.map(_._1)}")
@@ -273,11 +296,32 @@ object TextIndexStore {
         s"duplicate probe terms in query $qid would double-count: $ts")
     }
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    val batchCap = BroadcastGuard.probeBatchCap(spark)
+    require(queries.size <= batchCap,
+      s"batch of ${queries.size} queries exceeds the probe-batch cap " +
+        s"($batchCap; conf graft.maxProbeBatch) — a driver-side query list " +
+        "this size belongs in a table; join it against the index instead")
     val days = committedDays(spark, root)
     val (nDocs, avgdl) = corpusStats(spark, root, days)
-    if (nDocs == 0L)
+    if (nDocs == 0L) {
+      import spark.implicits._
       return Seq.empty[(Long, Long, Double, Long, Int)]
         .toDF("qid", "doc_id", "bm25", "n_terms_hit", "rank")
+    }
+    val cap = BroadcastGuard.cap(spark)
+    BroadcastGuard.greedyChunks(queries, cap)(_._2.size.toLong)
+      .map(ch => topKBatchChunk(spark, root, days, nDocs, avgdl, ch, topK))
+      .reduce(_ unionByName _)
+  }
+
+  /** One [[topKBatch]] chunk: the single-postings-scan body (see the
+    * plan pin in TextIndexStoreSpec). (N, avgdl) come from the
+    * CALLER's one committed snapshot, shared across chunks. */
+  private def topKBatchChunk(spark: SparkSession, root: String,
+      days: Seq[String], nDocs: Long, avgdl: Double,
+      queries: Seq[(Long, Seq[String])], topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
     val allTerms = queries.flatMap(_._2).distinct
     val posts = PartitionedLayout.readDays(
         spark, s"$root/postings", postingsSchema, days)
@@ -334,19 +378,30 @@ object TextIndexStore {
   // -----------------------------------------------------------------
 
   private def pointerSchema = StructType(Seq(
-    StructField("text_index_root", StringType, nullable = false)))
+    StructField("text_index_root", StringType, nullable = false),
+    StructField("discipline", StringType, nullable = true)))
 
   /** Publish `root` as the pointer's current serving root — one
     * atomic [[SnapshotStore.commit]]; readers resolve old or new,
     * never a torn in-between. Refuses a path with no store at it (a
     * typo'd crontab would otherwise take serving down at the NEXT
-    * probe, far from the operator who made it). */
-  def publishRoot(spark: SparkSession, pointer: String, root: String): Long = {
+    * probe, far from the operator who made it).
+    *
+    * `discipline` (round 16) stamps WHY this root serves — the
+    * tokenizer/scoring discipline version the root was built under.
+    * A reindex's reason used to live only in prose; the pointer's
+    * version lineage is the root-swap history, so the stamp rides the
+    * snapshot itself (second column; [[retireRoots]] and
+    * [[currentRoot]] read only the first). [[rebuildVia]] is the
+    * natural writer. Pre-16 pointers read back None. */
+  def publishRoot(spark: SparkSession, pointer: String, root: String,
+      discipline: String = ""): Long = {
     require(fsOf(spark, root).exists(new Path(s"$root/markers")),
       s"refusing to publish $root: no text index there (no markers dir) — " +
         "append at least one day first")
     import spark.implicits._
-    SnapshotStore.commit(Seq(root).toDF("text_index_root"), pointer)
+    SnapshotStore.commit(
+      Seq((root, discipline)).toDF("text_index_root", "discipline"), pointer)
   }
 
   /** The root the pointer currently publishes; loud on an unpublished
@@ -357,6 +412,26 @@ object TextIndexStore {
       s"'$pointer' — publishRoot(root) it before probing through the pointer")
     rows.head.getString(0)
   }
+
+  /** The discipline stamp the current pointer snapshot carries (see
+    * [[publishRoot]]), or None when unpublished / stamped empty /
+    * published by a pre-stamp writer. */
+  def currentDiscipline(spark: SparkSession, pointer: String): Option[String] =
+    SnapshotStore.read(spark, pointer, pointerSchema).collect().headOption
+      .flatMap(r => Option(r.getString(1))).filter(_.nonEmpty)
+
+  /** Two-phase retirement of flipped-away serving roots —
+    * [[SnapshotStore.retireRoots]] over THIS store's pointer (round
+    * 16: the round-15 scaladoc promised the IVF retirement discipline
+    * here, but that implementation was hard-wired to the `ivf_root`
+    * pointer; every tokenizer-change [[rebuildVia]] leaked a full
+    * index copy until an operator hand-deleted). The grace cadence,
+    * rollback unmark and vacuum-safe phase-2 live on the generic
+    * method; [[graft.jobs.MaintenanceJob]] drives this from the
+    * `textIndexPointer` it maintains. */
+  def retireRoots(spark: SparkSession, pointer: String,
+      keepRoots: Int = 2): Seq[SnapshotStore.RetiredRoot] =
+    SnapshotStore.retireRoots(spark, pointer, keepRoots)
 
   /** [[topK]] / [[topKBatch]] resolved through the pointer — the
     * consumer-side calls that make [[rebuildVia]]'s swap invisible. */
@@ -393,8 +468,14 @@ object TextIndexStore {
     * pointer flip, then a post-flip pass closing the write window
     * (days appended to the OLD root mid-reindex re-enter
     * [[missingDays]] and are re-ingested). Returns the replaced root
-    * (retire it once in-flight readers age out — the
-    * [[IvfStore.retireRoots]] discipline; this never deletes it).
+    * (this never deletes it — [[retireRoots]] marks it at the next
+    * maintenance run and deletes it one grace cadence later, once
+    * in-flight readers age out).
+    *
+    * `discipline` stamps the new pointer snapshot with WHY the swap
+    * happened — the tokenizer/scoring version the new root was built
+    * under (see [[publishRoot]]); a reindex is exactly the event the
+    * stamp exists for.
     *
     * CRASH/FAILURE recovery is phase-scoped, like the IVF twin:
     * pre-flip failure leaves the pointer serving the old root —
@@ -404,12 +485,13 @@ object TextIndexStore {
     * `reingest(newRoot, missingDays(old, new))` until the gap is
     * empty (idempotent: [[append]] re-runs overwrite cleanly). A
     * post-flip gap the reingest did not close throws the same way. */
-  def rebuildVia(spark: SparkSession, pointer: String, newRoot: String)(
+  def rebuildVia(spark: SparkSession, pointer: String, newRoot: String,
+      discipline: String = "")(
       reingest: (String, Seq[String]) => Unit): String = {
     val oldRoot = currentRoot(spark, pointer)
     val gap1 = missingDays(spark, oldRoot, newRoot)
     if (gap1.nonEmpty) reingest(newRoot, gap1)
-    publishRoot(spark, pointer, newRoot): Unit
+    publishRoot(spark, pointer, newRoot, discipline): Unit
     try {
       val gap2 = missingDays(spark, oldRoot, newRoot)
       if (gap2.nonEmpty) reingest(newRoot, gap2)

@@ -851,18 +851,18 @@ object SimilarityQueries {
         try {
           graft.operators.IvfStore.init(e, "vec_id", "embedding", root,
             k = 8, iters = 3)
-          graft.operators.IvfStore.enablePq(s, root, model): Unit
+          graft.operators.IvfStore.enablePq(s, root, model,
+            residual = false): Unit
           graft.operators.IvfStore.append(
             e.filter(pmod($"vec_id", lit(2)) === 0), root, "day-1")
           graft.operators.IvfStore.append(
             e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
           val queries = qRows.map(r => (r.getLong(0),
             r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
-          val shard = math.max(1, (graft.operators.BroadcastGuard.cap(s) / 8).toInt)
-          queries.grouped(shard)
-            .map(qs0 => graft.operators.IvfStore.adcProbe(s, root,
-              "vec_id", qs0, nprobe = 8, topK = 5))
-            .reduce(_ unionByName _)
+          // the store shards the batch internally under the broadcast
+          // cap since round 16 — one call, chunk-count-invariant
+          graft.operators.IvfStore.adcProbe(s, root,
+              "vec_id", queries, nprobe = 8, topK = 5)
             .localCheckpoint() // materialize before the root vanishes
         } finally {
           val p = new org.apache.hadoop.fs.Path(root)
@@ -905,6 +905,131 @@ object SimilarityQueries {
           ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""
     })
 
+  /** ORACLE-GATED RESIDUAL IVF-ADC SERVING (round 16) — the
+    * correctness row for [[graft.operators.IvfStore.enablePq]]'s
+    * `residual = true` path, the standard IVF-ADC form (codes
+    * quantize `vec − assigned-cell centroid`; the probe's lookup
+    * tables shift per (query, cell)). Everything the oracle must
+    * re-derive is deterministic: CENTROIDS are the 8 id-smallest rows
+    * of the `vec_id % 25 = 3` slice (committed via
+    * [[graft.operators.IvfStore.initWithCentroids]] — cell assignment
+    * is then the argmin DuckDB reproduces, ties to the lowest index,
+    * the [[graft.operators.KMeans.assign]] rule), codebooks are the
+    * q147/q150 sampled slice, and full-probe residual ADC is exact
+    * brute force over `centroid + decoded residual` reconstructions —
+    * so codes, per-cell LUTs and fixed-order ADC sums must match
+    * bit-for-bit. What this adds over q150: the oracle now covers the
+    * assignment → residual → encode → shifted-LUT chain, i.e. every
+    * arithmetic seam the residual upgrade touched. Trained residual
+    * codebooks (accuracy) are IvfStorePqSpec's territory. */
+  private val ivfAdcResidualProbe = Q(
+    "q151_ivf_adc_residual",
+    (s, d) => {
+      import s.implicits._
+      val sd = Dim / PqM
+      val e = T.embeddings(s, d)
+        .filter(graft.operators.KMeans.usable("embedding", Dim) &&
+          $"vec_id".isNotNull)
+        .select($"vec_id", $"embedding")
+      val cwRows = e.filter($"vec_id" % 25 === 3).collect().sortBy(_.getLong(0))
+      val qRows = e.filter($"vec_id" % 50 === 0).collect()
+      require(cwRows.length.max(qRows.length) <= 100000,
+        s"q151 driver-side sets (${cwRows.length} codewords, " +
+          s"${qRows.length} queries) — shard past the serving-batch shape")
+      if (cwRows.isEmpty || qRows.isEmpty)
+        Seq.empty[(Long, Long, Double, Int)].toDF("qid", "vec_id", "adc_d2", "rank")
+      else {
+        val books = (0 until PqM).map { sIdx =>
+          cwRows.toSeq.map(r => r.getSeq[Float](1).map(_.toDouble)
+            .slice(sIdx * sd, (sIdx + 1) * sd).toSeq)
+        }
+        val model = graft.operators.PqModel(Dim, PqM, books)
+        val cents = cwRows.take(8)
+          .map(r => r.getSeq[Float](1).map(_.toDouble).toArray).toSeq
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q151-ivfpqres-").toString
+        try {
+          graft.operators.IvfStore.initWithCentroids(s, root, cents)
+          graft.operators.IvfStore.enablePq(s, root, model,
+            residual = true): Unit
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 0), root, "day-1")
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
+          val queries = qRows.map(r => (r.getLong(0),
+            r.getSeq[Float](1).map(_.toDouble).toArray)).sortBy(_._1).toSeq
+          graft.operators.IvfStore.adcProbe(s, root,
+              "vec_id", queries, nprobe = cents.size, topK = 5)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
+      }
+    },
+    Some {
+      val sd = Dim / PqM
+      val fixedSum = (0 until PqM)
+        .map(k => s"sum(CASE WHEN c.s = $k THEN l.qd2 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      sp AS (SELECT unnest(range($PqM)) AS s),
+      cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ctr,
+                  embedding AS cent
+                FROM e WHERE vec_id % 25 = 3 ORDER BY vec_id LIMIT 8),
+      dca AS (SELECT e.vec_id, c.ctr,
+                list_sum(list_transform(range($Dim), i ->
+                  (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cent[i+1] AS DOUBLE))
+                  * (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cent[i+1] AS DOUBLE))))
+                  AS d2
+              FROM e CROSS JOIN cents c),
+      asgn AS (SELECT vec_id, ctr AS cell FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+          ORDER BY d2 ASC, ctr ASC) rn FROM dca) WHERE rn = 1),
+      rvec AS (SELECT e.vec_id, a.cell,
+                 list_transform(range($Dim), i ->
+                   CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cent[i+1] AS DOUBLE))
+                   AS rv
+               FROM e JOIN asgn a USING (vec_id)
+                 JOIN cents c ON c.ctr = a.cell),
+      cw AS (SELECT vec_id AS cid, s, list_slice(embedding, s*$sd+1, s*$sd+$sd)
+               AS csub
+             FROM e CROSS JOIN sp WHERE vec_id % 25 = 3),
+      rs AS (SELECT vec_id, cell, s, list_slice(rv, s*$sd+1, s*$sd+$sd) AS rsub
+             FROM rvec CROSS JOIN sp),
+      ec AS (SELECT r.vec_id, r.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (r.rsub[i+1] - CAST(w.csub[i+1] AS DOUBLE))
+                 * (r.rsub[i+1] - CAST(w.csub[i+1] AS DOUBLE)))) AS d2
+             FROM rs r JOIN cw w USING (s)),
+      codes AS (SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2 ASC, cid ASC) rn FROM ec) WHERE rn = 1),
+      qr AS (SELECT q.vec_id AS qid, c.ctr AS cell,
+               list_transform(range($Dim), i ->
+                 CAST(q.embedding[i+1] AS DOUBLE) - CAST(c.cent[i+1] AS DOUBLE))
+                 AS qv
+             FROM (SELECT * FROM e WHERE vec_id % 50 = 0) q CROSS JOIN cents c),
+      qrs AS (SELECT qid, cell, s, list_slice(qv, s*$sd+1, s*$sd+$sd) AS qsub
+              FROM qr CROSS JOIN sp),
+      lut AS (SELECT r.qid, r.cell, r.s, w.cid,
+                list_sum(list_transform(range($sd), i ->
+                  (r.qsub[i+1] - CAST(w.csub[i+1] AS DOUBLE))
+                  * (r.qsub[i+1] - CAST(w.csub[i+1] AS DOUBLE)))) AS qd2
+              FROM qrs r JOIN cw w USING (s)),
+      adc AS (SELECT l.qid, c.vec_id, $fixedSum AS adc_d2
+              FROM codes c JOIN asgn a USING (vec_id)
+                JOIN lut l ON l.cell = a.cell AND l.s = c.s AND l.cid = c.cid
+              GROUP BY l.qid, c.vec_id)
+      SELECT qid, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""
+    })
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
-    annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall, ivfAdcProbe)
+    annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall, ivfAdcProbe,
+    ivfAdcResidualProbe)
 }

@@ -106,7 +106,7 @@ object MaintenanceDrill {
     // ---- 1b. the retrieval store (round 14): 10 day-sharded appends
     // of the replica's documents; probed CONCURRENTLY with the same
     // maintenance pass that folds it (run 1) and sweeps it (run 2)
-    val tix = s"$work/tix"
+    val (tix, tixPtr) = (s"$work/tix", s"$work/tixptr")
     val docsAll = spark.read.parquet(s"$sfDir/documents.parquet")
       .select($"doc_id", $"text")
     val (_, tTix) = timed {
@@ -143,7 +143,18 @@ object MaintenanceDrill {
       IncrementalCurationJob.fsckStoresWithIvf(spark, stores, ivf,
         deep = true)
     }
-    j("fsck(deep)", tFsck, s""","findings":${fk.values.map(_.size).sum}""")
+    // findings SPLIT BY SEVERITY (round 16, verdict): the protocol's
+    // expected info-class transients (awaiting-sweep right after a
+    // fold) must be distinguishable from real errors in the artifact —
+    // and a deep-fsck ERROR fails the drill outright
+    val sev = fk.values.flatten.toSeq.groupBy(_.severity)
+      .map { case (k2, v) => k2 -> v.size }
+    val (fe, fw, fi) = (sev.getOrElse("error", 0), sev.getOrElse("warn", 0),
+      sev.getOrElse("info", 0))
+    j("fsck(deep)", tFsck,
+      s""","findings":{"errors":$fe,"warns":$fw,"infos":$fi}""")
+    require(fe == 0, s"deep fsck found $fe error-severity findings: " +
+      fk.values.flatten.filter(_.severity == "error").mkString("; "))
     val (dr, tDrift) = timed { IvfStore.driftReport(spark, ivf).collect() }
     j("driftReport", tDrift,
       s""","max_ratio":${dr.flatMap(r => Option(r.get(4)).map(_ => r.getDouble(4))).max}""")
@@ -153,6 +164,17 @@ object MaintenanceDrill {
     }
     j("recallReport(nprobe=8/64)", tRecall,
       s""","min_recall":${rc.map(_.getDouble(4)).min}""")
+    // the ADC serving acceptance number (round 16): what recall does
+    // enablePq buy at the serving nprobe, with and without re-rank —
+    // the question an operator asks BEFORE flipping PQ on, priced here
+    val (arc, tAdcRecall) = timed {
+      IvfStore.adcRecallReport(spark, ivf, arms = Seq((8, 0), (8, 40)),
+        topK = 5, queriesPerDay = 16).collect()
+    }
+    def armMin(rr: Int) = arc.filter(_.getAs[Int]("rerank") == rr)
+      .map(_.getAs[Double]("recall")).min
+    j("adcRecallReport(nprobe=8, rerank 0|40)", tAdcRecall,
+      s""","min_recall_adc":${armMin(0)},"min_recall_rerank40":${armMin(40)}""")
 
     // ---- 3. the policy-armed pass under concurrent serving
     val queries = emb.orderBy(xxhash64($"vec_id")).limit(6)
@@ -236,7 +258,7 @@ object MaintenanceDrill {
       MaintenanceJob.run(spark, stores, Some(ivf), s"$work/reports1",
         deep = true, nprobe = 8, topK = 5, queriesPerDay = 16,
         rebuildPolicy = Some(policy), textIndexRoot = Some(tix),
-        retireKeepRoots = 1)
+        retireKeepRoots = 1, textIndexPointer = Some(tixPtr))
     }
     stop = true; prober.join(); tixProber.join(); adcProber.join()
     torn.foreach(t => sys.error(s"TORN PROBE: $t"))
@@ -246,7 +268,10 @@ object MaintenanceDrill {
       "post-flip ADC probe changed (codebooks must carry through rebuild)")
     // retire (round 15, keepRoots=1): run 1 only MARKS the root its
     // own flip replaced — the grace window for in-flight readers
-    val ret1 = spark.read.parquet(s"$work/reports1/retire").collect()
+    // (store = "ivf"; the text pointer is unpublished until the
+    // reindex drill below, so it lands zero rows here — totality)
+    val ret1 = spark.read.parquet(s"$work/reports1/retire")
+      .filter($"store" === "ivf").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     require(ret1.map(_._2) == Seq("marked") && ret1.head._1.endsWith("/ivf"),
       s"run 1 must mark the flipped-away root, got $ret1")
@@ -294,7 +319,8 @@ object MaintenanceDrill {
         s"$work/reports2", deep = true, nprobe = 8, topK = 5,
         queriesPerDay = 16,
         rebuildPolicy = Some(policy.copy(newRoot = s"$work/ivf-v3")),
-        textIndexRoot = Some(tix), retireKeepRoots = 1)
+        textIndexRoot = Some(tix), retireKeepRoots = 1,
+        textIndexPointer = Some(tixPtr))
     }
     stop2 = true; tixProber2.join()
     tornTix2.foreach(t => sys.error(s"TORN BM25 PROBE (sweep run): $t"))
@@ -303,7 +329,8 @@ object MaintenanceDrill {
       s"cured store must stop firing: ${c2("rebuild")} rebuild rows")
     // retire phase 2: grace elapsed — the replaced root is deleted,
     // serving (through the pointer, on the rebuilt root) unaffected
-    val ret2 = spark.read.parquet(s"$work/reports2/retire").collect()
+    val ret2 = spark.read.parquet(s"$work/reports2/retire")
+      .filter($"store" === "ivf").collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
     require(ret2.map(_._2) == Seq("deleted"),
       s"run 2 must delete the marked root, got $ret2")
@@ -322,6 +349,66 @@ object MaintenanceDrill {
       s"rebuilt baseline must absorb the planted regime: ${drift2.max}")
     j("maintenanceJob(run2: cured steady-state)", tRun2,
       s""","max_drift_ratio":${drift2.max}""")
+
+    // ---- 5. text-index reindex + retirement (round 16): publish the
+    // serving pointer (discipline-stamped), rebuild into a fresh root
+    // under a LIVE via-prober (zero-downtime reindex priced at sf1),
+    // then two-phase-retire the flipped-away root with the prober
+    // still running — the disk-leak closure the round-15 scaladoc
+    // promised but only the IVF store had
+    graft.operators.TextIndexStore.publishRoot(spark, tixPtr, tix, "ws-v1")
+    def tixProbeVia(): Seq[(Long, Double, Long, Int)] =
+      graft.operators.TextIndexStore.topKVia(spark, tixPtr, tixTerms, topK = 20)
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+        .sortBy(_._4).toSeq
+    require(tixProbeVia() == expectedTix, "pointer must serve the published root")
+    @volatile var stop3 = false
+    @volatile var tornVia: Option[String] = None
+    val viaProber = new Thread(() => {
+      var n = 0
+      while (!stop3 && tornVia.isEmpty) {
+        try {
+          if (tixProbeVia() != expectedTix)
+            tornVia = Some(s"via probe #$n diverged")
+        } catch {
+          case e: Throwable => tornVia = Some(s"via probe #$n threw: ${e.getMessage}")
+        }
+        n += 1
+      }
+      println(s"""{"phase":"concurrent_via_probes_reindex","count":$n}""")
+    })
+    viaProber.start()
+    val dayShard = (0 until 10).map(d => f"2025-07-${d + 1}%02d" -> d).toMap
+    val (_, tReindex) = timed {
+      graft.operators.TextIndexStore.rebuildVia(spark, tixPtr,
+          s"$work/tix-v2", "ws-v1-reindex") { (target, days2) =>
+        days2.foreach { dd =>
+          graft.operators.TextIndexStore.append(
+            docsAll.filter(pmod(xxhash64($"doc_id"), lit(10)) === dayShard(dd)),
+            target, dd): Unit
+        }
+      }: Unit
+    }
+    j("textIndex.rebuildVia(reingest 10 days)", tReindex)
+    val (r1x, tRet1) = timed {
+      graft.operators.TextIndexStore.retireRoots(spark, tixPtr, keepRoots = 1)
+    }
+    require(r1x.map(_.action) == Seq("marked"), s"run: $r1x")
+    require(new java.io.File(s"$tix/postings").isDirectory,
+      "marked text root must survive its grace cadence")
+    val (r2x, tRet2) = timed {
+      graft.operators.TextIndexStore.retireRoots(spark, tixPtr, keepRoots = 1)
+    }
+    require(r2x.map(_.action) == Seq("deleted"), s"run: $r2x")
+    require(!new java.io.File(tix).exists(), "retired text root still on disk")
+    stop3 = true; viaProber.join()
+    tornVia.foreach(t => sys.error(s"TORN VIA-PROBE (reindex/retire): $t"))
+    require(tixProbeVia() == expectedTix,
+      "serving must not depend on the retired text root")
+    j("textIndex.retireRoots(mark+delete)", tRet1 + tRet2,
+      s""","discipline":"${graft.operators.TextIndexStore
+        .currentDiscipline(spark, tixPtr).getOrElse("")}"""")
     println(s"""{"phase":"drill","ok":true}""")
     spark.stop()
   }

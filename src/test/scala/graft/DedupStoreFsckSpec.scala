@@ -214,4 +214,94 @@ class DedupStoreFsckSpec extends AnyFunSuite with SparkSpec {
     assert(f.exists(x => x.check == "postings-mismatch" &&
       x.severity == "error"), s"got $f")
   }
+
+  /** Total numFiles over data scans under `root` while `body` runs —
+    * the day-scoped audit's read-volume probe (the IvfStorePqSpec
+    * listener pattern). */
+  private def filesReadUnder(root: String)(body: => Unit): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean])
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(im.relation.cachedPlan)
+        case fsc: FileSourceScanExec => Seq(fsc)
+        case other => other.children.flatMap(walk)
+      }
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        walk(qe.executedPlan).foreach { sc =>
+          if (seen.add(sc) &&
+              sc.relation.location.rootPaths.exists(_.toString.contains(root)))
+            total.addAndGet(sc.metrics("numFiles").value): Unit
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      body
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
+    } finally spark.listenerManager.unregister(qel)
+    total.get()
+  }
+
+  test("deep fsck is day-scoped: an untouched archive re-reads ZERO data files; a restored day re-surfaces its dup until repaired; force recounts all") {
+    val root = nearStore(3)
+    // audit 1 (no watermarks): the full recount — reads data
+    val read1 = filesReadUnder(root) {
+      assert(DedupStore.fsck(spark, root, deep = true)
+        .forall(_.severity == "info"))
+    }
+    assert(read1 > 0, "first audit must actually recount")
+    // audit 2: nothing moved — the deep pass reads ZERO data files
+    val read2 = filesReadUnder(root) {
+      assert(DedupStore.fsck(spark, root, deep = true)
+        .forall(_.severity == "info"))
+    }
+    assert(read2 === 0L,
+      s"untouched archive must not re-read set/sig/postings files: $read2")
+    // restore-replay day 1 under a new day name: the changed-day ×
+    // archive semi-join must find the cross-day dup — and BOTH days
+    // holding it lose their watermark, so it re-surfaces every audit
+    val conf = spark.sparkContext.hadoopConfiguration
+    FileUtil.copy(hfs, new Path(s"$root/sets/dt=2024-03-01"),
+      hfs, new Path(s"$root/sets/dt=2024-03-07"), false, conf)
+    FileUtil.copy(hfs, new Path(s"$root/postings/dt=2024-03-01"),
+      hfs, new Path(s"$root/postings/dt=2024-03-07"), false, conf)
+    writeMarker(root, "2024-03-07", "")
+    val fA = DedupStore.fsck(spark, root, deep = true)
+    assert(fA.exists(x => x.check == "dup-identity" && x.subject == "sets.id"),
+      s"got $fA")
+    val fB = DedupStore.fsck(spark, root, deep = true)
+    assert(fB.exists(x => x.check == "dup-identity" && x.subject == "sets.id"),
+      s"dirty days must re-surface every audit: $fB")
+    // repair (delete the restored day): one clean recount of the
+    // implicated days re-watermarks; the audit after that is zero-read
+    hfs.delete(new Path(s"$root/sets/dt=2024-03-07"), true)
+    hfs.delete(new Path(s"$root/postings/dt=2024-03-07"), true)
+    hfs.delete(new Path(s"$root/_committed/2024-03-07"), false)
+    assert(DedupStore.fsck(spark, root, deep = true).forall(_.severity == "info"))
+    val readHealed = filesReadUnder(root) {
+      assert(DedupStore.fsck(spark, root, deep = true)
+        .forall(_.severity == "info"))
+    }
+    assert(readHealed === 0L, s"healed store must go back to zero: $readHealed")
+    // force = the full recount on demand
+    val readF = filesReadUnder(root) {
+      assert(DedupStore.fsck(spark, root, deep = true, force = true)
+        .forall(_.severity == "info"))
+    }
+    assert(readF > 0, "force must recount the whole committed set")
+  }
 }

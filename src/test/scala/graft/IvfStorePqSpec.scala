@@ -362,6 +362,211 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
       s"hand-replaced centroids must fail the full re-audit: $deep3")
   }
 
+  /** Driver-side RESIDUAL ADC oracle: assign the argmin cell (ties to
+    * first — the [[graft.operators.KMeans.assign]] rule), encode the
+    * residual `v − cent(cell)` exactly as writeCodesDay does, and
+    * score with the per-cell shifted LUT built from `q − cent(cell)`
+    * — the same IEEE op order as the probe, so equality is exact. */
+  private def expectResidualAdc(model: graft.operators.PqModel,
+      cents: Seq[Array[Double]], corpus: Seq[(Long, Array[Double])],
+      q: Array[Double], topK: Int): Seq[(Long, Double)] = {
+    val sd = model.subDim
+    def cellOf(v: Array[Double]): Int =
+      cents.indices.minBy(i => (l2d2(v, cents(i).toSeq), i))
+    def codeOf(v: Array[Double], s: Int): Int = {
+      val ds = model.codebooks(s).map(cw => l2d2(v.slice(s * sd, (s + 1) * sd), cw))
+      ds.indexOf(ds.min)
+    }
+    corpus.map { case (id, v) =>
+      val c = cellOf(v)
+      val res = Array.tabulate(v.length)(i => v(i) - cents(c)(i))
+      val qEff = Array.tabulate(v.length)(i => q(i) - cents(c)(i))
+      var t = 0.0
+      for (s <- 0 until model.m)
+        t += l2d2(qEff.slice(s * sd, (s + 1) * sd),
+          model.codebooks(s)(codeOf(res, s)))
+      (id, t)
+    }.sortBy { case (id, d2) => (d2, id) }.take(topK)
+  }
+
+  test("residual IVF-ADC: marker round-trips the flag, full-probe ADC is exact over centroid+residual reconstructions, rerank is float-exact, append encodes residuals inline") {
+    val root = Files.createTempDirectory("ivfpq-res").toString
+    val day1 = mkRows(0 until 30)
+    val day2 = mkRows(100 until 130)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 4)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    assert(IvfStore.enablePq(spark, root, m = M, k = 4, iters = 3,
+      residual = true) === 1)
+    IvfStore.append(vecs(day2), root, "2024-07-02") // inline residual encode
+    assert(IvfStore.pqResidual(spark, root), "the flag must round-trip")
+    val model = IvfStore.pqModel(spark, root).get
+    val cents = IvfIndex.open(spark, root)
+    val queries = Seq(1000L -> centers(0).toArray, 1001L -> centers(2).toArray)
+    val got = IvfStore.adcProbe(spark, root, "vec_id", queries,
+        nprobe = 99, topK = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .groupBy(_._1)
+    for ((qid, qv) <- queries) {
+      val expect = expectResidualAdc(model, cents, day1 ++ day2, qv, 4)
+        .zipWithIndex.map { case ((id, d2), i) => (qid, id, d2, i + 1) }
+      assert(got(qid).sortBy(_._4).toSeq === expect, s"query $qid")
+    }
+    // rerank over the whole corpus == the exact float probe, as ever
+    val rer = IvfStore.adcProbe(spark, root, "vec_id", queries,
+      nprobe = 99, topK = 4, rerank = day1.size + day2.size)
+    val flt = IvfStore.probe(spark, root, "vec_id", "embedding", queries,
+      nprobe = 99, topK = 4)
+    assert(rer.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq ===
+      flt.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getInt(3))).sortBy(t => (t._1, t._4)).toSeq)
+    // the deep recount re-encodes RESIDUALS — a clean store audits clean
+    assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    // and a rebuild carries the flag with the codebooks
+    val ptr = Files.createTempDirectory("ivfpq-res-ptr").toString
+    IvfStore.publishRoot(spark, ptr, root): Unit
+    val newRoot = Files.createTempDirectory("ivfpq-res-new").toString + "/r"
+    IvfStore.rebuildVia(spark, ptr, newRoot, k = 3, iters = 3): Unit
+    assert(IvfStore.pqResidual(spark, newRoot),
+      "rebuild must carry the residual flag with the codebooks")
+    assert(IvfStore.fsck(spark, newRoot, deep = true).isEmpty)
+  }
+
+  test("trained residual codebooks: recall >= raw at the same byte budget; adcRecallReport reads 1.0 at full probe with corpus-wide rerank") {
+    // far-apart clusters with small spread: raw codewords must spend
+    // their budget straddling clusters while residuals concentrate
+    // near zero — the published accuracy argument, made visible
+    val far = Seq(Seq(100.0, 0, 0, 0), Seq(0.0, 100, 0, 0), Seq(0.0, 0, 100, 0))
+    val rndL = new scala.util.Random(7)
+    def aroundFar(cx: Seq[Double]) = cx.toArray.map(_ + rndL.nextGaussian() * 0.5)
+    val rows = (0 until 90).map(i => i.toLong -> aroundFar(far(i % 3))).toSeq
+    def build(residual: Boolean): String = {
+      val r = Files.createTempDirectory(s"ivfpq-recall-$residual").toString
+      IvfStore.init(vecs(rows), "vec_id", "embedding", r, k = 3, iters = 4)
+      IvfStore.append(vecs(rows.take(45)), r, "2024-07-01")
+      IvfStore.append(vecs(rows.drop(45)), r, "2024-07-02")
+      IvfStore.enablePq(spark, r, m = M, k = 4, iters = 4,
+        residual = residual): Unit
+      r
+    }
+    val (rawRoot, resRoot) = (build(false), build(true))
+    def meanRecall(root: String): Double = {
+      val rep = IvfStore.adcRecallReport(spark, root, arms = Seq((3, 0)),
+        topK = 5, queriesPerDay = 8).collect()
+      assert(rep.nonEmpty)
+      rep.map(_.getAs[Double]("recall")).sum / rep.length
+    }
+    val (rawR, resR) = (meanRecall(rawRoot), meanRecall(resRoot))
+    assert(resR >= rawR,
+      f"residual recall $resR%.3f must be >= raw recall $rawR%.3f " +
+        "on a clustered corpus at the same m bytes")
+    // the identity row: full probe + corpus-wide rerank re-scores the
+    // entire scanned pool exactly — recall 1.0 by construction
+    val ident = IvfStore.adcRecallReport(spark, resRoot,
+      arms = Seq((3, rows.size)), topK = 5, queriesPerDay = 8)
+    assert(ident.schema.fieldNames.toSeq ===
+      Seq("dt", "n_queries", "nprobe", "rerank", "topk", "recall"))
+    val identRows = ident.collect()
+    assert(identRows.nonEmpty)
+    identRows.foreach(r => assert(r.getAs[Double]("recall") === 1.0,
+      s"full-probe + corpus rerank must be exact: $r"))
+  }
+
+  test("enablePq force-encodes every committed day: stale codes from a crashed prior attempt under a DIFFERENT model are overwritten") {
+    val root = Files.createTempDirectory("ivfpq-force").toString
+    val day1 = mkRows(0 until 20)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 2, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    // a crashed prior enablePq attempt: codes landed under a model
+    // whose marker never committed (every code = 0 under a 1-codeword
+    // book — detectably wrong for any real model)
+    val badModel = graft.operators.PqModel(Dim, M,
+      (0 until M).map(_ => Seq(Seq(99.0, 99.0))))
+    IvfStore.backfillCodes(spark, root, Some((badModel, false))): Unit
+    assert(new java.io.File(s"$root/codes/dt=2024-07-01").isDirectory)
+    // the operator retries with different parameters: the committed
+    // marker must match EVERY code row, not only missing days'
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    val deep = IvfStore.fsck(spark, root, deep = true)
+    assert(deep.forall(_.check != "code-mismatch"),
+      s"stale crashed-attempt codes survived the retry: $deep")
+    assert(deep.isEmpty, s"$deep")
+    // and the probe serves the COMMITTED model's answers exactly
+    val model = IvfStore.pqModel(spark, root).get
+    val q = centers(1).toArray
+    val got = IvfStore.adcProbe(spark, root, "vec_id", Seq(1L -> q), 99, 3)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expectAdc(model, day1, q, 3))
+  }
+
+  test("deep fsck codes-orphan-rows: a restored code row with no cells vector is an error and re-surfaces until repaired") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivfpq-orphan").toString
+    val day1 = mkRows(0 until 20)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 2, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
+    assert(IvfStore.fsck(spark, root, deep = true).isEmpty)
+    // plant a ghost id in one codes cell dir — the restore threat: a
+    // rerank-less adcProbe reads ONLY the codes table and would return
+    // it in answers, so a LEFT-joined recount that never saw it was
+    // blind to exactly this class
+    val cellDir = new java.io.File(s"$root/codes/dt=2024-07-01")
+      .listFiles().filter(_.getName.startsWith("cell=")).head
+    val donor = spark.read.parquet(cellDir.getAbsolutePath)
+      .select($"vec_id", $"pq_codes").as[(Long, Seq[Int])].collect().head
+    Seq((99999L, donor._2)).toDF("vec_id", "pq_codes")
+      .write.mode("append").parquet(cellDir.getAbsolutePath)
+    val deep1 = IvfStore.fsck(spark, root, deep = true)
+    assert(deep1.exists(x => x.severity == "error" &&
+      x.check == "codes-orphan-rows"), s"$deep1")
+    // the dirty day keeps no watermark — the ghost re-surfaces
+    val deep2 = IvfStore.fsck(spark, root, deep = true)
+    assert(deep2.exists(_.check == "codes-orphan-rows"),
+      s"dirty day must re-surface every audit: $deep2")
+    // and the ghost really is a serving hazard: a rerank-less full
+    // probe returns it (rerank would drop it at the vector join)
+    val q = centers(0).toArray
+    val served = IvfStore.adcProbe(spark, root, "vec_id",
+      Seq(1L -> q), 99, day1.size + 1).collect().map(_.getLong(1)).toSet
+    assert(served.contains(99999L),
+      "fixture check: the ghost id must actually be servable")
+  }
+
+  test("adcProbe shards internally under the broadcast cap (chunk-count-invariant, rerank included); refuses a wrong idCol and a batch past graft.maxProbeBatch") {
+    val root = Files.createTempDirectory("ivfpq-shard").toString
+    val day1 = mkRows(0 until 30)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 3)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.enablePq(spark, root, m = M, k = 4, iters = 2): Unit
+    val queries = (0 until 10).map(i =>
+      (2000L + i) -> around(centers(i % 3))).toSeq
+    def run(rerank: Int) = IvfStore.adcProbe(spark, root, "vec_id", queries,
+        nprobe = 2, topK = 3, rerank = rerank).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .sortBy(t => (t._1, t._4)).toSeq
+    val (base, baseR) = (run(0), run(5))
+    try {
+      // 10 queries × 2 probed cells = 20 pair rows; cap 3 → 7 chunks,
+      // and the rerank candidate broadcast (10×5 rows) chunks too
+      spark.conf.set("graft.maxBroadcastRows", "3")
+      assert(run(0) === base, "chunked ADC diverged from unchunked")
+      assert(run(5) === baseR, "chunked rerank diverged from unchunked")
+      spark.conf.set("graft.maxProbeBatch", "5")
+      val e = intercept[IllegalArgumentException] { run(0) }
+      assert(e.getMessage.contains("graft.maxProbeBatch"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.maxBroadcastRows")
+      spark.conf.unset("graft.maxProbeBatch")
+    }
+    // a wrong idCol refuses loudly instead of being silently ignored
+    val e2 = intercept[IllegalArgumentException] {
+      IvfStore.adcProbe(spark, root, "doc_id", queries.take(1), 1, 1)
+    }
+    assert(e2.getMessage.contains("id column"), e2.getMessage)
+  }
+
   test("deep fsck catches tampered codes: code-mismatch and codes-missing-rows") {
     val s = spark
     import s.implicits._

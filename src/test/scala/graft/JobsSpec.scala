@@ -60,7 +60,10 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     val zeroCounts = MaintenanceJob.run(spark, s"$zeroRoot/stores",
       Some(s"$zeroRoot/ivf"), s"$zeroRoot/reports")
     assert(zeroCounts("fsck") == 0L && zeroCounts("drift") == 0L &&
-      zeroCounts("recall") == 0L, s"day-zero counts: $zeroCounts")
+      zeroCounts("recall") == 0L && zeroCounts("adc_recall") == 0L,
+      s"day-zero counts: $zeroCounts")
+    assert(spark.read.parquet(s"$zeroRoot/reports/adc_recall").columns.toSeq ===
+      Seq("dt", "n_queries", "nprobe", "rerank", "topk", "recall"))
     // schema-stable landed dirs, readable even when empty
     assert(spark.read.parquet(s"$zeroRoot/reports/drift").columns.toSeq ===
       Seq("dt", "n", "mean_dist2", "seed_mean_dist2", "drift_ratio",
@@ -119,6 +122,8 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     val comp = spark.read.parquet(s"$root/reports/compaction")
     assert(comp.filter($"store" === "ivf").count() == 1)
     assert(counts("compaction") == comp.count())
+    assert(counts("adc_recall") == 0L,
+      "a float-serving root lands the empty ADC-recall report")
 
     // the cron entry's ANN-root argument: ivfPointer= follows the
     // published pointer (so a rebuildVia swap redirects the cron),
@@ -373,6 +378,49 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
     // serving never referenced the retired root again
     assert(IvfStore.probeVia(spark, ptr, "vec_id", "embedding", q,
       nprobe = 99, topK = 3).collect().nonEmpty)
+    val c3 = runJob(s"$root/rep3")
+    assert(c3("retire") === 0L, "steady state: nothing to mark or delete")
+  }
+
+  test("maintenanceJob retires flipped-away TEXT-INDEX roots through textIndexPointer: marked, grace for in-flight BM25 readers, deleted") {
+    import graft.jobs.MaintenanceJob
+    import graft.operators.TextIndexStore
+    val s = spark
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("mj-tix-retire").toString
+    val (tixOld, tixNew, ptr) = (s"$root/tix-old", s"$root/tix-new", s"$root/tixptr")
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "alpha delta"))
+    TextIndexStore.append(docs.toDF("doc_id", "text"), tixOld, "day-1"): Unit
+    TextIndexStore.publishRoot(spark, ptr, tixOld, "ws-v1"): Unit
+    // the tokenizer-change reindex already happened (a prior run)
+    TextIndexStore.rebuildVia(spark, ptr, tixNew, "ws-v2") { (target, days) =>
+      days.foreach(d =>
+        TextIndexStore.append(docs.toDF("doc_id", "text"), target, d): Unit)
+    }: Unit
+    assert(TextIndexStore.currentRoot(spark, ptr) === tixNew)
+    def probeOld() = TextIndexStore.topK(spark, tixOld, Seq("beta"), 5)
+      .collect().map(_.getLong(0)).toSeq
+    val preFlip = probeOld() // an in-flight reader's resolved root
+    def runJob(out: String) = MaintenanceJob.run(spark, s"$root/stores",
+      None, out, textIndexRoot = Some(tixNew), retireKeepRoots = 1,
+      textIndexPointer = Some(ptr))
+    val c1 = runJob(s"$root/rep1")
+    assert(c1("retire") === 1L, s"$c1")
+    val r1 = spark.read.parquet(s"$root/rep1/retire").collect()
+    assert(r1.length === 1 && r1.head.getAs[String]("action") === "marked" &&
+      r1.head.getAs[String]("store") === "text_index" &&
+      r1.head.getAs[String]("root").endsWith("tix-old"), r1.mkString(";"))
+    assert(probeOld() === preFlip,
+      "in-flight pre-flip BM25 reader must survive the grace cadence")
+    val c2 = runJob(s"$root/rep2")
+    assert(c2("retire") === 1L)
+    val r2 = spark.read.parquet(s"$root/rep2/retire").collect()
+    assert(r2.length === 1 && r2.head.getAs[String]("action") === "deleted" &&
+      r2.head.getAs[String]("store") === "text_index", r2.mkString(";"))
+    assert(!new java.io.File(tixOld).exists(), "grace elapsed — root retired")
+    assert(TextIndexStore.topKVia(spark, ptr, Seq("beta"), 5)
+      .collect().nonEmpty, "serving never referenced the retired root")
     val c3 = runJob(s"$root/rep3")
     assert(c3("retire") === 0L, "steady state: nothing to mark or delete")
   }

@@ -438,6 +438,68 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       Seq("qid", "doc_id", "bm25", "n_terms_hit", "rank"))
   }
 
+  test("topKBatch shards internally under the broadcast cap (chunk-count-invariant); refuses only past graft.maxProbeBatch") {
+    val r = tmpRoot("batchguard")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val queries = Seq(
+      10L -> Seq("the", "of"),
+      20L -> Seq("and"),
+      30L -> Seq("the", "and", "of"))
+    def run() = TextIndexStore.topKBatch(spark, r, queries, topK = 10).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3),
+        x.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    val base = run()
+    try {
+      // 6 total term rows at cap 2 → three whole-query chunks; the
+      // union must be bit-identical to the single-broadcast answer
+      spark.conf.set("graft.maxBroadcastRows", "2")
+      assert(run() === base, "chunked batch diverged from the unchunked one")
+      // refusal is a separate, much larger knob — and it names itself
+      spark.conf.set("graft.maxProbeBatch", "2")
+      val e = intercept[IllegalArgumentException] {
+        TextIndexStore.topKBatch(spark, r, queries, topK = 10)
+      }
+      assert(e.getMessage.contains("graft.maxProbeBatch"), e.getMessage)
+    } finally {
+      spark.conf.unset("graft.maxBroadcastRows")
+      spark.conf.unset("graft.maxProbeBatch")
+    }
+  }
+
+  test("retireRoots: a reindex-replaced text root is marked, survives its grace cadence, then is deleted; the discipline stamp rides the pointer") {
+    val base = java.nio.file.Files.createTempDirectory("graft-ti-retire-").toString
+    val (oldRoot, newRoot, ptr) = (s"$base/old", s"$base/new", s"$base/ptr")
+    TextIndexStore.append(docsDf(docs.take(3)), oldRoot, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), oldRoot, "day-2"): Unit
+    TextIndexStore.publishRoot(spark, ptr, oldRoot, "ws-v1"): Unit
+    assert(TextIndexStore.currentDiscipline(spark, ptr) === Some("ws-v1"))
+    // same-tokenizer reindex (a layout rebuild): answers must carry
+    val srcByDay = Map("day-1" -> docs.take(3), "day-2" -> docs.drop(3))
+    TextIndexStore.rebuildVia(spark, ptr, newRoot, "ws-v1-rebuild") {
+      (target, days) => days.foreach(d =>
+        TextIndexStore.append(docsDf(srcByDay(d)), target, d): Unit)
+    }: Unit
+    assert(TextIndexStore.currentDiscipline(spark, ptr) === Some("ws-v1-rebuild"),
+      "the reindex's WHY must land in the pointer snapshot")
+    // an in-flight reader that resolved the pointer pre-flip
+    def probeOld() = TextIndexStore.topK(spark, oldRoot, terms, 10).collect()
+      .map(x => (x.getLong(0), x.getDouble(1), x.getInt(3))).sortBy(_._3).toSeq
+    val preFlip = probeOld()
+    val r1 = TextIndexStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(r1.map(_.action) === Seq("marked"), s"$r1")
+    assert(probeOld() === preFlip,
+      "marked root must survive its grace cadence for in-flight readers")
+    val r2 = TextIndexStore.retireRoots(spark, ptr, keepRoots = 1)
+    assert(r2.map(_.action) === Seq("deleted"), s"$r2")
+    assert(!new java.io.File(oldRoot).exists(),
+      "grace elapsed — the reindex disk leak is closed")
+    assert(TextIndexStore.topKVia(spark, ptr, terms, 10).collect().nonEmpty,
+      "serving never referenced the retired root")
+    assert(TextIndexStore.retireRoots(spark, ptr, keepRoots = 1) === Nil,
+      "steady state: nothing to mark or delete")
+  }
+
   test("pointered root: probes serve the OLD root through a live reindex, flip atomically, write-window day re-ingested under the new tokenizer") {
     val s = spark
     import s.implicits._
