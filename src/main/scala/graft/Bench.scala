@@ -296,7 +296,20 @@ object BenchReport {
     ("q118_setup", "sf1", "r15", 1.35),
     ("q123_probe", "sf1", "r15", 3.41),
     ("q123_setup", "sf1", "r15", 2.71),
-    ("q146_ivf_store_probe", "sf1", "r15", 14.51))
+    ("q146_ivf_store_probe", "sf1", "r15", 14.51),
+    // r16: idle-to-idle against the r15 rows, with a CODE-CONTROLLED
+    // adjudication this time — the same reps protocol run at the r15
+    // HEAD in a worktree ON THE SAME DAY read q146 19.6 / q118 11.5 /
+    // q123 4.5 in the slow host window and the r16 HEAD read 17.8 /
+    // 10.4 / 4.3 minutes later (FASTER than old code), so the
+    // residual drift vs r15's rows is host state, not the round's
+    // store changes (which touch append-side fs metadata only on
+    // these paths). Recorded reps=7, q146 min 14.75 ≈ the r15 pin.
+    ("q118_probe", "sf1", "r16", 10.25),
+    ("q118_setup", "sf1", "r16", 1.43),
+    ("q123_probe", "sf1", "r16", 4.14),
+    ("q123_setup", "sf1", "r16", 3.03),
+    ("q146_ivf_store_probe", "sf1", "r16", 16.60))
 
   /** The diagnostic channel: per-rep spread, min/median tables, the
     * contention probe, the idle-protocol pins, and the methodology

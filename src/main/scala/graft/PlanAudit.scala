@@ -82,6 +82,20 @@ object PlanAudit {
       val bm25Batch = graft.operators.TextIndexStore.topKBatch(
         s, tixRoot, Seq(10L -> Seq("alpha", "beta"), 20L -> Seq("zeta")),
         topK = 5)
+      // round 16: the RESIDUAL ADC serving probe (q151's shape) — same
+      // code-bytes-only scan and broadcast-LUT join as q150; the
+      // residual shift lives entirely in the driver-built LUT values,
+      // so the PLAN must be identical in shape to the raw probe's
+      val resRoot = "/tmp/graft-planaudit-ivfres"
+      val rp = new org.apache.hadoop.fs.Path(resRoot)
+      rp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(rp, true)
+      graft.operators.IvfStore.init(day1, "vec_id", "embedding", resRoot,
+        k = 4, iters = 2)
+      graft.operators.IvfStore.append(day1, resRoot, "2024-06-01")
+      graft.operators.IvfStore.enablePq(s, resRoot, m = 2, k = 4, iters = 2,
+        residual = true): Unit
+      val adcResProbe = graft.operators.IvfStore.adcProbe(s, resRoot, "vec_id",
+        (0 until 3).map(i => (9000L + i) -> vec()), nprobe = 2, topK = 5)
       Seq("===== q146_ivf_store_probe (serving probe frame; store fixture)",
         fmt(probe.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)),
@@ -93,6 +107,9 @@ object PlanAudit {
           org.apache.spark.sql.execution.FormattedMode)),
         "===== topKBatch (batched BM25 serving frame; store fixture)",
         fmt(bm25Batch.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== q151_ivf_adc_residual (residual ADC serving frame; store fixture)",
+        fmt(adcResProbe.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)))
     })
   }

@@ -133,6 +133,30 @@ object MaintenanceDrill {
         .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
         .sortBy(_._4).toSeq
 
+    // ---- 1c. a containment dedup store under the maintenance root
+    // (round 16): 10 day-sharded ingests of the replica's documents —
+    // prices the DAY-SCOPED deep fsck on the dedup family (first
+    // audit = full recount; steady-state re-audit reads zero files),
+    // and rides every later compact/fsck pass of the drill's runs
+    val ded = s"$stores/contain"
+    val (_, tDed) = timed {
+      (0 until 10).foreach { d =>
+        graft.operators.DedupStore.ingestContained(
+          docsAll.filter(pmod(xxhash64($"doc_id"), lit(10)) === d),
+          ded, f"2025-07-${d + 1}%02d"): Unit
+      }
+    }
+    j("containStore.ingest(10 days)", tDed)
+    val (fd1, tDeep1) = timed {
+      graft.operators.DedupStore.fsck(spark, ded, deep = true)
+    }
+    require(fd1.forall(_.severity != "error"), s"contain fsck: $fd1")
+    j("containStore.fsck(deep, first full audit)", tDeep1)
+    val (_, tDeep2) = timed {
+      graft.operators.DedupStore.fsck(spark, ded, deep = true)
+    }
+    j("containStore.fsck(deep, watermarked re-audit)", tDeep2)
+
     // ---- 2. the monitors standalone (the run()'s internals, priced)
     val (_, tCompact) = timed {
       IncrementalCurationJob.compactStoresWithIvf(spark, stores, ivf,
