@@ -96,6 +96,18 @@ object PlanAudit {
         residual = true): Unit
       val adcResProbe = graft.operators.IvfStore.adcProbe(s, resRoot, "vec_id",
         (0 until 3).map(i => (9000L + i) -> vec()), nprobe = 2, topK = 5)
+      // round 16 (cont.): the TABLE-driven batch probes (q152/q153's
+      // shapes) — queries as DataFrames, no driver list; the frames a
+      // 100× reviewer checks for the guarded-broadcast/shuffle-join
+      // fallback structure
+      val qTab = (0 until 3).map(i => (9100L + i, vec().toSeq))
+        .toDF("qid", "qv")
+      val adcTable = graft.operators.IvfStore.adcProbeTable(s, root,
+        qTab, "qid", "qv", nprobe = 2, topK = 5)
+      val bm25Table = graft.operators.TextIndexStore.topKBatchTable(s, tixRoot,
+        Seq((10L, Seq("alpha", "beta")), (20L, Seq("zeta")))
+          .toDF("qid", "terms"),
+        "qid", "terms", topK = 5)
       Seq("===== q146_ivf_store_probe (serving probe frame; store fixture)",
         fmt(probe.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)),
@@ -110,6 +122,12 @@ object PlanAudit {
           org.apache.spark.sql.execution.FormattedMode)),
         "===== q151_ivf_adc_residual (residual ADC serving frame; store fixture)",
         fmt(adcResProbe.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== q152_ivf_adc_probe_table (table-driven ADC frame; store fixture)",
+        fmt(adcTable.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)),
+        "===== q153_bm25_batch_table (table-driven batched BM25 frame; store fixture)",
+        fmt(bm25Table.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)))
     })
   }

@@ -709,6 +709,127 @@ object IvfStore {
     }
   }
 
+  /** TABLE-DRIVEN ADC top-k (round 16) — the batch shape
+    * [[adcProbe]]'s `graft.maxProbeBatch` refusal points at: the
+    * queries live in a DataFrame (`qidCol`, `qvecCol:
+    * array<numeric>[dim]`) and NEVER touch the driver — probed cells,
+    * the (residual-shifted) lookup tables and the ADC scores are all
+    * computed in the plan, so the batch size is bounded by cluster
+    * memory, not driver memory.
+    *
+    * Plan: one row-local projection per query (distances to the k
+    * centroid literals; probed cells = the `nprobe` (dist², index)-
+    * smallest via an array_sort over structs — the
+    * [[KMeans.assign]] tie rule; per probed cell the m×|book| LUT
+    * from `q` or `q − centroid`), exploded to (qid, lut, cell) and
+    * joined to the committed codes on `cell` — the query side rides
+    * [[BroadcastGuard.maybeBroadcast]]: under the cap this is the
+    * driver-list probe's broadcast join; past it the join SHUFFLES
+    * both sides on `cell` (the scale path — executor-bounded, never
+    * a driver build). Scores are IEEE-identical to [[adcProbe]]'s
+    * (same left-fold arithmetic; spec-asserted row-for-row).
+    *
+    * Honest differences from the driver-list probe: (a) the codes
+    * SCAN cannot prune cells at the file index — the probed-cell set
+    * is computed inside the plan, so every committed code file is
+    * read (a large batch probes most cells anyway; for small batches
+    * use [[adcProbe]], which prunes); (b) no rerank arm (the result
+    * carries enough to compose an exact re-score); (c) unusable query
+    * vectors (null / wrong-dim / non-finite) corrupt-DROP instead of
+    * refusing — a table cannot be pre-validated without a second
+    * scan, so the engine-wide seam discipline applies.
+    *
+    * Returns (qid, <id>, adc_d2, rank ≤ topK). */
+  def adcProbeTable(spark: SparkSession, root: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      nprobe: Int, topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nprobe >= 1 && topK >= 1, "nprobe/topK must be >= 1")
+    val (model, residual) = pqState(spark, root).getOrElse(
+      throw new IllegalStateException(
+        s"store at $root has no committed PQ codebooks — enablePq first, " +
+          "or use probe() for float serving"))
+    val cents = IvfIndex.open(spark, root)
+    val days = committedDays(spark, root)
+    require(days.nonEmpty,
+      s"no committed days at $root — append at least one day before probing")
+    val f = fs(spark, root)
+    val uncovered = days.filter(d => dayHasFiles(f, root, "cells", d) &&
+      !dayHasFiles(f, root, "codes", d))
+    require(uncovered.isEmpty,
+      s"committed days ${uncovered.mkString(", ")} at $root have no PQ " +
+        "codes (appended by a pre-PQ writer?) — run backfillCodes first")
+    val codeLeaves = Option(f.globStatus(
+        new Path(s"$root/codes/dt=*/cell=*/part-*")))
+      .map(_.toSeq).getOrElse(Nil)
+      .filter(st => days.contains(
+        st.getPath.getParent.getParent.getName.stripPrefix("dt=")))
+    require(codeLeaves.nonEmpty, s"store at $root has committed days but " +
+      "no encoded vectors (every appended row was empty or unusable) — " +
+      "nothing to probe")
+    val csch = leafDataSchema(spark, codeLeaves.head.getPath)
+      .add("dt", org.apache.spark.sql.types.StringType)
+      .add("cell", org.apache.spark.sql.types.IntegerType)
+    val rowId = csch.fieldNames(0)
+    require(!queries.columns.contains(rowId) || qidCol == rowId,
+      s"query table column '$rowId' collides with the store's id column — " +
+        "rename it before probing")
+    val centArr = array(cents.map(c => lit(c)): _*)
+    val cbLit = typedlit(model.codebooks)
+    val np = math.min(nprobe, cents.size)
+    // row-local probed cells: (dist², index) structs sorted — struct
+    // ordering is field-lexicographic, exactly (d2 asc, index asc)
+    val d2ToCents = transform(centArr, c =>
+      aggregate(zip_with(col(qvecCol), c,
+          (x, y) => { val dl = x.cast("double") - y; dl * dl }),
+        lit(0.0), (acc, x) => acc + x))
+    val probedCells = transform(
+      slice(array_sort(zip_with(d2ToCents,
+        sequence(lit(0), lit(cents.size - 1)),
+        (d, i) => struct(d.as("d"), i.as("i")))), 1, np),
+      s => s.getField("i"))
+    def lutOf(vecCol: Column): Column =
+      transform(sequence(lit(0), lit(model.m - 1)), s =>
+        transform(element_at(cbLit, s + 1), cw =>
+          aggregate(zip_with(
+              slice(vecCol, s * lit(model.subDim) + 1, lit(model.subDim)), cw,
+              (x, y) => { val dl = x.cast("double") - y; dl * dl }),
+            lit(0.0), (acc, x) => acc + x)))
+    val usable = queries
+      .filter(col(qidCol).isNotNull && KMeans.usable(qvecCol, model.dim))
+    val pairs =
+      if (!residual)
+        usable.select(col(qidCol), lutOf(col(qvecCol)).as("__pq_lut"),
+            explode(probedCells).as("cell"))
+      else {
+        // residual: the LUT shifts per (query, cell) — q − centroid
+        val qEff = zip_with(col(qvecCol),
+          element_at(centArr, col("cell") + 1),
+          (x, y) => x.cast("double") - y)
+        usable.select(col(qidCol), col(qvecCol),
+            explode(probedCells).as("cell"))
+          .select(col(qidCol), lutOf(qEff).as("__pq_lut"), col("cell"))
+      }
+    val codes = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
+      .filter(col("dt").isin(days: _*))
+      .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
+    // guarded broadcast: one count over the query-derived pairs frame
+    // decides broadcast vs shuffled-on-cell — result-identical either
+    // way (the BroadcastGuard contract)
+    val pairsSide = BroadcastGuard.maybeBroadcast(pairs, "ADC query table")
+    codes.join(pairsSide, "cell")
+      .select(col(qidCol), col(rowId),
+        aggregate(
+          zip_with(col("pq_codes"), col("__pq_lut"),
+            (code, row) => try_element_at(row, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+      .filter(col("adc_d2").isNotNull)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(qidCol))
+          .orderBy(col("adc_d2").asc, col(rowId).asc)))
+      .filter(col("rank") <= topK)
+  }
+
   /** [[adcProbe]] resolved through the serving pointer — the PQ twin
     * of [[probeVia]]; [[rebuildVia]] carries codebooks, so a pointer
     * flip is invisible to ADC serving too. */

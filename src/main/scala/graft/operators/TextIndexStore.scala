@@ -355,6 +355,79 @@ object TextIndexStore {
       .filter(col("rank") <= topK)
   }
 
+  /** TABLE-DRIVEN batched BM25 (round 16) — the shape
+    * [[topKBatch]]'s `graft.maxProbeBatch` refusal points at: the
+    * queries live in a DataFrame (`qidCol`, `termsCol:
+    * array<string>` in query order) and never touch the driver, so
+    * the batch is bounded by cluster memory. The scoring pipeline is
+    * [[topKBatch]]'s exactly — df via a count window over the
+    * filtered postings, idf/tfc with the committed-snapshot
+    * (N, avgdl), per-(query, doc) contributions folded in query
+    * order, per-qid rank ≤ topK — with the driver-built pieces
+    * replaced by joins: the postings filter becomes a semi-join on
+    * the batch's DISTINCT words (guarded broadcast — under the cap
+    * the planner builds the same hash join the IN-filter path
+    * produces; past it both sides shuffle on `word`), and the
+    * (qid, word, pos) fan-out is the posexploded query table.
+    *
+    * Honest differences from the driver-list form: (a) no `word IN
+    * (…)` parquet pushdown — the term set is computed inside the
+    * plan, so row-group pruning on `word` is lost (a large batch's
+    * union covers most of the vocabulary anyway; for small driver
+    * lists use [[topKBatch]]); (b) per-query duplicate terms cannot
+    * REFUSE without a validation pass, so they corrupt-DROP instead:
+    * `array_distinct` keeps each term's FIRST occurrence in query
+    * order (the fold order is then identical to a dup-free query);
+    * null qids and null/empty term arrays drop silently (the seam
+    * discipline). Returns (qid, doc_id, bm25, n_terms_hit,
+    * rank ≤ topK). */
+  def topKBatchTable(spark: SparkSession, root: String,
+      queries: DataFrame, qidCol: String, termsCol: String,
+      topK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val days = committedDays(spark, root)
+    val (nDocs, avgdl) = corpusStats(spark, root, days)
+    val qterms = queries
+      .filter(col(qidCol).isNotNull && col(termsCol).isNotNull &&
+        size(col(termsCol)) >= 1)
+      .select(col(qidCol).as("qid"),
+        posexplode(array_distinct(col(termsCol))))
+      .withColumnRenamed("col", "word")
+    if (nDocs == 0L)
+      // schema-stable empty answer with the TABLE's qid type
+      return qterms.select(col("qid"), lit(0L).as("doc_id"),
+        lit(0.0).as("bm25"), lit(0L).as("n_terms_hit"),
+        lit(1).as("rank")).limit(0)
+    val words = BroadcastGuard.maybeBroadcast(
+      qterms.select(col("word")).distinct(), "BM25 batch word set")
+    val posts = PartitionedLayout.readDays(
+        spark, s"$root/postings", postingsSchema, days)
+      .filter(col("dt").isin(days: _*))
+      .join(words, Seq("word"), "left_semi")
+    val scored = posts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .withColumn("idf", log(lit(1.0) +
+        (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df").cast("double") + 0.5)))
+      .withColumn("tfc", (col("tf").cast("double") * (K1 + 1.0)) /
+        (col("tf").cast("double") +
+          lit(K1) * (lit(1.0 - B) + col("dl").cast("double") / avgdl * B)))
+      .join(BroadcastGuard.maybeBroadcast(qterms, "BM25 batch query terms"),
+        "word")
+    scored
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(
+        aggregate(
+          array_sort(collect_list(struct(col("pos"),
+            (col("idf") * col("tfc")).as("c")))),
+          lit(0.0), (acc, x) => acc + x.getField("c")).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("bm25").desc, col("doc_id").asc)))
+      .filter(col("rank") <= topK)
+  }
+
   private val Tables = Seq("postings", "stats")
 
   // -----------------------------------------------------------------

@@ -911,11 +911,14 @@ object SimilarityQueries {
     * quantize `vec − assigned-cell centroid`; the probe's lookup
     * tables shift per (query, cell)). Everything the oracle must
     * re-derive is deterministic: CENTROIDS are the 8 id-smallest rows
-    * of the `vec_id % 25 = 3` slice (committed via
+    * of the `vec_id % 100 = 3` slice (committed via
     * [[graft.operators.IvfStore.initWithCentroids]] — cell assignment
     * is then the argmin DuckDB reproduces, ties to the lowest index,
     * the [[graft.operators.KMeans.assign]] rule), codebooks are the
-    * q147/q150 sampled slice, and full-probe residual ADC is exact
+    * same sampled slice (the q147/q150 discipline at 1/4 the width —
+    * the oracle's encode CTE is the sweep's long pole and codebook
+    * CONTENT is arbitrary for the identity), and full-probe residual
+    * ADC is exact
     * brute force over `centroid + decoded residual` reconstructions —
     * so codes, per-cell LUTs and fixed-order ADC sums must match
     * bit-for-bit. What this adds over q150: the oracle now covers the
@@ -931,7 +934,7 @@ object SimilarityQueries {
         .filter(graft.operators.KMeans.usable("embedding", Dim) &&
           $"vec_id".isNotNull)
         .select($"vec_id", $"embedding")
-      val cwRows = e.filter($"vec_id" % 25 === 3).collect().sortBy(_.getLong(0))
+      val cwRows = e.filter($"vec_id" % 100 === 3).collect().sortBy(_.getLong(0))
       val qRows = e.filter($"vec_id" % 50 === 0).collect()
       require(cwRows.length.max(qRows.length) <= 100000,
         s"q151 driver-side sets (${cwRows.length} codewords, " +
@@ -979,7 +982,7 @@ object SimilarityQueries {
       sp AS (SELECT unnest(range($PqM)) AS s),
       cents AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ctr,
                   embedding AS cent
-                FROM e WHERE vec_id % 25 = 3 ORDER BY vec_id LIMIT 8),
+                FROM e WHERE vec_id % 100 = 3 ORDER BY vec_id LIMIT 8),
       dca AS (SELECT e.vec_id, c.ctr,
                 list_sum(list_transform(range($Dim), i ->
                   (CAST(e.embedding[i+1] AS DOUBLE) - CAST(c.cent[i+1] AS DOUBLE))
@@ -997,7 +1000,7 @@ object SimilarityQueries {
                  JOIN cents c ON c.ctr = a.cell),
       cw AS (SELECT vec_id AS cid, s, list_slice(embedding, s*$sd+1, s*$sd+$sd)
                AS csub
-             FROM e CROSS JOIN sp WHERE vec_id % 25 = 3),
+             FROM e CROSS JOIN sp WHERE vec_id % 100 = 3),
       rs AS (SELECT vec_id, cell, s, list_slice(rv, s*$sd+1, s*$sd+$sd) AS rsub
              FROM rvec CROSS JOIN sp),
       ec AS (SELECT r.vec_id, r.s, w.cid,
@@ -1029,7 +1032,102 @@ object SimilarityQueries {
           ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""
     })
 
+  /** ORACLE-GATED TABLE-DRIVEN ADC SERVING (round 16) — the
+    * correctness row for [[graft.operators.IvfStore.adcProbeTable]],
+    * the batch path where queries are a DATAFRAME and never touch the
+    * driver (probed cells, LUTs and ADC folds all computed in the
+    * plan; the query side rides a guarded broadcast and falls back to
+    * a shuffled cell join past the cap). Same q150 lifecycle and
+    * identity argument — full-probe raw ADC ≡ brute force over
+    * reconstructions — so the oracle is q150's SQL at the cheap
+    * `% 100 = 3` codeword slice; what THIS row proves over q150 is
+    * that the in-plan LUT/probed-cell/fold arithmetic (HOFs over
+    * codebook and centroid literals) is bit-identical to the
+    * driver-built tables. The equality spec in IvfStorePqSpec pins
+    * table == driver-list row-for-row including the residual mode and
+    * the shuffled fallback; this row pins it against a second
+    * engine. */
+  private val ivfAdcProbeTable = Q(
+    "q152_ivf_adc_probe_table",
+    (s, d) => {
+      import s.implicits._
+      val sd = Dim / PqM
+      val e = T.embeddings(s, d)
+        .filter(graft.operators.KMeans.usable("embedding", Dim) &&
+          $"vec_id".isNotNull)
+        .select($"vec_id", $"embedding")
+      // only the CODEBOOK is driver-side (a model is a literal by
+      // nature); the queries stay a DataFrame end-to-end
+      val cwRows = e.filter($"vec_id" % 100 === 3).collect().sortBy(_.getLong(0))
+      require(cwRows.length <= 100000,
+        s"q152 codebook slice (${cwRows.length} rows) past the literal shape")
+      if (cwRows.isEmpty)
+        Seq.empty[(Long, Long, Double, Int)].toDF("qid", "vec_id", "adc_d2", "rank")
+      else {
+        val books = (0 until PqM).map { sIdx =>
+          cwRows.toSeq.map(r => r.getSeq[Float](1).map(_.toDouble)
+            .slice(sIdx * sd, (sIdx + 1) * sd).toSeq)
+        }
+        val model = graft.operators.PqModel(Dim, PqM, books)
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q152-ivfpqtab-").toString
+        try {
+          graft.operators.IvfStore.init(e, "vec_id", "embedding", root,
+            k = 8, iters = 3)
+          graft.operators.IvfStore.enablePq(s, root, model,
+            residual = false): Unit
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 0), root, "day-1")
+          graft.operators.IvfStore.append(
+            e.filter(pmod($"vec_id", lit(2)) === 1), root, "day-2")
+          val qtab = e.filter($"vec_id" % 50 === 0)
+            .select($"vec_id".as("qid"),
+              $"embedding".cast("array<double>").as("qv"))
+          graft.operators.IvfStore.adcProbeTable(s, root, qtab,
+              "qid", "qv", nprobe = 8, topK = 5)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
+      }
+    },
+    Some {
+      val sd = Dim / PqM
+      val fixedSum = (0 until PqM)
+        .map(k => s"sum(CASE WHEN c.s = $k THEN l.qd2 END)").mkString(" + ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+        WHERE len(embedding) = $Dim AND vec_id IS NOT NULL
+          AND len(list_filter(embedding, x -> x IS NULL)) = 0
+          AND isfinite(list_sum(list_transform(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+      sp AS (SELECT unnest(range($PqM)) AS s),
+      cs AS (SELECT vec_id, s, list_slice(embedding, s*$sd+1, s*$sd+$sd) AS sub
+             FROM e CROSS JOIN sp),
+      cw AS (SELECT vec_id AS cid, s, sub AS csub FROM cs WHERE vec_id % 100 = 3),
+      ec AS (SELECT c.vec_id, c.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(c.sub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS d2
+             FROM cs c JOIN cw w USING (s)),
+      codes AS (SELECT vec_id, s, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, s
+          ORDER BY d2 ASC, cid ASC) rn FROM ec) WHERE rn = 1),
+      qsub AS (SELECT vec_id AS qid, s, sub AS qsub FROM cs WHERE vec_id % 50 = 0),
+      lut AS (SELECT q.qid, q.s, w.cid,
+               list_sum(list_transform(range($sd), i ->
+                 (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE))
+                 * (CAST(q.qsub[i+1] AS DOUBLE) - CAST(w.csub[i+1] AS DOUBLE)))) AS qd2
+             FROM qsub q JOIN cw w USING (s)),
+      adc AS (SELECT l.qid, c.vec_id, $fixedSum AS adc_d2
+             FROM codes c JOIN lut l ON c.s = l.s AND c.cid = l.cid
+             GROUP BY l.qid, c.vec_id)
+      SELECT qid, vec_id, adc_d2, CAST(rank AS INTEGER) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid
+          ORDER BY adc_d2 ASC, vec_id ASC) rank FROM adc) WHERE rank <= 5"""
+    })
+
   def qs: Seq[Q] = Seq(bruteForceTopK, lshTopK, ivfTopK, quantize, centerStats,
     annRecall, quantizedRecall, ivfStoreProbe, pqAdcTopK, pqRecall, ivfAdcProbe,
-    ivfAdcResidualProbe)
+    ivfAdcResidualProbe, ivfAdcProbeTable)
 }

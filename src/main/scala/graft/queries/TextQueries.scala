@@ -1083,10 +1083,111 @@ object TextQueries {
         SELECT *, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) rank
         FROM ag) WHERE rank <= 20"""))
 
+  /** ORACLE-GATED TABLE-DRIVEN BATCHED BM25 (round 16) — the
+    * correctness row for
+    * [[graft.operators.TextIndexStore.topKBatchTable]], the batch
+    * path where the queries are a DATAFRAME (qid, terms array) that
+    * never touches the driver: the postings filter is a semi-join on
+    * the batch's distinct words (guarded broadcast, shuffled-on-word
+    * past the cap) and the (qid, word, pos) fan-out is the
+    * posexploded table. The three queries are the nested prefixes of
+    * the q149-derived top-3 corpus words ([w1], [w1 w2], [w1 w2 w3]),
+    * so the oracle re-derives each qid's score as the corresponding
+    * prefix of q149's fixed conditional-sum chain — folding only the
+    * MATCHED contributions in pos order is bit-equal to the chain
+    * with 0.0 placeholders (x + 0.0 is exact), the same argument the
+    * driver-list batch's spec pins. Lifecycle identical to q149's
+    * two-day store. */
+  private val bm25BatchTable = Q(
+    "q153_bm25_batch_table",
+    (s, d) => {
+      import s.implicits._
+      graft.GraftExtensions.ensureRegistered(s)
+      val docs = T.documents(s, d)
+      val docs0 = docs.filter($"doc_id".isNotNull && $"text".isNotNull &&
+        !$"text".rlike("^\\s*$"))
+      val terms = docs0
+        .select(explode(expr("word_counts(text)")).as("w"))
+        .groupBy($"w.word".as("word")).agg(sum($"w.tf").as("n"))
+        .orderBy($"n".desc, $"word".asc).limit(3)
+        .collect().map(_.getString(0)).toSeq
+      if (terms.isEmpty)
+        Seq.empty[(Long, Long, Double, Long, Int)]
+          .toDF("qid", "doc_id", "bm25", "n_terms_hit", "rank")
+      else {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-q153-textbatch-").toString
+        try {
+          graft.operators.TextIndexStore.append(
+            docs.filter(pmod($"doc_id", lit(2)) === 0), root, "day-1"): Unit
+          graft.operators.TextIndexStore.append(
+            docs.filter(pmod($"doc_id", lit(2)) === 1), root, "day-2"): Unit
+          // nested-prefix queries: terms.take(i) never exceeds what
+          // the corpus has, so a 2-word corpus makes qid 3 == qid 2 —
+          // exactly what the oracle's trank <= i blocks compute
+          val qtab = (1 to 3).map(i => (i.toLong, terms.take(i)))
+            .toDF("qid", "terms")
+          graft.operators.TextIndexStore.topKBatchTable(s, root, qtab,
+              "qid", "terms", topK = 20)
+            .localCheckpoint() // materialize before the root vanishes
+        } finally {
+          val p = new org.apache.hadoop.fs.Path(root)
+          p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true): Unit
+        }
+      }
+    },
+    Some("""WITH docs0 AS (SELECT doc_id, text FROM documents
+        WHERE doc_id IS NOT NULL AND text IS NOT NULL
+          AND NOT regexp_matches(text, '^\s*$')),
+      wx AS (SELECT doc_id, unnest(string_split_regex(trim(text),'\s+')) AS word
+             FROM docs0),
+      tw AS (SELECT word, trank FROM (
+               SELECT word, row_number() OVER
+                 (ORDER BY count(*) DESC, word ASC) AS trank
+               FROM wx GROUP BY word) WHERE trank <= 3),
+      dl AS (SELECT doc_id, count(*) AS dl FROM wx GROUP BY 1),
+      st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl),
+      tf AS (SELECT doc_id, word, count(*) AS tf FROM wx
+             WHERE word IN (SELECT word FROM tw) GROUP BY 1, 2),
+      dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+      sc AS (SELECT t.doc_id, w.trank,
+               ln(1.0 + (CAST(s.n_docs AS DOUBLE) - f.df + 0.5)
+                 / (CAST(f.df AS DOUBLE) + 0.5)) AS idf,
+               (CAST(t.tf AS DOUBLE) * (1.2 + 1.0)) /
+                 (CAST(t.tf AS DOUBLE) + 1.2 * (1.0 - 0.75
+                   + CAST(d.dl AS DOUBLE)
+                     / (CAST(s.sum_dl AS DOUBLE) / s.n_docs) * 0.75)) AS tfc
+             FROM tf t JOIN dl d USING (doc_id) JOIN dfq f USING (word)
+             JOIN tw w USING (word) CROSS JOIN st s),
+      agq AS (
+        SELECT CAST(1 AS BIGINT) AS qid, doc_id,
+               coalesce(sum(CASE WHEN trank = 1 THEN idf * tfc END), 0.0)
+                 AS bm25,
+               count(*) AS n_terms_hit
+        FROM sc WHERE trank <= 1 GROUP BY doc_id
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), doc_id,
+               coalesce(sum(CASE WHEN trank = 1 THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN trank = 2 THEN idf * tfc END), 0.0),
+               count(*)
+        FROM sc WHERE trank <= 2 GROUP BY doc_id
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), doc_id,
+               coalesce(sum(CASE WHEN trank = 1 THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN trank = 2 THEN idf * tfc END), 0.0)
+               + coalesce(sum(CASE WHEN trank = 3 THEN idf * tfc END), 0.0),
+               count(*)
+        FROM sc WHERE trank <= 3 GROUP BY doc_id)
+      SELECT qid, doc_id, bm25, n_terms_hit, CAST(rank AS INTEGER) AS rank
+      FROM (SELECT *, row_number() OVER
+              (PARTITION BY qid ORDER BY bm25 DESC, doc_id ASC) rank
+            FROM agq) WHERE rank <= 20"""))
+
   def qs: Seq[Q] = Seq(langId, quality, tokenCount, fingerprint, wordFreq,
     normalize, tfidf, bm25, bigramCounts, piiScrub, repetition,
     bigramLogProb, oovRate, lengthOutliers, mixtureSample, heavyHitters,
     heavyHittersPerLang, sliceLengthProfile, gopherRules, templatePrefix,
     stratifiedTopK, qualityCutCurve, compressionRatio, zipfProfile,
-    langIdConfusion, piiIncidence, templateStrip, bm25StoreTopK)
+    langIdConfusion, piiIncidence, templateStrip, bm25StoreTopK,
+    bm25BatchTable)
 }

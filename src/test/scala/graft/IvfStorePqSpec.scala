@@ -567,6 +567,55 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
     assert(e2.getMessage.contains("id column"), e2.getMessage)
   }
 
+  test("adcProbeTable == adcProbe row-for-row (raw + residual); unusable query rows corrupt-drop; the over-cap shuffled fallback is result-identical") {
+    val s = spark
+    import s.implicits._
+    def build(residual: Boolean): String = {
+      val root = Files.createTempDirectory(s"ivfpq-tab-$residual").toString
+      val day1 = mkRows(0 until 30)
+      IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 3)
+      IvfStore.append(vecs(day1), root, "2024-07-01")
+      IvfStore.append(vecs(mkRows(100 until 130)), root, "2024-07-02")
+      IvfStore.enablePq(spark, root, m = M, k = 4, iters = 2,
+        residual = residual): Unit
+      root
+    }
+    val queries = (0 until 9).map(i => (3000L + i) -> around(centers(i % 3)))
+    val qtab = queries.map { case (q, v) => (q, v.toSeq) }.toDF("qid", "qv")
+    for (residual <- Seq(false, true)) {
+      val root = build(residual)
+      def fromList = IvfStore.adcProbe(spark, root, "vec_id", queries,
+          nprobe = 2, topK = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      def fromTable = IvfStore.adcProbeTable(spark, root, qtab, "qid", "qv",
+          nprobe = 2, topK = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      val expect = fromList
+      assert(fromTable === expect,
+        s"table path diverged from the driver-list path (residual=$residual)")
+      // over the cap: the pairs side stops broadcasting and the join
+      // shuffles on cell — rows must be identical (BroadcastGuard's
+      // result-identity contract)
+      try {
+        spark.conf.set("graft.maxBroadcastRows", "1")
+        assert(fromTable === expect,
+          s"shuffled-fallback table path diverged (residual=$residual)")
+      } finally spark.conf.unset("graft.maxBroadcastRows")
+      // unusable query rows (null / wrong-dim) corrupt-drop silently
+      val poisoned = qtab.unionByName(
+        Seq((9900L, Seq.fill(Dim + 1)(0.0)), (9901L, null.asInstanceOf[Seq[Double]]))
+          .toDF("qid", "qv"))
+      val got = IvfStore.adcProbeTable(spark, root, poisoned, "qid", "qv",
+          nprobe = 2, topK = 4).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(got === expect,
+        s"poisoned rows must drop, not poison the batch (residual=$residual)")
+    }
+  }
+
   test("deep fsck catches tampered codes: code-mismatch and codes-missing-rows") {
     val s = spark
     import s.implicits._

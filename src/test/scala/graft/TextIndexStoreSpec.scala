@@ -467,6 +467,50 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("topKBatchTable == topKBatch row-for-row; duplicate terms keep first occurrence; over-cap shuffled fallback identical; empty store typed-empty") {
+    val s = spark
+    import s.implicits._
+    val r = tmpRoot("batchtable")
+    TextIndexStore.append(docsDf(docs.take(3)), r, "day-1"): Unit
+    TextIndexStore.append(docsDf(docs.drop(3)), r, "day-2"): Unit
+    val queries = Seq(
+      10L -> Seq("the", "of"),
+      20L -> Seq("and"),
+      30L -> Seq("the", "and", "of"))
+    val expect = TextIndexStore.topKBatch(spark, r, queries, topK = 10)
+      .collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3),
+        x.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    val qtab = queries.toDF("qid", "terms")
+    def fromTable(df: org.apache.spark.sql.DataFrame) =
+      TextIndexStore.topKBatchTable(spark, r, df, "qid", "terms", topK = 10)
+        .collect()
+        .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2), x.getLong(3),
+          x.getInt(4))).sortBy(t => (t._1, t._5)).toSeq
+    assert(fromTable(qtab) === expect,
+      "table path diverged from the driver-list batch")
+    // duplicate terms corrupt-drop to the first occurrence (a table
+    // cannot refuse without a validation pass): qid 40's answer must
+    // equal the dup-free query's
+    val dup = Seq(40L -> Seq("the", "the", "of")).toDF("qid", "terms")
+    val dupGot = fromTable(dup).map { case (_, d, b, h, rk) => (d, b, h, rk) }
+    val dupWant = TextIndexStore.topKBatch(spark, r, Seq(40L -> Seq("the", "of")),
+        topK = 10).collect()
+      .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3), x.getInt(4)))
+      .sortBy(_._4).toSeq
+    assert(dupGot === dupWant, "dup terms must fold like their dedup'd query")
+    // over the cap: word set and qterms stop broadcasting — identical
+    try {
+      spark.conf.set("graft.maxBroadcastRows", "1")
+      assert(fromTable(qtab) === expect, "shuffled-fallback diverged")
+    } finally spark.conf.unset("graft.maxBroadcastRows")
+    // empty store: typed empty with the TABLE's qid type
+    val r2 = tmpRoot("batchtable-empty")
+    val empty = TextIndexStore.topKBatchTable(spark, r2, qtab, "qid", "terms", 5)
+    assert(empty.collect().isEmpty && empty.schema.fieldNames.toSeq ===
+      Seq("qid", "doc_id", "bm25", "n_terms_hit", "rank"))
+  }
+
   test("retireRoots: a reindex-replaced text root is marked, survives its grace cadence, then is deleted; the discipline stamp rides the pointer") {
     val base = java.nio.file.Files.createTempDirectory("graft-ti-retire-").toString
     val (oldRoot, newRoot, ptr) = (s"$base/old", s"$base/new", s"$base/ptr")
