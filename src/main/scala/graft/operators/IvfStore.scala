@@ -594,6 +594,19 @@ object IvfStore {
       s"idCol '$idCol' is not this store's id column '$rowId' (the first " +
         "data column by append's write order) — a silently-ignored " +
         "mismatch would mislabel every returned id")
+    if (queries.isEmpty) {
+      // schema-stable empty answer for an empty batch (round 17,
+      // advice): greedyChunks yields zero chunks and the chunk union
+      // would otherwise die on empty.reduce — an empty batch is a
+      // valid no-op probe, the topKBatch/adcRecallReport stance. The
+      // distance column name follows the rerank arm the caller chose.
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("qid", LongType), csch.fields(0),
+          StructField(if (rerank <= 0) "adc_d2" else "dist2", DoubleType),
+          StructField("rank", IntegerType, nullable = false))))
+    }
     // driver-side per-query work: probed cells (|Q|·k·d flops, the
     // probeCells shape) plus the ADC lookup table (m × |book| subspace
     // distances — the same sequential left-fold arithmetic as the
@@ -729,22 +742,47 @@ object IvfStore {
     * a driver build). Scores are IEEE-identical to [[adcProbe]]'s
     * (same left-fold arithmetic; spec-asserted row-for-row).
     *
-    * Honest differences from the driver-list probe: (a) the codes
-    * SCAN cannot prune cells at the file index — the probed-cell set
-    * is computed inside the plan, so every committed code file is
-    * read (a large batch probes most cells anyway; for small batches
-    * use [[adcProbe]], which prunes); (b) no rerank arm (the result
-    * carries enough to compose an exact re-score); (c) unusable query
-    * vectors (null / wrong-dim / non-finite) corrupt-DROP instead of
-    * refusing — a table cannot be pre-validated without a second
-    * scan, so the engine-wide seam discipline applies.
+    * TWO-PHASE CELL PRUNING (round 17, closing round 16's honest cost
+    * (a)): the probed-cell UNION across the whole batch is bounded by
+    * the centroid count k — driver-safe by construction — so phase 1
+    * runs ONE narrow job over the query table (row-local centroid
+    * distances → probed cells, exploded and distinct-ed to ≤ k ints)
+    * and phase 2 plans the codes scan with `cell IN (probed)`,
+    * restoring the driver-list probe's file-index pruning whenever
+    * the batch probes a strict cell subset. A batch that probes every
+    * cell plans the unchanged full scan. The price is that one extra
+    * pass over the query table's vectors (k·dim flops per query,
+    * no LUT work) — cheap next to the code bytes it prunes.
     *
-    * Returns (qid, <id>, adc_d2, rank ≤ topK). */
+    * RERANK (round 17, the driver-list parity arm): `rerank >= topK`
+    * re-scores the per-qid top-`rerank` ADC candidates against their
+    * exact float vectors — the candidate (qid, id, dt, cell) keys
+    * join back to `cells` partition-pruned by the SAME probed-cell
+    * subset, query vectors rejoin by qid, and the exact distances
+    * re-rank to topK. All in-plan (no driver candidate list — AQE
+    * picks broadcast vs shuffle from runtime sizes); row-for-row
+    * identical to [[adcProbe]]'s rerank arm (spec-asserted, raw and
+    * residual).
+    *
+    * Honest differences from the driver-list probe: (a) unusable
+    * query vectors (null / wrong-dim / non-finite) corrupt-DROP
+    * instead of refusing — a table cannot be pre-validated without a
+    * second scan, so the engine-wide seam discipline applies; (b) the
+    * two-phase cell collection and the broadcast guard each run one
+    * extra job over the query table (an expensive-to-recompute query
+    * frame should be cached by the caller).
+    *
+    * Returns (qid, <id>, adc_d2, rank ≤ topK) — or (qid, <id>,
+    * dist2, rank ≤ topK) with EXACT float distances when
+    * `rerank >= topK`. */
   def adcProbeTable(spark: SparkSession, root: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      nprobe: Int, topK: Int): DataFrame = {
+      nprobe: Int, topK: Int, rerank: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nprobe >= 1 && topK >= 1, "nprobe/topK must be >= 1")
+    require(rerank <= 0 || rerank >= topK,
+      s"rerank=$rerank must be >= topK=$topK (it is the ADC candidate " +
+        "pool the exact re-score ranks from)")
     val (model, residual) = pqState(spark, root).getOrElse(
       throw new IllegalStateException(
         s"store at $root has no committed PQ codebooks — enablePq first, " +
@@ -771,9 +809,14 @@ object IvfStore {
       .add("dt", org.apache.spark.sql.types.StringType)
       .add("cell", org.apache.spark.sql.types.IntegerType)
     val rowId = csch.fieldNames(0)
-    require(!queries.columns.contains(rowId) || qidCol == rowId,
-      s"query table column '$rowId' collides with the store's id column — " +
-        "rename it before probing")
+    // qidCol == rowId is NOT exempt (round 17, advice): the result
+    // carries both the qid and the store id, so a shared name makes
+    // the post-join select ambiguous — refuse with the fix named
+    // instead of dying in an AnalysisException
+    require(!queries.columns.contains(rowId),
+      s"query table column '$rowId' collides with the store's id column " +
+        "(the result carries both the qid and the store id) — rename it " +
+        "before probing")
     val centArr = array(cents.map(c => lit(c)): _*)
     val cbLit = typedlit(model.codebooks)
     val np = math.min(nprobe, cents.size)
@@ -797,6 +840,19 @@ object IvfStore {
             lit(0.0), (acc, x) => acc + x)))
     val usable = queries
       .filter(col(qidCol).isNotNull && KMeans.usable(qvecCol, model.dim))
+    // phase 1 of the two-phase pruning (scaladoc): the batch's probed
+    // cells, distinct-ed IN the plan to ≤ k rows before the collect —
+    // never a per-query driver materialization
+    val probedSet = usable.select(explode(probedCells).as("cell"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (probedSet.isEmpty)
+      // no usable query rows: schema-stable empty answer with the
+      // TABLE's own qid type (the topKBatchTable stance)
+      return usable.select(col(qidCol),
+        lit(null).cast(csch.fields(0).dataType).as(rowId),
+        lit(0.0).as(if (rerank <= 0) "adc_d2" else "dist2"),
+        lit(1).as("rank")).limit(0)
+    val cellSubset = probedSet.size < cents.size
     val pairs =
       if (!residual)
         usable.select(col(qidCol), lutOf(col(qvecCol)).as("__pq_lut"),
@@ -810,15 +866,23 @@ object IvfStore {
             explode(probedCells).as("cell"))
           .select(col(qidCol), lutOf(qEff).as("__pq_lut"), col("cell"))
       }
-    val codes = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
+    val codes0 = PartitionedLayout.readDays(spark, s"$root/codes", csch, days)
       .filter(col("dt").isin(days: _*))
+    // phase 2: the `cell IN (probed)` filter lands on the partition
+    // column, so the file index prunes unprobed cell dirs exactly as
+    // the driver-list probe does; a batch probing EVERY cell keeps
+    // the unchanged full scan
+    val codes =
+      (if (cellSubset) codes0.filter(col("cell").isin(probedSet: _*))
+       else codes0)
       .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
     // guarded broadcast: one count over the query-derived pairs frame
     // decides broadcast vs shuffled-on-cell — result-identical either
     // way (the BroadcastGuard contract)
     val pairsSide = BroadcastGuard.maybeBroadcast(pairs, "ADC query table")
-    codes.join(pairsSide, "cell")
-      .select(col(qidCol), col(rowId),
+    val pool = math.max(topK, rerank)
+    val ranked = codes.join(pairsSide, "cell")
+      .select(col(qidCol), col(rowId), col("dt"), col("cell"),
         aggregate(
           zip_with(col("pq_codes"), col("__pq_lut"),
             (code, row) => try_element_at(row, code + 1)),
@@ -827,7 +891,47 @@ object IvfStore {
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol))
           .orderBy(col("adc_d2").asc, col(rowId).asc)))
-      .filter(col("rank") <= topK)
+      .filter(col("rank") <= pool)
+    if (rerank <= 0)
+      ranked.filter(col("rank") <= topK)
+        .select(col(qidCol), col(rowId), col("adc_d2"), col("rank"))
+    else {
+      // in-plan exact re-rank (scaladoc): candidate keys join back to
+      // their float vectors by (id, dt, cell) — the cells scan prunes
+      // by the SAME probed-cell subset plus the committed-day filter —
+      // then query vectors rejoin by qid and the exact distances
+      // re-rank. No broadcast hint on either side: the candidate and
+      // query frames are table-derived, so AQE sizes the joins at
+      // runtime (the guarded-broadcast stance without a second
+      // pipeline execution for a count).
+      val cands = ranked.select(col(qidCol), col(rowId), col("dt"), col("cell"))
+      val vecLeaves = committedLeafFiles(f, root, days)
+      val vsch = leafDataSchema(spark, vecLeaves.head.getPath)
+      val vecCol = vsch.fieldNames(1)
+      val cells0 = cellsFrame(spark, root, vecLeaves.head.getPath, days,
+        dataSchema = Some(vsch))
+      val cells =
+        if (cellSubset) cells0.filter(col("cell").isin(probedSet: _*))
+        else cells0
+      val qVecs = usable.select(col(qidCol), col(qvecCol).as("__q_emb"))
+      val exactD2 = aggregate(
+        zip_with(col(vecCol), col("__q_emb"),
+          (x, y) => { val dlt = x.cast("double") - y.cast("double")
+            dlt * dlt }),
+        lit(0.0), (acc, x) => acc + x)
+      cells.join(cands, cells(rowId) === cands(rowId) &&
+          cells("dt") === cands("dt") && cells("cell") === cands("cell"))
+        .select(cands(qidCol), cells(rowId), cells(vecCol))
+        .join(qVecs, qidCol)
+        .withColumn("dist2", exactD2)
+        .filter(col("dist2").isNotNull && !isnan(col("dist2")) &&
+          col("dist2") < lit(Double.PositiveInfinity))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col(qidCol))
+            .orderBy(col("dist2").asc, col(rowId).asc)))
+        .filter(col("rank") <= topK)
+        .select(col(qidCol), col(rowId), col("dist2"), col("rank"))
+    }
   }
 
   /** [[adcProbe]] resolved through the serving pointer — the PQ twin

@@ -613,7 +613,82 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
         .sortBy(t => (t._1, t._4)).toSeq
       assert(got === expect,
         s"poisoned rows must drop, not poison the batch (residual=$residual)")
+      // the in-plan rerank arm (round 17): exact float re-score of the
+      // ADC pool, row-for-row the driver-list rerank's answer
+      def fromListR = IvfStore.adcProbe(spark, root, "vec_id", queries,
+          nprobe = 2, topK = 4, rerank = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      def fromTableR = IvfStore.adcProbeTable(spark, root, qtab, "qid", "qv",
+          nprobe = 2, topK = 4, rerank = 6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+      assert(fromTableR === fromListR,
+        s"table rerank diverged from the driver-list rerank (residual=$residual)")
+      assert(IvfStore.adcProbeTable(spark, root, qtab, "qid", "qv",
+          nprobe = 2, topK = 4, rerank = 6).columns.toSeq ===
+        Seq("qid", "vec_id", "dist2", "rank"))
     }
+  }
+
+  test("adcProbeTable two-phase pruning: a cell-subset batch reads only probed code files; qid==rowId refuses; empty driver batch returns empty") {
+    val s = spark
+    import s.implicits._
+    val root = Files.createTempDirectory("ivfpq-prune").toString
+    val day1 = mkRows(0 until 60)
+    IvfStore.init(vecs(day1), "vec_id", "embedding", root, k = 3, iters = 4)
+    IvfStore.append(vecs(day1), root, "2024-07-01")
+    IvfStore.append(vecs(mkRows(100 until 160)), root, "2024-07-02")
+    IvfStore.enablePq(spark, root, m = M, k = 4, iters = 3): Unit
+    val cents = IvfIndex.open(spark, root)
+    // every query near center 1 with nprobe=1 → the batch probes ONE
+    // cell; the codes scan must read only that cell's files
+    val q = centers(1).toArray
+    val probedCell = cents.indices.minBy(i => (l2d2(q, cents(i).toSeq), i))
+    val qtab = (0 until 5).map(i => (4000L + i, q.toSeq)).toDF("qid", "qv")
+    val res = IvfStore.adcProbeTable(spark, root, qtab, "qid", "qv",
+      nprobe = 1, topK = 3)
+    res.collect()
+    val codeScans = scansOf(res.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "pq_codes"))
+    assert(codeScans.size === 1)
+    def filesIn(day: String, c: Int): Int = {
+      val d = new java.io.File(s"$root/codes/dt=$day/cell=$c")
+      if (!d.isDirectory) 0 else d.listFiles().count(_.getName.startsWith("part-"))
+    }
+    val probedFiles =
+      Seq("2024-07-01", "2024-07-02").map(filesIn(_, probedCell)).sum
+    val allFiles = Seq("2024-07-01", "2024-07-02")
+      .flatMap(d => cents.indices.map(filesIn(d, _))).sum
+    assert(probedFiles < allFiles, "fixture must have unprobed cells")
+    assert(codeScans.head.metrics("numFiles").value === probedFiles.toLong,
+      s"two-phase pruning must read only the probed cell's files " +
+        s"(${codeScans.head.metrics("numFiles").value} vs $probedFiles of $allFiles)")
+    // full-coverage batch: every centroid probed → unchanged full scan
+    val qAll = cents.indices.map(i => (4100L + i, cents(i))).toDF("qid", "qv")
+    val resAll = IvfStore.adcProbeTable(spark, root, qAll, "qid", "qv",
+      nprobe = 1, topK = 3)
+    resAll.collect()
+    val allScan = scansOf(resAll.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "pq_codes")).head
+    assert(allScan.metrics("numFiles").value === allFiles.toLong,
+      "a batch probing every cell must keep the full scan")
+    // a query table whose qid column shares the store's id name now
+    // refuses loudly (round 17, advice) instead of dying ambiguous
+    val e = intercept[IllegalArgumentException] {
+      IvfStore.adcProbeTable(spark, root,
+        qtab.withColumnRenamed("qid", "vec_id"), "vec_id", "qv", 1, 1)
+    }
+    assert(e.getMessage.contains("collides"), e.getMessage)
+    // empty driver-list batch: schema-stable empty frames, both arms
+    assert(IvfStore.adcProbe(spark, root, "vec_id", Seq.empty, 1, 1)
+      .collect().isEmpty)
+    assert(IvfStore.adcProbe(spark, root, "vec_id", Seq.empty, 1, 1,
+      rerank = 2).columns.toSeq === Seq("qid", "vec_id", "dist2", "rank"))
+    // and an all-unusable query TABLE returns empty, schema-stable
+    val junk = Seq((1L, null.asInstanceOf[Seq[Double]])).toDF("qid", "qv")
+    assert(IvfStore.adcProbeTable(spark, root, junk, "qid", "qv", 1, 1)
+      .collect().isEmpty)
   }
 
   test("deep fsck catches tampered codes: code-mismatch and codes-missing-rows") {
