@@ -370,11 +370,22 @@ object TextIndexStore {
     * produces; past it both sides shuffle on `word`), and the
     * (qid, word, pos) fan-out is the posexploded query table.
     *
-    * Honest differences from the driver-list form: (a) no `word IN
-    * (…)` parquet pushdown — the term set is computed inside the
-    * plan, so row-group pruning on `word` is lost (a large batch's
-    * union covers most of the vocabulary anyway; for small driver
-    * lists use [[topKBatch]]); (b) per-query duplicate terms cannot
+    * TWO-PHASE WORD PUSHDOWN (round 17, closing round 16's honest
+    * cost (a)): the broadcast guard already pays one count job over
+    * the batch's distinct words; when that count is under
+    * `graft.maxBroadcastRows` — i.e. exactly when the word set was
+    * going to be driver-broadcast anyway — the set is collected and
+    * the postings scan takes the single probe's `word
+    * isInCollection` filter instead of the semi-join, restoring
+    * parquet row-group pruning on `word`. Past the cap the semi-join
+    * stands (both sides shuffle on `word` — the scale path, where the
+    * batch's union covers most of the vocabulary and row-group
+    * pruning would win nothing). Result-identical either way.
+    *
+    * Honest differences from the driver-list form: (a) the word-set
+    * count/collect and the qterms broadcast guard each run one job
+    * over the query table (an expensive-to-recompute query frame
+    * should be cached by the caller); (b) per-query duplicate terms cannot
     * REFUSE without a validation pass, so they corrupt-DROP instead:
     * `array_distinct` keeps each term's FIRST occurrence in query
     * order (the fold order is then identical to a dup-free query);
@@ -399,12 +410,19 @@ object TextIndexStore {
       return qterms.select(col("qid"), lit(0L).as("doc_id"),
         lit(0.0).as("bm25"), lit(0L).as("n_terms_hit"),
         lit(1).as("rank")).limit(0)
-    val words = BroadcastGuard.maybeBroadcast(
-      qterms.select(col("word")).distinct(), "BM25 batch word set")
-    val posts = PartitionedLayout.readDays(
+    val wordsDf = qterms.select(col("word")).distinct()
+    val nWords = wordsDf.count()
+    val posts0 = PartitionedLayout.readDays(
         spark, s"$root/postings", postingsSchema, days)
       .filter(col("dt").isin(days: _*))
-      .join(words, Seq("word"), "left_semi")
+    // two-phase word pushdown (scaladoc): under the broadcast cap the
+    // word set was going to live on the driver anyway — collect it
+    // and regain the q149 row-group prune; past it, semi-join
+    val posts =
+      if (nWords <= BroadcastGuard.cap(spark))
+        posts0.filter(col("word").isInCollection(
+          wordsDf.collect().map(_.getString(0)).toSeq))
+      else posts0.join(wordsDf, Seq("word"), "left_semi")
     val scored = posts
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .withColumn("idf", log(lit(1.0) +

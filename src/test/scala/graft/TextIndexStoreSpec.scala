@@ -499,10 +499,37 @@ class TextIndexStoreSpec extends AnyFunSuite with SparkSpec {
       .map(x => (x.getLong(1), x.getDouble(2), x.getLong(3), x.getInt(4)))
       .sortBy(_._4).toSeq
     assert(dupGot === dupWant, "dup terms must fold like their dedup'd query")
-    // over the cap: word set and qterms stop broadcasting — identical
+    // under-cap two-phase pushdown (round 17): the collected word set
+    // rides the postings scan as `word IN (…)` — row-group pruning
+    // back, the q149 plan — with identical rows (asserted above)
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => scansOf(q.plan)
+        case r2: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          scansOf(r2.child)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scansOf)
+      }
+    val tdf = TextIndexStore.topKBatchTable(spark, r, qtab, "qid", "terms", 10)
+    tdf.collect(): Unit
+    val pScans = scansOf(tdf.queryExecution.executedPlan)
+      .filter(_.output.exists(_.name == "word"))
+    assert(pScans.nonEmpty && pScans.forall(
+        _.metadata("PushedFilters").contains("In(word")),
+      s"under-cap batch must push word IN: ${pScans.map(_.metadata("PushedFilters"))}")
+    // over the cap: word set and qterms stop broadcasting — the
+    // postings filter reverts to the shuffled semi-join, identical
     try {
       spark.conf.set("graft.maxBroadcastRows", "1")
       assert(fromTable(qtab) === expect, "shuffled-fallback diverged")
+      val tdf2 = TextIndexStore.topKBatchTable(spark, r, qtab, "qid", "terms", 10)
+      tdf2.collect(): Unit
+      assert(scansOf(tdf2.queryExecution.executedPlan)
+          .filter(_.output.exists(_.name == "word"))
+          .forall(!_.metadata("PushedFilters").contains("In(word")),
+        "over-cap batch must not collect the word set to the driver")
     } finally spark.conf.unset("graft.maxBroadcastRows")
     // empty store: typed empty with the TABLE's qid type
     val r2 = tmpRoot("batchtable-empty")
