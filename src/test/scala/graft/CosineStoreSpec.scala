@@ -130,6 +130,139 @@ class CosineStoreSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.unset("graft.cos.tables")
   }
 
+  /** Total numFiles over data scans under `root` while `body` runs —
+    * the DedupStoreFsckSpec read-volume probe, here pointed at the
+    * archive's embedding files. */
+  private def filesReadUnder(root: String)(body: => Unit): Long = {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[FileSourceScanExec, java.lang.Boolean])
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          walk(r.child)
+        case im: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          walk(im.relation.cachedPlan)
+        case fsc: FileSourceScanExec => Seq(fsc)
+        case other => other.children.flatMap(walk)
+      }
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        walk(qe.executedPlan).foreach { sc =>
+          if (seen.add(sc) &&
+              sc.relation.location.rootPaths.exists(_.toString.contains(root)))
+            total.addAndGet(sc.metrics("numFiles").value): Unit
+        }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(qel)
+    try {
+      body
+      org.apache.spark.graft.ListenerBridge.flush(spark.sparkContext, 30000L)
+    } finally spark.listenerManager.unregister(qel)
+    total.get()
+  }
+
+  test("persisted cos_bands: steady-state banding reads ZERO archive embedding files; a conf change falls back archive-wide; ONE rebuild restores the fast path") {
+    val root = Files.createTempDirectory("cosbands").toString
+    val a = vec()
+    def vecFiles(): Long = {
+      val dir = new java.io.File(s"$root/vecs")
+      if (!dir.isDirectory) 0L
+      else dir.listFiles().filter(_.getName.startsWith("dt="))
+        .flatMap(_.listFiles()).count(_.getName.startsWith("part-")).toLong
+    }
+    assert(ids(DedupStore.ingestCosine(
+      vecs(1L -> a, 2L -> vec()), root, "2024-06-01")) === Set(1L, 2L))
+    assert(ids(DedupStore.ingestCosine(
+      vecs(3L -> vec()), root, "2024-06-02")) === Set(3L))
+    val archive2 = vecFiles()
+    // steady state: the verify join reads the archive embeddings ONCE;
+    // banding rides the persisted slim table — zero embedding reads
+    val read3 = filesReadUnder(s"$root/vecs") {
+      assert(ids(DedupStore.ingestCosine(
+        vecs(10L -> twin(a), 11L -> vec()), root, "2024-06-03")) === Set(11L),
+        "archived twin must still suppress through the persisted bands")
+    }
+    assert(read3 === archive2,
+      s"fast-path ingest must read the $archive2 archive embedding files " +
+        s"exactly once (the verify join), got $read3")
+    // candidate-present ingest (a twin): with zero candidates AQE's
+    // empty-relation propagation collapses the suppression plan and
+    // the executed scans vanish from the final plan tree — the
+    // metric, not the behavior, needs a live candidate
+    val bandReads = filesReadUnder(s"$root/cos_bands") {
+      assert(ids(DedupStore.ingestCosine(
+        vecs(20L -> twin(a), 21L -> vec()), root, "2024-06-04")) === Set(21L))
+    }
+    assert(bandReads > 0, "fast path must read the persisted band table")
+    try {
+      // conf change: epoch mismatch → the ingest re-bands the WHOLE
+      // archive from embeddings (the retroactive-conf contract) —
+      // archive scanned twice (banding + verify), no bands committed
+      spark.conf.set("graft.cos.bits", "8")
+      val archive4 = vecFiles()
+      val read5 = filesReadUnder(s"$root/vecs") {
+        assert(ids(DedupStore.ingestCosine(
+          vecs(30L -> twin(a), 31L -> vec()), root, "2024-06-05")) === Set(31L),
+          "epoch-mismatch fallback must still suppress archive-wide")
+      }
+      assert(read5 === 2 * archive4,
+        s"fallback must scan the $archive4 archive embedding files twice " +
+          s"(banding + verify), got $read5")
+      assert(!new java.io.File(s"$root/cos_bands/dt=2024-06-05").exists(),
+        "an epoch-mismatch ingest must not mix conf eras in the band table")
+      // ONE rebuild at the new conf restores the fast path
+      val r1 = DedupStore.rebuildCosBands(spark, root)
+      assert(r1.action === "rebuilt" && r1.daysRebuilt === 5 &&
+        r1.epoch.contains("bits=8"), s"got $r1")
+      assert(DedupStore.rebuildCosBands(spark, root).action === "in-sync")
+      val archive5 = vecFiles()
+      val read6 = filesReadUnder(s"$root/vecs") {
+        assert(ids(DedupStore.ingestCosine(
+          vecs(40L -> twin(a), 41L -> vec()), root, "2024-06-06")) === Set(41L))
+      }
+      assert(read6 === archive5,
+        s"post-rebuild ingest must be back to one archive scan: $read6 vs $archive5")
+    } finally spark.conf.unset("graft.cos.bits")
+  }
+
+  test("deep fsck cos-bands-mismatch: a tampered band partition is an error until rebuildCosBands heals it") {
+    val root = Files.createTempDirectory("cosfsck").toString
+    assert(ids(DedupStore.ingestCosine(
+      vecs(1L -> vec(), 2L -> vec()), root, "2024-06-01")) === Set(1L, 2L))
+    assert(ids(DedupStore.ingestCosine(
+      vecs(3L -> vec()), root, "2024-06-02")) === Set(3L))
+    assert(DedupStore.fsck(spark, root, deep = true)
+      .forall(_.severity == "info"))
+    // tamper: day-2's bands replaced by day-1's — wrong signatures
+    val hfs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(new Path(s"$root/cos_bands/dt=2024-06-02"), true)
+    FileUtil.copy(hfs, new Path(s"$root/cos_bands/dt=2024-06-01"),
+      hfs, new Path(s"$root/cos_bands/dt=2024-06-02"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val f1 = DedupStore.fsck(spark, root, deep = true)
+    assert(f1.exists(x => x.check == "cos-bands-mismatch" &&
+      x.severity == "error"), s"got $f1")
+    // dirty day re-surfaces until repaired; rebuild heals
+    assert(DedupStore.fsck(spark, root, deep = true)
+      .exists(_.check == "cos-bands-mismatch"))
+    // epoch-matched and day-complete, so the heal needs force
+    assert(DedupStore.rebuildCosBands(spark, root).action === "in-sync")
+    assert(DedupStore.rebuildCosBands(spark, root, force = true)
+      .action === "rebuilt")
+    assert(DedupStore.fsck(spark, root, deep = true)
+      .forall(_.severity == "info"))
+  }
+
   test("minCos outside (0, 1] is rejected") {
     val root = Files.createTempDirectory("cosr").toString
     val e = intercept[IllegalArgumentException] {

@@ -204,6 +204,37 @@ class DedupStoreFsckSpec extends AnyFunSuite with SparkSpec {
       _.forall(_.severity == "info")))
   }
 
+  test("watermark induction survives accel incompleteness: a day corrupted while the df table was incomplete re-audits the moment it completes") {
+    // round 17 (advice): the df/postings recounts are SKIPPED while
+    // their table is incomplete, but days were still watermarked — a
+    // corruption planted in that window stayed invisible forever once
+    // the table later completed (the day's own files never moved
+    // again). Completeness now rides the day fingerprint, so the
+    // false→true flip re-audits everything.
+    val root = containStore(3)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stash = new Path(Files.createTempDirectory("fsck-stash").toString, "df")
+    // make the df table INCOMPLETE: stash day-1's partition away
+    FileUtil.copy(hfs, new Path(s"$root/df/dt=2024-03-01"),
+      hfs, stash, false, conf)
+    hfs.delete(new Path(s"$root/df/dt=2024-03-01"), true)
+    // corrupt day-2's df while the check is un-runnable (incomplete)
+    hfs.delete(new Path(s"$root/df/dt=2024-03-02"), true)
+    FileUtil.copy(hfs, new Path(s"$root/df/dt=2024-03-03"),
+      hfs, new Path(s"$root/df/dt=2024-03-02"), false, conf)
+    val f1 = DedupStore.fsck(spark, root, deep = true)
+    assert(!f1.exists(_.check == "df-mismatch"),
+      s"df check must skip while the table is incomplete, got $f1")
+    // the df table COMPLETES (day-1 restored, itself intact) — the
+    // day-2 corruption must surface although day-2's files did not
+    // move since its watermark
+    FileUtil.copy(hfs, stash, hfs, new Path(s"$root/df/dt=2024-03-01"),
+      false, conf)
+    val f2 = DedupStore.fsck(spark, root, deep = true)
+    assert(f2.exists(x => x.check == "df-mismatch" && x.severity == "error"),
+      s"completeness flip must re-audit watermarked days, got $f2")
+  }
+
   test("deep: tampered postings coverage is caught") {
     val root = nearStore(2)
     val conf = spark.sparkContext.hadoopConfiguration
