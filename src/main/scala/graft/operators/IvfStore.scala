@@ -1192,11 +1192,35 @@ object IvfStore {
     else MarkerProtocol.readMarker(fs(spark, root),
       new Path(new Path(root, MarkerDir), d))
 
-  /** Schema of the pointer snapshot: one row, one column — the
-    * current IVF root path. */
+  /** Schema of the pointer snapshot: one row — the current IVF root
+    * path, plus (round 17, the TextIndexStore `discipline` pattern) a
+    * `summary` stamp of the geometry the root serves: centroid count,
+    * model dim, and the PQ arm (m×|book| + the residual flag, or
+    * float serving). The swap history then carries its WHY — which
+    * rebuild introduced residual codes, which one changed k — without
+    * prose. [[retireRoots]] and [[currentRoot]] read only the first
+    * column; pre-17 pointers read the stamp back as None. */
   private val PointerSchema = org.apache.spark.sql.types.StructType(
     Seq(org.apache.spark.sql.types.StructField("ivf_root",
-      org.apache.spark.sql.types.StringType, nullable = false)))
+      org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("summary",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+
+  /** The serving-geometry stamp [[publishRoot]] writes (see
+    * [[PointerSchema]]) — derived from the ROOT's own committed
+    * state, never caller-supplied, so it cannot drift from what the
+    * root actually serves. */
+  private def rootSummary(spark: SparkSession, root: String,
+      cents: Seq[Array[Double]]): String = {
+    val dim = cents.headOption.map(_.length).getOrElse(0)
+    pqState(spark, root) match {
+      case Some((m, residual)) =>
+        s"k=${cents.size};dim=$dim;pq=m${m.m}x" +
+          s"${m.codebooks.headOption.map(_.size).getOrElse(0)};" +
+          s"residual=$residual"
+      case None => s"k=${cents.size};dim=$dim;serving=float"
+    }
+  }
 
   /** POINTERED ROOT (round 13) — the executable form of "the
     * SnapshotStore pointer pattern" the rebuild contract pointed at:
@@ -1226,8 +1250,17 @@ object IvfStore {
     val cents = IvfIndex.open(spark, root)
     require(cents.nonEmpty, s"refusing to publish $root: empty centroid set")
     import spark.implicits._
-    SnapshotStore.commit(Seq(root).toDF("ivf_root"), pointer)
+    SnapshotStore.commit(Seq((root, rootSummary(spark, root, cents)))
+      .toDF("ivf_root", "summary"), pointer)
   }
+
+  /** The serving-geometry stamp the current pointer snapshot carries
+    * (see [[PointerSchema]]), or None when unpublished / published by
+    * a pre-stamp writer — the [[TextIndexStore.currentDiscipline]]
+    * twin. */
+  def currentSummary(spark: SparkSession, pointer: String): Option[String] =
+    SnapshotStore.read(spark, pointer, PointerSchema).collect().headOption
+      .flatMap(r => Option(r.getString(1))).filter(_.nonEmpty)
 
   /** The root the pointer currently publishes. Loud on a pointer that
     * was never published (the probe-side error must name the fix). */

@@ -94,11 +94,14 @@ object MaintenanceDrill {
     // round 15: flip the store into PQ-encoded serving — the timed
     // backfill encodes all 10 committed days, which is exactly what
     // encode-at-append costs spread across the feed (same arithmetic,
-    // same write shape; ~1/10th of this per daily append)
+    // same write shape; ~1/10th of this per daily append). Trained
+    // RAW first so the acceptance section below prices BOTH arms
+    // (round 17, verdict #2): raw recall, then the residual re-train
+    // and its recall at the same m/k byte budget.
     val (_, tPq) = timed {
       IvfStore.enablePq(spark, ivf, m = 8, k = 64, iters = 4)
     }
-    j("enablePq(train m=8 k=64 + backfill 10 days)", tPq)
+    j("enablePq(raw: train m=8 k=64 + backfill 10 days)", tPq)
     IvfStore.publishRoot(spark, ptr, ivf)
     val total = emb.count() + 2 * (emb.count() / 8).min(emb.count())
     println(s"""{"phase":"corpus","days":10,"k":$k,"rows_approx":$total}""")
@@ -157,6 +160,56 @@ object MaintenanceDrill {
     }
     j("containStore.fsck(deep, watermarked re-audit)", tDeep2)
 
+    // ---- 1d. a cosine dedup store (round 17): prices the persisted
+    // cos_bands fast path against the pre-17 behavior (archive
+    // re-band on every ingest) and the one-time rebuild that heals a
+    // conf-epoch change — the verdict's before/after rows
+    val cosd = s"$stores/cos"
+    val (_, tCosBuild) = timed {
+      (0 until 10).foreach { d =>
+        graft.operators.DedupStore.ingestCosine(
+          emb.filter(pmod(xxhash64($"vec_id"), lit(10)) === d),
+          cosd, f"2025-07-${d + 1}%02d"): Unit
+      }
+    }
+    j("cosStore.ingest(10 days, persisted bands)", tCosBuild)
+    // steady-state day: re-serves shard 0's embeddings under mirror
+    // ids — every row a cosine twin of an archived vector, so the
+    // candidate/verify load is the store's worst case
+    val (_, tCosFast) = timed {
+      graft.operators.DedupStore.ingestCosine(
+        emb.filter(pmod(xxhash64($"vec_id"), lit(10)) === 0)
+          .select((-$"vec_id" - lit(1L)).as("vec_id"), $"embedding"),
+        cosd, "2025-07-11"): Unit
+    }
+    j("cosStore.ingest(day 11, persisted-band fast path)", tCosFast)
+    // the BEFORE price: a conf-epoch flip sends the next ingest to
+    // the fallback — SRP re-derived over the whole archive, exactly
+    // what every ingest paid before round 17. Negated embeddings
+    // (cos = −1 to their sources) so the day commits SURVIVORS,
+    // leaving the band table incomplete for the heal leg below.
+    spark.conf.set("graft.cos.bits", "8")
+    val (_, tCosFallback) = timed {
+      graft.operators.DedupStore.ingestCosine(
+        emb.filter(pmod(xxhash64($"vec_id"), lit(10)) === 1)
+          .select((-$"vec_id" - lit(1L)).as("vec_id"),
+            transform($"embedding", x => -x).as("embedding")),
+        cosd, "2025-07-12"): Unit
+    }
+    j("cosStore.ingest(day 12, conf-change archive-reband fallback)",
+      tCosFallback)
+    spark.conf.unset("graft.cos.bits")
+    // the one-time heal at the restored conf (day 12 committed vecs
+    // but no bands, so the table is incomplete until this runs)
+    val (cbr, tCosRebuild) = timed {
+      graft.operators.DedupStore.rebuildCosBands(spark, cosd)
+    }
+    require(cbr.action == "rebuilt", s"expected a rebuild, got $cbr")
+    require(graft.operators.DedupStore.rebuildCosBands(spark, cosd)
+      .action == "in-sync", "second rebuild must no-op")
+    j("cosStore.rebuildCosBands(heal at restored conf)", tCosRebuild,
+      s""","days_rebuilt":${cbr.daysRebuilt}""")
+
     // ---- 2. the monitors standalone (the run()'s internals, priced)
     val (_, tCompact) = timed {
       IncrementalCurationJob.compactStoresWithIvf(spark, stores, ivf,
@@ -188,17 +241,31 @@ object MaintenanceDrill {
     }
     j("recallReport(nprobe=8/64)", tRecall,
       s""","min_recall":${rc.map(_.getDouble(4)).min}""")
-    // the ADC serving acceptance number (round 16): what recall does
-    // enablePq buy at the serving nprobe, with and without re-rank —
-    // the question an operator asks BEFORE flipping PQ on, priced here
-    val (arc, tAdcRecall) = timed {
-      IvfStore.adcRecallReport(spark, ivf, arms = Seq((8, 0), (8, 40)),
-        topK = 5, queriesPerDay = 16).collect()
+    // the ADC serving acceptance numbers (rounds 16-17): what recall
+    // does enablePq buy at the serving nprobe, with and without
+    // re-rank — priced for BOTH codebook arms at the same m/k byte
+    // budget, so the residual upgrade's accuracy claim carries an
+    // at-scale number (round 17, verdict #2): raw first (the store
+    // trained raw above), then the residual re-train and ITS recall.
+    // Everything downstream (serving probes, the rebuild flip) runs
+    // on the residual store — the published-accuracy form.
+    def adcRecallArms(label: String): Unit = {
+      val (arc, tAdcRecall) = timed {
+        IvfStore.adcRecallReport(spark, ivf, arms = Seq((8, 0), (8, 40)),
+          topK = 5, queriesPerDay = 16).collect()
+      }
+      def armMin(rr: Int) = arc.filter(_.getAs[Int]("rerank") == rr)
+        .map(_.getAs[Double]("recall")).min
+      j(s"adcRecallReport($label, nprobe=8, rerank 0|40)", tAdcRecall,
+        s""","min_recall_adc":${armMin(0)},"min_recall_rerank40":${armMin(40)}""")
     }
-    def armMin(rr: Int) = arc.filter(_.getAs[Int]("rerank") == rr)
-      .map(_.getAs[Double]("recall")).min
-    j("adcRecallReport(nprobe=8, rerank 0|40)", tAdcRecall,
-      s""","min_recall_adc":${armMin(0)},"min_recall_rerank40":${armMin(40)}""")
+    adcRecallArms("raw")
+    val (_, tPqRes) = timed {
+      IvfStore.enablePq(spark, ivf, m = 8, k = 64, iters = 4,
+        residual = true)
+    }
+    j("enablePq(residual: retrain + re-encode 10 days)", tPqRes)
+    adcRecallArms("residual")
 
     // ---- 3. the policy-armed pass under concurrent serving
     val queries = emb.orderBy(xxhash64($"vec_id")).limit(6)
@@ -308,6 +375,12 @@ object MaintenanceDrill {
       s"10 text-index days at keepDays=7 must fold 3: ${tixComp.toSeq}")
     require(IvfStore.currentRoot(spark, ptr) == s"$work/ivf-v2",
       "the drift breach must have swapped the pointer")
+    // the geometry stamp (round 17): the flip's publishRoot derives it
+    // from the new root — residual codebooks carried, so says the stamp
+    require(IvfStore.currentSummary(spark, ptr)
+        .exists(_.contains("residual=true")),
+      s"pointer must stamp the residual geometry, got ${
+        IvfStore.currentSummary(spark, ptr)}")
     require(fullProbe() == expected, "post-flip full probe changed")
     val act = spark.read.parquet(s"$work/reports1/rebuild")
       .select($"action").distinct().as[String].collect().toSeq

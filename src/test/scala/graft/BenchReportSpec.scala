@@ -35,8 +35,29 @@ class BenchReportSpec extends AnyFunSuite {
     assert(line.startsWith("{") && line.endsWith("}"))
     assert(line.count(_ == '{') === line.count(_ == '}'))
     for (k <- Seq("\"metric\":", "\"value\":", "\"unit\":", "\"queries\":",
-        "\"failed\":", "\"contended\":", "\"sf\":"))
+        "\"failed\":", "\"contended\":", "\"anchor_ratio\":", "\"sf\":"))
       assert(line.contains(k), s"missing $k")
+  }
+
+  test("anchor heat: a uniformly hot host flips contended via the idle-pin ratio; no pins for the sf -> null ratio") {
+    // q01 sf0.1 newest pin is r15 = 0.45 s; a suite reading ~3x that
+    // with PERFECTLY tight reps is invisible to the spread probe but
+    // loud in the anchor channel (the r16 sf1 failure mode)
+    val hot = full ++ Seq(
+      "q01_pricing_summary" -> Seq(1.35, 1.34, 1.36, 1.35, 1.35))
+    val hotLine = BenchReport.renderLine(hot, "/root/testdata/sf0.1")
+    assert(hotLine.contains(""""contended":true"""), hotLine)
+    assert("\"anchor_ratio\":(\\d+\\.\\d+)".r.findFirstMatchIn(hotLine)
+      .exists(_.group(1).toDouble > 2.5), hotLine)
+    // at-pin anchors: contended stays false, ratio ~1
+    val cool = full ++ Seq(
+      "q01_pricing_summary" -> Seq(0.46, 0.45, 0.44, 0.45, 0.46))
+    val coolLine = BenchReport.renderLine(cool, "/root/testdata/sf0.1")
+    assert(coolLine.contains(""""contended":false"""), coolLine)
+    // an sf with no recorded pins (or no label): ratio null, flag
+    // falls back to the spread probe alone
+    assert(BenchReport.renderLine(hot, "/sf")
+      .contains(""""anchor_ratio":null"""))
   }
 
   test("queries with no samples are named in failed, not hidden as -1.0") {

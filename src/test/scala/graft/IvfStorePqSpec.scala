@@ -230,6 +230,10 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
     IvfStore.append(vecs(day1), root, "2024-07-01")
     IvfStore.enablePq(spark, root, m = M, k = 3, iters = 2): Unit
     IvfStore.publishRoot(spark, pointer, root): Unit
+    // the geometry stamp rides the pointer (round 17): derived from
+    // the root's own state, carrying the PQ arm + residual flag
+    assert(IvfStore.currentSummary(spark, pointer) ===
+      Some(s"k=3;dim=$Dim;pq=m${M}x3;residual=false"))
     val queries = Seq(9L -> centers(2).toArray)
     val before = IvfStore.adcProbeVia(spark, pointer, "vec_id", queries, 99, 5)
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
@@ -242,6 +246,9 @@ class IvfStorePqSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq === before,
       "full ADC probe is geometry-independent — identical across the flip")
     assert(IvfStore.fsck(spark, newRoot, deep = true).forall(_.severity != "error"))
+    assert(IvfStore.currentSummary(spark, pointer) ===
+      Some(s"k=3;dim=$Dim;pq=m${M}x3;residual=false"),
+      "the flip must re-stamp the new root's geometry")
   }
 
   /** numFiles over scans of `table` whose output includes `outCol` —

@@ -119,6 +119,13 @@ class JobsSpec extends AnyFunSuite with SparkSpec {
       .orderBy($"dt").collect()
     assert(landedRecall.length == 2 &&
       landedRecall.forall(r => r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0))
+    // round 17: the cosine band-table maintenance rides the same run —
+    // a freshly-ingested cos store is band-complete at the session
+    // epoch, so the landed action is the no-op
+    val cosb = spark.read.parquet(s"$root/reports/cos_bands")
+    assert(cosb.columns.toSeq === Seq("action", "days_rebuilt", "epoch"))
+    assert(cosb.collect().map(_.getString(0)).toSeq === Seq("in-sync"),
+      s"got ${cosb.collect().toSeq}")
     val comp = spark.read.parquet(s"$root/reports/compaction")
     assert(comp.filter($"store" === "ivf").count() == 1)
     assert(counts("compaction") == comp.count())
