@@ -80,6 +80,9 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // match Bench's join planning (round 17): the oracle gate must
+      // verify the same physical plans the bench times
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // q89 writes a bucketed table; default warehouse = JVM cwd,

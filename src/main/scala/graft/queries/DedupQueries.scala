@@ -233,15 +233,21 @@ object DedupQueries {
       val cand = pruned.as("a").join(pruned.as("b"),
           $"a.band" === $"b.band" && $"a.bv" === $"b.bv" && $"a.doc_id" < $"b.doc_id")
         .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b")).distinct()
-      // set size rides along through the verification joins (see q41):
-      // per-doc sizes are join-key-determined, never a broadcast table
-      val ex = sh.select($"doc_id", size($"sset").as("n"), explode($"sset").as("sh"))
-        .cache()
+      // row-local verification (round 17 — q41's measured form ported
+      // here): candidates fetch the per-doc shingle ARRAYS (one row
+      // per doc) and the intersection is `array_intersect` inside
+      // codegen. The old explode+groupBy verify re-exploded the full
+      // postings twice and shuffled every posting row by doc id; this
+      // joins |candidates| + 2·|docs| rows. Identical output — sset is
+      // array_distinct'd, so size(array_intersect) ≡ the matched-
+      // posting count the groupBy computed.
       cand
-        .join(ex.as("ea"), $"doc_a" === $"ea.doc_id")
-        .join(ex.as("eb"), $"doc_b" === $"eb.doc_id" && $"ea.sh" === $"eb.sh")
-        .groupBy($"doc_a", $"doc_b", $"ea.n".as("na"), $"eb.n".as("nb"))
-        .agg(count(lit(1)).as("c"))
+        .join(sh.select($"doc_id".as("doc_a"), size($"sset").as("na"),
+          $"sset".as("sa")), "doc_a")
+        .join(sh.select($"doc_id".as("doc_b"), size($"sset").as("nb"),
+          $"sset".as("sb")), "doc_b")
+        .select($"doc_a", $"doc_b", $"na", $"nb",
+          size(array_intersect($"sa", $"sb")).as("c"))
         .select($"doc_a", $"doc_b",
           ($"c".cast("double") / ($"na" + $"nb" - $"c")).as("jaccard"))
         .filter($"jaccard" >= 0.6)
