@@ -30,6 +30,12 @@ object GraftExtensions {
     (FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),
       (args: Seq[Expression]) => VecDot(args(0), args(1))),
+    (FunctionIdentifier("vec_l2d2"),
+      new ExpressionInfo(classOf[graft.functions.VecL2d2].getName, "vec_l2d2"),
+      (args: Seq[Expression]) => graft.functions.VecL2d2(args(0), args(1))),
+    (FunctionIdentifier("l2_argmin"),
+      new ExpressionInfo(classOf[graft.functions.L2ArgMin].getName, "l2_argmin"),
+      (args: Seq[Expression]) => graft.functions.L2ArgMin(args(0), args(1))),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => SimHash60(args.head)),

@@ -36,6 +36,31 @@ object Vectors {
   /** ‖a‖₂ as double. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Σ (aᵢ−bᵢ)² as double (sequential fold; null on width mismatch or
+    * null element — exact zip_with semantics). Native [[VecL2d2]] JIT
+    * loop; the HOF reference is [[l2d2Hof]] (equality spec'd in
+    * ExpressionSpec). */
+  def l2d2(a: Column, b: Column): Column =
+    ColumnBridge.column(VecL2d2(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** The pure-HOF formulation — the semantic reference for [[l2d2]]. */
+  def l2d2Hof(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => {
+        val dlt = x.cast("double") - y.cast("double"); dlt * dlt
+      }),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** struct(cell, dist2): first argmin centroid + its L2² — the
+    * k-means assignment kernel as ONE native [[L2ArgMin]] expression
+    * (the HOF chain it replaces bit-for-bit lives in
+    * [[graft.operators.KMeans]]'s ExpressionSpec reference). `cents`
+    * must be an `array<array<double>>` column (normally a literal). */
+  def l2ArgMin(vec: Column, cents: Column): Column =
+    ColumnBridge.column(L2ArgMin(
+      ColumnBridge.expression(vec), ColumnBridge.expression(cents)))
+
   /** cos(a,b) given precomputed norms (avoids recomputing ‖·‖ per pair
     * in the O(n²) join — precompute per side, then one dot per pair).
     *

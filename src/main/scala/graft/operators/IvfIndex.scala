@@ -136,10 +136,11 @@ object IvfIndex {
     val candidates = cells
       .filter(col("cell").isin(probedCells: _*))
       .join(broadcast(pairsDf), "cell")
-    val d2 = aggregate(
-      zip_with(col(vecCol), col("q_emb"),
-        (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
-      lit(0.0), (acc, x) => acc + x)
+    // native JIT L2² (round 17): bit-identical to the zip_with+
+    // aggregate HOF (sequential double fold; null on width mismatch),
+    // minus the per-element interpreted lambda calls and the zipped
+    // array alloc per candidate row — the probe's hot inner loop
+    val d2 = graft.functions.Vectors.l2d2(col(vecCol), col("q_emb"))
     candidates
       .withColumn("dist2", d2)
       // defensive corrupt-drop (round 13): [[KMeans.assign]] never

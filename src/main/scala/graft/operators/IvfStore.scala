@@ -694,10 +694,9 @@ object IvfStore {
         .toDF("qid", "__q_emb")
       val nCandChunks = math.max(1L,
         (queries.size.toLong * pool + cap - 1) / cap).toInt
-      val exactD2 = aggregate(
-        zip_with(col(vecCol), col("__q_emb"),
-          (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
-        lit(0.0), (acc, x) => acc + x)
+      // native JIT L2² — bit-identical to the zip_with+aggregate HOF
+      // (see Vectors.l2d2); the rerank leg's hot inner loop
+      val exactD2 = graft.functions.Vectors.l2d2(col(vecCol), col("__q_emb"))
       (0 until nCandChunks).map { i =>
         val candsCh =
           if (nCandChunks == 1) cands
@@ -914,11 +913,9 @@ object IvfStore {
         if (cellSubset) cells0.filter(col("cell").isin(probedSet: _*))
         else cells0
       val qVecs = usable.select(col(qidCol), col(qvecCol).as("__q_emb"))
-      val exactD2 = aggregate(
-        zip_with(col(vecCol), col("__q_emb"),
-          (x, y) => { val dlt = x.cast("double") - y.cast("double")
-            dlt * dlt }),
-        lit(0.0), (acc, x) => acc + x)
+      // native JIT L2² — bit-identical to the zip_with+aggregate HOF
+      // (see Vectors.l2d2); the table-path rerank leg's inner loop
+      val exactD2 = graft.functions.Vectors.l2d2(col(vecCol), col("__q_emb"))
       cells.join(cands, cells(rowId) === cands(rowId) &&
           cells("dt") === cands("dt") && cells("cell") === cands("cell"))
         .select(cands(qidCol), cells(rowId), cells(vecCol))
@@ -2065,10 +2062,10 @@ object IvfStore {
     // it must not NaN the day's mean and mask the alarm).
     val cellOk = col("cell").isNotNull &&
       col("cell") >= 0 && col("cell") < cents.size
-    val d2raw = aggregate(
-      zip_with(col(vecCol), element_at(centArr, col("cell") + 1),
-        (x, y) => { val dlt = x.cast("double") - y; dlt * dlt }),
-      lit(0.0), (acc, x) => acc + x)
+    // native JIT L2² — bit-identical to the zip_with+aggregate HOF
+    // (see Vectors.l2d2; width-mismatch rows null exactly as before)
+    val d2raw = graft.functions.Vectors.l2d2(
+      col(vecCol), element_at(centArr, col("cell") + 1))
     // nested whens, not one fused condition: a CaseWhen CONDITION is
     // always evaluated, so d2raw (and its element_at) may only appear
     // under the cellOk branch VALUE

@@ -62,10 +62,16 @@ object KMeans {
     * map-side partials hold one (Σ, n) per (cell, partition). */
   final class VectorMean extends Aggregator[Seq[Double], MeanBuf, Seq[Double]] {
     override def zero: MeanBuf = MeanBuf(Array.emptyDoubleArray, 0L)
+    // reduce/merge MUTATE the left buffer's sum array in place (round
+    // 17): Spark's aggregation owns that buffer exclusively between
+    // calls (ObjectHashAggregate keeps it as a live object; sort-based
+    // fallback deserializes a fresh copy per row-group), so the old
+    // per-row defensive clone was a d-wide alloc+copy on EVERY input
+    // row. Arithmetic (element order, accumulation order) unchanged.
     override def reduce(b: MeanBuf, v: Seq[Double]): MeanBuf =
       if (b.n == 0L) MeanBuf(v.toArray, 1L)
       else {
-        val s = b.sum.clone()
+        val s = b.sum
         var i = 0
         while (i < s.length) { s(i) += v(i); i += 1 }
         MeanBuf(s, b.n + 1L)
@@ -74,7 +80,7 @@ object KMeans {
       if (x.n == 0L) y
       else if (y.n == 0L) x
       else {
-        val s = x.sum.clone()
+        val s = x.sum
         var i = 0
         while (i < s.length) { s(i) += y.sum(i); i += 1 }
         MeanBuf(s, x.n + y.n)
@@ -89,15 +95,17 @@ object KMeans {
   /** Trained centroids plus the per-iteration Σ min-dist² trace. */
   case class Model(centroids: Seq[Array[Double]], sseHistory: Seq[Double])
 
-  /** Squared distances of `vec` to each centroid in `cents`, as an
-    * array column ordered like `cents`. */
-  private def dist2Array(cents: Seq[Array[Double]], vec: Column): Column =
-    transform(array(cents.map(c => lit(c)): _*), c =>
-      aggregate(
-        zip_with(c, vec, (x, y) => {
-          val dlt = x - y.cast("double"); dlt * dlt
-        }),
-        lit(0.0), (acc, x) => acc + x))
+  /** struct(cell, dist2) of `vec` against `cents` — the assignment
+    * kernel, as the native [[graft.functions.L2ArgMin]] JIT loop
+    * (round 17, guide §4): the HOF chain it replaces bit-for-bit
+    * (`transform(cents, c -> aggregate(zip_with(c, vec, ...), 0D, +))`
+    * + `array_min` + `array_position`) interpreted its lambdas k·d
+    * times per row and allocated k zipped arrays — the dominant
+    * per-row cost of every assign pass (ExpressionSpec pins the
+    * equality, including argmin tie-break and corrupt-row nulls). */
+  private def argMinCol(cents: Seq[Array[Double]], vec: Column): Column =
+    graft.functions.Vectors.l2ArgMin(vec,
+      array(cents.map(c => lit(c)): _*))
 
   /** Σ x² of the vector as one row-local HOF — the finite-vector
     * probe: a NaN element NaNs it, an Inf element Infs it, a NULL
@@ -139,11 +147,11 @@ object KMeans {
     * common-subexpression elimination evaluates it once per row. */
   def assign(df: DataFrame, cents: Seq[Array[Double]], vecCol: String): DataFrame = {
     require(cents.nonEmpty, "cannot assign against zero centroids")
-    val d2 = dist2Array(cents, col(vecCol))
+    val ac = argMinCol(cents, col(vecCol))
     df.filter(usable(vecCol, cents.head.length))
       .withColumns(Map(
-        "dist2" -> array_min(d2),
-        "cell" -> (array_position(d2, array_min(d2)) - 1).cast("int")))
+        "dist2" -> ac.getField("dist2"),
+        "cell" -> ac.getField("cell")))
   }
 
   /** Lloyd's k-means. `df` is scanned once for seeding plus once per
@@ -186,13 +194,15 @@ object KMeans {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
     val sse = Seq.newBuilder[Double]
     for (_ <- 1 to iters) {
-      val d2 = dist2Array(cents, col(vecCol))
-      // one projection: codegen CSE evaluates the k·d transform once
+      val ac = argMinCol(cents, col(vecCol))
+      // one projection: codegen subexpression elimination evaluates
+      // the native argmin once per row (valid now that the kernel is
+      // a codegen expression — the old HOF chain was CodegenFallback)
       val stats = df
         .filter(usable(vecCol, dim))
         .select(col(vecCol).cast("array<double>").as("v"),
-          array_min(d2).as("d2"),
-          (array_position(d2, array_min(d2)) - 1).cast("int").as("cell"))
+          ac.getField("dist2").as("d2"),
+          ac.getField("cell").as("cell"))
         .groupBy($"cell")
         .agg(meanAgg($"v").as("mean"), sum($"d2").as("cell_sse"))
         .collect() // k rows of (cell, d-vector, scalar) — bounded

@@ -78,13 +78,12 @@ object ProductQuantizer {
 
   /** Squared L2 between two array columns, element arithmetic in
     * double, sequential left fold — the same formulation the q147
-    * oracle evaluates, so trained and sampled paths share semantics. */
+    * oracle evaluates, so trained and sampled paths share semantics.
+    * Native [[graft.functions.VecL2d2]] JIT loop since round 17 —
+    * bit-identical to the zip_with+aggregate HOF it replaces
+    * (ExpressionSpec pins the equality). */
   private[graft] def d2(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => {
-        val dl = x.cast("double") - y.cast("double"); dl * dl
-      }),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.Vectors.l2d2(a, b)
 
   private def subSlice(vec: Column, s: Column, subDim: Int): Column =
     slice(vec, s * lit(subDim) + lit(1), lit(subDim))

@@ -128,6 +128,76 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("vec_l2d2 == HOF zip_with+aggregate, bit-exact incl. corrupt rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // well-formed rows + the corrupt classes the HOF nulls: width
+    // mismatch (zip_with pads with null), a null element, NaN/Inf
+    // elements (flow through arithmetic, NOT nulled)
+    val base = (1 to 50).map(i => (i.toLong,
+      Array.fill(64)(rnd.nextFloat() * 2 - 1),
+      Array.fill(64)(rnd.nextDouble() * 2 - 1)))
+    val df = base.toDF("id", "a", "b")
+      .union(Seq(
+        (101L, Array.fill(63)(0.5f), Array.fill(64)(0.25)),          // width mismatch
+        (102L, Array(1.0f, Float.NaN, 3.0f), Array(1.0, 2.0, 3.0)),  // NaN
+        (103L, Array(1.0f, Float.PositiveInfinity), Array(1.0, 2.0)) // Inf
+      ).toDF("id", "a", "b"))
+      .union(Seq(104L).toDF("id")
+        .select(col("id"),
+          array(lit(1.0f), lit(null).cast("float")).as("a"),
+          array(lit(1.0), lit(2.0)).as("b")))                        // null element
+    val q = df.select(
+      Vectors.l2d2(col("a"), col("b")).as("native"),
+      Vectors.l2d2Hof(col("a"), col("b")).as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1), s"codegen=$cg null parity")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+            s"codegen=$cg bit parity")
+      }
+    }
+  }
+
+  test("l2_argmin == HOF transform+array_min+array_position chain, incl. ties and corrupt rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val cents: Seq[Array[Double]] =
+      Seq(Array(0.0, 0.0), Array(1.0, 1.0), Array(0.0, 0.0), Array(2.0, 2.0))
+    // duplicate centroid 2 == centroid 0 forces argmin TIES: the
+    // chain's array_position returns the FIRST match
+    val vecs = (1 to 40).map(i => (i.toLong,
+      Array.fill(2)(rnd.nextFloat() * 4 - 1)))
+    val df = vecs.toDF("id", "v")
+      .union(Seq((101L, Array.fill(3)(0.5f))).toDF("id", "v")) // wrong width
+    val centArr = array(cents.map(c => lit(c)): _*)
+    val refD2 = transform(centArr, c =>
+      aggregate(
+        zip_with(c, col("v"), (x, y) => {
+          val dlt = x - y.cast("double"); dlt * dlt
+        }),
+        lit(0.0), (acc, x) => acc + x))
+    val q = df.select(
+      Vectors.l2ArgMin(col("v"), centArr).as("native"),
+      struct(
+        (array_position(refD2, array_min(refD2)) - 1).cast("int").as("cell"),
+        array_min(refD2).as("dist2")).as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach { r =>
+        val (n, f) = (r.getStruct(0), r.getStruct(1))
+        assert(n.isNullAt(0) === f.isNullAt(0), s"codegen=$cg cell null parity")
+        if (!n.isNullAt(0)) {
+          assert(n.getInt(0) === f.getInt(0), s"codegen=$cg argmin cell")
+          assert(java.lang.Double.doubleToRawLongBits(n.getDouble(1)) ==
+            java.lang.Double.doubleToRawLongBits(f.getDouble(1)),
+            s"codegen=$cg dist2 bit parity")
+        }
+      }
+    }
+  }
+
   test("word_shingles == HOF distinct-concat_ws-slice formulation (codegen + interpreted)") {
     GraftExtensions.ensureRegistered(spark)
     import spark.implicits._
