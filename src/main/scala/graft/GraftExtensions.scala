@@ -36,6 +36,9 @@ object GraftExtensions {
     (FunctionIdentifier("l2_argmin"),
       new ExpressionInfo(classOf[graft.functions.L2ArgMin].getName, "l2_argmin"),
       (args: Seq[Expression]) => graft.functions.L2ArgMin(args(0), args(1))),
+    (FunctionIdentifier("adc_fold"),
+      new ExpressionInfo(classOf[graft.functions.AdcFold].getName, "adc_fold"),
+      (args: Seq[Expression]) => graft.functions.AdcFold(args(0), args(1))),
     (FunctionIdentifier("simhash60"),
       new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
       (args: Seq[Expression]) => SimHash60(args.head)),

@@ -50,6 +50,34 @@ object VecL2Impl {
     s
   }
 
+  /** The ADC fold — see [[AdcFold]] for the parity contract. */
+  def adcFold(codes: ArrayData, lut: ArrayData): java.lang.Double = {
+    val m = codes.numElements()
+    if (lut.numElements() != m) return null
+    var s = 0.0
+    var i = 0
+    while (i < m) {
+      if (codes.isNullAt(i) || lut.isNullAt(i)) return null
+      val row = lut.getArray(i)
+      val n = row.numElements()
+      // element_at addressing: 1-based from the front, negative from
+      // the END, |idx| > n invalid (null under try_element_at) — and
+      // idx 0 THROWS even in try mode (INVALID_INDEX_OF_ZERO; the HOF
+      // reference behaves identically, ExpressionSpec pins it)
+      val idx = codes.getInt(i) + 1
+      val pos =
+        if (idx > 0 && idx <= n) idx - 1
+        else if (idx < 0 && -idx <= n) n + idx
+        else if (idx == 0)
+          org.apache.spark.sql.graft.ErrorBridge.invalidIndexOfZero()
+        else return null
+      if (row.isNullAt(pos)) return null
+      s += row.getDouble(pos)
+      i += 1
+    }
+    s
+  }
+
   /** Argmin cell + its dist² against an array of centroids —
     * bit-identical to the HOF reference
     * `d2 = transform(cents, c -> aggregate(zip_with(c, v, ...), 0D, +));
@@ -95,6 +123,45 @@ object VecL2Impl {
     if (bestIdx < 0) InternalRow(null, null)
     else InternalRow(bestIdx, best)
   }
+}
+
+/** Native ADC fold: Σᵢ lut[i][codes[i]+1] (1-based, try_element_at
+  * semantics) — the PQ asymmetric-distance inner loop. Bit-identical
+  * to `aggregate(zip_with(codes, lut, (c, row) ->
+  * try_element_at(row, c + 1)), 0.0D, +)`: a length mismatch between
+  * codes and lut, a null code, a null LUT row, or an out-of-range
+  * lookup (index 0 from code −1; |index| > row length — negative
+  * indexes address from the END, element_at's contract) nulls the
+  * whole sum, exactly as the HOF's null poisons its aggregate
+  * (ExpressionSpec pins the equality on all those edges). */
+case class AdcFold(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"adc_fold requires (array<int>, array<array<double>>), got " +
+          s"(${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "adc_fold"
+
+  override protected def nullSafeEval(c: Any, l: Any): Any =
+    VecL2Impl.adcFold(c.asInstanceOf[ArrayData], l.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, l) => {
+      val tmp = ctx.freshName("adc")
+      s"""java.lang.Double $tmp = graft.functions.VecL2Impl.adcFold($c, $l);
+         |if ($tmp == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $tmp.doubleValue(); }""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): AdcFold = copy(left = newLeft, right = newRight)
 }
 
 /** Native L2 squared distance over two float/double array columns →

@@ -52,6 +52,20 @@ object Vectors {
       }),
       lit(0.0), (acc, x) => acc + x)
 
+  /** Σᵢ lut[i][codes[i]] (1-based try_element_at addressing) — the PQ
+    * ADC fold as the native [[AdcFold]] JIT loop; HOF reference is
+    * [[adcFoldHof]] (equality spec'd in ExpressionSpec, including
+    * out-of-range / negative / null codes). */
+  def adcFold(codes: Column, lut: Column): Column =
+    ColumnBridge.column(AdcFold(
+      ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
+
+  /** The pure-HOF formulation — the semantic reference for [[adcFold]]. */
+  def adcFoldHof(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (code, row) => try_element_at(row, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
   /** struct(cell, dist2): first argmin centroid + its L2² — the
     * k-means assignment kernel as ONE native [[L2ArgMin]] expression
     * (the HOF chain it replaces bit-for-bit lives in

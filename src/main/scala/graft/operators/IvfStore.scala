@@ -660,12 +660,11 @@ object IvfStore {
         .filter(col("pq_codes").isNotNull && size(col("pq_codes")) === model.m)
       codes.join(broadcast(pairsDf), "cell")
         .select(col("qid"), col(rowId), col("dt"), col("cell"),
-          aggregate(
-            // try_element_at: an out-of-range code (hand-made corpus)
-            // nulls the score instead of killing the probe under ANSI
-            zip_with(col("pq_codes"), col("__pq_lut"),
-              (code, row) => try_element_at(row, code + 1)),
-            lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+          // native JIT ADC fold — bit-identical to the zip_with +
+          // try_element_at HOF (out-of-range codes null the score
+          // instead of killing the probe; see Vectors.adcFold)
+          graft.functions.Vectors.adcFold(col("pq_codes"), col("__pq_lut"))
+            .as("adc_d2"))
         .filter(col("adc_d2").isNotNull)
     }.reduce(_ unionByName _)
     val pool = math.max(topK, rerank)
@@ -882,10 +881,9 @@ object IvfStore {
     val pool = math.max(topK, rerank)
     val ranked = codes.join(pairsSide, "cell")
       .select(col(qidCol), col(rowId), col("dt"), col("cell"),
-        aggregate(
-          zip_with(col("pq_codes"), col("__pq_lut"),
-            (code, row) => try_element_at(row, code + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+        // native JIT ADC fold (see Vectors.adcFold)
+        graft.functions.Vectors.adcFold(col("pq_codes"), col("__pq_lut"))
+          .as("adc_d2"))
       .filter(col("adc_d2").isNotNull)
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(qidCol))

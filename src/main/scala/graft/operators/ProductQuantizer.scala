@@ -186,13 +186,11 @@ object ProductQuantizer {
         .filter(col(codesCol).isNotNull && size(col(codesCol)) === model.m)
         .crossJoin(q)
         .select(col(qIdCol), col(idCol),
-          aggregate(
-            // try_element_at: an out-of-range code (hand-made corpus)
-            // must null the score — ANSI element_at would kill the
-            // whole probe job for one corrupt row
-            zip_with(col(codesCol), col("__pq_lut"),
-              (code, row) => try_element_at(row, code + 1)),
-            lit(0.0), (acc, x) => acc + x).as("adc_d2"))
+          // native JIT ADC fold — bit-identical to the zip_with +
+          // try_element_at HOF (out-of-range codes null the score
+          // instead of killing the probe; see Vectors.adcFold)
+          graft.functions.Vectors.adcFold(col(codesCol), col("__pq_lut"))
+            .as("adc_d2"))
     }.reduce(_ union _)
     scored
       .filter(col("adc_d2").isNotNull) // out-of-range code → null lookup

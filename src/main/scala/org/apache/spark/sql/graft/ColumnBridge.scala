@@ -12,3 +12,13 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Error-parity shim: `private[sql]` error constructors the native
+  * expressions must reproduce exactly (AdcFold's index-0 contract
+  * matches try_element_at, which throws INVALID_INDEX_OF_ZERO even in
+  * try mode). */
+object ErrorBridge {
+  def invalidIndexOfZero(): Nothing =
+    throw org.apache.spark.sql.errors.QueryExecutionErrors
+      .invalidIndexOfZeroError(null)
+}

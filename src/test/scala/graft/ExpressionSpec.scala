@@ -161,6 +161,47 @@ class ExpressionSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("adc_fold == HOF zip_with+try_element_at+aggregate, incl. out-of-range/negative/null codes") {
+    import spark.implicits._
+    val lut: Array[Array[Double]] =
+      Array(Array(1.0, 2.0, 4.0), Array(8.0, 16.0, 32.0))
+    val rows = Seq(
+      (1L, Array(0, 2)),      // in range
+      (2L, Array(2, 0)),      // in range
+      (3L, Array(3, 0)),      // idx 4 > len: out of range -> null
+      (5L, Array(-3, 0)),     // idx -2: addresses from the END
+      (6L, Array(-5, 0)),     // idx -4 < -len: out of range -> null
+      (7L, Array(0)),         // width mismatch vs 2 LUT rows -> null
+      (8L, Array(0, 1, 2)))   // width mismatch (long side) -> null
+    val df = rows.toDF("id", "codes")
+      .union(Seq(9L).toDF("id").select(col("id"),
+        array(lit(0), lit(null).cast("int")).as("codes"))) // null code
+      .withColumn("lut", typedLit(lut.map(_.toSeq).toSeq))
+    val q = df.select(
+      Vectors.adcFold(col("codes"), col("lut")).as("native"),
+      Vectors.adcFoldHof(col("codes"), col("lut")).as("ref"))
+    for (cg <- Seq(true, false)) withCodegen(cg) {
+      q.collect().foreach { r =>
+        assert(r.isNullAt(0) === r.isNullAt(1), s"codegen=$cg null parity")
+        if (!r.isNullAt(0))
+          assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+            java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+            s"codegen=$cg bit parity")
+      }
+    }
+    // index-0 parity: code −1 THROWS in both formulations (element_at
+    // index 0 is invalid even under try_element_at — the native fold
+    // must not silently diverge to null on that input)
+    val zeroIdx = Seq((4L, Array(-1, 0))).toDF("id", "codes")
+      .withColumn("lut", typedLit(lut.map(_.toSeq).toSeq))
+    for (c <- Seq(Vectors.adcFold(col("codes"), col("lut")),
+        Vectors.adcFoldHof(col("codes"), col("lut")))) {
+      val e = intercept[Exception](zeroIdx.select(c).collect())
+      assert(e.getMessage.contains("INVALID_INDEX_OF_ZERO"),
+        s"expected INVALID_INDEX_OF_ZERO, got: ${e.getMessage}")
+    }
+  }
+
   test("l2_argmin == HOF transform+array_min+array_position chain, incl. ties and corrupt rows") {
     import spark.implicits._
     val rnd = new scala.util.Random(13)
