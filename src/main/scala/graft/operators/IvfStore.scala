@@ -819,23 +819,24 @@ object IvfStore {
     val cbLit = typedlit(model.codebooks)
     val np = math.min(nprobe, cents.size)
     // row-local probed cells: (dist², index) structs sorted — struct
-    // ordering is field-lexicographic, exactly (d2 asc, index asc)
+    // ordering is field-lexicographic, exactly (d2 asc, index asc).
+    // Inner fold is the native vec_l2d2 (round 17) — the transform
+    // shell interprets k lambdas per query row instead of k·d
     val d2ToCents = transform(centArr, c =>
-      aggregate(zip_with(col(qvecCol), c,
-          (x, y) => { val dl = x.cast("double") - y; dl * dl }),
-        lit(0.0), (acc, x) => acc + x))
+      graft.functions.Vectors.l2d2(col(qvecCol), c))
     val probedCells = transform(
       slice(array_sort(zip_with(d2ToCents,
         sequence(lit(0), lit(cents.size - 1)),
         (d, i) => struct(d.as("d"), i.as("i")))), 1, np),
       s => s.getField("i"))
+    // per-subspace LUT rows: the inner subspace fold is the native
+    // vec_l2d2 (round 17) — m·k interpreted lambda calls per query
+    // row instead of m·k·subDim, the slice/codebook frame unchanged
     def lutOf(vecCol: Column): Column =
       transform(sequence(lit(0), lit(model.m - 1)), s =>
         transform(element_at(cbLit, s + 1), cw =>
-          aggregate(zip_with(
-              slice(vecCol, s * lit(model.subDim) + 1, lit(model.subDim)), cw,
-              (x, y) => { val dl = x.cast("double") - y; dl * dl }),
-            lit(0.0), (acc, x) => acc + x)))
+          graft.functions.Vectors.l2d2(
+            slice(vecCol, s * lit(model.subDim) + 1, lit(model.subDim)), cw)))
     val usable = queries
       .filter(col(qidCol).isNotNull && KMeans.usable(qvecCol, model.dim))
     // phase 1 of the two-phase pruning (scaladoc): the batch's probed
