@@ -206,6 +206,15 @@ object IncrementalContainment {
       .agg(sum(col("cnt")).as("__w"))
       .filter(col("__w") > maxShingleDf)
       .select(col("sh"))
+    // round 17 re-test of the round-13 materialization question, now
+    // with lazy .cache() instead of eager localCheckpoint: at sf0.1
+    // the cache dedupes the double occupancy evaluation and wins big
+    // (q118 4.35→3.65, q143 5.17→3.81, probe 3.17→2.04 focused A/B),
+    // but at the ×10 replica it LOSES (q118 6.38→6.86, q143
+    // 11.14→12.48, probe 6.51→7.68 — the cache is a serialization
+    // point the two lazily-overlapping evaluations don't have, the
+    // same direction as round 13's localCheckpoint numbers). The
+    // scale regime decides: stays lazy.
     def cool(rows: DataFrame): DataFrame = rows.join(hot, Seq("sh"), "left_anti")
     // contained=anything, container=delta — covers delta-in-delta and
     // store-in-delta; contained=delta, container=store covers the rest
